@@ -1,0 +1,58 @@
+"""Benchmark: headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect overhead) — the number measures the engine, not
+py4j transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from data_warehouse_migration_spark.catalog import REGISTRY
+    from data_warehouse_migration_spark.session import get_spark
+
+    spark = get_spark("spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {name: q for name, q in REGISTRY.items() if q.headline}
+
+    # Warm the JVM/session once (tiny query) so q1 doesn't pay startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        t0 = time.time()
+        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Query catalog: every operator's showcase query + its DuckDB oracle.
+
+Single source of truth consumed by ``__spark_entry__.py`` (driver
+contract) and ``bench.py`` (sf0.1 timing). Each entry pairs
+
+- a Spark implementation ``(spark, sf_dir) -> DataFrame``, and
+- an equivalent ANSI-SQL string DuckDB runs on the same parquet
+  (views ``region nation customer supplier part orders lineitem
+  events documents embeddings`` are pre-registered by the driver).
+
+Cross-engine exactness rules (the driver hash-compares values):
+- Aggregates over money/quantity doubles go through EXACT integer
+  arithmetic: scale to cents (``round(x*100)::bigint``), sum as
+  integers, divide once at the end. Summing doubles directly is
+  order-dependent (Spark and DuckDB combine partitions differently)
+  and can flip a rounded 2-decimal digit.
+- Every computed column is aliased identically on both sides (the
+  driver sorts columns by name before hashing).
+- Timestamps are cast to DATE where the semantics are daily;
+  tie-breaks in top-k are made total by adding key columns to the sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None  # None → driver does a weaker rows-only check
+    headline: bool = False  # included in bench.py timing loop
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, headline: bool = False, tags: tuple[str, ...] = ()):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = Query(name, fn, oracle, headline, tags)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table. Parquet → column pruning + predicate
+    pushdown happen at the scan via Catalyst once the query narrows it.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); Spark reads it as raw
+    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we convert to a
+    microsecond timestamp here — the same truncation DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` performs, so oracles align.
+    """
+    if name == "events":
+        # Defensive: the driver's session may not carry our factory
+        # configs; this SQL conf is honored at read time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer division: ns epochs (~1.7e18) exceed double mantissa
+        # precision, and DuckDB's CAST truncates rather than rounds.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast(
+                "timestamp_ntz"  # session tz is UTC → lossless; matches DuckDB's naive TIMESTAMP
+            ),
+        )
+    return df
+
+
+def cents(c, scale: int = 2):
+    """Exact integer representation of a money/quantity double."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * (10**scale)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Warehouse-parity queries (SURVEY.md §2) land here via register_* calls at
+# the bottom of this module; extension operators register from their own
+# modules to keep this file navigable.
+# ---------------------------------------------------------------------------
+
+from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
+    analytics,
+    llm_ops,
+    warehouse,
+)

@@ -1,0 +1,402 @@
+"""Analytics surface (SURVEY.md §2.4-2.7): aggregations, windows, sorts,
+set operations, join variants. The reference's own aggregation surface
+is thin (COUNT(*) verification, UNION ALL stats) — this module exposes
+the full Spark surface the driver's oracle suite exercises, each shape
+with its scale posture documented.
+
+Exactness: every money aggregate goes through integer cents (see
+catalog module docstring); sums are therefore order-independent and
+bit-identical to DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.catalog import cents, query, t
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: the canonical scan→filter→groupBy
+# partial/final aggregate. One shuffle on (returnflag, linestatus);
+# map-side combine does nearly all the work (6 groups).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    headline=True,
+    tags=("A1", "A2", "P6"),
+    oracle="""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS sum_qty,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS sum_base_price,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        AS DOUBLE) / 10000.0 AS sum_disc_price,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)
+        AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+    count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    disc_price = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        * 1000000
+    ).cast("long")
+    return (
+        l.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias(
+                "sum_base_price"
+            ),
+            (F.sum(disc_price).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge).cast("double") / 1000000.0).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# star_revenue_by_nation — full star join (J7): fact ⋈ orders ⋈ customer ⋈
+# nation ⋈ region with all dims broadcast; one shuffle for the final agg.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "star_revenue_by_nation",
+    headline=True,
+    tags=("J2", "J7", "A1"),
+    oracle="""
+SELECT
+    r.r_name AS region,
+    n.n_name AS nation,
+    count(*) AS n_lines,
+    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+        AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+)
+def star_revenue_by_nation(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    line_rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(line_rev).cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup_revenue — GROUPING SETS surface (§2.4 "absent but exposed"):
+# region → nation rollup with grand total.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_revenue",
+    tags=("A1", "rollup"),
+    oracle="""
+SELECT
+    r.r_name AS region,
+    n.n_name AS nation,
+    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_sales
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def rollup_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg((F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("total_sales"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5): ranking, frames, lag/lead.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_top_orders_per_customer",
+    tags=("W", "O1"),
+    oracle="""
+SELECT o_custkey AS customer, o_orderkey AS order_key,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS total_price,
+       rn AS rank_in_customer
+FROM (
+    SELECT *,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def window_top_orders_per_customer(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("customer"),
+            F.col("o_orderkey").alias("order_key"),
+            (cents("o_totalprice") / 100.0).alias("total_price"),
+            F.col("rn").alias("rank_in_customer"),
+        )
+    )
+
+
+@query(
+    "window_running_revenue",
+    tags=("W",),
+    oracle="""
+SELECT
+    o_custkey AS customer,
+    o_orderkey AS order_key,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        AS running_total
+FROM orders
+""",
+)
+def window_running_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("customer"),
+        F.col("o_orderkey").alias("order_key"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0).alias(
+            "running_total"
+        ),
+    )
+
+
+@query(
+    "window_order_gaps",
+    tags=("W",),
+    oracle="""
+SELECT
+    o_custkey AS customer,
+    o_orderkey AS order_key,
+    datediff('day',
+             lag(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             CAST(o_orderdate AS DATE))::INT AS days_since_prev
+FROM orders
+""",
+)
+def window_order_gaps(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    d = F.to_date("o_orderdate")
+    return o.select(
+        F.col("o_custkey").alias("customer"),
+        F.col("o_orderkey").alias("order_key"),
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join variants (§2.3 "Spark gives these for free"): semi / anti.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anti_join_customers_without_orders",
+    tags=("J", "anti"),
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "semi_join_suppliers_with_sales",
+    tags=("J", "semi"),
+    oracle="""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+""",
+)
+def semi_join_suppliers_with_sales(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem").select("l_suppkey")  # noqa: E741
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7): UNION ALL stats (the reference's verification
+# shape, load_gold_data.sql:107-111), INTERSECT, EXCEPT.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_table_stats",
+    tags=("U2", "A1", "A2"),
+    oracle="""
+SELECT 'customer' AS table_name, count(*) AS n FROM customer
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'supplier', count(*) FROM supplier
+""",
+)
+def union_table_stats(spark, sf_dir):
+    parts = [
+        t(spark, sf_dir, name).agg(
+            F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n")
+        )
+        for name in ["customer", "orders", "lineitem", "supplier"]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "setops_repeat_buyers",
+    tags=("U", "intersect", "except"),
+    oracle="""
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1996)
+SELECT o_custkey AS customer, 'both_years' AS cohort
+FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1995'
+FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+""",
+)
+def setops_repeat_buyers(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).select(
+        F.col("o_custkey").alias("customer"), F.lit("both_years").alias("cohort")
+    )
+    only95 = y95.exceptAll(y96).select(
+        F.col("o_custkey").alias("customer"), F.lit("only_1995").alias("cohort")
+    )
+    return both.unionByName(only95)
+
+
+# ---------------------------------------------------------------------------
+# Top-k (O1) and distinct-aggregate surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    tags=("O1",),
+    oracle="""
+SELECT o_orderkey AS order_key,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS total_price
+FROM orders
+ORDER BY total_price DESC, order_key
+LIMIT 20
+""",
+)
+def topk_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("order_key"),
+            (cents("o_totalprice") / 100.0).alias("total_price"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("order_key"))
+        .limit(20)
+    )
+
+
+@query(
+    "agg_order_stats_by_status",
+    tags=("A1", "distinct"),
+    oracle="""
+SELECT
+    o_orderstatus AS status,
+    count(*) AS n_orders,
+    count(DISTINCT o_custkey) AS n_customers,
+    CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS min_price,
+    CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS max_price,
+    round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 / count(*), 6) AS avg_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_order_stats_by_status(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (F.min(c).cast("double") / 100.0).alias("min_price"),
+        (F.max(c).cast("double") / 100.0).alias("max_price"),
+        F.round(F.sum(c).cast("double") / 100.0 / F.count(F.lit(1)), 6).alias(
+            "avg_price"
+        ),
+    )

@@ -1,0 +1,357 @@
+"""LLM-data-pipeline queries (north star, BASELINE.json): dedup,
+similarity search, text analysis, event sessionization — over the
+driver's ``documents`` / ``embeddings`` / ``events`` tables.
+
+Every hash here is md5/sha2 (hex string) so the DuckDB oracle computes
+bit-identical values; floats cross engines only after explicit
+rounding, and every money/value aggregate is exact-integer. See each
+operator module for the 100 TB design notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.catalog import query, t
+from data_warehouse_migration_spark.functions import text as Tx
+from data_warehouse_migration_spark.operators import dedup as D
+from data_warehouse_migration_spark.operators import sessionize as S
+from data_warehouse_migration_spark.operators.similarity import brute_force_topk
+
+# Shared oracle CTE: normalized text + distinct 3-gram shingle digests.
+_SHINGLES_CTE = """
+norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), words AS (
+    SELECT doc_id, string_split(txt, ' ') AS w FROM norm
+), sh AS (
+    SELECT DISTINCT doc_id AS doc, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM words, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+)
+"""
+
+_JACCARD_CTE = (
+    _SHINGLES_CTE
+    + """
+, sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc)
+, inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+, jac AS (
+    SELECT doc_a, doc_b,
+           n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS j
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc
+    JOIN sizes sb ON inter.doc_b = sb.doc
+)
+"""
+)
+
+
+@query(
+    "dedup_exact",
+    tags=("dedup",),
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    headline=True,
+    tags=("dedup", "jaccard"),
+    oracle="WITH "
+    + _JACCARD_CTE
+    + """
+SELECT doc_a, doc_b, round(j, 6) AS jaccard
+FROM jac WHERE j >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    tags=("dedup", "minhash", "lsh"),
+    oracle="WITH "
+    + _JACCARD_CTE
+    + """
+, seeds AS (SELECT unnest(range(0, 16)) AS i)
+, mh AS (
+    SELECT doc, i, min(md5(i::VARCHAR || '|' || sh)) AS minhash
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc, i
+)
+, banded AS (
+    SELECT doc, i // 2 AS band,
+           md5(string_agg(i::VARCHAR || ':' || minhash, '|'
+               ORDER BY i::VARCHAR || ':' || minhash)) AS band_sig
+    FROM mh
+    GROUP BY doc, i // 2
+)
+, cands AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+                 AND a.doc < b.doc
+)
+SELECT c.doc_a, c.doc_b, round(j.j, 6) AS jaccard
+FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.j >= 0.8
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=8, threshold=0.8
+    )
+
+
+@query(
+    "simhash_fingerprints",
+    tags=("dedup", "simhash"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), toks AS (
+    SELECT doc_id, unnest(string_split(txt, ' ')) AS tok FROM norm
+), vals AS (
+    SELECT doc_id,
+           (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS val
+    FROM toks
+), votes AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (val // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM vals CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+    GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1 << bit)::BIGINT ELSE 0 END)::BIGINT AS simhash
+FROM votes
+GROUP BY doc_id
+""",
+)
+def simhash_fingerprints(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+
+
+@query(
+    "text_quality",
+    headline=True,
+    tags=("text",),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), tk AS (
+    SELECT doc_id, string_split(txt, ' ') AS toks FROM norm
+), st AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> x IN
+               ('the','a','an','of','and','to','in','is','it','for'))) AS n_stop,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS total_len
+    FROM tk
+)
+SELECT doc_id,
+       n_tokens::INT AS n_tokens,
+       round(CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE n_stop / CAST(n_tokens AS DOUBLE) END, 6) AS stopword_ratio,
+       round(CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE total_len / CAST(n_tokens AS DOUBLE) END, 6) AS avg_token_len,
+       round((least(n_tokens / 100.0, 1.0)
+              + (1.0 - abs(CASE WHEN n_tokens = 0 THEN 0.0
+                                ELSE n_stop / CAST(n_tokens AS DOUBLE) END - 0.3))
+              + CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+                                ELSE total_len / CAST(n_tokens AS DOUBLE) END)
+                          BETWEEN 3 AND 8
+                     THEN 1.0 ELSE 0.5 END) / 3, 6) AS quality_score
+FROM st
+""",
+)
+def text_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        Tx.token_count(txt).alias("n_tokens"),
+        F.round(Tx.stopword_ratio(txt), 6).alias("stopword_ratio"),
+        F.round(Tx.avg_token_len(txt), 6).alias("avg_token_len"),
+        Tx.quality_score(txt).alias("quality_score"),
+    )
+
+
+@query(
+    "token_stats",
+    tags=("text", "tokenize"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, n_chars,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+)
+SELECT doc_id,
+       len(string_split(txt, ' '))::INT AS n_tokens,
+       len(regexp_extract_all(txt, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::INT
+           AS n_bpe_tokens,
+       length(txt)::INT AS n_chars_norm,
+       n_chars
+FROM norm
+""",
+)
+def token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    norm = D.normalized_text(txt)
+    return docs.select(
+        "doc_id",
+        Tx.token_count(txt).alias("n_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(norm).alias("n_chars_norm"),
+        "n_chars",
+    )
+
+
+@query(
+    "lang_id",
+    tags=("text", "langid"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS toks
+    FROM documents
+), scores AS (
+    SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('the','and','of','is')))  AS s_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','es')))    AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','et','est')))   AS s_fr,
+        len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('的','是','了','在')))      AS s_zh
+    FROM norm
+), best AS (
+    SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS b FROM scores
+)
+SELECT doc_id,
+       CASE WHEN b = 0 THEN 'und'
+            WHEN s_en = b THEN 'en'
+            WHEN s_es = b THEN 'es'
+            WHEN s_fr = b THEN 'fr'
+            WHEN s_de = b THEN 'de'
+            ELSE 'zh' END AS predicted_lang,
+       lang AS stated_lang,
+       (CASE WHEN b = 0 THEN 'und'
+             WHEN s_en = b THEN 'en'
+             WHEN s_es = b THEN 'es'
+             WHEN s_fr = b THEN 'fr'
+             WHEN s_de = b THEN 'de'
+             ELSE 'zh' END = lang) AS is_match
+FROM best
+""",
+)
+def lang_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pred = Tx.predicted_lang(F.col("text"))
+    return docs.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("stated_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+@query(
+    "similarity_topk",
+    headline=True,
+    tags=("similarity", "ann"),
+    oracle="""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+    FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < 8)
+SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       round(list_cosine_similarity(q.emb, c.emb), 6) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC, c.vec_id
+       ) AS INT) AS rank
+FROM q JOIN v c ON c.vec_id <> q.vec_id
+QUALIFY rank <= 5
+""",
+)
+def similarity_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+@query(
+    "sessionize_events",
+    headline=True,
+    tags=("events", "session"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+), m AS (
+    SELECT *,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT *,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM m
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM s
+GROUP BY user_id, session_seq
+""",
+)
+def sessionize_events(spark, sf_dir):
+    return S.session_stats(t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@query(
+    "tumbling_event_windows",
+    tags=("events", "window"),
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_event_windows(spark, sf_dir):
+    return S.tumbling_window_agg(t(spark, sf_dir, "events"), duration="1 hour")

@@ -1,0 +1,336 @@
+"""Warehouse-parity queries (SURVEY.md §2): the reference's ETL surface
+re-expressed over the driver's TPC-H-ish tables, each with a DuckDB
+oracle.
+
+Fixture mapping (FIXTURES.md §5): ``lineitem``/``orders`` stand in for
+F4211 (dates Julian-encoded on the fly to exercise the decoder; money
+scaled to implicit-decimal integers), ``customer`` for F0101, and the
+orders history drives SCD2 + point-in-time attribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.catalog import cents, query, t
+from data_warehouse_migration_spark.functions.calendar import build_dim_date
+from data_warehouse_migration_spark.functions.jde import (
+    date_key,
+    date_to_julian,
+    julian_to_date,
+)
+from data_warehouse_migration_spark.operators.joins import point_in_time_join
+from data_warehouse_migration_spark.operators.scd2 import scd2_from_history
+
+# ---------------------------------------------------------------------------
+# jde_silver_clean — the reference's Silver cleanse (DF_Clean_JDE.json):
+# Julian decode (P1/F6-F11), implicit-decimal decode (F3/F11), safe-divide
+# unit price (F12), DateKey (F17), business renames (P5).
+# We first ENCODE lineitem into JDE form (exactly what the reference's
+# fixture generator does, generate_jde_data.py:28-42) then decode — so the
+# oracle independently verifies both directions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jde_silver_clean",
+    headline=True,
+    tags=("P1", "P5", "F1-F17", "S5", "S7"),
+    oracle="""
+WITH enc AS (
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        ((year(l_shipdate) // 100 - 19) * 100000
+         + (year(l_shipdate) % 100) * 1000
+         + dayofyear(l_shipdate))::INT AS sdtrdj,
+        CAST(round(l_quantity * 100) AS BIGINT) AS sduorg,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS sdaexp
+    FROM lineitem
+), dec AS (
+    SELECT *,
+        lpad(CAST(sdtrdj AS VARCHAR), 6, '0') AS s
+    FROM enc
+)
+SELECT
+    l_orderkey AS OrderNumber,
+    l_linenumber AS LineNumber,
+    make_date(1900 + substr(s,1,1)::INT * 100 + substr(s,2,2)::INT, 1, 1)
+        + (substr(s,4,3)::INT - 1) AS OrderDate,
+    CAST(strftime(make_date(1900 + substr(s,1,1)::INT * 100 + substr(s,2,2)::INT, 1, 1)
+        + (substr(s,4,3)::INT - 1), '%Y%m%d') AS INT) AS DateKey,
+    sduorg / 100.0 AS Quantity,
+    sdaexp / 100.0 AS ExtendedAmount,
+    CAST(CASE WHEN sduorg <> 0 THEN (sdaexp * 1000000) // sduorg ELSE 0 END
+         AS DOUBLE) / 1000000.0 AS UnitPrice
+FROM dec
+""",
+)
+def jde_silver_clean(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    enc = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        date_to_julian(F.to_date("l_shipdate")).alias("SDTRDJ"),
+        cents("l_quantity").alias("SDUORG"),
+        cents("l_extendedprice").alias("SDAEXP"),
+    )
+    decoded_date = julian_to_date("SDTRDJ")
+    return enc.select(
+        F.col("l_orderkey").alias("OrderNumber"),
+        F.col("l_linenumber").alias("LineNumber"),
+        decoded_date.alias("OrderDate"),
+        date_key(decoded_date).alias("DateKey"),
+        (F.col("SDUORG") / 100.0).alias("Quantity"),
+        (F.col("SDAEXP") / 100.0).alias("ExtendedAmount"),
+        # Fixed-point micro-precision safe divide (F12): integer floor
+        # division is bit-identical across engines, unlike round(double)
+        # whose half-rounding mode differs.
+        (
+            F.when(
+                F.col("SDUORG") != 0,
+                F.expr("(SDAEXP * 1000000) div SDUORG"),
+            )
+            .otherwise(F.lit(0))
+            .cast("double")
+            / 1000000.0
+        ).alias("UnitPrice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dim_date — calendar-dimension generator (G1): sequence+explode vs the
+# reference's T-SQL WHILE loop (dim_date.sql:34-63, 7,671 rows).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_date",
+    tags=("G1", "F17-F21"),
+    oracle="""
+WITH days AS (
+    SELECT unnest(generate_series(DATE '2020-01-01', DATE '2040-12-31',
+                                  INTERVAL 1 DAY))::DATE AS FullDate
+)
+SELECT
+    CAST(strftime(FullDate, '%Y%m%d') AS INT) AS DateKey,
+    FullDate,
+    day(FullDate)::INT AS DayOfMonth,
+    dayname(FullDate) AS DayOfWeekName,
+    (dayofweek(FullDate) + 1)::INT AS DayOfWeekNumber,
+    weekofyear(FullDate)::INT AS WeekOfYear,
+    month(FullDate)::INT AS MonthNumber,
+    monthname(FullDate) AS MonthName,
+    quarter(FullDate)::INT AS Quarter,
+    year(FullDate)::INT AS Year,
+    dayofweek(FullDate) IN (0, 6) AS IsWeekend,
+    ((year(FullDate) % 4 = 0 AND year(FullDate) % 100 <> 0)
+     OR year(FullDate) % 400 = 0) AS IsLeapYear,
+    quarter(FullDate)::INT AS FiscalQuarter,
+    year(FullDate)::INT AS FiscalYear
+FROM days
+""",
+)
+def dim_date(spark, sf_dir):
+    return build_dim_date(spark)
+
+
+# ---------------------------------------------------------------------------
+# scd2_customer_versions — SCD2 backfill from a change history (§2.2 P2-P8).
+# History: each customer's order stream; tracked attribute: the priority
+# class of their latest order (stands in for F0101's CustomerName /
+# CategoryCode). Hash change detection mirrors DF_SCD2_Customer.json:135.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE_BASE = """
+WITH h AS (
+    SELECT
+        o_custkey AS CustomerID,
+        CAST(o_orderdate AS DATE) AS ts,
+        o_orderpriority AS Priority,
+        o_orderkey,
+        sha256(coalesce(o_orderpriority, '')) AS RowHash
+    FROM orders
+), marked AS (
+    SELECT *,
+        lag(RowHash) OVER (PARTITION BY CustomerID ORDER BY ts, o_orderkey)
+            AS prev_hash
+    FROM h
+), starts AS (
+    SELECT CustomerID, Priority, RowHash, ts AS ValidFrom, o_orderkey
+    FROM marked
+    WHERE prev_hash IS NULL OR prev_hash <> RowHash
+), versions AS (
+    SELECT
+        CustomerID, Priority, RowHash, ValidFrom,
+        lead(ValidFrom) OVER (PARTITION BY CustomerID ORDER BY ValidFrom, o_orderkey)
+            AS ValidTo
+    FROM starts
+)
+SELECT CustomerID, Priority, RowHash, ValidFrom, ValidTo,
+       (ValidTo IS NULL) AS IsActive
+FROM versions
+"""
+
+
+def _customer_priority_history(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("CustomerID"),
+        F.to_date("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("Priority"),
+        "o_orderkey",
+    )
+
+
+@query("scd2_customer_versions", tags=("P2", "P3", "P7", "F13"), oracle=_SCD2_ORACLE_BASE)
+def scd2_customer_versions(spark, sf_dir):
+    h = _customer_priority_history(spark, sf_dir)
+    v = scd2_from_history(
+        h, keys="CustomerID", attrs=["Priority"], ts="ts", tiebreak=["o_orderkey"]
+    )
+    return v.select(
+        "CustomerID", "Priority", "RowHash", "ValidFrom", "ValidTo", "IsActive"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pit_fact_attribution — point-in-time join (J3): attribute every lineitem
+# (at ship time) to the customer-priority version valid that day, exactly
+# the reference's Fact_Sales load rule (fact_sales.sql:11-13).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pit_fact_attribution",
+    headline=True,
+    tags=("J2", "J3", "P6", "F22"),
+    oracle=_SCD2_ORACLE_BASE.replace(
+        "SELECT CustomerID, Priority, RowHash, ValidFrom, ValidTo,\n"
+        "       (ValidTo IS NULL) AS IsActive\nFROM versions",
+        """
+, facts AS (
+    SELECT o.o_custkey AS CustomerID, CAST(l.l_shipdate AS DATE) AS ship_date,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT v.Priority AS priority,
+       count(*) AS n_lines,
+       CAST(sum(f.cents) AS DOUBLE) / 100.0 AS revenue
+FROM facts f
+LEFT JOIN versions v
+  ON f.CustomerID = v.CustomerID
+ AND f.ship_date >= v.ValidFrom
+ AND f.ship_date < coalesce(v.ValidTo, DATE '9999-12-31')
+GROUP BY v.Priority
+""",
+    ),
+)
+def pit_fact_attribution(spark, sf_dir):
+    h = _customer_priority_history(spark, sf_dir)
+    versions = scd2_from_history(
+        h, keys="CustomerID", attrs=["Priority"], ts="ts", tiebreak=["o_orderkey"]
+    ).select("CustomerID", "Priority", "ValidFrom", "ValidTo")
+
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    o = t(spark, sf_dir, "orders")
+    facts = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("CustomerID"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        cents("l_extendedprice").alias("cents"),
+    )
+    attributed = point_in_time_join(
+        facts, versions, on="CustomerID", ts="ship_date", broadcast_dim=True
+    )
+    return attributed.groupBy(F.col("Priority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# star_topk_orders — the flagship star query (J7 + O1): the reference's
+# verification query shape (load_gold_data.sql:115-128): top-10 by amount
+# across fact ⋈ customer with date attribution.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "star_topk_orders",
+    headline=True,
+    tags=("J2", "J7", "O1", "A1"),
+    oracle="""
+SELECT
+    o.o_orderkey AS order_key,
+    c.c_name AS customer_name,
+    CAST(o.o_orderdate AS DATE) AS order_date,
+    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+        AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, order_key
+LIMIT 10
+""",
+)
+def star_topk_orders(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    # Exact per-row fixed-point (4 implied decimals: price(2) × discount(2)).
+    line_rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("c_name").alias("customer_name"),
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        .agg((F.sum(line_rev).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("order_key"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# inline_values_seed — the reference's VALUES-driven Gold seed (G7/S11/J5):
+# an inline derived table joined to warehouse data with an active-flag-style
+# predicate (here: market segment tiers).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "inline_values_seed",
+    tags=("G7", "S11", "J5", "U2"),
+    oracle="""
+WITH tiers(segment, tier) AS (
+    VALUES ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 2),
+           ('HOUSEHOLD', 3), ('FURNITURE', 3)
+)
+SELECT t.tier, count(*) AS n_customers,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_acctbal
+FROM customer c
+JOIN tiers t ON c.c_mktsegment = t.segment
+GROUP BY t.tier
+""",
+)
+def inline_values_seed(spark, sf_dir):
+    tiers = spark.createDataFrame(
+        [("BUILDING", 1), ("AUTOMOBILE", 2), ("MACHINERY", 2),
+         ("HOUSEHOLD", 3), ("FURNITURE", 3)],
+        "segment string, tier int",
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(tiers), c.c_mktsegment == tiers.segment)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_acctbal"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference stamps all SCD2 metadata in UTC (``currentUTC()`` at
+DF_SCD2_Customer.json:156-157, ``SYSUTCDATETIME()`` at dim_customer.sql:35),
+so the session timezone is pinned to UTC. AQE is enabled so joins are
+re-planned at runtime (auto-broadcast, skew splitting, partition
+coalescing) — the reference hand-pins ``broadcast: 'right'`` on every
+join; we hint the small side explicitly *and* let AQE cover the rest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "spark-graft",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Scale posture (local[n] here; 1000-executor cluster in production):
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic broadcast conversion survive a 100× scale-up where a
+      static plan would not.
+    - ``shuffle_partitions`` is a *starting* number; AQE coalesces down.
+      At 100 TB you raise it (≈ 2-3× total cores, or rely on
+      ``spark.sql.adaptive.coalescePartitions``).
+    - Arrow enabled for the (rare) Pandas-UDF paths — the parity
+      operators are 100% native Column expressions (SURVEY.md §2.11).
+    - Session timezone UTC (reference semantics, SURVEY.md §7.7).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Parquet scans: keep pushdown + vectorized reader on (defaults,
+        # pinned here so a misconfigured environment can't silently
+        # disable them).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark
+        # has no native type for; read as raw nanos (bigint) and convert
+        # at the loader (catalog.t) via timestamp_micros(ns div 1000).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

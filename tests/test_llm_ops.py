@@ -1,0 +1,122 @@
+"""Dedup / similarity / text / sessionization operator semantics on
+hand-built fixtures (the testdata-scale checks live in the oracle
+harness, tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.functions.text import (
+    predicted_lang,
+    token_count,
+)
+from data_warehouse_migration_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    word_shingles,
+)
+from data_warehouse_migration_spark.operators.sessionize import session_stats
+from data_warehouse_migration_spark.operators.similarity import brute_force_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The  quick   brown fox jumps over the lazy dog"),  # ws/case variant
+    (3, "the quick brown fox jumps over the lazy cat"),      # near-dup
+    (4, "completely different text about spark engines"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    out = exact_dedup(docs_df(spark)).collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    got = [r.s for r in df.select(word_shingles(F.col("t"), 3).alias("s")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # short doc → whole text
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = ngram_jaccard_pairs(docs_df(spark), n=3, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0            # exact after normalization
+    assert 0.5 <= got[(1, 3)] < 1.0      # near-dup
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_minhash_lsh_recovers_exact_dups_and_verifies(spark):
+    pairs = minhash_lsh_pairs(docs_df(spark), n=3, num_hashes=16, bands=8,
+                              threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = docs_df(spark).select("doc_id", simhash16(F.col("text")).alias("h"))
+    h = {r.doc_id: r.h for r in df.collect()}
+    assert h[1] == h[2]
+    hamming13 = bin(h[1] ^ h[3]).count("1")
+    hamming14 = bin(h[1] ^ h[4]).count("1")
+    assert hamming13 < hamming14
+    assert all(0 <= v < 2**16 for v in h.values())
+
+
+def test_brute_force_topk_identical_vector_ranks_first(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.7, 0.7])],
+        "vec_id int, embedding array<float>",
+    )
+    out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].n_id == 2 and rows[0].cosine == 1.0
+    assert rows[1].n_id == 4
+    assert rows[2].n_id == 3 and abs(rows[2].cosine) < 1e-9
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"),
+         (2, "el gato de la casa es grande"),
+         (3, "der hund und die katze ist da"),
+         (4, "xyz qqq zzz")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.p for r in
+           df.select("doc_id", predicted_lang(F.col("text")).alias("p")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a  b   c",)], "text string")
+    assert df.select(token_count(F.col("text")).alias("n")).first().n == 3
+
+
+def test_session_stats_gap_splitting(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = spark.createDataFrame(
+        [(1, base, 7, "view", 1.0, ""),
+         (2, base + dt.timedelta(minutes=10), 7, "view", 2.0, ""),
+         (3, base + dt.timedelta(minutes=50), 7, "view", 3.0, ""),   # 40min gap → new
+         (4, base, 8, "view", 5.0, "")],
+        "event_id int, ts timestamp, user_id int, event_type string,"
+        " value double, props string",
+    )
+    out = session_stats(events, gap_minutes=30).collect()
+    sessions = {(r.user_id, r.session_seq): r for r in out}
+    assert sessions[(7, 1)].n_events == 2
+    assert sessions[(7, 1)].total_value == 3.0
+    assert sessions[(7, 2)].n_events == 1
+    assert sessions[(8, 1)].n_events == 1

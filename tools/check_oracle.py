@@ -1,0 +1,139 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle on the same
+parquet tables, then compares row count, column names/order-insensitive
+sorted columns, and an order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.001 and all queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v):
+    import datetime
+    import math
+    from decimal import Decimal
+
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, Decimal):
+        f = float(v)
+        return canon_cell(f)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(canon_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from data_warehouse_migration_spark.catalog import REGISTRY
+    from data_warehouse_migration_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+
+    failures = []
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.spark_fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"✗ {name}: SPARK ERROR\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"○ {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+        except Exception:
+            print(f"✗ {name}: ORACLE ERROR\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
+        if not problems:
+            hs, ho = table_hash(s_cols, s_rows), table_hash(o_cols, o_rows)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                # show first differing canonical line for debugging
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+                ls = sorted("|".join(canon_cell(r[i]) for i in order_s) for r in s_rows)
+                lo = sorted("|".join(canon_cell(r[i]) for i in order_o) for r in o_rows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        problems.append(f"  spark : {a}\n  oracle: {b}")
+                        break
+        if problems:
+            print(f"✗ {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+            failures.append(name)
+        else:
+            print(f"✓ {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
