@@ -76,6 +76,7 @@ def scd2_merge(
     keys: str | list[str],
     attrs: list[str],
     now,
+    first_version_from=None,
 ) -> DataFrame:
     """One SCD2 maintenance round: current dim + snapshot → next dim.
 
@@ -90,15 +91,34 @@ def scd2_merge(
     differs) get fresh open versions; CHANGED additionally expires the
     old active version (``ValidTo=now, IsActive=false``); NO-CHANGE and
     all already-expired history pass through untouched.
+
+    ``first_version_from``: effective-from for a key's FIRST version
+    (both initial load and later-arriving new keys). The reference
+    stamps load time (``SYSUTCDATETIME()``, dim_customer.sql:35), which
+    silently un-attributes facts dated before the load in the PIT join
+    (``OrderDate >= ValidFrom``, fact_sales.sql:12) — a latent
+    data-loss bug we don't replicate. Kimball practice: the first
+    version covers all history — pass a low sentinel (e.g.
+    ``datetime(1900,1,1)``). Default ``None`` keeps the reference's
+    load-time semantics.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     now = now if isinstance(now, Column) else F.lit(now)
+    first_from = (
+        now
+        if first_version_from is None
+        else (
+            first_version_from
+            if isinstance(first_version_from, Column)
+            else F.lit(first_version_from)
+        )
+    )
 
     snap = snapshot.select(*keys, *attrs).withColumn("RowHash", row_hash(*attrs))
 
     if dim is None:
         return (
-            snap.withColumn("ValidFrom", now.cast("timestamp"))
+            snap.withColumn("ValidFrom", first_from.cast("timestamp"))
             .withColumn("ValidTo", F.lit(None).cast("timestamp"))
             .withColumn("IsActive", F.lit(True))
         )
@@ -113,8 +133,12 @@ def scd2_merge(
         F.col("__cur_hash").isNull() | (F.col("__cur_hash") != F.col("RowHash"))
     )
     new_versions = (
-        incoming.drop("__cur_hash")
-        .withColumn("ValidFrom", now.cast("timestamp"))
+        incoming.withColumn(
+            "ValidFrom",
+            F.when(F.col("__cur_hash").isNull(), first_from.cast("timestamp"))
+            .otherwise(now.cast("timestamp")),
+        )
+        .drop("__cur_hash")
         .withColumn("ValidTo", F.lit(None).cast("timestamp"))
         .withColumn("IsActive", F.lit(True))
     )

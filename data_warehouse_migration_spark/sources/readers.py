@@ -1,0 +1,62 @@
+"""Declared-schema readers with drift tolerance (SURVEY.md §1.3).
+
+Every reference dataflow source sets ``allowSchemaDrift: true,
+validateSchema: false`` (DF_Clean_JDE.json:66-67) — a *declared*
+projection over possibly-wider files: extra columns tolerated, the
+declared ones selected and cast. Spark equivalents below; both keep
+column pruning effective (the select reaches the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """Landing-zone CSV: header, ``"`` quote, ``\\`` escape
+    (ds_bronze_csv.json:21-24). With a declared schema, parse is
+    PERMISSIVE (drift-tolerant: malformed cells → NULL, never fail);
+    without, infer — the reference's config dataset does the same
+    (``"schema": []``, header-inferred).
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("quote", '"')
+        .option("escape", "\\")
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    declared: StructType | None = None,
+) -> DataFrame:
+    """Parquet with optional declared projection: select+cast only the
+    declared columns (drift = extra columns tolerated, missing column =
+    NULL of declared type — matching ADF's drift posture rather than
+    failing the read)."""
+    df = spark.read.parquet(path)
+    if declared is None:
+        return df
+    cols = []
+    have = {f.name.lower(): f.name for f in df.schema.fields}
+    for field in declared.fields:
+        src = have.get(field.name.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

@@ -1,0 +1,69 @@
+"""Parquet writers: partitioned append, truncate-overwrite, and the
+atomic stage-and-swap overwrite that makes SCD2 maintenance safe.
+
+Reference sinks: Snappy-Parquet time-partitioned Bronze
+(ds_bronze_parquet.json:15,20), ``truncate: true`` Silver overwrite
+(DF_Clean_JDE.json:91-96), and the *ordered dual JDBC sink* for SCD2
+(update-before-insert, DF_SCD2_Customer.json:197,215) whose corruption
+window (docs/technical_report.md:251) we close with an atomic swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Snappy-Parquet write, optionally Hive-partitioned.
+
+    At 100 TB: partition columns should be low-cardinality (dates,
+    regions); writers emit one file per (task, partition) — repartition
+    on the partition columns first if small-file explosion threatens.
+    """
+    writer = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
+    """Write the full new table state, then swap directories.
+
+    Readers see either the old state or the new — never a partial
+    write (the reference's SCD2 dual-sink cannot guarantee this).
+    Local-FS rename is atomic; on object stores replace this with the
+    table format's commit (Delta/Iceberg) — same call site, different
+    implementation, which is exactly why it's isolated here.
+    """
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").option("compression", "snappy").parquet(staging)
+    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        if os.path.exists(backup):  # roll back
+            os.rename(backup, path)
+        raise
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def checkpoint_roundtrip(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Materialize-and-reread: required when a table's next state is
+    derived from its current state (SCD2: the new dim reads the old
+    dim). Spark plans lazily — writing a DataFrame that still reads
+    ``path`` into ``path`` would corrupt it, so the merge pipeline
+    stages through :func:`atomic_overwrite_parquet` and re-reads."""
+    atomic_overwrite_parquet(df, path)
+    return spark.read.parquet(path)
