@@ -91,6 +91,7 @@ def cents(c, scale: int = 2):
 
 from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
     analytics,
+    functions_surface,
     llm_ops,
     warehouse,
 )

@@ -400,3 +400,108 @@ def agg_order_stats_by_status(spark, sf_dir):
             "avg_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: CUBE / GROUPING SETS, ntile, deterministic arg-max.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_order_counts",
+    tags=("A", "cube"),
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_counts(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    tags=("A", "grouping_sets"),
+    oracle="""
+SELECT c_mktsegment AS segment,
+       year(o_orderdate)::INT AS order_year,
+       grouping(c_mktsegment)::INT AS g_segment,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_sales
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)::INT), ())
+""",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j.createOrReplaceTempView("__gs_orders")
+    # GROUPING SETS has no DataFrame-API form — SQL is the idiom.
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total_sales
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((c_mktsegment), (CAST(year(o_orderdate) AS INT)), ())
+        """
+    )
+
+
+@query(
+    "ntile_acctbal_quartiles",
+    tags=("W", "ntile"),
+    oracle="""
+SELECT c_custkey, c_mktsegment AS segment,
+       ntile(4) OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+)
+def ntile_acctbal_quartiles(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "argmax_order_per_status",
+    tags=("A", "argmax"),
+    oracle="""
+SELECT o_orderstatus AS status,
+       (max(CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+            + o_orderkey) % 10000000)::BIGINT AS top_order_key,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+            + o_orderkey) // 10000000 AS DOUBLE) / 100.0 AS top_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def argmax_order_per_status(spark, sf_dir):
+    """Deterministic arg-max via a composite integer (price_cents·10^7 +
+    orderkey): ties on price resolve to the highest key identically in
+    both engines — unlike bare ``max_by``, whose tie choice is
+    engine-dependent."""
+    o = t(spark, sf_dir, "orders")
+    composite = F.max(cents("o_totalprice") * 10_000_000 + F.col("o_orderkey"))
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        (composite % 10_000_000).alias("top_order_key"),
+        (F.floor(composite / 10_000_000).cast("double") / 100.0).alias("top_price"),
+    )

@@ -1,0 +1,110 @@
+"""Scalar-function surface queries (SURVEY.md §2.8): string, date, JSON,
+and conditional expressions beyond the JDE codecs — the families the
+reference leaves unused ("exposed but not parity-critical") plus the
+ones a pipeline over the driver's tables needs (props JSON on events).
+
+All are single-pass projections: they compile into the scan stage
+(WholeStageCodegen) with zero shuffles — the throughput shape these
+must keep at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.catalog import query, t
+
+
+@query(
+    "string_functions",
+    tags=("F", "string"),
+    oracle="""
+SELECT
+    c_custkey,
+    upper(c_name) AS name_upper,
+    length(c_name)::INT AS name_len,
+    regexp_extract(c_name, '[0-9]+') AS cust_digits,
+    lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+    substring(c_mktsegment, 1, 3) AS seg3,
+    concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+    CASE WHEN c_acctbal < 0 THEN 'debtor'
+         WHEN c_acctbal < 5000 THEN 'standard'
+         ELSE 'premium' END AS tier
+FROM customer
+""",
+)
+def string_functions(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("cust_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+    )
+
+
+@query(
+    "date_functions",
+    tags=("F", "date"),
+    oracle="""
+SELECT
+    o_orderkey AS order_key,
+    CAST(o_orderdate AS DATE) AS order_date,
+    CAST(o_orderdate AS DATE) + 30 AS due_date,
+    last_day(CAST(o_orderdate AS DATE)) AS month_end,
+    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+    year(o_orderdate)::INT AS order_year,
+    quarter(o_orderdate)::INT AS order_quarter,
+    (dayofweek(CAST(o_orderdate AS DATE)) + 1)::INT AS dow_sunday1,
+    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))::INT
+        AS days_since_epoch95
+FROM orders
+""",
+)
+def date_functions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.year(d).alias("order_year"),
+        F.quarter(d).alias("order_quarter"),
+        F.dayofweek(d).alias("dow_sunday1"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch95"),
+    )
+
+
+@query(
+    "json_extract_events",
+    tags=("F", "json"),
+    oracle="""
+SELECT
+    CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+    count(*) AS n_events,
+    count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+""",
+)
+def json_extract_events(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -355,3 +355,19 @@ GROUP BY 1, 2
 )
 def tumbling_event_windows(spark, sf_dir):
     return S.tumbling_window_agg(t(spark, sf_dir, "events"), duration="1 hour")
+
+
+@query(
+    "similarity_lsh_topk",
+    tags=("similarity", "lsh"),
+    oracle=None,  # approximate (bucket recall < 1) → rows-only check;
+    # exactness of the *scoring* is covered by similarity_topk's oracle.
+)
+def similarity_lsh_topk(spark, sf_dir):
+    from data_warehouse_migration_spark.operators.similarity import (
+        hyperplane_lsh_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return hyperplane_lsh_topk(emb, queries_df, k=5, n_planes=4)
