@@ -505,3 +505,113 @@ def argmax_order_per_status(spark, sf_dir):
         (composite % 10_000_000).alias("top_order_key"),
         (F.floor(composite / 10_000_000).cast("double") / 100.0).alias("top_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: pivot, exact percentiles, ordered array agg, subquery shapes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_by_segment",
+    tags=("A", "pivot"),
+    oracle="""
+SELECT c_mktsegment AS segment,
+       CAST(sum(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100.0 AS open_sales,
+       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100.0 AS fulfilled_sales,
+       CAST(sum(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100.0 AS pending_sales
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def pivot_status_by_segment(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pivoted = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)))
+    )
+    return pivoted.select(
+        "segment",
+        (F.col("O").cast("double") / 100.0).alias("open_sales"),
+        (F.col("F").cast("double") / 100.0).alias("fulfilled_sales"),
+        (F.col("P").cast("double") / 100.0).alias("pending_sales"),
+    )
+
+
+@query(
+    "percentiles_by_segment",
+    tags=("A", "percentile"),
+    oracle="""
+SELECT c_mktsegment AS segment,
+       round(quantile_cont(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                           / 100.0, 0.5), 6) AS median_acctbal,
+       round(quantile_cont(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                           / 100.0, 0.9), 6) AS p90_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def percentiles_by_segment(spark, sf_dir):
+    """EXACT percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: linear interpolation over the sorted set, on
+    exact-cents doubles). At 100 TB swap for ``percentile_approx``
+    (t-digest, no global sort) and drop the oracle to rows-only."""
+    c = t(spark, sf_dir, "customer")
+    bal = (cents("c_acctbal").cast("double") / 100.0)
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.round(F.percentile(bal, F.lit(0.5)), 6).alias("median_acctbal"),
+        F.round(F.percentile(bal, F.lit(0.9)), 6).alias("p90_acctbal"),
+    )
+
+
+@query(
+    "array_agg_nations_per_region",
+    tags=("A", "array"),
+    oracle="""
+SELECT r_name AS region,
+       array_to_string(list(n_name ORDER BY n_name), ',') AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def array_agg_nations_per_region(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_SUBQ_SQL = """
+SELECT c_custkey, c_name,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+           AS n_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+@query("correlated_subqueries", tags=("J", "subquery"), oracle=_SUBQ_SQL)
+def correlated_subqueries(spark, sf_dir):
+    """EXISTS + correlated scalar subquery — Catalyst decorrelates both
+    into joins (left-semi + aggregated left join); the SQL text is the
+    same for Spark and DuckDB."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUBQ_SQL)

@@ -1,0 +1,98 @@
+"""External (JDBC-style) sinks: append and keyed upsert.
+
+The reference's Gold tier is Azure SQL fed by two ordered JDBC sinks —
+insert (`insertable: true`, DF_SCD2_Customer.json:200-216) and keyed
+update (`updateable: true, keys:['CustomerKey']`, :182-198). Spark's
+built-in JDBC writer is insert-only; the standard pattern for the
+update/upsert half is ``foreachPartition``: every executor partition
+opens its own connection and applies batched statements — writes scale
+with partitions, the driver never sees the rows.
+
+The connection is injected as a zero-arg factory so the same operator
+drives any DB-API target (tests use sqlite3; production passes a
+real driver's ``connect``). For true JDBC targets, ``df.write.jdbc``
+covers the insert path natively (SURVEY.md §2.1 S8) — this module
+exists for the semantics JDBC writers lack.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def append_rows(
+    df: DataFrame,
+    table: str,
+    connection_factory: Callable[[], object],
+    batch_size: int = 1000,
+) -> None:
+    """INSERT every row, partition-parallel, batched (S8)."""
+    cols = df.columns
+    placeholders = ", ".join(["?"] * len(cols))
+    sql = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
+
+    def write_partition(rows) -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
+
+
+def upsert_rows(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    connection_factory: Callable[[], object],
+    batch_size: int = 1000,
+) -> None:
+    """Keyed UPDATE-else-INSERT (S9 + S10 in one statement).
+
+    Uses ``INSERT ... ON CONFLICT(keys) DO UPDATE`` — supported by
+    SQLite/Postgres/DuckDB; for SQL Server swap the statement for
+    ``MERGE``. Single-statement upsert also removes the reference's
+    update-before-insert ordering requirement (sinkOrder 1/2) and its
+    partial-failure window.
+
+    Rows must be unique per key within ``df`` (pre-aggregate if not) —
+    cross-partition conflicts on the same key are otherwise racy.
+    """
+    cols = df.columns
+    non_keys = [c for c in cols if c not in keys]
+    placeholders = ", ".join(["?"] * len(cols))
+    set_clause = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+    sql = (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+        f"ON CONFLICT({', '.join(keys)}) DO UPDATE SET {set_clause}"
+    )
+
+    def write_partition(rows) -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)

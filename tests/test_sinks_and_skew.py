@@ -1,0 +1,104 @@
+"""External upsert sink semantics (SQLite as the DB-API target) and
+skew-mitigation helpers (salted results == plain results)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.operators.skew import (
+    key_skew_profile,
+    salted_agg,
+    salted_broadcast_left,
+)
+from data_warehouse_migration_spark.sources.external import append_rows, upsert_rows
+
+
+def test_append_and_upsert_via_partitions(spark, tmp_path):
+    db = str(tmp_path / "gold.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE dim (CustomerKey INTEGER PRIMARY KEY,"
+        " Name TEXT, IsActive INTEGER)"
+    )
+    conn.commit()
+    conn.close()
+
+    factory = lambda: sqlite3.connect(db)  # noqa: E731
+
+    initial = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+        "CustomerKey int, Name string, IsActive int",
+    ).repartition(3)
+    append_rows(initial, "dim", factory)
+
+    got = dict(
+        sqlite3.connect(db).execute("SELECT CustomerKey, Name FROM dim").fetchall()
+    )
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    # upsert: update 2 (expire), insert 4 — the reference's dual-sink
+    # round as ONE statement shape
+    changes = spark.createDataFrame(
+        [(2, "b", 0), (4, "d", 1)], "CustomerKey int, Name string, IsActive int"
+    ).repartition(2)
+    upsert_rows(changes, "dim", keys=["CustomerKey"], connection_factory=factory)
+
+    rows = dict(
+        sqlite3.connect(db)
+        .execute("SELECT CustomerKey, IsActive FROM dim ORDER BY 1")
+        .fetchall()
+    )
+    assert rows == {1: 1, 2: 0, 3: 1, 4: 1}
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {
+        (r.user_id): (r.n, r.mx)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.user_id): (r.n, r.mx)
+        for r in salted_agg(
+            events,
+            keys=["user_id"],
+            aggs={"n": ("count", "value"), "mx": ("max", "value")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = (
+        orders.join(customer, "o_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    salted = (
+        salted_broadcast_left(orders, customer, on="o_custkey", salt_buckets=4)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain} == {
+        (r.c_mktsegment, r["count"]) for r in salted
+    }
+
+
+def test_key_skew_profile(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 90 + [(2,)] * 9 + [(3,)], "k int"
+    )
+    prof = key_skew_profile(df, "k", top=2).collect()
+    assert prof[0].key == 1 and abs(prof[0].share - 0.9) < 1e-9
+    assert prof[1].key == 2
