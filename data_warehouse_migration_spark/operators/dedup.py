@@ -249,6 +249,55 @@ def minhash_lsh_pairs(
     return _jaccard_for_candidates(idx, candidates, threshold)
 
 
+def winnowed_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et
+    al., MOSS): hash every character ``k``-gram of the normalized text,
+    then keep the minimum hash of each window of ``w`` consecutive
+    k-gram hashes. Guarantees: any shared substring of length
+    ``k + w - 1`` between two documents yields at least one shared
+    fingerprint, so fingerprint-bucket joins find copied passages
+    without comparing full texts.
+
+    md5 stands in for the classic polynomial Rabin-Karp hash so the
+    DuckDB oracle is bit-identical; the rolling-window *selection* —
+    the part that matters for the guarantee — is real. Pure Column
+    expressions (transform over an index sequence + slice/array_min):
+    no explode, no shuffle; per-doc cost O(len·k + len·w).
+
+    Output: ``(id_col, fingerprints array<string>)`` — downstream dedup
+    explodes to ``(fingerprint, doc)`` and group-joins on fingerprint,
+    shuffling constant bytes per fingerprint regardless of doc size.
+    """
+    # Staged projections, NOT one expression tree: if the normalized
+    # text / hash array were inlined into the transform lambdas, they
+    # would be re-evaluated per array element (O(n²) regex/md5 work).
+    # Each intermediate is referenced twice in its consumer, which also
+    # stops CollapseProject from re-inlining it.
+    normed = docs.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__txt")
+    )
+    txt = F.col("__txt")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - k + 1, F.lit(1))),
+        lambda i: _hash_str(txt.substr(i, F.lit(k))),
+    )
+    hashed = normed.select(F.col(id_col), hashes.alias("__hs"))
+    hs = F.col("__hs")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hs) - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+    )
+    return hashed.select(F.col(id_col), fps.alias("fingerprints"))
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash of the normalized token stream.
 

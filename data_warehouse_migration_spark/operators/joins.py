@@ -72,6 +72,7 @@ def as_of_join(
     right_ts: str,
     right_value_cols: list[str] | None = None,
     tolerance: str | None = None,
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, the latest right row with ``right_ts <= left_ts``
     (per key) — the classic time-series as-of join the reference lacks
@@ -81,7 +82,9 @@ def as_of_join(
     ``(left row, right_ts DESC)``. The window partitions by the left
     row's identity, so each left row keeps at most one match. With
     ``tolerance`` (an INTERVAL string, e.g. ``'7 days'``), matches older
-    than ``left_ts - tolerance`` are dropped.
+    than ``left_ts - tolerance`` are dropped. ``right_tiebreak`` names
+    right-side columns that break equal-``right_ts`` ties (ascending) —
+    pass a unique key to make the result total/deterministic.
 
     At scale prefer bucketing both sides by key; the interval condition
     stays a residual on a co-partitioned sort-merge join.
@@ -106,10 +109,12 @@ def as_of_join(
         c for c in right.columns if c not in keys and c != right_ts
     ]
     joined = l.join(r, cond, "left")
-    w = (
-        Window.partitionBy(*[F.col(f"__l.{c}") for c in left.columns])
-        .orderBy(F.col(f"__r.{right_ts}").desc_nulls_last())
-    )
+    order = [F.col(f"__r.{right_ts}").desc_nulls_last()] + [
+        F.col(f"__r.{c}").asc() for c in (right_tiebreak or [])
+    ]
+    w = Window.partitionBy(
+        *[F.col(f"__l.{c}") for c in left.columns]
+    ).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

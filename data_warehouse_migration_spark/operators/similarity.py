@@ -73,6 +73,37 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs ``(a < b)`` with cosine ≥ threshold — embedding-space
+    near-duplicate detection (the vector twin of the text dedup family
+    in ``operators/dedup.py``).
+
+    Exact all-pairs: the self-join on ``id_a < id_b`` plans as a
+    broadcast nested-loop with the cosine evaluated inside codegen.
+    That is the correct *verification* kernel, but O(N²) candidate
+    generation does not survive 100 TB — at scale, generate candidates
+    first (hyperplane-LSH buckets as in :func:`hyperplane_lsh_topk`, or
+    an IVF coarse quantizer), then run THIS exact kernel only on
+    same-bucket pairs. The threshold is applied to the *rounded* score
+    so results are reproducible across engines/precisions.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

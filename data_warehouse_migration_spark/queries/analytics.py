@@ -615,3 +615,167 @@ def correlated_subqueries(spark, sf_dir):
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SUBQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join analytics (Q3 / Q5 / Q14 adapted to the driver
+# tables). These exercise the join-ordering/broadcast surface at depth:
+# selective dim filters first, facts shuffled once, all small sides
+# broadcast — the plan shape that survives a 100× scale-up.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    headline=True,
+    tags=("J2", "J7", "O1"),
+    oracle="""
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS DOUBLE) / 10000.0 AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-07-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customers (broadcast) ⋈ orders ⋈
+    lineitem, aggregate revenue per order, top-10. The customer filter
+    is applied before the join so only the selective slice broadcasts;
+    lineitem shuffles once on l_orderkey. Revenue summed in exact
+    10^-4 units (cents × discount) for cross-engine hash equality."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-07-01")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(  # noqa: E741
+        F.to_date("l_shipdate") > F.lit("1998-07-01")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    # No forced broadcasts: orders is fact-sized (broadcasting it would
+    # not survive scale-up) and the filtered customer slice is left to
+    # AQE, which auto-broadcasts it while small and degrades to a
+    # shuffled hash join when it isn't.
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    tags=("J5", "J7"),
+    oracle="""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS DOUBLE) / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-way join where customer and supplier must
+    share a nation inside the filtered region. supplier/nation/region
+    broadcast (tiny); orders date-filtered before joining; the only
+    shuffles are lineitem⋈orders on orderkey, the orders⋈customer hash,
+    and the final per-nation aggregation."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    nations = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    tags=("J2", "A1", "F12"),
+    oracle="""
+SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+       round((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT) ELSE 0 END)::DOUBLE)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                   AS BIGINT))::DOUBLE, 6) AS promo_share_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share per ship month. part
+    broadcasts; the conditional aggregate is exact-integer in 10^-4
+    units with one double division (then round 6) at the very end, so
+    the ratio hashes identically across engines."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            # F.trunc returns DATE (matches DuckDB's date_trunc-on-DATE);
+            # F.date_trunc would emit TIMESTAMP and hash-mismatch.
+            F.trunc(F.to_date("l_shipdate"), "month").alias("ship_month")
+        )
+        .agg(
+            F.round(
+                (100.0 * F.sum(promo).cast("double")) / F.sum(rev).cast("double"), 6
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

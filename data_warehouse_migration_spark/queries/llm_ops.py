@@ -358,6 +358,198 @@ def tumbling_event_windows(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding_cosine",
+    tags=("dedup", "similarity"),
+    oracle="""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from data_warehouse_migration_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    return cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "doc_fingerprint_winnow",
+    tags=("dedup", "fingerprint"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(txt) - 16 + 1, 1) + 1),
+                          i -> md5(substr(txt, i::INT, 16))) AS hs
+    FROM norm
+), wn AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(1, greatest(len(hs) - 8 + 1, 1) + 1),
+                              j -> list_min(list_slice(hs, j::INT, j::INT + 7)))
+           ) AS fps
+    FROM h
+)
+SELECT doc_id, len(fps)::INT AS n_fingerprints,
+       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+FROM wn
+""",
+)
+def doc_fingerprint_winnow(spark, sf_dir):
+    fps = D.winnowed_fingerprints(t(spark, sf_dir, "documents"), k=16, w=8)
+    return fps.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("fp_min"),
+        F.array_max("fingerprints").alias("fp_max"),
+    )
+
+
+@query(
+    "asof_click_before_purchase",
+    tags=("events", "asof", "J3"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+   c AS (SELECT * FROM e WHERE event_type = 'click'),
+   j AS (
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts DESC, c.event_id) AS rn
+    FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM j WHERE rn = 1
+""",
+)
+def asof_click_before_purchase(spark, sf_dir):
+    """As-of join (operators/joins.py): each purchase attributed to the
+    user's latest click at-or-before purchase time; lowest click_id
+    breaks exact-timestamp ties so the result is total."""
+    from data_warehouse_migration_spark.operators.joins import as_of_join
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_value_cols=["click_id", "click_ts"],
+        right_tiebreak=["click_id"],
+    )
+
+
+@query(
+    "interval_click_attribution",
+    tags=("events", "range-join"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+   c AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(c.event_id) AS n_clicks_1h,
+       min(c.event_id) AS first_click_id
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id
+""",
+)
+def interval_click_attribution(spark, sf_dir):
+    """Interval (range) join: clicks within the hour before each
+    purchase, per user. The equi key (user_id) hashes; the time range
+    stays a join residual — no post-join blow-up. Streaming twin: the
+    same condition is Structured Streaming's stream-stream interval
+    join with watermarks on both sides."""
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("click_id").alias("n_clicks_1h"),
+            F.min("click_id").alias("first_click_id"),
+        )
+    )
+
+
+@query(
+    "distinct_users_by_type",
+    tags=("events", "distinct-agg"),
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       count(DISTINCT CAST(ts AS DATE)) AS n_active_days
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_users_by_type(spark, sf_dir):
+    """Distinct aggregation (SURVEY.md §2.4 'absent in reference,
+    exposed anyway'). Spark plans each COUNT(DISTINCT) as a partial
+    dedup + final count (two-phase, map-side combined)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    tags=("events", "sketch"),
+    oracle=None,  # HLL++ estimates are engine-specific → rows-only check;
+    # the exact twin distinct_users_by_type carries the value oracle.
+)
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct = HyperLogLog++ — the 100 TB path for
+    cardinality (constant memory per group vs a full dedup shuffle).
+    rsd=0.01 ⇒ ~1% error; mergeable across partitions."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
     "similarity_lsh_topk",
     tags=("similarity", "lsh"),
     oracle=None,  # approximate (bucket recall < 1) → rows-only check;

@@ -79,3 +79,21 @@ def test_as_of_join_tolerance(spark):
                      tolerance="1 DAY")
     got = {r.trade_id: r.px for r in out.collect()}
     assert got == {1: 1.0, 2: None}
+
+
+def test_as_of_join_tiebreak_deterministic(spark):
+    import datetime as dt
+
+    quotes = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10), 7), ("A", dt.datetime(2024, 1, 1, 10), 3)],
+        "sym string, qts timestamp, qid int",
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", dt.datetime(2024, 1, 1, 11))],
+        "trade_id int, sym string, tts timestamp",
+    )
+    out = as_of_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_tiebreak=["qid"],
+    )
+    assert [r.qid for r in out.collect()] == [3]  # lowest id among tied ts
