@@ -779,3 +779,46 @@ def q14_promo_revenue_share(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "window_trailing_90d_revenue",
+    tags=("W", "rangeBetween"),
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))::INT
+               AS order_day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, order_day,
+       CAST(sum(c) OVER (PARTITION BY o_custkey ORDER BY order_day
+                         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS trailing_90d_total
+FROM o
+""",
+)
+def window_trailing_90d_revenue(spark, sf_dir):
+    """RANGE frame (vs the ROWS frames elsewhere): per customer, total
+    order value in the trailing 90 *days* — peers at the same day all
+    contribute regardless of row order, so the result is deterministic
+    without a row tie-break. Order key = epoch-day int (both engines
+    frame identically over integers); money in exact cents."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "order_day"
+        ),
+        cents("o_totalprice").alias("__c"),
+    )
+    w = (
+        Window.partitionBy("o_custkey").orderBy("order_day").rangeBetween(-90, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        (F.sum("__c").over(w).cast("double") / 100.0).alias("trailing_90d_total"),
+    )

@@ -67,3 +67,40 @@ def checkpoint_roundtrip(spark: SparkSession, df: DataFrame, path: str) -> DataF
     stages through :func:`atomic_overwrite_parquet` and re-reads."""
     atomic_overwrite_parquet(df, path)
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key: str | list[str],
+    path: str | None = None,
+    sorted_by_key: bool = True,
+) -> None:
+    """Bucketed Parquet table: pre-shuffles once at write time so every
+    later join/aggregation on ``key`` is exchange-free.
+
+    This is the co-located-join strategy for 100 TB fact⋈fact joins
+    (SURVEY.md §7 hard part 6): two tables bucketed into the same
+    bucket count on the join key are joined by zipping bucket files —
+    no runtime shuffle of either side. ``sortBy`` additionally lets the
+    join skip the in-memory hash build (sort-merge directly on the
+    bucket-local order).
+
+    Bucket pruning: equality predicates on ``key`` scan 1/``buckets``
+    of the files. Pick ``buckets`` so one bucket of the *larger* table
+    fits an executor's memory (e.g. 100 TB / 4096 buckets ≈ 25 GB raw
+    → with column pruning a few GB in-memory).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", "snappy")
+        .bucketBy(buckets, *keys)
+    )
+    if sorted_by_key:
+        writer = writer.sortBy(*keys)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
