@@ -822,3 +822,86 @@ def window_trailing_90d_revenue(spark, sf_dir):
         "order_day",
         (F.sum("__c").over(w).cast("double") / 100.0).alias("trailing_90d_total"),
     )
+
+
+@query(
+    "q13_order_distribution",
+    tags=("J", "A1", "outer-join"),
+    oracle="""
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customers-by-order-count histogram, keeping
+    zero-order customers via the left outer join (count(o_orderkey)
+    skips the NULLs a no-match row carries). Two shuffles: the join on
+    custkey and the tiny histogram agg."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q18_large_orders",
+    tags=("J", "A1", "having"),
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 9000
+)
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS total_price
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (group-HAVING), then enriched with the customer. The
+    HAVING aggregate runs first so only qualifying orderkeys join —
+    a semi-join-shaped plan where the big lineitem table collapses to
+    its group keys before touching orders."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 9000)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            (cents("o_totalprice") / 100.0).alias("total_price"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(20)
+    )

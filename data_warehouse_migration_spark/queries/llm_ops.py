@@ -563,3 +563,80 @@ def similarity_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return hyperplane_lsh_topk(emb, queries_df, k=5, n_planes=4)
+
+
+@query(
+    "word_frequency_topk",
+    tags=("text", "vocab"),
+    oracle="""
+WITH toks AS (
+    SELECT unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+)
+SELECT tok, count(*) AS n
+FROM toks
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 25
+""",
+)
+def word_frequency_topk(spark, sf_dir):
+    """Corpus vocabulary stats: explode normalized tokens, count, top-k.
+    The explode→count shape is the canonical training-data vocabulary
+    scan; at 100 TB the count is two-phase (map-side combine on the
+    token) and top-k is TakeOrderedAndProject — no global sort."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(D.normalized_text(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(25)
+    )
+
+
+@query(
+    "higher_order_token_stats",
+    tags=("text", "higher-order"),
+    oracle="""
+WITH tk AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS toks
+    FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, x -> length(x) > 6))::INT AS n_long,
+       len(list_distinct(list_transform(toks, x -> length(x))))::INT
+           AS n_distinct_lens,
+       CAST(list_sum(list_transform(toks, x -> CASE WHEN x SIMILAR TO '[0-9]+'
+            THEN 1 ELSE 0 END)) AS BIGINT) AS n_numeric
+FROM tk
+""",
+)
+def higher_order_token_stats(spark, sf_dir):
+    """Higher-order array functions (filter/transform/aggregate) kept
+    entirely JVM-side — the no-UDF posture for per-document token
+    analysis. Each lambda runs inside codegen over the token array; no
+    explode, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(D.normalized_text(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 6)).alias("n_long"),
+        F.size(F.array_distinct(F.transform(toks, lambda x: F.length(x)))).alias(
+            "n_distinct_lens"
+        ),
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda x: F.when(x.rlike(r"^[0-9]+$"), F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_numeric"),
+    )

@@ -124,3 +124,53 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def streaming_user_running_totals(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime running totals, carried across micro-batches in the state
+    store — the extension point for stateful logic ``groupBy.agg`` and
+    ``session_window`` cannot express (per-key accumulators, custom
+    eviction, decision state machines).
+
+    State is one (n, cents) pair per user — constant bytes per key;
+    keys partition with the shuffle, so 1000 executors hold 1/1000 of
+    the users each. Value math is exact integer cents (same rule as the
+    batch aggregates). Arrow moves each group's rows to Python in
+    batches — this is the sanctioned Pandas path, not a row-at-a-time
+    UDF.
+    """
+    import pandas as pd  # local import: only the stateful path needs it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total_cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_cents += int(pdf[value_col].mul(100).round().sum())
+        state.update((n, total_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_cents / 100.0],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -90,3 +90,38 @@ def test_streaming_dedup_drops_duplicate_ids(spark, events_path, tmp_path):
     total = spark.read.parquet(events_path).count()
     assert got.count() == total
     assert got.select("event_id").distinct().count() == total
+
+
+def test_streaming_stateful_running_totals_match_batch(
+    spark, events_path, sf_dir, tmp_path
+):
+    from data_warehouse_migration_spark.streaming.events import (
+        streaming_user_running_totals,
+    )
+
+    stream = streaming_user_running_totals(read_event_stream(spark, events_path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_totals")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # availableNow may run several micro-batches; the LAST row per user
+    # is the lifetime total.
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("stream_totals").collect()
+    }
+    batch = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("v"),
+        )
+    )
+    expected = {r.user_id: (r.n, r.v) for r in batch.collect()}
+    assert got == expected
