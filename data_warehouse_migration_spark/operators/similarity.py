@@ -12,6 +12,7 @@ scale these vectorize inside codegen and never leave the JVM.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,3 +164,100 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the other classic ANN scale path next to :func:`hyperplane_lsh_topk`.
+
+    Index build: centroids = the ``n_centroids`` lowest-id vectors
+    (a deterministic stand-in for k-means — the partitioning structure,
+    assignment and probing are the real thing; swap in trained
+    centroids without touching the query path). Every corpus vector is
+    assigned to its nearest centroid (one N×C cosine pass, C tiny,
+    centroids broadcast). Query: probe the ``n_probe`` nearest
+    centroid lists and exact-rescore only those — expected cost
+    |Q| × N × n_probe/n_centroids instead of |Q| × N.
+
+    100 TB: the corpus shuffles ONCE on cluster id at build time and is
+    written bucketed by cluster; each query then touches n_probe
+    buckets. Hot clusters (skewed data) are the known IVF failure mode
+    — split them by re-quantizing the big list (or salt the bucket
+    join, operators/skew.py).
+    """
+    c = F.broadcast(
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    )
+
+    def assign(df: DataFrame, side_id: str, side_vec: str, keep: int) -> DataFrame:
+        """Nearest `keep` centroids per row of df."""
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("__sim").desc(), F.col("c_id")
+        )
+        return (
+            df.join(c, how="cross")
+            .withColumn("__sim", cosine(F.col(side_vec), F.col("c_vec")))
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .select(side_id, side_vec, F.col("c_id").alias("cluster"))
+        )
+
+    corpus = assign(
+        vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        "n_id", "n_vec", keep=1,
+    )
+    probes = assign(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id", "q_vec", keep=n_probe,
+    )
+
+    scored = (
+        probes.join(corpus, "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def cosine_pandas_udf():
+    """Arrow-batched Pandas-UDF cosine — the sanctioned escape hatch for
+    when vector math outgrows Column expressions (e.g. calling into a
+    BLAS/faiss kernel). One Python transition per Arrow batch, matrix
+    math vectorized in numpy; NEVER a row-at-a-time Python UDF.
+
+    The native :func:`cosine` stays the default (JVM-side, zero Python
+    transfer); tests pin this UDF's output to it within 1e-9 so the two
+    paths are interchangeable.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        # float32 storage → float64 math, matching the native path's
+        # per-element double cast.
+        av = np.stack(a.to_numpy()).astype(np.float64)
+        bv = np.stack(b.to_numpy()).astype(np.float64)
+        num = (av * bv).sum(axis=1)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        return pd.Series(np.where(den == 0, 0.0, num / np.where(den == 0, 1, den)))
+
+    return _cos

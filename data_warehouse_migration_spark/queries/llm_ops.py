@@ -640,3 +640,18 @@ def higher_order_token_stats(spark, sf_dir):
             lambda acc, x: acc + x,
         ).alias("n_numeric"),
     )
+
+
+@query(
+    "similarity_ivf_topk",
+    tags=("similarity", "ivf"),
+    oracle=None,  # approximate (probe recall < 1) → rows-only check;
+    # exact scoring is oracle-covered by similarity_topk, and recall is
+    # asserted against brute force in tests/test_llm_ops.py.
+)
+def similarity_ivf_topk(spark, sf_dir):
+    from data_warehouse_migration_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
