@@ -31,8 +31,12 @@ def main() -> None:
 
     headline = {name: q for name, q in REGISTRY.items() if q.headline}
 
-    # Warm the JVM/session once (tiny query) so q1 doesn't pay startup.
+    # Warm the JVM/session once so q1 doesn't pay engine startup:
+    # codegen pipeline via a trivial query, plus the parquet reader
+    # stack (footer parsing, vectorized reader init) via a 1-row scan.
+    # Data stays cold — only engine code paths are primed.
     spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, q in headline.items():

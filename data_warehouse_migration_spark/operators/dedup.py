@@ -79,13 +79,27 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    fast_hash: bool = False,
 ) -> DataFrame:
-    """Inverted index: one row per (doc, distinct shingle digest)."""
-    return docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select("doc", _hash_str(F.col("shingle")).alias("sh"))
+    """Inverted index: one row per (doc, distinct shingle digest).
+
+    ``fast_hash=True`` keys the index on ``xxhash64`` (JVM-native long,
+    ~4× the hashing throughput and a quarter of the shuffle bytes of
+    32-char md5 hex). Valid wherever only *set identity* of shingles
+    matters (exact Jaccard: results provably identical modulo a ~2⁻⁶⁵
+    collision); NOT for MinHash signatures, whose oracle recomputes the
+    md5-based min-wise family bit-for-bit.
+    """
+    shingle = F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    idx = docs.select(F.col(id_col).alias("doc"), shingle)
+    digest = (
+        F.xxhash64(F.col("shingle")) if fast_hash else _hash_str(F.col("shingle"))
+    )
+    return idx.select("doc", digest.alias("sh"))
 
 
 def _jaccard_for_candidates(
@@ -144,8 +158,10 @@ def ngram_jaccard_pairs(
 
     100 TB: three shuffles (frequency count, prefix self-join,
     verification) all keyed on shingle/doc — no driver state, no n².
+    Internally keyed on xxhash64 longs (see ``shingle_index``): the
+    output (pairs + exact Jaccard) is hash-scheme-independent.
     """
-    idx = shingle_index(docs, id_col, text_col, n).persist()
+    idx = shingle_index(docs, id_col, text_col, n, fast_hash=True).persist()
     if not prefix_filter:
         a = idx.alias("a")
         b = idx.alias("b")
@@ -245,7 +261,9 @@ def minhash_lsh_pairs(
     )
 
     # Exact-verify only the LSH candidates (never the full pair space).
-    idx = shingle_index(docs, id_col, text_col, n)
+    # Signatures above must stay md5 (oracle recomputes them); the
+    # verification Jaccard only needs shingle-set identity → fast hash.
+    idx = shingle_index(docs, id_col, text_col, n, fast_hash=True)
     return _jaccard_for_candidates(idx, candidates, threshold)
 
 
