@@ -655,3 +655,36 @@ def similarity_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
+
+
+@query(
+    "media_feature_extract",
+    tags=("multimodal", "mapInPandas"),
+    oracle="""
+SELECT doc_id AS asset_id,
+       'text/plain' AS mime,
+       octet_length(encode(text))::INT AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+""",
+)
+def media_feature_extract(spark, sf_dir):
+    """Multimodal column path, oracle-verified end-to-end: documents
+    re-encoded as opaque binary payloads (the stand-in for image/audio
+    bytes), pushed through the Arrow-batched ``mapInPandas`` feature
+    extractor (operators/multimodal.py), emitting byte-exact metadata
+    (md5 over the payload bytes). The codec-dependent fake-decode
+    columns are covered rows-only by tests; this query pins the
+    schema, batching, and byte fidelity of the Python transition."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_media_features(assets, decode_stub=True)
+    return feats.select("asset_id", "mime", "n_bytes", "checksum")
