@@ -688,3 +688,83 @@ def media_feature_extract(spark, sf_dir):
     )
     feats = extract_media_features(assets, decode_stub=True)
     return feats.select("asset_id", "mime", "n_bytes", "checksum")
+
+
+@query(
+    "salted_event_totals",
+    tags=("events", "skew"),
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def salted_event_totals(spark, sf_dir):
+    """Skew toolkit in the correctness gate: event_type has only 5
+    values over the whole table — exactly the scorching-key shape where
+    a plain groupBy serializes on 5 reducers. salted_agg's two-phase
+    (key, salt) partial → key final produces bit-identical results to
+    the direct aggregate (algebraic recombination), which this oracle
+    pins."""
+    from data_warehouse_migration_spark.operators.skew import salted_agg
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "__total_cents": ("sum", "__cents"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        (F.col("__total_cents").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+@query(
+    "gapfill_daily_event_counts",
+    tags=("events", "gapfill", "G1"),
+    oracle="""
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+days AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b
+),
+types AS (SELECT DISTINCT event_type FROM e),
+counts AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2)
+SELECT t.event_type, days.day, coalesce(c.n, 0) AS n_events
+FROM types t
+CROSS JOIN days
+LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = days.day
+""",
+)
+def gapfill_daily_event_counts(spark, sf_dir):
+    """Time-series gap fill: a dense (type × day) grid generated with
+    sequence+explode (the calendar-dimension primitive, §2.9 G1) left-
+    joined against the observed daily counts, zero-filling silent days.
+    Scale: the grid is |types| × |days| (tiny) and broadcasts; the only
+    fact-sized work is the daily pre-aggregation."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    bounds = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    counts = ev.groupBy("event_type", F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events")
+    )

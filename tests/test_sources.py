@@ -61,3 +61,24 @@ def test_atomic_overwrite_swaps_and_cleans(spark, tmp_path):
     assert df.count() == 5 and "x" in df.columns
     leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
     assert leftovers == []
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path, sf_dir):
+    """Time-partitioned bronze layout (reference: Table/Y/M/D) must
+    enable partition pruning: a run-date filter shows up as a
+    PartitionFilter and non-matching directories are never scanned."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.sources.writers import write_parquet
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "bronze_orders")
+    write_parquet(orders, path, partition_by=["order_year"])
+
+    one_year = spark.read.parquet(path).filter(F.col("order_year") == 1996)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan, plan
+    expected = orders.filter(F.col("order_year") == 1996).count()
+    assert one_year.count() == expected
