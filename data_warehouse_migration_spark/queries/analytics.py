@@ -905,3 +905,102 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.desc("total_price"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q10_returned_items",
+    tags=("J2", "J7", "O1"),
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS DOUBLE) / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    Both selective filters (quarter, returnflag) reach the scans;
+    nation broadcasts; the group-by key space is per-customer (larger
+    than q1's 6 groups — exercises real partial/final aggregation);
+    top-20 plans as TakeOrderedAndProject, never a global sort."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").filter(  # noqa: E741
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_dormant_high_balance",
+    tags=("J", "subquery", "anti-join"),
+    oracle="""
+WITH c AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+    FROM customer
+), s AS (
+    SELECT sum(bal) AS tot, count(*) AS n FROM c WHERE bal > 0
+)
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       CAST(sum(bal) AS DOUBLE) / 100.0 AS total_bal
+FROM c, s
+WHERE c.bal * s.n > s.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01')
+GROUP BY c_mktsegment
+""",
+)
+def q22_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders. The global-average filter uses EXACT integer cross-
+    multiplication (bal·n > total) instead of comparing against a
+    floating average — a boundary row can't flip between engines. The
+    NOT EXISTS is a left-anti join against the date-filtered orders."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents("c_acctbal").alias("bal")
+    )
+    stats = F.broadcast(
+        c.filter(F.col("bal") > 0).agg(
+            F.sum("bal").alias("tot"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    recent = t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("1998-01-01")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(stats)
+        .filter(F.col("bal") * F.col("n") > F.col("tot"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum("bal").cast("double") / 100.0).alias("total_bal"),
+        )
+    )
