@@ -174,3 +174,51 @@ def streaming_user_running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    ``interval_click_attribution`` catalog query: each purchase joined
+    to the same user's clicks from the preceding ``lookback`` window.
+
+    Both sides carry watermarks so the state store can evict: a click
+    older than purchase-watermark − lookback can never match again and
+    is dropped. The join key (user_id) partitions state with the
+    shuffle; the time range is the join residual — identical plan shape
+    to the batch query, plus bounded state.
+
+    Inputs must expose ``(purchase_id, user_id, p_ts)`` and
+    ``(click_id, c_user, c_ts)`` as produced by
+    :func:`split_event_stream`.
+    """
+    p = purchases.withWatermark("p_ts", watermark)
+    c = clicks.withWatermark("c_ts", watermark)
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(c, cond, "leftOuter").select(
+        "purchase_id", "user_id", "p_ts", "click_id", "c_ts"
+    )
+
+
+def split_event_stream(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project an event stream into (purchases, clicks) legs with the
+    column names :func:`streaming_click_attribution` expects."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return purchases, clicks

@@ -125,3 +125,40 @@ def test_streaming_stateful_running_totals_match_batch(
     )
     expected = {r.user_id: (r.n, r.v) for r in batch.collect()}
     assert got == expected
+
+
+def test_streaming_interval_join_matches_batch(spark, events_path, sf_dir, tmp_path):
+    from data_warehouse_migration_spark.streaming.events import (
+        split_event_stream,
+        streaming_click_attribution,
+    )
+
+    stream = read_event_stream(spark, events_path)
+    p, c = split_event_stream(stream)
+    joined = streaming_click_attribution(p, c, lookback="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_attrib")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_attrib")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.table("stream_attrib").collect()
+        if r.click_id is not None  # outer-null rows need a closed watermark;
+        # matched pairs must agree exactly with the batch join
+    }
+    bp, bc = split_event_stream(t(spark, sf_dir, "events"))
+    cond = (
+        (bp["user_id"] == bc["c_user"])
+        & (bc["c_ts"] <= bp["p_ts"])
+        & (bc["c_ts"] >= bp["p_ts"] - F.expr("INTERVAL 1 HOUR"))
+    )
+    expected = {
+        (r.purchase_id, r.click_id)
+        for r in bp.join(bc, cond, "inner").collect()
+    }
+    assert got == expected
