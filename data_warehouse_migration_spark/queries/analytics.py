@@ -1004,3 +1004,98 @@ def q22_dormant_high_balance(spark, sf_dir):
             (F.sum("bal").cast("double") / 100.0).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    tags=("J2", "P6", "pushdown"),
+    oracle="""
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 5 AND l_quantity <= 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 15 AND l_quantity <= 35)
+""",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst distributes the disjunction: the l_quantity bounds common
+    to both branches (5..35) push to the lineitem scan, the
+    brand/size disjunction pushes to the part scan, and the mixed
+    residual evaluates inside the join — no row survives to a filter
+    stage that a scan could have dropped."""
+    l = t(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 5)
+        & (F.col("l_quantity") <= 25)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 15)
+        & (F.col("l_quantity") <= 35)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev).cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "window_analytics_suite",
+    tags=("W", "analytic"),
+    oracle="""
+SELECT o_custkey AS customer, o_orderkey AS order_key,
+       CAST(round(first_value(o_totalprice) OVER w * 100) AS BIGINT) / 100.0
+           AS first_price,
+       CAST(round(last_value(o_totalprice)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) * 100)
+           AS BIGINT) / 100.0 AS last_price,
+       round(percent_rank() OVER
+           (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6)
+           AS pct_rank,
+       round(cume_dist() OVER
+           (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6)
+           AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_analytics_suite(spark, sf_dir):
+    """Analytic-function surface beyond ranking: first/last order value
+    per customer (note last_value needs the full-partition frame — the
+    default frame stops at CURRENT ROW and silently returns the
+    current row's value) plus distribution functions with total
+    orderings so both engines agree exactly."""
+    o = t(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_time.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("customer"),
+        F.col("o_orderkey").alias("order_key"),
+        (F.round(F.first("o_totalprice").over(w_time) * 100).cast("long") / 100.0)
+        .alias("first_price"),
+        (F.round(F.last("o_totalprice").over(w_full) * 100).cast("long") / 100.0)
+        .alias("last_price"),
+        F.round(F.percent_rank().over(w_price), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("cume"),
+    )
