@@ -108,3 +108,42 @@ def json_extract_events(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "math_functions",
+    tags=("F", "math"),
+    oracle="""
+SELECT p_partkey,
+       round(ln(p_retailprice), 6) AS ln_price,
+       round(log10(p_retailprice), 6) AS log10_price,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(pow(p_size, 1.5), 6) AS size_pow,
+       round(exp(p_size / 100.0), 6) AS size_exp,
+       round(sin(p_size), 6) AS size_sin,
+       abs(p_size - 25) AS size_dist,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       p_size % 7 AS size_mod
+FROM part
+""",
+)
+def math_functions(spark, sf_dir):
+    """Math scalar family (SURVEY.md §2.8 'absent scalar families' —
+    exposed anyway): log/exp/sqrt/pow/trig/abs/floor/ceil/mod, all
+    JVM-side inside codegen; results rounded to 6 places because libm
+    implementations may differ in the last ulp across engines."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.log10("p_retailprice"), 6).alias("log10_price"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.pow("p_size", F.lit(1.5)), 6).alias("size_pow"),
+        F.round(F.exp(F.col("p_size") / 100.0), 6).alias("size_exp"),
+        F.round(F.sin("p_size"), 6).alias("size_sin"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
