@@ -147,3 +147,37 @@ def math_functions(spark, sf_dir):
         F.ceil("p_retailprice").alias("price_ceil"),
         (F.col("p_size") % 7).alias("size_mod"),
     )
+
+
+@query(
+    "map_functions_surface",
+    tags=("F", "map"),
+    oracle="""
+WITH m AS (
+    SELECT event_id,
+           MAP {'k': CAST(json_extract_string(props, '$.k') AS BIGINT),
+                'cents': CAST(round(value * 100) AS BIGINT)} AS mp
+    FROM events
+), e AS (
+    SELECT event_id, unnest(map_entries(mp), recursive := true) FROM m
+)
+SELECT key, CAST(sum(value) AS BIGINT) AS total, count(*) AS n
+FROM e
+GROUP BY key
+""",
+)
+def map_functions_surface(spark, sf_dir):
+    """Map-typed columns (SURVEY.md §1.3: absent from the reference,
+    exposed anyway): build a map per row, explode entries to rows,
+    aggregate per key — the generic shape for sparse per-row feature
+    bags a training pipeline carries alongside typed columns."""
+    e = t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
+        F.lit("cents"), F.round(F.col("value") * 100).cast("long"),
+    )
+    return (
+        e.select("event_id", F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    )

@@ -768,3 +768,45 @@ def gapfill_daily_event_counts(spark, sf_dir):
     return grid.join(counts, ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events")
     )
+
+
+#: DuckDB twin of operators/sampling.md5_bucket (no conv(); nibble math).
+_MD5_BUCKET_SQL = """(
+      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"""
+
+
+@query(
+    "deterministic_split_documents",
+    tags=("sampling", "split"),
+    oracle=f"""
+WITH b AS (SELECT doc_id, {_MD5_BUCKET_SQL} AS bucket FROM documents)
+SELECT CASE WHEN bucket < CAST(0.8 * 65536 AS INT) THEN 'train'
+            WHEN bucket < CAST(0.9 * 65536 AS INT) THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM b
+GROUP BY 1
+""",
+)
+def deterministic_split_documents(spark, sf_dir):
+    """Content-addressed train/val/test split (operators/sampling.py):
+    md5-bucketed by doc_id so the assignment is identical on any
+    cluster size, partitioning, or engine — the oracle reproduces it
+    bit-for-bit. The split is a zero-shuffle projection."""
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
