@@ -58,3 +58,28 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     second call with (1 - fraction) on the inverted predicate returns.
     """
     return df.filter(md5_bucket(F.col(key_col)) < int(fraction * BUCKETS))
+
+
+def weighted_mix(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    keep_fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic weighted dataset mixing: keep a per-stratum
+    fraction of rows (e.g. down-sample dominant languages, keep all of
+    rare ones) — the content-addressed version of `sampleBy`, stable
+    across runs/partitionings/engines like :func:`hash_split`.
+
+    Selection: row kept iff md5-bucket(key) < fraction(stratum)·65536.
+    Pure projection+filter — zero shuffles; composes with any
+    downstream dedup/tokenize stage.
+    """
+    b = md5_bucket(F.col(key_col))
+    thresh = F.lit(int(default_fraction * BUCKETS))
+    for stratum, frac in keep_fractions.items():
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)

@@ -810,3 +810,33 @@ def deterministic_split_documents(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "dataset_mix_by_lang",
+    tags=("sampling", "mixing"),
+    oracle=f"""
+WITH b AS (
+    SELECT lang, doc_id, {_MD5_BUCKET_SQL} AS bucket FROM documents
+)
+SELECT lang, count(*) AS n_docs
+FROM b
+WHERE bucket < CASE lang
+    WHEN 'en' THEN CAST(0.5 * 65536 AS INT)
+    WHEN 'es' THEN CAST(1.0 * 65536 AS INT)
+    ELSE CAST(0.25 * 65536 AS INT) END
+GROUP BY lang
+""",
+)
+def dataset_mix_by_lang(spark, sf_dir):
+    """Weighted corpus mixing (operators/sampling.py): down-sample the
+    dominant language, keep all of a rare one — deterministic per
+    doc_id, so reruns and engines agree exactly (oracle reproduces the
+    selection)."""
+    from data_warehouse_migration_spark.operators.sampling import weighted_mix
+
+    docs = t(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        docs, "lang", "doc_id", {"en": 0.5, "es": 1.0}, default_fraction=0.25
+    )
+    return mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

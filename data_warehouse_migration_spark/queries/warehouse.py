@@ -334,3 +334,60 @@ def inline_values_seed(spark, sf_dir):
             (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "data_quality_checks",
+    tags=("quality", "P6"),
+    oracle="""
+WITH v AS (
+    SELECT
+        CASE WHEN NOT coalesce(l_quantity > 0, FALSE)
+             THEN 1 ELSE 0 END AS v_qty_positive,
+        CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.5, FALSE)
+             THEN 1 ELSE 0 END AS v_discount_range,
+        CASE WHEN NOT (l_shipdate IS NOT NULL)
+             THEN 1 ELSE 0 END AS v_shipdate_present,
+        CASE WHEN NOT coalesce(l_extendedprice >= l_quantity, FALSE)
+             THEN 1 ELSE 0 END AS v_price_floor
+    FROM lineitem
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(v_qty_positive) AS BIGINT) AS qty_positive,
+       CAST(sum(v_discount_range) AS BIGINT) AS discount_range,
+       CAST(sum(v_shipdate_present) AS BIGINT) AS shipdate_present,
+       CAST(sum(v_price_floor) AS BIGINT) AS price_floor,
+       CAST(sum(CASE WHEN v_qty_positive + v_discount_range
+                        + v_shipdate_present + v_price_floor > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+FROM v
+""",
+)
+def data_quality_checks(spark, sf_dir):
+    """Data-quality gate (operators/quality.py) over lineitem: per-rule
+    violation counts + total quarantined rows, in ONE pass (no
+    per-rule scans). The reference has no dead-letter lane; this is
+    the ingest-side guard its silent-corruption gaps need."""
+    from data_warehouse_migration_spark.operators.quality import with_violations
+
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    rules = {
+        "qty_positive": F.col("l_quantity") > 0,
+        "discount_range": F.col("l_discount").between(0, 0.5),
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+        "price_floor": F.col("l_extendedprice") >= F.col("l_quantity"),
+    }
+    flagged = with_violations(l, rules)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name in rules:
+        aggs.append(
+            F.sum(
+                F.when(F.array_contains("violations", name), 1).otherwise(0)
+            ).cast("long").alias(name)
+        )
+    aggs.append(
+        F.sum(F.when(F.size("violations") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined")
+    )
+    return flagged.agg(*aggs)

@@ -48,3 +48,14 @@ def test_hash_sample_complement(spark, sf_dir):
     dropped = docs.filter(md5_bucket(F.col("doc_id")) >= int(0.3 * BUCKETS))
     assert kept.count() + dropped.count() == docs.count()
     assert kept.join(dropped, "doc_id", "inner").count() == 0
+
+
+def test_weighted_mix_respects_strata(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    from data_warehouse_migration_spark.operators.sampling import weighted_mix
+
+    out = weighted_mix(df, "lang", "doc_id", {"fr": 1.0}, default_fraction=0.0)
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert got == {"fr"}
+    assert out.count() == 100  # fraction 1.0 keeps every fr row
