@@ -1160,3 +1160,74 @@ def q7_bi_nation_volume(spark, sf_dir):
         )
         .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
     )
+
+
+@query(
+    "q4_priority_with_late_lines",
+    tags=("J", "semi-join", "A1"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_with_late_lines(spark, sf_dir):
+    """TPC-H Q4 shape: orders (in a quarter window) having at least one
+    line shipped after the order date — an EXISTS expressed as a
+    left-semi join carrying a non-equi residual. The semi join emits
+    each order at most once (no dedup stage), and lineitem contributes
+    only its join columns to the shuffle."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")  # noqa: E741
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.to_date("l_shipdate") > F.to_date("o_orderdate")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    tags=("A1", "P6", "pushdown"),
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+           AS DOUBLE) / 10000.0 AS revenue_delta,
+       count(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan-side query — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan, the aggregate is a single partial/final pair, and the whole
+    thing is one stage + one 1-row exchange. The canary for pushdown
+    regressions."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast("long")
+    return (
+        l.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev).cast("double") / 10000.0).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
