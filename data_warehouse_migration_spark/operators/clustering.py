@@ -1,0 +1,90 @@
+"""K-means clustering over an embedding column — the iterative-algorithm
+shape (driver-coordinated fixed-point loop over DataFrame ops), and the
+trainer for IVF coarse quantizers (operators/similarity.ivf_topk takes
+these centroids directly).
+
+Scale posture: each iteration is ONE pass over the corpus — assignment
+is a zero-shuffle projection against broadcast centroid literals
+(k×dim doubles, tiny), and the centroid update is one groupBy-avg
+shuffle keyed on (cluster, component). Only k×dim numbers ever reach
+the driver per iteration. Deterministic throughout: init = the k
+lowest-id vectors, ties broken by cluster index, so reruns and
+resizes agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_c, lambda a, b: (a.cast("double") - b) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, sq_dist) — nearest centroid per vector, computed
+    against broadcast literals inside codegen; lowest cluster index
+    wins exact-distance ties."""
+    dist_structs = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(dist_structs)
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["c"].alias("cluster"),
+        best["d"].alias("sq_dist"),
+    )
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's algorithm; returns (centroids, assignments).
+
+    Deterministic init: the ``k`` lowest-id vectors. An emptied cluster
+    keeps its previous centroid (no resurrection randomness).
+    """
+    centroids = [
+        list(r[vec_col])
+        for r in vectors.orderBy(id_col).limit(k).collect()
+    ]
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    for _ in range(max_iter):
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        for ci, comps in by_cluster.items():
+            new_centroids[ci] = [comps[p] for p in sorted(comps)]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+        assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    return centroids, assigned

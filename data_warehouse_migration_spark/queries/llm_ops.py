@@ -840,3 +840,92 @@ def dataset_mix_by_lang(spark, sf_dir):
         docs, "lang", "doc_id", {"en": 0.5, "es": 1.0}, default_fraction=0.25
     )
     return mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "tfidf_top_terms",
+    tags=("text", "tfidf"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS toks
+    FROM documents
+), tok AS (
+    SELECT doc_id, unnest(toks) AS tok FROM norm
+), tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> '' GROUP BY 1, 2
+), df AS (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, tok) AS rnk
+    FROM scored
+)
+SELECT doc_id, tok AS term, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF with top-3 characteristic terms per document — the
+    classic two-aggregation text pipeline: term frequency per doc (one
+    shuffle on (doc, token)), document frequency per term (one shuffle
+    on token, map-side combined), broadcastable doc count, then a
+    per-doc ranking window. Exact-integer counts; only the final
+    ln-weighted score is floating (rounded for cross-engine equality,
+    term tie-break makes top-3 total)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(D.normalized_text(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # driver scalar: one number, not a collect of rows
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        F.col("tok").alias("term"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@query(
+    "embedding_kmeans",
+    tags=("similarity", "clustering", "iterative"),
+    oracle=None,  # iterative algorithm — the driver-contract category
+    # explicitly exempted from SQL oracles; invariants (determinism,
+    # inertia monotonicity, partition coverage) are test-asserted.
+)
+def embedding_kmeans(spark, sf_dir):
+    """K-means cluster profile of the embedding corpus: per-cluster
+    size and mean squared distance after 3 Lloyd iterations
+    (operators/clustering.py; each iteration re-generates codegen for
+    the new centroid literals, so the gate entry keeps the loop short).
+    Doubles as the IVF index-build stage."""
+    from data_warehouse_migration_spark.operators.clustering import kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans(emb, k=8, max_iter=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
