@@ -1231,3 +1231,82 @@ def q6_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q15_top_supplier",
+    tags=("J", "subquery", "argmax"),
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS r
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the global maximum
+    quarterly revenue — aggregate once, compare each group against the
+    scalar max (ties all kept, exact integer revenue so the equality
+    cannot wobble). The 1-row max broadcasts; no second scan of
+    lineitem."""
+    l = t(spark, sf_dir, "lineitem").filter(  # noqa: E741
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev_amt = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    rev = l.groupBy("l_suppkey").agg(F.sum(rev_amt).alias("r"))
+    mx = F.broadcast(rev.agg(F.max("r").alias("mx")))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("r") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("r").cast("double") / 10000.0).alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    tags=("A1", "subquery", "having"),
+    oracle="""
+WITH pv AS (
+    SELECT l_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v
+    FROM lineitem
+    GROUP BY l_partkey
+), tot AS (SELECT sum(v) AS t FROM pv)
+SELECT l_partkey AS partkey, CAST(v AS DOUBLE) / 100.0 AS part_value
+FROM pv, tot
+WHERE v * 1200 > t
+ORDER BY part_value DESC, partkey
+""",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose sales value exceeds 1/1200 of the
+    global total — group totals compared to a broadcast grand total
+    with exact integer cross-multiplication (v·1200 > t), so threshold
+    membership is identical across engines."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    pv = l.groupBy("l_partkey").agg(F.sum(cents("l_extendedprice")).alias("v"))
+    tot = F.broadcast(pv.agg(F.sum("v").alias("t")))
+    return (
+        pv.crossJoin(tot)
+        .filter(F.col("v") * 1200 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("v").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
