@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_warehouse_migration_spark.catalog import query, t
+from data_warehouse_migration_spark.catalog import cents, query, t
 
 
 @query(
@@ -180,4 +180,81 @@ def map_functions_surface(spark, sf_dir):
         e.select("event_id", F.explode(m).alias("key", "value"))
         .groupBy("key")
         .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "unpivot_order_measures",
+    tags=("F", "unpivot"),
+    oracle="""
+WITH wide AS (
+    SELECT o_orderstatus,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price,
+           CAST(count(*) AS DOUBLE) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (total_price, n_orders, n_customers))
+""",
+)
+def unpivot_order_measures(spark, sf_dir):
+    """Unpivot/melt (the inverse of pivot_status_by_segment): wide
+    per-status measures → long (status, metric, value) rows via
+    ``stack`` — the reshape every metrics warehouse needs for generic
+    metric sinks. Zero extra shuffle: melt is a projection."""
+    o = t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'total_price', total_price, 'n_orders', n_orders,"
+            " 'n_customers', n_customers) AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "histogram_order_values",
+    tags=("A", "histogram"),
+    oracle="""
+WITH c AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), b AS (SELECT min(v) AS lo, max(v) AS hi FROM c)
+SELECT CAST(least(floor((v - lo) * 10.0 / greatest(hi - lo + 1, 1)), 9) AS INT)
+           AS bucket,
+       count(*) AS n_orders,
+       CAST(min(v) AS DOUBLE) / 100.0 AS bucket_min,
+       CAST(max(v) AS DOUBLE) / 100.0 AS bucket_max
+FROM c, b
+GROUP BY 1
+""",
+)
+def histogram_order_values(spark, sf_dir):
+    """Equi-width 10-bucket histogram of order values. Bucketing is
+    floor((v−lo)·10 / span) over exact cents against broadcast global
+    bounds — explicit floor on BOTH engines (Spark's cast truncates,
+    DuckDB's CAST rounds; floor sidesteps the divergence)."""
+    o = t(spark, sf_dir, "orders").select(cents("o_totalprice").alias("v"))
+    bounds = F.broadcast(o.agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    span = F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1))
+    bucket = F.least(
+        F.floor(((F.col("v") - F.col("lo")) * 10).cast("double") / span),
+        F.lit(9).cast("long"),
+    ).cast("int")
+    return (
+        o.crossJoin(bounds)
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("v").cast("double") / 100.0).alias("bucket_min"),
+            (F.max("v").cast("double") / 100.0).alias("bucket_max"),
+        )
     )

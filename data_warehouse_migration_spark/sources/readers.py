@@ -60,3 +60,34 @@ def read_parquet(
         else:
             cols.append(F.col(src).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def read_increment(
+    spark,
+    path: str,
+    ts_col: str,
+    high_watermark=None,
+):
+    """Incremental batch read: rows strictly newer than the previous
+    run's high watermark, plus this batch's new watermark.
+
+    The batch counterpart of Structured Streaming's source offset
+    tracking, for pipelines that re-run on a schedule instead of
+    holding a cluster: the caller persists ``new_high_watermark``
+    (a one-value bookmark, not data) and passes it back next run.
+    The ``ts_col > watermark`` predicate pushes down to the scan, and
+    with time-partitioned layouts (``write_parquet(partition_by=…)``)
+    prunes whole partitions — an incremental run reads only new files.
+
+    Returns ``(df, new_high_watermark)``; watermark is ``None`` when
+    the source is empty. Late rows timestamped ≤ the old watermark are
+    skipped by design (exactly-once per row) — sources with true
+    late data need the streaming path's watermark semantics instead.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if high_watermark is not None:
+        df = df.filter(F.col(ts_col) > F.lit(high_watermark))
+    new_mark = df.agg(F.max(ts_col).alias("m")).collect()[0].m
+    return df, (new_mark if new_mark is not None else high_watermark)

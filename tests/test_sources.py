@@ -82,3 +82,33 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path, sf_dir):
     assert "PartitionFilters: [isnotnull(order_year" in plan, plan
     expected = orders.filter(F.col("order_year") == 1996).count()
     assert one_year.count() == expected
+
+
+def test_read_increment_high_watermark(spark, tmp_path):
+    """Three scheduled runs over a growing table: each reads only rows
+    newer than the persisted bookmark; re-running with no new data
+    reads nothing and keeps the watermark."""
+    import datetime as dt
+
+    from data_warehouse_migration_spark.sources.readers import read_increment
+
+    path = str(tmp_path / "inc")
+    day = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+
+    spark.createDataFrame(
+        [(1, day(1)), (2, day(2))], "id int, ts timestamp"
+    ).write.parquet(path)
+    batch1, mark1 = read_increment(spark, path, "ts")
+    assert {r.id for r in batch1.collect()} == {1, 2}
+    assert mark1 == day(2)
+
+    spark.createDataFrame(
+        [(3, day(3)), (4, day(4))], "id int, ts timestamp"
+    ).write.mode("append").parquet(path)
+    batch2, mark2 = read_increment(spark, path, "ts", mark1)
+    assert {r.id for r in batch2.collect()} == {3, 4}
+    assert mark2 == day(4)
+
+    batch3, mark3 = read_increment(spark, path, "ts", mark2)
+    assert batch3.count() == 0
+    assert mark3 == day(4)  # empty increment keeps the bookmark
