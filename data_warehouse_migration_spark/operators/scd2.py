@@ -179,3 +179,59 @@ def assign_surrogate_keys(
     """
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return dim.withColumn(key_col, F.row_number().over(w) + F.lit(start_at - 1))
+
+
+def snapshot_diff(
+    old: DataFrame | None,
+    new: DataFrame,
+    keys: str | list[str],
+    attrs: list[str],
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: one row per key present
+    in either side, labeled ``change ∈ {INSERT, DELETE, UPDATE,
+    UNCHANGED}`` by key existence + attribute-hash comparison — the
+    feed for SCD2 maintenance (``scd2_merge`` consumes the INSERT/
+    UPDATE lanes) or for replicating into an external sink
+    (``sources/external.upsert_rows``).
+
+    One full-outer join keyed on the business key; hashes compare a
+    single column instead of N attributes (the reference's
+    change-detection trick, DF_SCD2_Customer.json:134-140). New-side
+    attribute values are emitted for INSERT/UPDATE/UNCHANGED, old-side
+    for DELETE.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    o = (
+        old.select(*keys, *attrs).withColumn("__oh", row_hash(*attrs))
+        if old is not None
+        else None
+    )
+    n = new.select(*keys, *attrs).withColumn("__nh", row_hash(*attrs))
+    if o is None:
+        return n.select(
+            *keys, *attrs, F.lit("INSERT").alias("change")
+        )
+
+    o_ren = o.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(a).alias(f"__oa_{a}") for a in attrs],
+        "__oh",
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (n[k].eqNullSafe(F.col(f"__ok_{k}")))
+    joined = n.join(o_ren, cond, "full_outer")
+
+    change = (
+        F.when(F.col("__oh").isNull(), F.lit("INSERT"))
+        .when(F.col("__nh").isNull(), F.lit("DELETE"))
+        .when(F.col("__nh") != F.col("__oh"), F.lit("UPDATE"))
+        .otherwise(F.lit("UNCHANGED"))
+    )
+    out_keys = [
+        F.coalesce(n[k], F.col(f"__ok_{k}")).alias(k) for k in keys
+    ]
+    out_attrs = [
+        F.coalesce(n[a], F.col(f"__oa_{a}")).alias(a) for a in attrs
+    ]
+    return joined.select(*out_keys, *out_attrs, change.alias("change"))

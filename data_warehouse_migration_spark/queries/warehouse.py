@@ -391,3 +391,92 @@ def data_quality_checks(spark, sf_dir):
         .alias("n_quarantined")
     )
     return flagged.agg(*aggs)
+
+
+@query(
+    "snapshot_diff_customers",
+    tags=("cdc", "P7", "full-outer"),
+    oracle="""
+WITH old AS (
+    SELECT o_custkey AS k, max(CAST(o_orderdate AS DATE)) AS last_order
+    FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY 1
+), new AS (
+    SELECT o_custkey AS k, max(CAST(o_orderdate AS DATE)) AS last_order
+    FROM orders
+    GROUP BY 1
+)
+SELECT coalesce(new.k, old.k) AS k,
+       coalesce(new.last_order, old.last_order) AS last_order,
+       CASE WHEN old.k IS NULL THEN 'INSERT'
+            WHEN new.k IS NULL THEN 'DELETE'
+            WHEN new.last_order <> old.last_order
+                 OR (new.last_order IS NULL) <> (old.last_order IS NULL)
+                 THEN 'UPDATE'
+            ELSE 'UNCHANGED' END AS change
+FROM new FULL OUTER JOIN old ON new.k = old.k
+""",
+)
+def snapshot_diff_customers(spark, sf_dir):
+    """CDC diff (operators/scd2.snapshot_diff) between two snapshots of
+    a per-customer summary — yesterday's warehouse state vs today's.
+    Full-outer join on the business key, single-hash change detection;
+    the INSERT/UPDATE lanes are exactly what scd2_merge ingests."""
+    from data_warehouse_migration_spark.operators.scd2 import snapshot_diff
+
+    o = t(spark, sf_dir, "orders")
+    old = (
+        o.filter(F.to_date("o_orderdate") < F.lit("1998-01-01"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.max(F.to_date("o_orderdate")).alias("last_order"))
+    )
+    new = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order")
+    )
+    return snapshot_diff(old, new, keys="k", attrs=["last_order"])
+
+
+@query(
+    "full_outer_reconciliation",
+    tags=("J", "full-outer"),
+    oracle="""
+WITH y96 AS (
+    SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+    FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1
+), y97 AS (
+    SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+    FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997 GROUP BY 1
+)
+SELECT coalesce(y96.o_custkey, y97.o_custkey) AS customer,
+       CAST(coalesce(y96.v, 0) AS DOUBLE) / 100.0 AS rev_1996,
+       CAST(coalesce(y97.v, 0) AS DOUBLE) / 100.0 AS rev_1997,
+       CAST(coalesce(y97.v, 0) - coalesce(y96.v, 0) AS DOUBLE) / 100.0
+           AS delta
+FROM y96 FULL OUTER JOIN y97 ON y96.o_custkey = y97.o_custkey
+""",
+)
+def full_outer_reconciliation(spark, sf_dir):
+    """Year-over-year revenue reconciliation per customer via FULL
+    OUTER join — keeps customers active in either year, zero-filling
+    the missing side (the join type the reference never uses; closes
+    the join-variant matrix). Exact cents arithmetic end-to-end."""
+    o = t(spark, sf_dir, "orders")
+
+    def year_rev(y):
+        return (
+            o.filter(F.year(F.to_date("o_orderdate")) == y)
+            .groupBy("o_custkey")
+            .agg(F.sum(cents("o_totalprice")).alias("v"))
+        )
+
+    a = year_rev(1996).select(F.col("o_custkey").alias("k96"), F.col("v").alias("v96"))
+    b = year_rev(1997).select(F.col("o_custkey").alias("k97"), F.col("v").alias("v97"))
+    return a.join(b, F.col("k96") == F.col("k97"), "full_outer").select(
+        F.coalesce(F.col("k96"), F.col("k97")).alias("customer"),
+        (F.coalesce(F.col("v96"), F.lit(0)).cast("double") / 100.0).alias("rev_1996"),
+        (F.coalesce(F.col("v97"), F.lit(0)).cast("double") / 100.0).alias("rev_1997"),
+        (
+            (F.coalesce(F.col("v97"), F.lit(0)) - F.coalesce(F.col("v96"), F.lit(0)))
+            .cast("double") / 100.0
+        ).alias("delta"),
+    )

@@ -99,3 +99,30 @@ def test_surrogate_keys_dense_and_deterministic(spark):
     out = assign_surrogate_keys(dim, "CustomerKey", order_by=["CustomerID"])
     got = {r.CustomerID: r.CustomerKey for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_snapshot_diff_all_four_lanes(spark):
+    from data_warehouse_migration_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, val string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k int, val string"
+    )
+    out = {r.k: (r.change, r.val) for r in
+           snapshot_diff(old, new, keys="k", attrs=["val"]).collect()}
+    assert out == {
+        1: ("DELETE", "a"),      # old-side values survive on delete
+        2: ("UNCHANGED", "b"),
+        3: ("UPDATE", "CHANGED"),  # new-side values on update
+        4: ("INSERT", "d"),
+    }
+
+
+def test_snapshot_diff_initial_load_is_all_inserts(spark):
+    from data_warehouse_migration_spark.operators.scd2 import snapshot_diff
+
+    new = spark.createDataFrame([(1, "a")], "k int, val string")
+    out = snapshot_diff(None, new, keys="k", attrs=["val"]).collect()
+    assert [(r.k, r.change) for r in out] == [(1, "INSERT")]
