@@ -1310,3 +1310,50 @@ def q11_important_parts(spark, sf_dir):
         )
         .orderBy(F.desc("part_value"), "partkey")
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    tags=("J2", "subquery", "A1"),
+    oracle="""
+WITH pa AS (
+    SELECT l_partkey AS pk,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS n_small_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.pk = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * pa.n < pa.sq
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from orders below 20% of the part's
+    average quantity — the correlated-average subquery, decorrelated
+    into a per-part aggregate joined back to the fact. The threshold
+    compares exact integers (qty·5·n < sum), never a floating average,
+    so boundary rows agree across engines. Per-part stats shuffle once
+    on partkey and join back co-partitioned."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select(
+        "p_partkey"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(cents("l_quantity") * 5 * F.col("n") < F.col("sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias(
+                "total_revenue"
+            ),
+        )
+    )
