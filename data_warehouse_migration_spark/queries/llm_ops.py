@@ -929,3 +929,87 @@ def embedding_kmeans(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "eval_sample_per_lang",
+    tags=("sampling", "stratified"),
+    oracle="""
+WITH ranked AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+    FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 20
+""",
+)
+def eval_sample_per_lang(spark, sf_dir):
+    """Stratified exact-k sampling: exactly 20 documents per language,
+    chosen by ranking on the md5 of the key — an unbiased, fully
+    deterministic draw (same eval set on every engine/run/cluster
+    size, unlike rand()-based sampleBy). One shuffle on the stratum;
+    at scale the per-stratum sort is bounded by stratum size."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )
+
+
+@query(
+    "pack_documents_into_chunks",
+    tags=("text", "packing"),
+    oracle="""
+WITH c AS (
+    SELECT doc_id, n_chars,
+           sum(n_chars) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM documents
+), assigned AS (
+    SELECT doc_id, n_chars,
+           CAST((cum - n_chars) // 8000 AS INT) AS chunk_id
+    FROM c
+)
+SELECT chunk_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM assigned
+GROUP BY chunk_id
+""",
+)
+def pack_documents_into_chunks(spark, sf_dir):
+    """Sequence packing: assign documents to ~8000-char training chunks
+    by running-length cumsum (a doc starts the chunk its offset falls
+    in) — the deterministic, order-stable version of greedy packing.
+    This single-partition demo uses one global window; at 100 TB,
+    hash_split the corpus into independent streams first and pack each
+    stream in parallel — packing quality is unchanged because chunks
+    never span streams."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 8000)
+        .cast("int")
+        .alias("chunk_id"),
+    )
+    return assigned.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
