@@ -92,7 +92,10 @@ def as_of_join(
     from pyspark.sql import Window
 
     keys = [on] if isinstance(on, str) else list(on)
-    l = left.alias("__l")  # noqa: E741
+    # Unique per-row id so the keep-latest window partitions by ROW, not
+    # by value — two fully identical left rows each keep their own match
+    # (a value-partitioned window would silently collapse them).
+    l = left.withColumn("__row_id", F.monotonically_increasing_id()).alias("__l")  # noqa: E741
     r = right.alias("__r")
 
     cond: Column = F.lit(True)
@@ -112,9 +115,7 @@ def as_of_join(
     order = [F.col(f"__r.{right_ts}").desc_nulls_last()] + [
         F.col(f"__r.{c}").asc() for c in (right_tiebreak or [])
     ]
-    w = Window.partitionBy(
-        *[F.col(f"__l.{c}") for c in left.columns]
-    ).orderBy(*order)
+    w = Window.partitionBy(F.col("__l.__row_id")).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

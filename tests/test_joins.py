@@ -97,3 +97,21 @@ def test_as_of_join_tiebreak_deterministic(spark):
         right_tiebreak=["qid"],
     )
     assert [r.qid for r in out.collect()] == [3]  # lowest id among tied ts
+
+
+def test_as_of_join_keeps_duplicate_left_rows(spark):
+    import datetime as dt
+
+    quotes = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10), 100.0)],
+        "sym string, qts timestamp, px double",
+    )
+    # two fully identical trades: both must survive with their match
+    trades = spark.createDataFrame(
+        [(1, "A", dt.datetime(2024, 1, 1, 11)),
+         (1, "A", dt.datetime(2024, 1, 1, 11))],
+        "trade_id int, sym string, tts timestamp",
+    )
+    out = as_of_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts")
+    assert out.count() == 2
+    assert [r.px for r in out.collect()] == [100.0, 100.0]
