@@ -100,9 +100,10 @@ def row_hash(*cols: Column | str, num_bits: int = 256) -> Column:
     concatenates raw values (``DF_SCD2_Customer.json:135``) while the
     T-SQL twin pipe-delimits (``load_gold_data.sql:19``). We canonicalize
     on the delimited form (prevents ``("ab","c") == ("a","bc")``
-    collisions) and null-normalize each input to the empty string so a
-    NULL→'' attribute change is still detected as a change
-    (SURVEY.md §7.5).
+    collisions) and null-normalize each input to the empty string —
+    matching T-SQL ``CONCAT``'s NULL-as-'' behavior, so NULL and '' are
+    deliberately hash-equal (SURVEY.md §7.5; pinned by
+    ``test_row_hash_null_normalization_and_separator``).
     """
     normalized = [F.coalesce(_col(c).cast("string"), F.lit("")) for c in cols]
     return F.sha2(F.concat_ws("|", *normalized), num_bits)

@@ -1013,3 +1013,48 @@ def pack_documents_into_chunks(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "user_value_ewma",
+    tags=("events", "ewma", "sequential"),
+    oracle="""
+WITH e AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events
+), l AS (
+    SELECT user_id, count(*) AS n_events,
+           list(value::DOUBLE ORDER BY ts, event_id) AS vs
+    FROM e GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_value
+FROM l
+""",
+)
+def user_value_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of each user's event
+    values — an order-dependent sequential recurrence (ewma_i =
+    α·x_i + (1−α)·ewma_{i−1}) that windows can't express and that
+    usually drives people to UDFs. Native formulation: sorted
+    collect_list per key + ``aggregate`` fold, seeded with the first
+    element to mirror DuckDB's list_reduce exactly. One shuffle on
+    user_id; state is the per-user value list, bounded by key
+    cardinality × history (for unbounded history, the streaming
+    stateful operator is the scale path)."""
+    e = t(spark, sf_dir, "events")
+    grouped = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
+            )
+        ).alias("a"),
+    )
+    vs = F.transform(F.col("a"), lambda s: s["v"])
+    staged = grouped.select("user_id", "n_events", vs.alias("vs"))
+    ew = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return staged.select("user_id", "n_events", F.round(ew, 6).alias("ewma_value"))
