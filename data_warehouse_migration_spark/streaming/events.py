@@ -222,3 +222,31 @@ def split_event_stream(events: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("ts").alias("c_ts"),
     )
     return purchases, clicks
+
+
+def run_stream_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    available_now: bool = True,
+):
+    """Drive a streaming DataFrame into partition-friendly Parquet via
+    ``foreachBatch`` — the production sink pattern: each micro-batch is
+    a *batch* DataFrame, so any batch writer (partitioned parquet,
+    upsert, bucketed table) works unchanged, and the checkpoint gives
+    exactly-once per epoch. ``available_now`` processes the current
+    backlog then stops (scheduled-incremental mode); pass False for a
+    continuously running query.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(path)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -52,3 +52,28 @@ def test_bucket_scan_prunes_with_equality_predicate(spark, tmp_path, sf_dir):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
         )
         spark.sql("DROP TABLE IF EXISTS b_orders2")
+
+
+def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
+    """With broadcast disabled, the equi-join plans as a sort-merge
+    join — the strategy a fact-to-fact join takes at 100 TB when
+    neither side fits memory (both sides shuffle-partitioned on the
+    key, then merged sorted runs; spills instead of OOM)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        joined = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

@@ -162,3 +162,26 @@ def test_streaming_interval_join_matches_batch(spark, events_path, sf_dir, tmp_p
         for r in bp.join(bc, cond, "inner").collect()
     }
     assert got == expected
+
+
+def test_foreachbatch_parquet_sink_exactly_once(spark, events_path, tmp_path):
+    from data_warehouse_migration_spark.streaming.events import (
+        run_stream_to_parquet,
+    )
+
+    stream = read_event_stream(spark, events_path)
+    q = run_stream_to_parquet(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    src = spark.read.parquet(events_path)
+    assert out.count() == src.count()
+    # restart with same checkpoint + no new data → no duplicates
+    q2 = run_stream_to_parquet(
+        read_event_stream(spark, events_path),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == src.count()
