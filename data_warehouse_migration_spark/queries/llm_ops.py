@@ -1058,3 +1058,57 @@ def user_value_ewma(spark, sf_dir):
         lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
     )
     return staged.select("user_id", "n_events", F.round(ew, 6).alias("ewma_value"))
+
+
+@query(
+    "funnel_click_to_purchase",
+    tags=("events", "funnel"),
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), c AS (
+    SELECT user_id, min(ts) AS first_click
+    FROM e WHERE event_type = 'click' GROUP BY 1
+), p AS (
+    SELECT c.user_id, min(e.ts) AS first_purchase
+    FROM c JOIN e ON e.user_id = c.user_id
+               AND e.event_type = 'purchase' AND e.ts >= c.first_click
+    GROUP BY 1
+)
+SELECT count(*) AS n_clickers,
+       count(p.user_id) AS n_converted,
+       round(count(p.user_id) / CAST(count(*) AS DOUBLE), 6)
+           AS conversion_rate
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+""",
+)
+def funnel_click_to_purchase(spark, sf_dir):
+    """Conversion funnel: users whose first click is later followed by
+    a purchase. Two conditional min-aggregations (no window, no
+    explode) + one left join on user — each step shuffles only
+    (user, ts) pairs, so the funnel holds at any event volume."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    conv = clicks.join(
+        purchases.select(F.col("user_id").alias("p_user")),
+        F.col("user_id") == F.col("p_user"),
+        "left",
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.count("p_user").alias("n_converted"),
+        F.round(F.count("p_user") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "conversion_rate"
+        ),
+    )
