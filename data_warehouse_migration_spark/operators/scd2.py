@@ -235,3 +235,31 @@ def snapshot_diff(
         F.coalesce(n[a], F.col(f"__oa_{a}")).alias(a) for a in attrs
     ]
     return joined.select(*out_keys, *out_attrs, change.alias("change"))
+
+
+def inferred_members(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    defaults: dict[str, object],
+) -> DataFrame:
+    """Late-arriving-dimension stubs (Kimball "inferred members"): one
+    placeholder dim row per fact key missing from the dimension, so
+    fact loads never drop rows or violate FK semantics when the
+    dimension feed lags the fact feed.
+
+    The stub carries the business key + caller-supplied defaults and an
+    ``IsInferred`` flag; when the real dimension row finally arrives,
+    :func:`scd2_merge` sees a hash change and versions it normally —
+    the stub becomes the (correctly dated) first version's predecessor.
+
+    Scale: one distinct + one left-anti join, both keyed on the
+    business key; no fact payload moves — only keys.
+    """
+    missing = (
+        facts.select(key).distinct().join(dim.select(key), key, "left_anti")
+    )
+    stub = missing
+    for col_name, value in defaults.items():
+        stub = stub.withColumn(col_name, F.lit(value))
+    return stub.withColumn("IsInferred", F.lit(True))

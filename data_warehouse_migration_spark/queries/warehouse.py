@@ -480,3 +480,38 @@ def full_outer_reconciliation(spark, sf_dir):
             .cast("double") / 100.0
         ).alias("delta"),
     )
+
+
+@query(
+    "late_arriving_dim_stubs",
+    tags=("scd2", "inferred-members", "J"),
+    oracle="""
+WITH dim AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT o_custkey AS c_custkey,
+       'UNKNOWN' AS c_name,
+       'UNKNOWN' AS c_mktsegment,
+       TRUE AS IsInferred
+FROM (SELECT DISTINCT o_custkey FROM orders) o
+LEFT JOIN dim ON o.o_custkey = dim.c_custkey
+WHERE dim.c_custkey IS NULL
+""",
+)
+def late_arriving_dim_stubs(spark, sf_dir):
+    """Kimball inferred members (operators/scd2.inferred_members):
+    placeholder rows for fact keys the dimension feed hasn't delivered
+    yet — simulated here by withholding every 7th customer. Fact loads
+    then join cleanly; the stub versions out when the real row arrives."""
+    from data_warehouse_migration_spark.operators.scd2 import inferred_members
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    dim = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
+    return inferred_members(
+        orders,
+        dim,
+        key="c_custkey",
+        defaults={"c_name": "UNKNOWN", "c_mktsegment": "UNKNOWN"},
+    )
