@@ -1357,3 +1357,68 @@ def q17_small_quantity_revenue(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q8_market_share",
+    tags=("J7", "A1", "F12"),
+    oracle="""
+SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       round((100.0 * sum(CASE WHEN n1.n_name = 'NATION_1'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT) ELSE 0 END)::DOUBLE)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                   AS BIGINT))::DOUBLE, 6) AS nation1_share_pct,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of yearly revenue to
+    customers in a region — conditional-ratio aggregation over the
+    full six-table star with both nation roles. Exact 10^-4 integer
+    sums, one double division at the end."""
+    l = t(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    cust_nations = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("n2_key")
+        )
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    n1_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_nations, F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            F.round(
+                (100.0 * F.sum(n1_rev).cast("double")) / F.sum(rev).cast("double"), 6
+            ).alias("nation1_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -126,3 +126,16 @@ def test_snapshot_diff_initial_load_is_all_inserts(spark):
     new = spark.createDataFrame([(1, "a")], "k int, val string")
     out = snapshot_diff(None, new, keys="k", attrs=["val"]).collect()
     assert [(r.k, r.change) for r in out] == [(1, "INSERT")]
+
+
+def test_inferred_members_stub_and_empty_cases(spark):
+    from data_warehouse_migration_spark.operators.scd2 import inferred_members
+
+    facts = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k int")
+    dim = spark.createDataFrame([(1,), (3,)], "k int")
+    out = inferred_members(facts, dim, key="k", defaults={"name": "UNKNOWN"})
+    rows = out.collect()
+    assert [(r.k, r.name, r.IsInferred) for r in rows] == [(2, "UNKNOWN", True)]
+    # dim fully covers facts → no stubs
+    full = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    assert inferred_members(facts, full, key="k", defaults={}).count() == 0
