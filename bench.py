@@ -38,11 +38,18 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
+    # Two runs per query, report the min: the first run pays one-time
+    # whole-stage-codegen compilation (~1-3s/query of JVM compiler work
+    # that a long-lived cluster amortizes to zero) and is exposed to
+    # transient host noise; the min reflects steady-state engine cost.
     timings: dict[str, float] = {}
     for name, q in headline.items():
-        t0 = time.time()
-        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
