@@ -104,3 +104,28 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partitions: int | None = None,
+) -> None:
+    """Parquet write with rows sorted *within* each file on
+    ``sort_cols`` — the poor-man's Z-order: parquet stores per-page /
+    per-row-group min-max statistics, so a scan filtering on a sort
+    column skips most pages of every file (on top of partition pruning
+    and predicate pushdown). Use for the 1-2 highest-selectivity
+    columns queries actually filter on (e.g. event time, customer id).
+
+    ``partitions`` additionally range-repartitions ON the sort key
+    first, so files cover disjoint key ranges and whole FILES get
+    skipped, not just pages.
+    """
+    out = df
+    if partitions:
+        out = out.repartitionByRange(partitions, *sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(path)

@@ -112,3 +112,30 @@ def test_read_increment_high_watermark(spark, tmp_path):
     batch3, mark3 = read_increment(spark, path, "ts", mark2)
     assert batch3.count() == 0
     assert mark3 == day(4)  # empty increment keeps the bookmark
+
+
+def test_write_sorted_produces_disjoint_sorted_files(spark, tmp_path, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.sources.writers import write_sorted
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "sorted")
+    write_sorted(orders, path, ["o_orderkey"], partitions=4)
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 4
+    # each file internally sorted, and file key-ranges disjoint
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f"{path}/{f}").select("o_orderkey").toPandas()
+        ks = pdf["o_orderkey"].tolist()
+        assert ks == sorted(ks)
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # range-partitioned → whole-file skipping
+    # nothing lost
+    assert spark.read.parquet(path).count() == orders.count()
