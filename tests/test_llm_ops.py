@@ -162,3 +162,28 @@ def test_pandas_udf_cosine_matches_native(spark, sf_dir):
         udf_cos(F.col("va"), F.col("vb")).alias("arrow"),
     ).select(F.max(F.abs(F.col("native") - F.col("arrow"))).alias("max_diff"))
     assert out.collect()[0].max_diff < 1e-9
+
+
+def test_lsh_candidate_near_dup_matches_exact_all_pairs(spark, sf_dir):
+    """The shipped near-dup plan (banded-LSH candidates + exact rescore)
+    must reproduce the exact all-pairs answer at the catalog threshold,
+    and must candidate-generate via a hash join — never a nested loop."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_candidate_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh_df = lsh_candidate_near_dup_pairs(emb, threshold=0.4, dim=dim)
+    approx = {(r.id_a, r.id_b, r.cosine) for r in lsh_df.collect()}
+    assert approx == exact  # full recall at this (band_bits, n_bands)
+
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
