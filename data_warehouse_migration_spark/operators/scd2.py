@@ -231,8 +231,13 @@ def snapshot_diff(
     out_keys = [
         F.coalesce(n[k], F.col(f"__ok_{k}")).alias(k) for k in keys
     ]
+    # Select attrs by lane, not coalesce: an UPDATE that sets an
+    # attribute to NULL must emit NULL, not the stale old value.
     out_attrs = [
-        F.coalesce(n[a], F.col(f"__oa_{a}")).alias(a) for a in attrs
+        F.when(F.col("__nh").isNull(), F.col(f"__oa_{a}"))
+        .otherwise(n[a])
+        .alias(a)
+        for a in attrs
     ]
     return joined.select(*out_keys, *out_attrs, change.alias("change"))
 

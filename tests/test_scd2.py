@@ -128,6 +128,29 @@ def test_snapshot_diff_initial_load_is_all_inserts(spark):
     assert [(r.k, r.change) for r in out] == [(1, "INSERT")]
 
 
+def test_snapshot_diff_update_to_null_emits_null(spark):
+    """An UPDATE that sets an attribute to NULL must emit NULL, not the
+    stale old value (coalesce would leak it); NULL→value is the mirror."""
+    from data_warehouse_migration_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", 30)], "k int, val string, n int"
+    )
+    new = spark.createDataFrame(
+        [(1, None, 10), (2, "filled", 20), (3, "c", 30)],
+        "k int, val string, n int",
+    )
+    out = {
+        r.k: (r.change, r.val, r.n)
+        for r in snapshot_diff(old, new, keys="k", attrs=["val", "n"]).collect()
+    }
+    assert out == {
+        1: ("UPDATE", None, 10),       # value → NULL: NULL must survive
+        2: ("UPDATE", "filled", 20),   # NULL → value
+        3: ("UNCHANGED", "c", 30),
+    }
+
+
 def test_inferred_members_stub_and_empty_cases(spark):
     from data_warehouse_migration_spark.operators.scd2 import inferred_members
 
