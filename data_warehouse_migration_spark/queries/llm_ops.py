@@ -978,46 +978,48 @@ def eval_sample_per_lang(spark, sf_dir):
 @query(
     "pack_documents_into_chunks",
     tags=("text", "packing"),
-    oracle="""
-WITH c AS (
+    oracle=f"""
+WITH b AS (
     SELECT doc_id, n_chars,
-           sum(n_chars) OVER (ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) AS cum
+           CAST({_MD5_BUCKET_SQL} % 8 AS INT) AS stream
     FROM documents
+), c AS (
+    SELECT stream, doc_id, n_chars,
+           sum(n_chars) OVER (PARTITION BY stream ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM b
 ), assigned AS (
-    SELECT doc_id, n_chars,
+    SELECT stream, doc_id, n_chars,
            CAST((cum - n_chars) // 8000 AS INT) AS chunk_id
     FROM c
 )
-SELECT chunk_id, count(*) AS n_docs,
+SELECT stream, chunk_id, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM assigned
-GROUP BY chunk_id
+GROUP BY stream, chunk_id
 """,
 )
 def pack_documents_into_chunks(spark, sf_dir):
-    """Sequence packing: assign documents to ~8000-char training chunks
-    by running-length cumsum (a doc starts the chunk its offset falls
-    in) — the deterministic, order-stable version of greedy packing.
-    This single-partition demo uses one global window; at 100 TB,
-    hash_split the corpus into independent streams first and pack each
-    stream in parallel — packing quality is unchanged because chunks
-    never span streams."""
-    from pyspark.sql import Window
+    """Parallel sequence packing (operators/packing.pack_sequences):
+    md5-hash-split the corpus into 8 independent streams, then assign
+    documents to ~8000-char training chunks by a per-stream
+    running-length cumsum. Chunk identity is (stream, chunk_id); chunks
+    never span streams, so packing quality matches the global cumsum
+    while the window runs on a hash exchange over ``stream`` — never a
+    single-partition window. The oracle reproduces the stream
+    assignment bit-for-bit via the portable md5-bucket idiom."""
+    from data_warehouse_migration_spark.operators.packing import pack_sequences
 
     docs = t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    assigned = pack_sequences(
+        docs.select("doc_id", "n_chars"),
+        key_col="doc_id",
+        size_col="n_chars",
+        chunk_size=8000,
+        n_streams=8,
     )
-    assigned = docs.select(
-        "doc_id",
-        "n_chars",
-        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 8000)
-        .cast("int")
-        .alias("chunk_id"),
-    )
-    return assigned.groupBy("chunk_id").agg(
+    return assigned.groupBy("stream", "chunk_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
