@@ -1047,29 +1047,24 @@ def user_value_ewma(spark, sf_dir):
     """Exponentially-weighted moving average of each user's event
     values — an order-dependent sequential recurrence (ewma_i =
     α·x_i + (1−α)·ewma_{i−1}) that windows can't express and that
-    usually drives people to UDFs. Native formulation: sorted
-    collect_list per key + ``aggregate`` fold, seeded with the first
-    element to mirror DuckDB's list_reduce exactly. One shuffle on
-    user_id; state is the per-user value list, bounded by key
-    cardinality × history (for unbounded history, the streaming
-    stateful operator is the scale path)."""
+    usually drives people to UDFs. Implemented by
+    operators/recurrence.segmented_ewma: the recurrence is folded in
+    bounded segments and the (A, B) segment summaries stitched, so
+    per-task memory is seg_len structs no matter how hot a user is —
+    the full-history collect_list fold is the thing this operator
+    exists to avoid. seg_len=64 here so the stitch path is actually
+    exercised at oracle scale; 4096 is the production default."""
+    from data_warehouse_migration_spark.operators.recurrence import segmented_ewma
+
     e = t(spark, sf_dir, "events")
-    grouped = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sort_array(
-            F.collect_list(
-                F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
-            )
-        ).alias("a"),
-    )
-    vs = F.transform(F.col("a"), lambda s: s["v"])
-    staged = grouped.select("user_id", "n_events", vs.alias("vs"))
-    ew = F.aggregate(
-        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
-        F.element_at(F.col("vs"), 1),
-        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
-    )
-    return staged.select("user_id", "n_events", F.round(ew, 6).alias("ewma_value"))
+    return segmented_ewma(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.3,
+        seg_len=64,
+    ).select("user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value"))
 
 
 @query(
