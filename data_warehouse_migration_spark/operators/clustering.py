@@ -65,26 +65,33 @@ def kmeans(
     Deterministic init: the ``k`` lowest-id vectors. An emptied cluster
     keeps its previous centroid (no resurrection randomness).
     """
-    centroids = [
-        list(r[vec_col])
-        for r in vectors.orderBy(id_col).limit(k).collect()
-    ]
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
-    for _ in range(max_iter):
-        means = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new_centroids = [list(c) for c in centroids]
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
-        for ci, comps in by_cluster.items():
-            new_centroids[ci] = [comps[p] for p in sorted(comps)]
-        if new_centroids == centroids:
-            break
-        centroids = new_centroids
-        assigned = assign_clusters(vectors, centroids, id_col, vec_col)
-    return centroids, assigned
+    # The loop re-scans the input once per iteration (assignment is
+    # recomputed from the new centroids) — persist for the training
+    # epochs, release before returning the lazy final assignment.
+    src = vectors.select(id_col, vec_col).persist()
+    try:
+        centroids = [
+            list(r[vec_col])
+            for r in src.orderBy(id_col).limit(k).collect()
+        ]
+        assigned = assign_clusters(src, centroids, id_col, vec_col)
+        for _ in range(max_iter):
+            means = (
+                assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new_centroids = [list(c) for c in centroids]
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+            for ci, comps in by_cluster.items():
+                new_centroids[ci] = [comps[p] for p in sorted(comps)]
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
+            assigned = assign_clusters(src, centroids, id_col, vec_col)
+    finally:
+        src.unpersist()
+    return centroids, assign_clusters(vectors, centroids, id_col, vec_col)

@@ -286,29 +286,43 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     round_to: int = 6,
+    centroids: list[list[float]] | None = None,
+    train_iters: int = 3,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the other classic ANN scale path next to :func:`hyperplane_lsh_topk`.
 
-    Index build: centroids = the ``n_centroids`` lowest-id vectors
-    (a deterministic stand-in for k-means — the partitioning structure,
-    assignment and probing are the real thing; swap in trained
-    centroids without touching the query path). Every corpus vector is
-    assigned to its nearest centroid (one N×C cosine pass, C tiny,
-    centroids broadcast). Query: probe the ``n_probe`` nearest
-    centroid lists and exact-rescore only those — expected cost
-    |Q| × N × n_probe/n_centroids instead of |Q| × N.
+    Index build: centroids come from the Lloyd's-iteration trainer
+    (``operators/clustering.kmeans``, deterministic lowest-id init,
+    ``train_iters`` sweeps — per-iteration driver traffic is k×dim
+    floats only), or pass ``centroids`` to reuse a trained/offline
+    codebook. Every corpus vector is assigned to its nearest centroid
+    (one N×C cosine pass, C tiny, centroids broadcast as plan
+    literals). Query: probe the ``n_probe`` nearest centroid lists and
+    exact-rescore only those — expected cost |Q| × N × n_probe/
+    n_centroids instead of |Q| × N. (Training minimizes Euclidean
+    distance while probing ranks by cosine — the classic IVF-flat
+    pairing; on near-constant-norm embeddings the two orderings agree.)
 
-    100 TB: the corpus shuffles ONCE on cluster id at build time and is
-    written bucketed by cluster; each query then touches n_probe
-    buckets. Hot clusters (skewed data) are the known IVF failure mode
-    — split them by re-quantizing the big list (or salt the bucket
-    join, operators/skew.py).
+    100 TB: train on a hash_sample of the corpus (centroid quality
+    needs a sample, not the population), then the corpus shuffles ONCE
+    on cluster id at build time and is written bucketed by cluster;
+    each query touches n_probe buckets. Hot clusters (skewed data) are
+    the known IVF failure mode — split them by re-quantizing the big
+    list (or salt the bucket join, operators/skew.py).
     """
+    if centroids is None:
+        from data_warehouse_migration_spark.operators.clustering import kmeans
+
+        centroids, _ = kmeans(
+            vectors, k=n_centroids, max_iter=train_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     c = F.broadcast(
-        vectors.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        vectors.sparkSession.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+            "c_id int, c_vec array<double>",
+        )
     )
 
     def assign(df: DataFrame, side_id: str, side_vec: str, keep: int) -> DataFrame:

@@ -138,7 +138,11 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
         for r in ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"IVF recall collapsed: {recall}"  # measured ~0.93
+    # Trained (Lloyd's) centroids: 0.85 measured at sf0.01. On this
+    # synthetic near-uniform corpus, data-point centroids score ~0.92 —
+    # training neither helps nor is supposed to on structureless data;
+    # the bound guards against collapse, not against corpus shape.
+    assert recall >= 0.6, f"IVF recall collapsed: {recall}"
     # every query returns exactly k results (probed lists are non-empty)
     per_q = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).groupBy("q_id").count()
     assert all(r["count"] == 5 for r in per_q.collect())
