@@ -19,7 +19,69 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_external(
+    spark: SparkSession,
+    table: str,
+    url: str | None = None,
+    properties: dict[str, str] | None = None,
+    connection_factory: Callable[[], object] | None = None,
+    schema: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """External (JDBC-style) table SOURCE — SURVEY §2.1 S6, the
+    reference's Gold-tier read-back (`ds_gold_sql.json:11-30`, read as
+    the SCD2 lookup side at `DF_SCD2_Customer.json:120-132`).
+
+    Two paths, chosen by which connection argument is given:
+
+    - ``url`` → native ``spark.read.jdbc``: executor-side, and with
+      (``partition_column``, ``lower_bound``, ``upper_bound``,
+      ``num_partitions``) the scan fans out into range-partitioned
+      parallel queries — the 100 TB path. Catalyst pushes filters and
+      column pruning into the generated SQL.
+    - ``connection_factory`` (any DB-API ``connect``) → driver-side
+      SELECT materialized through ``createDataFrame``. This path is for
+      driver-sized tables ONLY (dimensions, config/watermark lookups —
+      exactly what the reference reads back from Gold); it exists so
+      the operator is testable without a JDBC driver jar and usable
+      against DB-API-only targets.
+
+    ``table`` may be a bare table name or a parenthesized subquery
+    alias (JDBC's dbtable contract), e.g. ``"(SELECT k, v FROM t) s"``.
+    """
+    if (url is None) == (connection_factory is None):
+        raise ValueError("pass exactly one of url= or connection_factory=")
+    if url is not None:
+        opts = dict(properties or {})
+        if partition_column is not None:
+            return spark.read.jdbc(
+                url,
+                table,
+                column=partition_column,
+                lowerBound=lower_bound,
+                upperBound=upper_bound,
+                numPartitions=num_partitions or 8,
+                properties=opts,
+            )
+        return spark.read.jdbc(url, table, properties=opts)
+
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(f"SELECT * FROM {table}")
+        cols = [d[0] for d in cur.description]
+        rows = [tuple(r) for r in cur.fetchall()]
+    finally:
+        conn.close()
+    if schema is not None:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, cols)
 
 
 def append_rows(

@@ -12,7 +12,11 @@ from data_warehouse_migration_spark.operators.skew import (
     salted_agg,
     salted_broadcast_left,
 )
-from data_warehouse_migration_spark.sources.external import append_rows, upsert_rows
+from data_warehouse_migration_spark.sources.external import (
+    append_rows,
+    read_external,
+    upsert_rows,
+)
 
 
 def test_append_and_upsert_via_partitions(spark, tmp_path):
@@ -51,6 +55,61 @@ def test_append_and_upsert_via_partitions(spark, tmp_path):
         .fetchall()
     )
     assert rows == {1: 1, 2: 0, 3: 1, 4: 1}
+
+
+def test_read_external_roundtrip_and_subquery(spark, tmp_path):
+    """S6: external table SOURCE (the reference's Gold read-back,
+    ds_gold_sql.json:11-30) — DB-API path, bare table + subquery."""
+    db = str(tmp_path / "gold_src.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE dim (CustomerKey INTEGER PRIMARY KEY,"
+        " Name TEXT, IsActive INTEGER)"
+    )
+    conn.executemany(
+        "INSERT INTO dim VALUES (?, ?, ?)",
+        [(1, "a", 1), (2, "b", 0), (3, "c", 1)],
+    )
+    conn.commit()
+    conn.close()
+    factory = lambda: sqlite3.connect(db)  # noqa: E731
+
+    df = read_external(
+        spark, "dim", connection_factory=factory,
+        schema="CustomerKey int, Name string, IsActive int",
+    )
+    assert {(r.CustomerKey, r.Name, r.IsActive) for r in df.collect()} == {
+        (1, "a", 1), (2, "b", 0), (3, "c", 1),
+    }
+
+    # subquery form (JDBC dbtable contract) + write-back round trip:
+    # read Gold, flip actives, upsert — the reference's SCD2 loop shape
+    active = read_external(
+        spark,
+        "(SELECT CustomerKey, Name, IsActive FROM dim WHERE IsActive = 1) s",
+        connection_factory=factory,
+        schema="CustomerKey int, Name string, IsActive int",
+    )
+    assert active.count() == 2
+    upsert_rows(
+        active.withColumn("IsActive", F.lit(0)),
+        "dim", keys=["CustomerKey"], connection_factory=factory,
+    )
+    left = sqlite3.connect(db).execute(
+        "SELECT count(*) FROM dim WHERE IsActive = 1"
+    ).fetchone()[0]
+    assert left == 0
+
+
+def test_read_external_requires_exactly_one_connection(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_external(spark, "t")
+    with pytest.raises(ValueError):
+        read_external(
+            spark, "t", url="jdbc:x", connection_factory=lambda: None
+        )
 
 
 def test_salted_agg_matches_plain(spark, sf_dir):
