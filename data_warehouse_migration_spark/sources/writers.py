@@ -35,28 +35,42 @@ def write_parquet(
     writer.parquet(path)
 
 
-def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
-    """Write the full new table state, then swap directories.
+def atomic_overwrite_parquet(
+    df: DataFrame, path: str, keep_old: bool = False
+) -> None:
+    """Write the full new table state, then atomically flip a pointer.
 
-    Readers see either the old state or the new — never a partial
-    write (the reference's SCD2 dual-sink cannot guarantee this).
-    Local-FS rename is atomic; on object stores replace this with the
-    table format's commit (Delta/Iceberg) — same call site, different
-    implementation, which is exactly why it's isolated here.
+    ``path`` is maintained as a SYMLINK to an immutable versioned data
+    directory; cutover is a single rename(2) of the pointer, so readers
+    resolve either the old version or the new — never ENOENT, never a
+    partial table (the reference's SCD2 dual-sink cannot guarantee
+    this, and a naive two-rename directory swap has a window where the
+    table does not exist). A crash before the flip leaves the current
+    version live plus an orphaned staging directory — nothing to
+    restore.
+
+    The superseded version is deleted after the flip; a scan that
+    resolved the symlink *before* the flip and is still running would
+    lose its files — pass ``keep_old=True`` and GC versioned dirs on
+    your own schedule if scans can span maintenance. First call over a
+    legacy real-directory layout migrates it (that one swap briefly has
+    no ``path``; subsequent swaps are atomic). On object stores replace
+    this with the table format's commit (Delta/Iceberg) — same call
+    site, different implementation, which is why it's isolated here.
     """
-    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").option("compression", "snappy").parquet(staging)
-    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, backup)
-    try:
-        os.rename(staging, path)
-    except BaseException:
-        if os.path.exists(backup):  # roll back
-            os.rename(backup, path)
-        raise
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
+    version = f"{path}.__v_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").option("compression", "snappy").parquet(version)
+    old_target = None
+    if os.path.islink(path):
+        old_target = os.path.realpath(path)
+    elif os.path.exists(path):  # legacy plain-directory layout
+        old_target = f"{path}.__v_legacy_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old_target)
+    tmp = f"{path}.__ptr_{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.abspath(version), tmp)
+    os.rename(tmp, path)  # atomic pointer flip
+    if old_target and not keep_old:
+        shutil.rmtree(old_target, ignore_errors=True)
 
 
 def checkpoint_roundtrip(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:

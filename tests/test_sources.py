@@ -59,8 +59,13 @@ def test_atomic_overwrite_swaps_and_cleans(spark, tmp_path):
     atomic_overwrite_parquet(current.withColumn("x", F.lit(1)), path)
     df = spark.read.parquet(path)
     assert df.count() == 5 and "x" in df.columns
+    # path is a pointer (symlink) whose flip is one atomic rename; the
+    # only surviving versioned dir is the one it points to — the
+    # superseded version and the tmp pointer are gone
+    assert os.path.islink(path)
+    live = os.path.basename(os.path.realpath(path))
     leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
-    assert leftovers == []
+    assert leftovers == [live]
 
 
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path, sf_dir):

@@ -142,3 +142,42 @@ def test_orchestrator_retry_and_failure_hook():
     assert res2.succeeded == ["good"]
     assert alerts and alerts[0]["stage"] == "bad"
     assert "never" not in res2.outputs
+
+
+def test_orchestrator_slow_success_is_not_rerun():
+    """A stage that completes over its (soft) timeout succeeds on that
+    attempt — its side effects must not be re-executed — and the
+    overrun is recorded. Retry attempts get a fresh clock."""
+    import time as _time
+
+    calls = {"n": 0}
+
+    def slow_effectful():
+        calls["n"] += 1
+        _time.sleep(0.05)
+        return "done"
+
+    res = run_pipeline(
+        [Stage("slow", slow_effectful, retries=2, timeout_s=0.01)]
+    )
+    assert res.ok and calls["n"] == 1          # ran exactly once
+    assert res.outputs["slow"] == "done"
+    assert res.overruns["slow"] > 0.01
+
+    # fresh per-attempt clock: a retry after a slow failure can still
+    # finish inside budget and must not inherit the earlier elapsed time
+    calls2 = {"n": 0}
+
+    def fail_slow_then_fast():
+        calls2["n"] += 1
+        if calls2["n"] == 1:
+            _time.sleep(0.05)
+            raise ValueError("transient")
+        return "ok"
+
+    res2 = run_pipeline(
+        [Stage("retry", fail_slow_then_fast, retries=1,
+               retry_interval_s=0, timeout_s=0.04)]
+    )
+    assert res2.ok and res2.outputs["retry"] == "ok"
+    assert "retry" not in res2.overruns

@@ -81,9 +81,11 @@ def main() -> int:
         )
 
     failures = []
+    ran = 0
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = q.spark_fn(spark, sf_dir)
@@ -131,7 +133,8 @@ def main() -> int:
         else:
             print(f"✓ {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} OK")
+    scope = "" if not only else f" (filtered; registry has {len(REGISTRY)})"
+    print(f"\n{ran - len(failures)}/{ran} OK{scope}")
     return 1 if failures else 0
 
 
