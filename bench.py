@@ -3,25 +3,57 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": ...}
+   "queries": {"q": sec, ...}, "sf": ...,
+   "meta": {host load, cpu count, per-query raw runs},
+   "regressions": {"q": {"now": s, "prev": s, "ratio": r}, ...}}
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect overhead) — the number measures the engine, not
 py4j transfer.
+
+Round-over-round hygiene: per-query raw run times and the host load
+averages ship in "meta" so a slow number can be attributed (host noise
+shows as high load + high run variance; a real regression shows in the
+min). If BENCH_r*.json files from earlier rounds exist, any headline
+query slower than 1.5x its previous min is listed in "regressions".
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+REGRESSION_RATIO = 1.5
+
+
+def previous_bench(repo_dir: str) -> tuple[str | None, dict[str, float]]:
+    """Latest BENCH_r{N}.json per-query mins, if any round ran before."""
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None, {}
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+        return os.path.basename(best[1]), dict(data.get("queries", {}))
+    except Exception:
+        return None, {}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     from data_warehouse_migration_spark.catalog import REGISTRY
     from data_warehouse_migration_spark.session import get_spark
@@ -38,18 +70,33 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
-    # Two runs per query, report the min: the first run pays one-time
+    load_before = os.getloadavg()
+
+    # N runs per query, report the min: the first run pays one-time
     # whole-stage-codegen compilation (~1-3s/query of JVM compiler work
     # that a long-lived cluster amortizes to zero) and is exposed to
     # transient host noise; the min reflects steady-state engine cost.
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name, q in headline.items():
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.time()
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        raw_runs[name] = runs
+        timings[name] = min(runs)
+
+    prev_file, prev = previous_bench(os.path.dirname(os.path.abspath(__file__)))
+    regressions = {
+        name: {
+            "now": t,
+            "prev": prev[name],
+            "ratio": round(t / prev[name], 2),
+        }
+        for name, t in timings.items()
+        if name in prev and prev[name] > 0 and t / prev[name] > REGRESSION_RATIO
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -60,6 +107,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "meta": {
+                    "runs_per_query": n_runs,
+                    "raw_runs": raw_runs,
+                    "load_1m_before": round(load_before[0], 2),
+                    "load_1m_after": round(os.getloadavg()[0], 2),
+                    "cpus": os.cpu_count(),
+                    "baseline_file": prev_file,
+                },
+                "regressions": regressions,
             }
         )
     )
@@ -67,3 +123,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# Reference throughput framing: BASELINE.md publishes volumes/compute
+# shapes only (no latencies), so cross-round deltas against our own
+# BENCH_r{N}.json are the meaningful performance signal — see VERDICT
+# round 1, "Performance vs baseline".
