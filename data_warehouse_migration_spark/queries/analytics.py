@@ -1422,3 +1422,348 @@ def q8_market_share(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-suite completion: the six remaining TPC-H shapes (Q2, Q9, Q12,
+# Q16, Q20, Q21), adapted to the testdata schema. The tables carry no
+# partsupp / l_shipmode / l_commitdate / s_comment columns, so the
+# supply relation derives from lineitem's (l_partkey, l_suppkey) pairs
+# and "late" means shipped >60 days after the order date — the JOIN/
+# subquery/aggregation SHAPES (what the optimizer has to handle) are
+# the TPC-H ones; only the literal column feeds differ.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    tags=("J5", "subquery", "argmin"),
+    oracle="""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost
+    FROM lineitem GROUP BY 1, 2
+), eu AS (
+    SELECT ps.l_partkey, ps.cost, s_acctbal, s_name, n_name
+    FROM ps
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), mn AS (SELECT l_partkey, min(cost) AS mc FROM eu GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey AS partkey, p_brand,
+       CAST(eu.cost AS DOUBLE) / 100.0 AS supply_cost
+FROM eu
+JOIN mn ON eu.l_partkey = mn.l_partkey AND eu.cost = mn.mc
+JOIN part ON eu.l_partkey = p_partkey
+WHERE p_size = 4 AND p_type = 'ECONOMY'
+ORDER BY s_acctbal DESC, n_name, s_name, partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region —
+    the correlated-min subquery decorrelated into an aggregate + join
+    (what Catalyst does to the real Q2). Supply cost per (part,
+    supplier) derives from lineitem; exact integer cents make the
+    min-equality join engine-stable. Dims broadcast; the only shuffles
+    are the two part-keyed aggregations."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(cents("l_extendedprice")).alias("cost")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "cost", "s_acctbal", "s_name", "n_name")
+    )
+    mn = eu.groupBy("l_partkey").agg(F.min("cost").alias("mc"))
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 4) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        eu.join(mn, "l_partkey")
+        .filter(F.col("cost") == F.col("mc"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("partkey"),
+            "p_brand",
+            (F.col("cost").cast("double") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    tags=("J5", "J7", "A1"),
+    oracle="""
+SELECT n_name AS nation,
+       year(CAST(o_orderdate AS DATE)) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+              - CAST(round(p_retailprice * l_quantity * 10000) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year over a
+    part-name predicate — the 4-fact/dim join tree where join ORDER is
+    the whole game. part (filtered, small) and the dims broadcast, so
+    lineitem shuffles once on l_orderkey for the orders join. Cost side
+    uses p_retailprice·quantity as the supply-cost stand-in (no
+    partsupp table); both legs in exact integer 10^-4 units."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation")
+    revenue = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    supply_cost = F.round(F.col("p_retailprice") * F.col("l_quantity") * 10000).cast(
+        "long"
+    )
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).alias("o_year"),
+        )
+        .agg(
+            (F.sum(revenue - supply_cost).cast("double") / 10000.0).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+@query(
+    "q12_late_line_priorities",
+    tags=("J5", "A1", "conditional-agg"),
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+  AND year(CAST(l_shipdate AS DATE)) = 1997
+GROUP BY 1
+""",
+)
+def q12_late_line_priorities(spark, sf_dir):
+    """TPC-H Q12 shape: late shipments classified by order priority —
+    join + two-way conditional aggregation (sum of CASE). "Late" means
+    shipped >60 days after order date (no l_commitdate/l_receiptdate in
+    this schema); l_returnflag stands in for l_shipmode. The year
+    filter pushes to the lineitem scan; the residual late predicate
+    evaluates after the single orderkey-shuffled join."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(F.year(F.to_date("l_shipdate")) == 1997)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    tags=("J4", "A1", "distinct", "anti"),
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY 1, 2, 3
+""",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    with a NOT IN supplier exclusion — expressed as a left-anti join
+    (the scale-correct NOT IN when the subquery side is null-free).
+    The supply relation is lineitem's distinct (part, supplier) pairs;
+    the excluded set (acctbal < 1000 stands in for the comment LIKE)
+    broadcasts. One shuffle for the pair-distinct, one for the
+    count-distinct group."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7))
+    )
+    excluded = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_concentrated_shippers",
+    tags=("J4", "subquery", "semi"),
+    oracle="""
+WITH bolt_parts AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+), pq AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1995
+                    THEN CAST(round(l_quantity * 100) AS BIGINT)
+                    ELSE 0 END) AS q95,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qtot
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM bolt_parts)
+    GROUP BY 1, 2
+), qual AS (
+    SELECT DISTINCT l_suppkey FROM pq WHERE 2 * q95 > qtot
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM qual)
+ORDER BY s_name
+""",
+)
+def q20_concentrated_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: the nested IN-subquery chain (parts by name →
+    qualifying (part, supplier) volumes → suppliers in one nation) as
+    semi-joins. Qualification — more than half of a pair's lifetime
+    quantity shipped in 1995 — uses exact integer cross-multiplication
+    (2·q95 > qtot), never a float ratio. The part filter broadcasts
+    into the lineitem scan; the qualifying-supplier set broadcasts into
+    the supplier semi-join."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    bolt = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    q = cents("l_quantity")
+    pq = (
+        l.join(F.broadcast(bolt), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.year(F.to_date("l_shipdate")) == 1995, q).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("q95"),
+            F.sum(q).alias("qtot"),
+        )
+    )
+    qual = (
+        pq.filter(2 * F.col("q95") > F.col("qtot"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(qual), "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    tags=("J4", "subquery", "exists", "anti"),
+    oracle="""
+WITH enriched AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 AS late
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+), order_stats AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+    FROM enriched GROUP BY 1
+), late_pairs AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM enriched WHERE late
+)
+SELECT s_name, count(*) AS numwait
+FROM late_pairs
+JOIN order_stats USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders. The EXISTS (another supplier in the order) / NOT EXISTS
+    (another LATE supplier) pair is decorrelated into one per-order
+    aggregate — n_supp > 1 ∧ n_late = 1 — the same rewrite engines
+    apply, but explicit, so the plan is two orderkey-shuffled
+    aggregates and a broadcast supplier join instead of two correlated
+    re-scans of lineitem. "Late" = shipped >60 days after order date
+    (no l_receiptdate in this schema); o_orderstatus = 'F' keeps the
+    finished-orders filter of the original."""
+    l = t(spark, sf_dir, "lineitem")  # noqa: E741
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    enriched = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+        ).alias("late"),
+    )
+    order_stats = enriched.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_pairs = enriched.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    s = t(spark, sf_dir, "supplier")
+    return (
+        late_pairs.join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
