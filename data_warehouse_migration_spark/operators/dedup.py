@@ -353,3 +353,72 @@ def simhash16(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    step that turns pairwise near-dup EDGES into duplicate GROUPS (one
+    canonical survivor per component), completing the dedup pipeline:
+    candidates → verified pairs → components → keep-list.
+
+    Each node starts labeled with its own id; every iteration each node
+    takes the min of its label and its neighbors' labels. Converges in
+    O(component diameter) rounds — near-dup graphs are shallow (dup
+    clusters are dense), so single digits in practice. Per iteration:
+    one shuffle keyed on the edge endpoint plus a join back to labels;
+    lineage is truncated with ``localCheckpoint`` every round (the
+    standard Spark idiom for iterative graphs — without it the plan
+    doubles per iteration), and convergence is detected with a
+    driver-side scalar count of changed labels.
+
+    For 100 TB graphs with high-diameter components, swap the
+    propagation body for the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same labels contract, fewer rounds; the call sites don't change.
+
+    Returns one row per node: ``(id_col, cluster_id)`` where
+    ``cluster_id`` is the component's minimum node id.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    e = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+    e = e.distinct().localCheckpoint()
+    if nodes is None:
+        node_df = e.select(F.col("__s").alias(id_col)).distinct()
+    else:
+        node_df = nodes.select(id_col)
+    labels = node_df.select(id_col, F.col(id_col).alias("cluster_id"))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            e.join(labels, e["__s"] == labels[id_col])
+            .groupBy("__d")
+            .agg(F.min("cluster_id").alias("__nl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min["__d"], "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("__nl"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

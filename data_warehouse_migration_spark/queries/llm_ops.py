@@ -1119,3 +1119,58 @@ def funnel_click_to_purchase(spark, sf_dir):
             "conversion_rate"
         ),
     )
+
+
+@query(
+    "dedup_clusters",
+    tags=("dedup", "clustering", "graph"),
+    oracle="WITH RECURSIVE "
+    + _JACCARD_CTE
+    + """
+, edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM jac WHERE j >= 0.8
+    UNION ALL
+    SELECT doc_b, doc_a FROM jac WHERE j >= 0.8
+)
+, reach(doc, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc
+)
+, clusters AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+SELECT doc AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc = cluster_id AS INT) AS is_canonical
+FROM clusters
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate GROUPS from verified near-dup pairs: n-gram Jaccard
+    edges (the `dedup_ngram_jaccard` pair set) → connected components
+    by min-label propagation (operators/dedup.connected_components) →
+    one row per document with its component id, component size, and
+    whether it is the canonical survivor (min doc_id). This is the step
+    that turns pairwise dedup output into an actionable keep-list.
+    The oracle computes the same transitive closure with a recursive
+    CTE — an iterative distributed algorithm hash-matched exactly."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    labels = connected_components(
+        pairs,
+        src="doc_a",
+        dst="doc_b",
+        nodes=docs.select("doc_id"),
+        id_col="doc_id",
+    )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

@@ -191,3 +191,22 @@ def test_lsh_candidate_near_dup_matches_exact_all_pairs(spark, sf_dir):
 
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain (diameter > 1 iteration) must collapse to one
+    component via transitive propagation; disconnected nodes keep
+    themselves as singleton components."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src int, dst int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], "id int")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, nodes=nodes, id_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
