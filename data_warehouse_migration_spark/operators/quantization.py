@@ -1,0 +1,151 @@
+"""Product quantization (PQ) for embedding compression + fast
+approximate scoring — the third classic ANN scale path next to
+hyperplane-LSH and IVF (similarity.py), and the memory story for
+100 TB vector corpora: a 64-dim float32 embedding (256 B) compresses
+to ``m`` one-byte codes (e.g. 4-8 B, 32-64× smaller), and distance
+evaluation against a query becomes ``m`` table lookups instead of a
+``dim``-length dot product (ADC — asymmetric distance computation).
+
+Pipeline:
+- :func:`train_pq_codebooks` — split the vector into ``m`` contiguous
+  subspaces, run the existing Lloyd's trainer
+  (``operators/clustering.kmeans``) per subspace. Driver traffic per
+  epoch is m·k·(dim/m) = k·dim floats — same budget as one IVF train.
+- :func:`pq_encode` — nearest-centroid code per subspace, pure Column
+  expressions (the codebook embeds as plan literals); zero shuffles.
+- :func:`pq_topk` — ADC top-k: per-query lookup tables (|Q|·m·k rows,
+  broadcast) joined to the exploded code table on (subspace, code),
+  summed per (query, neighbor), windowed top-k. The corpus never
+  decompresses; per-row cost is m lookup-join rows instead of a
+  dim-wide kernel.
+
+At production scale PQ composes with IVF (IVF-PQ: coarse cluster
+probe → ADC rescore inside the probed lists); here the operators stay
+separate so each is independently testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks: ``m`` lists of ``k`` centroids,
+    each of length ``dim // m``. ``dim`` must divide evenly by ``m``."""
+    from data_warehouse_migration_spark.operators.clustering import kmeans
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    books = []
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * d + 1, d).alias("embedding"),
+        )
+        centroids, _ = kmeans(sub, k=k, max_iter=train_iters)
+        books.append(centroids)
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """``(id_col, codes array<int>)``: nearest-centroid code per
+    subspace. Zero shuffles — a pure projection with the codebooks as
+    plan literals; ties break to the lowest code deterministically."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * d + 1, d)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist_to(sub, c).alias("d"), F.lit(ci).alias("c")
+                    )
+                    for ci, c in enumerate(book)
+                ]
+            )
+        )
+        codes.append(best["c"])
+    return vectors.select(F.col(id_col), F.array(*codes).alias(out_col))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC top-k nearest neighbors of each query over a PQ-compressed
+    corpus: approximate squared L2 = Σ_j lut[q][j][code_j].
+
+    The per-query lookup table (|Q|·m·k rows: squared distance from the
+    query's j-th subvector to every centroid of book j) is built with
+    Column expressions and broadcast; the corpus codes explode to m
+    rows per vector and hash-join the LUT on (subspace, code). Shuffle
+    bytes scale with |corpus|·m ints — the decompressed vectors never
+    exist anywhere."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+
+    lut_cols = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * d + 1, d)
+        for ci, c in enumerate(book):
+            lut_cols.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(ci).alias("code"),
+                    _sq_dist_to(sub, c).alias("dpart"),
+                )
+            )
+    lut = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(F.array(*lut_cols)).alias("e"),
+    ).select("q_id", F.col("e.j").alias("j"), F.col("e.code").alias("code"),
+             F.col("e.dpart").alias("dpart"))
+
+    exploded = codes.select(
+        F.col(id_col).alias("n_id"),
+        F.posexplode("codes").alias("j", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.round(F.sum("dpart"), round_to).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_dist", "rank")
+    )

@@ -1174,3 +1174,98 @@ def dedup_clusters(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+@query(
+    "doc_perplexity_filter",
+    tags=("text", "quality", "perplexity"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS toks
+    FROM documents
+), tok AS (
+    SELECT doc_id, unnest(toks) AS tok FROM norm
+), tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+cnt AS (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM cnt),
+doc_lp AS (
+    SELECT tok2.doc_id, count(*) AS n_tokens,
+           avg(ln(cnt.c / CAST(tot.t AS DOUBLE))) AS lp
+    FROM tok2 JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY tok2.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       round(lp, 6) AS avg_logprob,
+       round(exp(-lp), 4) AS unigram_ppl,
+       CAST(round(lp, 6) > -7.0 AS INT) AS keep
+FROM doc_lp
+""",
+)
+def doc_perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity filtering under a corpus unigram LM: each
+    document scored by the mean log-probability of its tokens against
+    corpus-wide MLE frequencies (no smoothing needed — every scored
+    token is in the corpus vocabulary by construction), with
+    perplexity = exp(−mean) and a keep flag at a fixed threshold. This
+    is the standard cheap "looks like the corpus" quality gate in
+    pretraining pipelines (a stand-in for the KenLM stage, whose model
+    file this container lacks — the Spark shape is identical: broadcast
+    the model, score per token, aggregate per doc).
+
+    Scale: one shuffle to count tokens (map-side combined), the token
+    table broadcast-joined back (corpus vocab ≪ corpus), one shuffle
+    for the per-doc mean. The keep flag compares the ROUNDED mean so
+    both engines decide from bit-identical inputs."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(D.normalized_text(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    lp = F.avg(F.log(F.col("c") / F.col("t").cast("double")))
+    doc_lp = (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"), lp.alias("lp"))
+    )
+    return doc_lp.select(
+        "doc_id",
+        "n_tokens",
+        F.round("lp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("lp")), 4).alias("unigram_ppl"),
+        (F.round("lp", 6) > -7.0).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "similarity_pq_topk",
+    tags=("similarity", "pq", "compression"),
+    oracle=None,  # PQ is approximate + iteratively trained: rows-only
+    # gate; fidelity is pinned by tests (clustered-fixture retrieval,
+    # code-range invariants, duplicate-vector code equality).
+)
+def similarity_pq_topk(spark, sf_dir):
+    """ADC top-k over a product-quantized corpus
+    (operators/quantization.py): train m=4 per-subspace codebooks,
+    compress every embedding to 4 codes (64x smaller than float32),
+    score queries against codes via broadcast lookup tables — the
+    memory-bound scale path where even storing the embeddings is the
+    problem. Composes with IVF at production scale (IVF-PQ)."""
+    from data_warehouse_migration_spark.operators.quantization import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, dim=64, m=4, k=16, train_iters=2)
+    codes = pq_encode(emb, books)
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(codes, queries_df, books, k=5)

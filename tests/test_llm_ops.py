@@ -210,3 +210,42 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(edges, nodes=nodes, id_col="id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_pq_encode_and_adc_retrieval_on_clustered_fixture(spark):
+    """PQ on a corpus with 3 tight, well-separated clusters: duplicate
+    vectors share codes; ADC retrieval returns same-cluster neighbors
+    before other-cluster ones; codes stay in [0, k)."""
+    import random
+
+    from data_warehouse_migration_spark.operators.quantization import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = random.Random(7)
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0] * 8]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.1, 0.1) for x in c]))
+    rows.append((100, list(rows[0][1])))  # exact duplicate of vec 0
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    books = train_pq_codebooks(vecs, dim=8, m=2, k=4, train_iters=3)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    codes = pq_encode(vecs, books)
+    got = {r.vec_id: r.codes for r in codes.collect()}
+    assert all(0 <= c < 4 for cs in got.values() for c in cs)
+    assert got[100] == got[0]  # identical vectors → identical codes
+
+    q = vecs.filter(F.col("vec_id") == 0)
+    top = sorted(pq_topk(codes, q, books, k=10).collect(), key=lambda r: r.rank)
+    # all 10 nearest by ADC are cluster-0 members (ids ≡ 0 mod 3, or the dup)
+    assert all(r.n_id % 3 == 0 or r.n_id == 100 for r in top)
+    # ADC distance is a function of the codes alone, so the exact
+    # duplicate (same codes as the query vector) carries the MINIMUM
+    # distance — tied with any other member sharing those codes
+    dup = [r for r in top if r.n_id == 100]
+    assert dup and dup[0].adc_dist == top[0].adc_dist
