@@ -250,3 +250,55 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_user_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming EWMA — the incremental twin of
+    ``operators/recurrence.segmented_ewma`` (same recurrence:
+    e_1 = x_1, e_i = α·x_i + (1−α)·e_{i−1}).
+
+    State per user is ONE (n, ewma) pair — constant bytes, the
+    streaming answer to the unbounded-history problem the batch
+    operator solves with segment-fold-stitch. Rows are event-time
+    sorted within each micro-batch; cross-batch correctness assumes
+    per-key event-time-ordered arrival between batches (true for
+    ordered sources like time-partitioned file drops — for disordered
+    producers, front with a watermark-delayed foreachBatch sorter).
+    """
+    import pandas as pd  # local import: only the stateful path needs it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+
+    def update(key, pdfs, state: GroupState):
+        n, ewma = state.get if state.exists else (0, 0.0)
+        chunks = [pdf for pdf in pdfs]
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values([ts_col, "event_id"])
+            for v in rows[value_col].astype(float):
+                ewma = v if n == 0 else a * v + (1.0 - a) * ewma
+                n += 1
+        state.update((n, float(ewma)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_value": [float(ewma)]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, ewma_value double",
+            stateStructType="n bigint, ewma double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -185,3 +185,38 @@ def test_foreachbatch_parquet_sink_exactly_once(spark, events_path, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == src.count()
+
+
+def test_streaming_ewma_matches_batch_recurrence(spark, events_path, sf_dir, tmp_path):
+    """The constant-state streaming EWMA must reproduce the batch
+    segment-fold-stitch operator per user (same recurrence, same
+    (ts, event_id) order) to 6 decimals."""
+    from data_warehouse_migration_spark.operators.recurrence import segmented_ewma
+    from data_warehouse_migration_spark.streaming.events import streaming_user_ewma
+
+    stream = streaming_user_ewma(read_event_stream(spark, events_path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_ewma")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_ewma")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, round(r.ewma_value, 6))
+        for r in spark.table("stream_ewma").collect()
+    }
+    batch = segmented_ewma(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.3,
+        seg_len=64,
+    )
+    expected = {
+        r.user_id: (r.n_events, round(r.ewma_value, 6)) for r in batch.collect()
+    }
+    assert got == expected
