@@ -156,10 +156,23 @@ def lsh_candidate_near_dup_pairs(
     n_bands: int = 32,
     seed: int = 42,
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded-LSH candidate generation +
     exact rescore — the 100 TB shape for what
     :func:`cosine_near_dup_pairs` computes all-pairs.
+
+    ``max_bucket_size`` is the hot-bucket guard for skewed corpora: a
+    bucket of B vectors contributes B² candidate pairs, so one
+    degenerate bucket (near-duplicate floods, zero vectors, an
+    uninformative band) can recreate the quadratic blow-up this
+    operator exists to avoid. Buckets over the cap are DROPPED before
+    the self-join — standard LSH-dedup hygiene: members of a flooded
+    bucket almost always co-occur in another, smaller bucket (that is
+    what multiple bands are for), so the recall cost is marginal while
+    the worst-case join size becomes n_buckets·cap². Verification-side
+    exactness is unaffected (false positives stay impossible). None
+    disables the cap (the oracle-matched exact-recall configuration).
 
     Shape: each vector emits ``n_bands`` (band, key) rows → equi-join on
     (band, key) with ``id_a < id_b`` residual (a hash/sort-merge join,
@@ -186,6 +199,12 @@ def lsh_candidate_near_dup_pairs(
             "band", "key"
         ),
     )
+    if max_bucket_size is not None:
+        sizes = sigs.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        sigs = (
+            sigs.join(sizes.filter(F.col("__n") <= max_bucket_size), ["band", "key"])
+            .drop("__n")
+        )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(

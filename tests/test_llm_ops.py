@@ -249,3 +249,29 @@ def test_pq_encode_and_adc_retrieval_on_clustered_fixture(spark):
     # distance — tied with any other member sharing those codes
     dup = [r for r in top if r.n_id == 100]
     assert dup and dup[0].adc_dist == top[0].adc_dist
+
+
+def test_lsh_near_dup_bucket_cap_bounds_join_and_keeps_pairs(spark, sf_dir):
+    """With a generous cap nothing changes (no bucket exceeds it); with
+    cap=0 every bucket drops and the pair set is empty — the guard
+    actually gates the join input."""
+    from data_warehouse_migration_spark.operators.similarity import (
+        lsh_candidate_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_near_dup_pairs(emb, 0.4, dim).collect()
+    }
+    generous = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_near_dup_pairs(
+            emb, 0.4, dim, max_bucket_size=10**6
+        ).collect()
+    }
+    assert generous == uncapped
+    assert (
+        lsh_candidate_near_dup_pairs(emb, 0.4, dim, max_bucket_size=0).count() == 0
+    )

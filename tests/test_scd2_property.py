@@ -80,3 +80,61 @@ def test_scd2_invariants_hold_for_any_snapshot_sequence(rounds):
             for prev, nxt in zip(ordered, ordered[1:]):
                 assert prev.ValidTo == nxt.ValidFrom
             assert ordered[-1].ValidTo is None
+
+
+# ---------------------------------------------------------------------------
+# Connected-components property: distributed min-label propagation must
+# equal a sequential union-find on arbitrary random graphs.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # smaller root becomes parent, so every component's root —
+            # hence every label — is its minimum node id
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(min_value=2, max_value=12),
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0, max_size=16,
+    ),
+)
+def test_connected_components_matches_union_find(n, edges):
+    from data_warehouse_migration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    spark = _get_spark()
+    edges = [(a % n, b % n) for a, b in edges if a % n != b % n]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
+    if edges:
+        e = spark.createDataFrame(edges, "src int, dst int")
+    else:
+        e = spark.createDataFrame([], "src int, dst int")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(e, nodes=nodes, id_col="id").collect()
+    }
+    # union-find reference: component label = root after path compression,
+    # with merges always toward the smaller id → min id per component
+    expected = _union_find_components(n, edges)
+    assert got == expected
