@@ -149,3 +149,131 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "adc_dist", "rank")
     )
+
+
+def _residual(vec: Column, centroids: list[list[float]], cluster: Column) -> Column:
+    """vec − centroid[cluster], with the codebook as one literal
+    array-of-arrays indexed by the cluster column (stays in codegen)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    chosen = F.element_at(cents, cluster + 1)
+    return F.zip_with(vec, chosen, lambda x, y: x.cast("double") - y)
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN index — a coarse k-means
+    quantizer routes vectors into inverted lists, and each vector's
+    RESIDUAL (vector − its centroid) is product-quantized. Queries
+    probe the ``n_probe`` nearest lists and ADC-score only those lists'
+    codes against a per-(query, probed-cluster) residual lookup table.
+
+    Why residuals: within a list, vectors share their centroid, so
+    residuals are small and centered — the same PQ codebook bits buy
+    ~one extra bit of precision vs encoding raw vectors (the standard
+    IVF-PQ design). Approximate distance =
+    Σ_j ‖q_res_sub_j − codebook_j[code_j]‖², exactly the ADC sum over
+    the vector's own list.
+
+    Scale: corpus shuffles once on cluster id (write bucketed by
+    cluster at rest); compressed codes are m bytes/vector; the LUT is
+    |Q|·n_probe·m·pq_k rows — broadcast-sized for the reranking query
+    batches this targets. Skew: hot lists re-quantize or salt
+    (operators/skew.py), same note as plain IVF.
+    """
+    from data_warehouse_migration_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+    )
+
+    coarse, _ = kmeans(
+        vectors, k=n_centroids, max_iter=train_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = assign_clusters(vectors, coarse, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    )
+    # Persisted: the m codebook trainings and the encode pass all
+    # re-read the residuals; without this each re-derives the coarse
+    # assignment from the source.
+    residuals = assigned.select(
+        id_col,
+        "cluster",
+        _residual(F.col(vec_col), coarse, F.col("cluster")).alias("residual"),
+    ).persist()
+    try:
+        books = train_pq_codebooks(
+            residuals, dim=dim, m=m, k=pq_k,
+            id_col=id_col, vec_col="residual", train_iters=train_iters,
+        )
+        codes = pq_encode(residuals, books, id_col=id_col, vec_col="residual").join(
+            residuals.select(id_col, "cluster"), id_col
+        ).localCheckpoint()
+    finally:
+        residuals.unpersist()
+
+    # Probe lists: rank all centroids per query, keep n_probe nearest.
+    probe_structs = F.array(
+        *[
+            F.struct(_sq_dist_to(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(coarse)
+        ]
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.posexplode(F.array_sort(probe_structs)).alias("pos", "e"),
+        )
+        .filter(F.col("pos") < n_probe)
+        .select("q_id", "q_vec", F.col("e.c").alias("cluster"))
+    )
+    # Per-(query, probed cluster) residual LUT.
+    d = dim // m
+    q_res = _residual(F.col("q_vec"), coarse, F.col("cluster"))
+    lut_entries = []
+    for j, book in enumerate(books):
+        sub = F.slice(q_res, j * d + 1, d)
+        for ci, c in enumerate(book):
+            lut_entries.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(ci).alias("code"),
+                    _sq_dist_to(sub, c).alias("dpart"),
+                )
+            )
+    lut = probes.select(
+        "q_id", "cluster", F.explode(F.array(*lut_entries)).alias("e")
+    ).select(
+        "q_id", "cluster", F.col("e.j").alias("j"),
+        F.col("e.code").alias("code"), F.col("e.dpart").alias("dpart"),
+    )
+
+    exploded = codes.select(
+        F.col(id_col).alias("n_id"), "cluster", F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["cluster", "j", "code"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.round(F.sum("dpart"), round_to).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_dist", "rank")
+    )

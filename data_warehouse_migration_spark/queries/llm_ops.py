@@ -1269,3 +1269,27 @@ def similarity_pq_topk(spark, sf_dir):
     codes = pq_encode(emb, books)
     queries_df = emb.filter(F.col("vec_id") < 8)
     return pq_topk(codes, queries_df, books, k=5)
+
+
+@query(
+    "similarity_ivf_pq_topk",
+    tags=("similarity", "ivf", "pq"),
+    oracle=None,  # composed approximate index (two trained quantizers):
+    # rows-only gate; fidelity pinned by the clustered-fixture test and
+    # the component-level IVF/PQ tests.
+)
+def similarity_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ (operators/quantization.ivf_pq_topk): coarse k-means
+    routing + residual product quantization + probed ADC scoring — the
+    composed production ANN index (FAISS IVFx,PQy shape). Corpus
+    storage is m bytes/vector; queries touch n_probe inverted lists."""
+    from data_warehouse_migration_spark.operators.quantization import ivf_pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    # Gate sizing: rows-only check, so codebook quality is pinned by
+    # tests, not here — one training epoch keeps the gate fast.
+    return ivf_pq_topk(
+        emb, queries_df, dim=64, k=5, n_centroids=8, n_probe=2, m=4, pq_k=8,
+        train_iters=1,
+    )

@@ -275,3 +275,30 @@ def test_lsh_near_dup_bucket_cap_bounds_join_and_keeps_pairs(spark, sf_dir):
     assert (
         lsh_candidate_near_dup_pairs(emb, 0.4, dim, max_bucket_size=0).count() == 0
     )
+
+
+def test_ivf_pq_retrieves_same_cluster_neighbors(spark):
+    """IVF-PQ on 3 tight separated clusters: probing the query's own
+    list must return only same-cluster members, ranked by residual ADC."""
+    import random
+
+    from data_warehouse_migration_spark.operators.quantization import ivf_pq_topk
+
+    rng = random.Random(11)
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0] * 8]
+    rows = [
+        (i, [x + rng.uniform(-0.5, 0.5) for x in centers[i % 3]])
+        for i in range(90)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = vecs.filter(F.col("vec_id") == 0)
+    top = sorted(
+        ivf_pq_topk(
+            vecs, q, dim=8, k=8, n_centroids=3, n_probe=1, m=2, pq_k=4,
+            train_iters=3,
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(top) == 8
+    assert all(r.n_id % 3 == 0 for r in top)  # all from the query's cluster
+    assert all(r.adc_dist >= 0 for r in top)
