@@ -515,3 +515,46 @@ def late_arriving_dim_stubs(spark, sf_dir):
         key="c_custkey",
         defaults={"c_name": "UNKNOWN", "c_mktsegment": "UNKNOWN"},
     )
+
+
+def _profile_branch(col, kind):
+    null_num = "CAST(NULL AS DOUBLE)"
+    null_str = "CAST(NULL AS VARCHAR)"
+    min_num = f"CAST(min({col}) AS DOUBLE)" if kind == "num" else null_num
+    max_num = f"CAST(max({col}) AS DOUBLE)" if kind == "num" else null_num
+    min_str = f"min({col})" if kind == "str" else null_str
+    max_str = f"max({col})" if kind == "str" else null_str
+    return f"""
+SELECT '{col}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct,
+       {min_num} AS min_num, {max_num} AS max_num,
+       {min_str} AS min_str, {max_str} AS max_str
+FROM orders"""
+
+
+@query(
+    "table_profile_orders",
+    tags=("quality", "profile"),
+    oracle=" UNION ALL ".join(
+        _profile_branch(c, k)
+        for c, k in [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "other"),
+            ("o_orderpriority", "str"),
+        ]
+    ),
+)
+def table_profile_orders(spark, sf_dir):
+    """Per-column health profile of a landed table
+    (operators/profile.table_profile): null count, exact distinct
+    count, and type-appropriate min/max for every column in ONE scan —
+    the generalization of the reference's row-count-only load
+    verification. The oracle recomputes each column's branch
+    independently; at 100 TB swap approx=True for HLL++ distincts."""
+    from data_warehouse_migration_spark.operators.profile import table_profile
+
+    return table_profile(t(spark, sf_dir, "orders"))

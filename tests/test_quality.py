@@ -33,3 +33,27 @@ def test_null_rule_input_counts_as_violation(spark):
     df = spark.createDataFrame([(1, None)], "id int, qty int")
     out = with_violations(df, {"qty_positive": F.col("qty") > 0})
     assert out.collect()[0].violations == ["qty_positive"]
+
+
+def test_table_profile_counts_nulls_types_and_ranges(spark):
+    from data_warehouse_migration_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0, None), (2, None, None, None), (2, "b", 8.5, None)],
+        "k int, s string, v double, ts timestamp",
+    )
+    prof = {r.col_name: r for r in table_profile(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 2
+    assert (prof["k"].min_num, prof["k"].max_num) == (1.0, 2.0)
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].min_str, prof["s"].max_str) == ("a", "b")
+    assert prof["s"].min_num is None
+    assert prof["v"].n_nulls == 1 and (prof["v"].min_num, prof["v"].max_num) == (2.0, 8.5)
+    assert prof["ts"].n_nulls == 3 and prof["ts"].n_distinct == 0
+    assert prof["ts"].min_num is None and prof["ts"].min_str is None
+
+    # approx twin: same shape, distincts within HLL tolerance
+    approx = {r.col_name: r for r in table_profile(df, approx=True).collect()}
+    assert set(approx) == set(prof)
+    assert abs(approx["k"].n_distinct - 2) <= 1
