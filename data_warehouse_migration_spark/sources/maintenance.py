@@ -1,0 +1,123 @@
+"""Table maintenance: small-file compaction and partition retention —
+the two operational chores every long-lived parquet warehouse needs
+(the reference's nightly-rebuild design sidesteps them by rewriting
+everything; an incremental 100 TB lake cannot).
+
+Small files are the classic Spark lake failure mode: streaming sinks
+and fine-grained partitioning produce thousands of KB-sized files, and
+every later scan pays per-file open/footer cost (plus driver-side
+listing). Compaction bin-packs them back to scan-efficient sizes.
+
+Retention drops whole Hive partitions past a cutoff — a metadata-level
+delete (directory removal after an atomic listing), never a rewrite of
+surviving data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_warehouse_migration_spark.sources.writers import (
+    atomic_overwrite_parquet,
+)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    keep_old: bool = False,
+) -> int:
+    """Rewrite a parquet table into ≈``target_file_mb`` files and swap
+    atomically (symlink pointer flip — readers never see a partial
+    table). Returns the output file count.
+
+    File count = ceil(on-disk bytes / target): parquet's encoded size
+    is the best cheap predictor of rewritten size (row-count heuristics
+    mispredict by the compression ratio). The rewrite is one
+    ``repartition`` — a full shuffle of the table, the honest cost of
+    re-binning; run it per-partition-directory on partitioned tables
+    (compact the partitions a freshness query actually touches, not the
+    table at once).
+
+    At 256 MB targets a 100 TB table compacts to ~400k files — the
+    point is not the absolute count but restoring the
+    bytes-per-file ratio scans are tuned for.
+    """
+    real = os.path.realpath(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(real)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    atomic_overwrite_parquet(df.repartition(n_files), path, keep_old=keep_old)
+    out = os.path.realpath(path)
+    return sum(
+        1
+        for dirpath, _, files in os.walk(out)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def drop_partitions_older_than(
+    path: str,
+    partition_col: str,
+    cutoff: object,
+) -> list[str]:
+    """Retention for a Hive-partitioned table (``col=value``
+    directories): remove every partition whose value sorts strictly
+    below ``cutoff`` (values compare as strings — zero-padded dates and
+    Hive's own ``year=2024`` layout both order correctly). Returns the
+    dropped partition values.
+
+    This is a METADATA delete: surviving data is untouched (no rewrite,
+    no shuffle), and each directory removal is independent — a crash
+    mid-way leaves a table that is simply partially aged, re-run to
+    finish. The scan side needs no coordination because queries with a
+    retention-aware filter already prune these directories.
+    """
+    cutoff_s = str(cutoff)
+    prefix = f"{partition_col}="
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if value < cutoff_s:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(value)
+    return dropped
+
+
+def table_file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(n_files, total_mb, avg_file_mb, min_file_mb, max_file_mb) for a
+    parquet table — the compaction trigger metric (alert when
+    avg_file_mb collapses)."""
+    real = os.path.realpath(path)
+    sizes = [
+        os.path.getsize(os.path.join(dirpath, f)) / (1024 * 1024)
+        for dirpath, _, files in os.walk(real)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    rows = [
+        (
+            len(sizes),
+            round(sum(sizes), 3),
+            round(sum(sizes) / len(sizes), 3) if sizes else 0.0,
+            round(min(sizes), 3) if sizes else 0.0,
+            round(max(sizes), 3) if sizes else 0.0,
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_files int, total_mb double, avg_file_mb double,"
+        " min_file_mb double, max_file_mb double",
+    )

@@ -1,0 +1,51 @@
+"""Small-file compaction + partition retention semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.sources.maintenance import (
+    compact_parquet,
+    drop_partitions_older_than,
+    table_file_stats,
+)
+from data_warehouse_migration_spark.sources.writers import write_parquet
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    # 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(path)
+    before = table_file_stats(spark, path).first()
+    assert before.n_files == 64
+
+    expected = {r.id for r in spark.read.parquet(path).collect()}
+    n_after = compact_parquet(spark, path, target_file_mb=256)
+    after = table_file_stats(spark, path).first()
+    assert n_after == after.n_files < 64
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == expected  # byte-for-byte content survives re-binning
+    assert os.path.islink(path)  # swap went through the atomic pointer
+
+
+def test_drop_partitions_older_than_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "events_by_day")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 4) for i in range(5)],
+        "v int, day string",
+    )
+    write_parquet(df, path, partition_by=["day"])
+    dropped = drop_partitions_older_than(path, "day", "2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 10
+    # partition values type-infer to DATE on read; compare as strings
+    assert sorted(str(r.day) for r in remaining.select("day").distinct().collect()) == [
+        "2024-01-03",
+        "2024-01-04",
+    ]
+    # idempotent re-run: nothing left to drop
+    assert drop_partitions_older_than(path, "day", "2024-01-03") == []
