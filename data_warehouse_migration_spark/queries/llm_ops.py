@@ -1293,3 +1293,67 @@ def similarity_ivf_pq_topk(spark, sf_dir):
         emb, queries_df, dim=64, k=5, n_centroids=8, n_probe=2, m=4, pq_k=8,
         train_iters=1,
     )
+
+
+@query(
+    "continuous_aggregate_rollup",
+    tags=("events", "rollup", "hypertable"),
+    oracle="""
+WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), b AS (
+    SELECT date_trunc('hour', ts) AS hour_b,
+           date_trunc('day', ts) AS day_b,
+           date_trunc('month', ts) AS month_b,
+           event_type, cents
+    FROM e
+), g AS (
+    SELECT hour_b, day_b, month_b, event_type,
+           count(*) AS n_events,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value,
+           GROUPING(hour_b) AS gh, GROUPING(day_b) AS gd
+    FROM b
+    GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
+                            (month_b, event_type))
+)
+SELECT CASE WHEN gh = 0 THEN 'hour' WHEN gd = 0 THEN 'day'
+            ELSE 'month' END AS granularity,
+       coalesce(hour_b, day_b, month_b) AS bucket,
+       event_type, n_events, total_value
+FROM g
+""",
+)
+def continuous_aggregate_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hourly, daily, and
+    monthly per-type event rollups from ONE pass over the fact table
+    via GROUPING SETS — Catalyst expands the sets after the shared
+    scan, so the fact is read once instead of once per resolution (the
+    TimescaleDB continuous-aggregate / OLAP rollup-lattice shape). At
+    100 TB, persist each granularity partitioned by bucket and serve
+    dashboards from the smallest sufficient one; map-side combine does
+    most of the work (bucket cardinality ≪ row count). Exact integer
+    cents keep the sums engine-identical."""
+    e = t(spark, sf_dir, "events")
+    e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_b"),
+        F.date_trunc("day", F.col("ts")).alias("day_b"),
+        F.date_trunc("month", F.col("ts")).alias("month_b"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("__rollup_base")
+    return spark.sql(
+        """
+SELECT CASE WHEN grouping(hour_b) = 0 THEN 'hour'
+            WHEN grouping(day_b) = 0 THEN 'day'
+            ELSE 'month' END AS granularity,
+       coalesce(hour_b, day_b, month_b) AS bucket,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value
+FROM __rollup_base
+GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
+                        (month_b, event_type))
+"""
+    )
