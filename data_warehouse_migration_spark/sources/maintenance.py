@@ -121,3 +121,34 @@ def table_file_stats(spark: SparkSession, path: str) -> DataFrame:
         "n_files int, total_mb double, avg_file_mb double,"
         " min_file_mb double, max_file_mb double",
     )
+
+
+def vacuum_versions(path: str) -> list[str]:
+    """Garbage-collect stranded version directories around an
+    atomically-swapped table (``sources/writers.atomic_overwrite_parquet``):
+    a crash between the staging write and the pointer flip — or a swap
+    run with ``keep_old=True`` — leaves ``<path>.__v_*`` /
+    ``<path>.__ptr_*`` siblings that nothing references. Removes every
+    such sibling EXCEPT the one the live symlink points to; returns the
+    removed names.
+
+    Run it on the maintenance schedule, never concurrently with a scan
+    that may still be reading a superseded version (same grace-period
+    contract as ``keep_old`` itself)."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    live = os.path.realpath(path) if os.path.islink(path) else None
+    removed = []
+    for entry in sorted(os.listdir(parent)):
+        full = os.path.join(parent, entry)
+        if not entry.startswith((f"{base}.__v_", f"{base}.__ptr_", f"{base}.__old_",
+                                 f"{base}.__staging_")):
+            continue
+        if live is not None and os.path.realpath(full) == live:
+            continue
+        if os.path.isdir(full) and not os.path.islink(full):
+            shutil.rmtree(full)
+        else:
+            os.remove(full)
+        removed.append(entry)
+    return removed

@@ -49,3 +49,24 @@ def test_drop_partitions_older_than_is_metadata_only(spark, tmp_path):
     ]
     # idempotent re-run: nothing left to drop
     assert drop_partitions_older_than(path, "day", "2024-01-03") == []
+
+
+def test_vacuum_versions_removes_orphans_keeps_live(spark, tmp_path):
+    from data_warehouse_migration_spark.sources.maintenance import vacuum_versions
+    from data_warehouse_migration_spark.sources.writers import (
+        atomic_overwrite_parquet,
+    )
+
+    path = str(tmp_path / "tbl")
+    atomic_overwrite_parquet(spark.range(5), path)
+    # keep_old=True strands the superseded version; fake a crash orphan too
+    atomic_overwrite_parquet(spark.range(7), path, keep_old=True)
+    os.makedirs(f"{path}.__v_deadbeef")
+
+    removed = vacuum_versions(path)
+    assert len(removed) == 2  # the kept old version + the crash orphan
+    assert spark.read.parquet(path).count() == 7  # live state untouched
+    live = os.path.basename(os.path.realpath(path))
+    leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
+    assert leftovers == [live]
+    assert vacuum_versions(path) == []  # idempotent
