@@ -114,7 +114,20 @@ _FIRST = (
     "star_revenue_by_nation",
     "q3_shipping_priority",
     # Full LLM-data-pipeline suite (dedup, similarity, text, multimodal, …).
-    *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".llm_ops")),
+    # Oracle-backed entries first: the driver's window is 50 entries, and
+    # a hash-matched row attests strictly more than a rows-only row, so
+    # when the suite outgrows the window it is the rows-only gates
+    # (approx/iterative ops, fixture-pinned in tests) that spill out.
+    *(
+        n
+        for n, q in REGISTRY.items()
+        if q.spark_fn.__module__.endswith(".llm_ops") and q.oracle is not None
+    ),
+    *(
+        n
+        for n, q in REGISTRY.items()
+        if q.spark_fn.__module__.endswith(".llm_ops") and q.oracle is None
+    ),
 )
 
 

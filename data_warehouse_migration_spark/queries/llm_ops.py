@@ -1357,3 +1357,106 @@ GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
                         (month_b, event_type))
 """
     )
+
+
+@query(
+    "training_data_pipeline",
+    tags=("pipeline", "dedup", "quality", "packing", "e2e"),
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), survivors AS (
+    SELECT min(doc_id) AS doc_id
+    FROM norm GROUP BY md5(txt)
+), toks AS (
+    SELECT n.doc_id, unnest(string_split(n.txt, ' ')) AS tok FROM norm n
+), tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+cnt AS (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM cnt),
+doc_lp AS (
+    SELECT tok2.doc_id, avg(ln(cnt.c / CAST(tot.t AS DOUBLE))) AS lp
+    FROM tok2 JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY tok2.doc_id
+), kept AS (
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    JOIN survivors s USING (doc_id)
+    JOIN doc_lp USING (doc_id)
+    WHERE round(doc_lp.lp, 6) > -7.0
+      AND {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+), b AS (
+    SELECT doc_id, n_chars,
+           CAST({_MD5_BUCKET_SQL} % 4 AS INT) AS stream
+    FROM kept
+), c AS (
+    SELECT stream, doc_id, n_chars,
+           sum(n_chars) OVER (PARTITION BY stream ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM b
+), assigned AS (
+    SELECT stream, doc_id, n_chars,
+           CAST((cum - n_chars) // 8000 AS INT) AS chunk_id
+    FROM c
+)
+SELECT stream, chunk_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM assigned
+GROUP BY stream, chunk_id
+""",
+)
+def training_data_pipeline(spark, sf_dir):
+    """End-to-end training-data preparation as ONE composed plan —
+    exact dedup (min-id survivor per content digest) → unigram-LM
+    perplexity gate (corpus-wide stats, rounded-mean threshold) →
+    content-addressed train split (md5 bucket < 0.9) → parallel
+    per-stream sequence packing into ~8000-char chunks. Every stage is
+    an existing operator; composing them stays one lazy DataFrame, so
+    Catalyst pipelines the filters into the scans and the whole thing
+    is 4 shuffles end to end (digest, token count, doc mean, pack
+    stream) — no materialization between stages. This is the shape of
+    the actual 100 TB job the LLM-ops surface exists for; the oracle
+    recomputes the full composition in SQL and hash-matches."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        content_digest,
+        normalized_text,
+    )
+    from data_warehouse_migration_spark.operators.packing import pack_sequences
+    from data_warehouse_migration_spark.operators.sampling import md5_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    survivors = (
+        docs.select("doc_id", content_digest(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    doc_lp = (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c") / F.col("t").cast("double"))).alias("lp"))
+    )
+    kept = (
+        docs.select("doc_id", "n_chars")
+        .join(survivors, "doc_id", "left_semi")
+        .join(doc_lp.filter(F.round("lp", 6) > -7.0), "doc_id", "left_semi")
+        .filter(md5_bucket(F.col("doc_id")) < int(0.9 * 65536))
+    )
+    packed = pack_sequences(
+        kept, key_col="doc_id", size_col="n_chars", chunk_size=8000, n_streams=4
+    )
+    return packed.groupBy("stream", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
