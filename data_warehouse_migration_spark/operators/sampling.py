@@ -83,3 +83,42 @@ def weighted_mix(
             F.col(stratum_col) == stratum, F.lit(int(frac * BUCKETS))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Budget-based stratified draw: per stratum, admit documents in
+    content-addressed order (md5 of the key, then the key) until the
+    per-stratum SIZE budget is spent — a doc is kept iff the budget was
+    not exhausted before it (its exclusive running sum < budget), so
+    every stratum lands within one document of the target.
+
+    This is how a multilingual pretraining mix is actually balanced —
+    by token/char budget per language, not by document count (docs
+    vary 100× in length; count-based draws skew the mix). The
+    hash-order makes the draw reproducible across runs, engines, and
+    partitionings, and unbiased w.r.t. any corpus ordering.
+
+    Adds ``cum_<size_col>`` (inclusive running total). One shuffle on
+    the stratum; per-stratum sort is bounded by stratum size — for
+    mega-strata, pre-prune with :func:`hash_sample` to a few× the
+    budget first so the sort never sees the full stratum.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") - F.col(size_col) < budget)
+        .withColumnRenamed("__cum", f"cum_{size_col}")
+    )

@@ -1460,3 +1460,36 @@ def training_data_pipeline(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "token_budget_sample_per_lang",
+    tags=("sampling", "budget", "mixing"),
+    oracle="""
+WITH ranked AS (
+    SELECT lang, doc_id, n_chars,
+           sum(n_chars) OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(cum AS BIGINT) AS cum_n_chars
+FROM ranked WHERE cum - n_chars < 50000
+""",
+)
+def token_budget_sample_per_lang(spark, sf_dir):
+    """Per-language 50k-char budget draw
+    (operators/sampling.budget_sample): documents admitted in
+    md5-of-key order until each language's budget is spent — the
+    budget-based (not count-based) stratified sampling a multilingual
+    pretraining mix needs, deterministic across engines and layouts."""
+    from data_warehouse_migration_spark.operators.sampling import budget_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return budget_sample(
+        docs.select("lang", "doc_id", "n_chars"),
+        stratum_col="lang",
+        key_col="doc_id",
+        size_col="n_chars",
+        budget=50_000,
+    )

@@ -302,3 +302,21 @@ def test_ivf_pq_retrieves_same_cluster_neighbors(spark):
     assert len(top) == 8
     assert all(r.n_id % 3 == 0 for r in top)  # all from the query's cluster
     assert all(r.adc_dist >= 0 for r in top)
+
+
+def test_budget_sample_spends_budget_within_one_doc(spark):
+    """Each stratum's kept set must cost < budget + its last doc, and
+    adding the next doc in hash order would exceed the budget."""
+    from data_warehouse_migration_spark.operators.sampling import budget_sample
+
+    rows = [(f"L{g}", i + g * 1000, 30) for g in (1, 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id int, n_chars int")
+    out = budget_sample(df, "lang", "doc_id", "n_chars", budget=100).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, kept in by_lang.items():
+        total = sum(r.n_chars for r in kept)
+        assert total >= 100            # budget fully spent (docs available)
+        assert total - kept[-1].n_chars < 100 if kept else True
+        assert len(kept) == 4          # 30*3=90 < 100 <= 30*4 → 4 docs admitted
