@@ -1414,10 +1414,13 @@ def training_data_pipeline(spark, sf_dir):
     content-addressed train split (md5 bucket < 0.9) → parallel
     per-stream sequence packing into ~8000-char chunks. Every stage is
     an existing operator; composing them stays one lazy DataFrame, so
-    Catalyst pipelines the filters into the scans and the whole thing
-    is 4 shuffles end to end (digest, token count, doc mean, pack
-    stream) — no materialization between stages. This is the shape of
-    the actual 100 TB job the LLM-ops surface exists for; the oracle
+    Catalyst pipelines the filters into the scans — six shuffles end to
+    end (digest group, token count, per-doc mean, two keep-set
+    semi-joins, pack-stream window + final rollup; plan-audited in
+    PLANS.md) and no materialization between stages. The only
+    nested-loop is the broadcast of the single-row corpus-total — a
+    1-row cross join, constant at any scale. This is the shape of the
+    actual 100 TB job the LLM-ops surface exists for; the oracle
     recomputes the full composition in SQL and hash-matches."""
     from data_warehouse_migration_spark.operators.dedup import (
         content_digest,
