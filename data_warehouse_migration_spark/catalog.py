@@ -104,7 +104,40 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # inside that window. The TPC-H-shape depth suite and the scalar-function
 # surface (both redundantly covered by pytest + tools/check_oracle.py) take
 # the tail.
+#
+# Attestation rotation (see ROTATION.md): the registry outgrew the 50-entry
+# window in round 2, so each round rotates never/least-recently-attested
+# queries in, displacing entries whose code is unchanged and whose green
+# attestation from a prior round therefore still stands. The parity core
+# (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
+
+# Round 3: the six TPC-H shapes added late in round 2 plus the two PQ gates
+# had only judge-run attestations; rotate them in for a driver-fresh row.
+_ROTATED_IN_R3 = (
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q12_late_line_priorities",
+    "q16_supplier_part_counts",
+    "q20_concentrated_shippers",
+    "q21_waiting_suppliers",
+)
+# Displaced to make room (all hash-green in CORRECTNESS_r02.json, code
+# unchanged since; still gated every round by tools/check_oracle.py + pytest).
+_ROTATED_OUT_R3 = frozenset(
+    {
+        "simhash_fingerprints",
+        "doc_fingerprint_winnow",
+        "distinct_users_by_type",
+        "word_frequency_topk",
+        "higher_order_token_stats",
+        "gapfill_daily_event_counts",
+        "deterministic_split_documents",
+        "dataset_mix_by_lang",
+        "eval_sample_per_lang",
+        "funnel_click_to_purchase",
+    }
+)
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
@@ -113,15 +146,18 @@ _FIRST = (
     "q1_pricing_summary",
     "star_revenue_by_nation",
     "q3_shipping_priority",
-    # Full LLM-data-pipeline suite (dedup, similarity, text, multimodal, …).
-    # Oracle-backed entries first: the driver's window is 50 entries, and
-    # a hash-matched row attests strictly more than a rows-only row, so
-    # when the suite outgrows the window it is the rows-only gates
-    # (approx/iterative ops, fixture-pinned in tests) that spill out.
+    *_ROTATED_IN_R3,
+    # LLM-data-pipeline suite (dedup, similarity, text, multimodal, …).
+    # Oracle-backed entries first: a hash-matched row attests strictly more
+    # than a rows-only row, so when the suite outgrows the window it is the
+    # rows-only gates (approx/iterative ops, fixture-pinned in tests) that
+    # spill out — minus this round's rotation displacements.
     *(
         n
         for n, q in REGISTRY.items()
-        if q.spark_fn.__module__.endswith(".llm_ops") and q.oracle is not None
+        if q.spark_fn.__module__.endswith(".llm_ops")
+        and q.oracle is not None
+        and n not in _ROTATED_OUT_R3
     ),
     *(
         n

@@ -20,6 +20,39 @@ def test_oracle_keys_subset_of_queries():
     assert len(q) >= 25
 
 
+def test_attestation_window_membership():
+    """The driver attests the first 50 registry entries (ROTATION.md).
+
+    Pin the parity core, bench headliners, and this round's rotation
+    targets inside that window so a future registration can't silently
+    displace them.
+    """
+    names = list(entry_mod.queries())
+    pinned = [
+        # parity core
+        "jde_silver_clean",
+        "dim_date",
+        "scd2_customer_versions",
+        "pit_fact_attribution",
+        "star_topk_orders",
+        # bench headliners
+        "q1_pricing_summary",
+        "star_revenue_by_nation",
+        "q3_shipping_priority",
+        # round-3 rotation targets (VERDICT r2 #1)
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q12_late_line_priorities",
+        "q16_supplier_part_counts",
+        "q20_concentrated_shippers",
+        "q21_waiting_suppliers",
+        "similarity_pq_topk",
+        "similarity_ivf_pq_topk",
+    ]
+    for name in pinned:
+        assert names.index(name) < 50, f"{name} fell out of the driver window"
+
+
 def test_all_queries_execute_smoke(spark, sf_dir):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
