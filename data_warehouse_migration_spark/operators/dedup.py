@@ -316,6 +316,71 @@ def winnowed_fingerprints(
     return hashed.select(F.col(id_col), fps.alias("fingerprints"))
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+    broadcast_eval: bool = True,
+    method: str = "shingle",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share at
+    least ``min_shared`` distinct n-gram shingles (``method="shingle"``)
+    or winnowed fingerprints (``method="winnow"``, see
+    :func:`winnowed_fingerprints`) with any single eval document.
+
+    A pretraining pipeline runs this on every refresh: benchmark
+    contamination silently inflates downstream eval numbers, and the
+    overlap test must never degrade into a train×eval cross product.
+    Here both sides are exploded to (digest, doc) and joined ON THE
+    DIGEST — a bucketed equi-join in which a training doc only ever
+    meets the eval docs it actually shares a shingle with. Eval sets
+    are small (thousands of docs vs billions of training docs), so the
+    eval index is broadcast by default: the training corpus is scanned
+    once with ZERO shuffle of its shingles. With ``broadcast_eval=
+    False`` the same plan runs as a shuffled hash join for
+    pathologically large eval suites.
+
+    Internally keyed on xxhash64 (set identity only — see
+    ``shingle_index``); the output (pair overlap counts) is
+    hash-scheme-independent, which is what the md5-based DuckDB oracle
+    verifies.
+
+    Returns one row per contaminated (train, eval) pair:
+    ``(train_id, eval_id, n_shared)`` with ``n_shared >= min_shared``.
+    Callers wanting a keep-list anti-join ``train`` against the
+    distinct ``train_id``s of this frame.
+    """
+    if method == "winnow":
+        t_idx = winnowed_fingerprints(train, id_col, text_col, k, w).select(
+            F.col(id_col).alias("train_id"),
+            F.explode("fingerprints").alias("sh"),
+        )
+        e_idx = winnowed_fingerprints(eval_set, id_col, text_col, k, w).select(
+            F.col(id_col).alias("eval_id"),
+            F.explode("fingerprints").alias("sh"),
+        )
+    else:
+        t_idx = shingle_index(train, id_col, text_col, n, fast_hash=True).select(
+            F.col("doc").alias("train_id"), "sh"
+        )
+        e_idx = shingle_index(eval_set, id_col, text_col, n, fast_hash=True).select(
+            F.col("doc").alias("eval_id"), "sh"
+        )
+    if broadcast_eval:
+        e_idx = F.broadcast(e_idx)
+    return (
+        t_idx.join(e_idx, "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash of the normalized token stream.
 

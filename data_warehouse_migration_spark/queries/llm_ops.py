@@ -1496,3 +1496,51 @@ def token_budget_sample_per_lang(spark, sf_dir):
         size_col="n_chars",
         budget=50_000,
     )
+
+
+@query(
+    "decontaminate_against_eval",
+    tags=("dedup", "decontamination", "eval"),
+    oracle=f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'train' ELSE 'eval' END AS s
+    FROM documents
+), norm AS (
+    SELECT doc_id, s, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM split
+), words AS (
+    SELECT doc_id, s, string_split(txt, ' ') AS w FROM norm
+), sh AS (
+    SELECT DISTINCT doc_id AS doc, s, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM words, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+)
+SELECT tr.doc AS train_id, ev.doc AS eval_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM (SELECT doc, sh FROM sh WHERE s = 'train') tr
+JOIN (SELECT doc, sh FROM sh WHERE s = 'eval') ev ON tr.sh = ev.sh
+GROUP BY 1, 2
+HAVING count(*) >= 4
+""",
+)
+def decontaminate_against_eval(spark, sf_dir):
+    """Eval-set decontamination (operators/dedup.decontaminate): flag
+    training documents sharing >= 4 distinct 3-gram shingles with any
+    held-out eval document, via a digest-bucketed join against a
+    BROADCAST eval shingle index — the training corpus is scanned once
+    with zero shuffle of its shingles, and no train x eval cross ever
+    forms. The held-out set here is the content-addressed 10% tail of
+    the corpus (operators/sampling.hash_split), standing in for a
+    benchmark suite."""
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.9, "eval": 0.1})
+    return D.decontaminate(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        n=3,
+        min_shared=4,
+    )

@@ -51,3 +51,41 @@ def test_cosine_near_dup_pairs_exact(spark):
     assert set((r.id_a, r.id_b) for r in out2.collect()) == {
         (1, 2), (1, 4), (2, 4), (3, 4)
     }
+
+
+def test_decontaminate_flags_planted_contamination(spark):
+    from data_warehouse_migration_spark.operators.dedup import decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog at midnight again"
+    train = spark.createDataFrame(
+        [
+            (1, eval_text),  # verbatim copy of an eval doc → contaminated
+            (2, "PREFIX " + eval_text + " SUFFIX"),  # embedded copy → contaminated
+            (3, "totally unrelated words about spark shuffles and parquet files"),
+            (4, "the quick brown cat naps"),  # shares < min_shared shingles
+        ],
+        "doc_id int, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, eval_text), (101, "another clean benchmark question entirely")],
+        "doc_id int, text string",
+    )
+    out = decontaminate(train, eval_set, n=3, min_shared=4)
+    flagged = {(r.train_id, r.eval_id): r.n_shared for r in out.collect()}
+    assert set(flagged) == {(1, 100), (2, 100)}
+    # verbatim copy shares every shingle of the eval doc (10 3-grams of 12 words)
+    assert flagged[(1, 100)] == 10
+    assert flagged[(2, 100)] == 10
+
+
+def test_decontaminate_winnow_method_matches_passage(spark):
+    from data_warehouse_migration_spark.operators.dedup import decontaminate
+
+    passage = "a long verbatim passage that is definitely over twenty-three chars"
+    train = spark.createDataFrame(
+        [(1, "XX " + passage + " YY"), (2, "clean document with original content")],
+        "doc_id int, text string",
+    )
+    eval_set = spark.createDataFrame([(9, passage)], "doc_id int, text string")
+    out = decontaminate(train, eval_set, method="winnow", min_shared=1)
+    assert {r.train_id for r in out.collect()} == {1}
