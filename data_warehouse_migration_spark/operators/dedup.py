@@ -222,6 +222,47 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH band signatures: one row per (doc, band) with the md5 of the
+    band's MinHash slice. Two docs land in the same (band, band_sig)
+    bucket iff that band's signatures agree — the candidate-generation
+    key for both self-join dedup (:func:`minhash_lsh_pairs`) and
+    batch-vs-corpus incremental dedup (:func:`incremental_dedup`).
+
+    This frame IS the incremental index: at 100 TB the corpus's band
+    signatures (bands × 32-byte rows per doc, content-addressed) are
+    materialized once and appended per ingest batch, so corpus texts
+    are never rescanned.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    return (
+        sigs.withColumn("band", F.floor(F.col("i") / rows))
+        .groupBy("doc", "band")
+        .agg(
+            _hash_str(
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat(
+                                F.col("i").cast("string"), F.lit(":"), F.col("minhash")
+                            )
+                        )
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -239,13 +280,7 @@ def minhash_lsh_pairs(
     vanishing false-negative rate. Scale: the band join shuffles
     (band, signature) — constant bytes per doc regardless of doc size.
     """
-    rows = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
-    banded = sigs.withColumn("band", F.floor(F.col("i") / rows)).groupBy(
-        "doc", "band"
-    ).agg(_hash_str(F.concat_ws("|", F.sort_array(F.collect_list(
-        F.concat(F.col("i").cast("string"), F.lit(":"), F.col("minhash"))
-    )))).alias("band_sig"))
+    banded = band_signatures(docs, id_col, text_col, n, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -314,6 +349,102 @@ def winnowed_fingerprints(
         )
     )
     return hashed.select(F.col(id_col), fps.alias("fingerprints"))
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an EXISTING corpus without ever
+    rescanning corpus×corpus — the daily-ingest shape a 100 TB pipeline
+    actually runs (a full-corpus re-dedup per refresh is quadratic in
+    corpus size; this is linear in the batch).
+
+    Per batch document, in priority order:
+
+    - ``dup_corpus``  — its content digest already exists in the corpus
+      (match_id = smallest such corpus id);
+    - ``dup_batch``   — an earlier (smaller-id) batch doc has the same
+      digest (first occurrence survives as ``new``);
+    - ``near_corpus`` — MinHash banding surfaces a corpus candidate and
+      exact shingle-Jaccard verification confirms J ≥ ``threshold``
+      (match_id = smallest verified corpus id; recall bound is the
+      banding curve, same as :func:`minhash_lsh_pairs`);
+    - ``new``         — keep.
+
+    Scale: the exact pass joins DIGESTS only (32 bytes/doc — the
+    corpus side is the digest index a production deployment keeps
+    materialized). The near pass joins batch band signatures against
+    corpus band signatures on (band, band_sig) — batch-bands ×
+    corpus-bands, never batch×corpus docs and never corpus×corpus —
+    then exact-verifies only surfaced candidates. Within-batch NEAR
+    dups are out of scope (run :func:`minhash_lsh_pairs` on the batch
+    if needed); within-batch EXACT dups are handled.
+
+    Requires globally unique ids across batch ∪ corpus. Returns one
+    row per batch doc: ``(id_col, status, match_id)``.
+    """
+    b_dig = batch.select(
+        F.col(id_col), content_digest(F.col(text_col)).alias("digest")
+    )
+    c_dig = corpus.select(
+        F.col(id_col).alias("__cid"), content_digest(F.col(text_col)).alias("digest")
+    )
+    exact = (
+        b_dig.join(c_dig, "digest")
+        .groupBy(id_col)
+        .agg(F.min("__cid").alias("__exact_match"))
+    )
+    batch_min = b_dig.groupBy("digest").agg(F.min(id_col).alias("__bmin"))
+
+    b_bands = band_signatures(batch, id_col, text_col, n, num_hashes, bands)
+    c_bands = band_signatures(corpus, id_col, text_col, n, num_hashes, bands)
+    candidates = (
+        b_bands.alias("b")
+        .join(
+            c_bands.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_sig") == F.col("c.band_sig")),
+        )
+        .select(F.col("b.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"))
+        .distinct()
+    )
+    idx = shingle_index(
+        batch.unionByName(corpus), id_col, text_col, n, fast_hash=True
+    )
+    near = (
+        _jaccard_for_candidates(idx, candidates, threshold)
+        .groupBy("doc_a")
+        .agg(F.min("doc_b").alias("__near_match"))
+        .withColumnRenamed("doc_a", "__nid")
+    )
+
+    out = (
+        b_dig.join(exact, id_col, "left")
+        .join(batch_min, "digest")
+        .join(near, F.col(id_col) == F.col("__nid"), "left")
+    )
+    is_batch_dup = F.col("__bmin") < F.col(id_col)
+    status = (
+        F.when(F.col("__exact_match").isNotNull(), F.lit("dup_corpus"))
+        .when(is_batch_dup, F.lit("dup_batch"))
+        .when(F.col("__near_match").isNotNull(), F.lit("near_corpus"))
+        .otherwise(F.lit("new"))
+    )
+    match_id = (
+        F.when(F.col("__exact_match").isNotNull(), F.col("__exact_match"))
+        .when(is_batch_dup, F.col("__bmin"))
+        .otherwise(F.col("__near_match"))
+    )
+    return out.select(
+        F.col(id_col), status.alias("status"), match_id.alias("match_id")
+    )
 
 
 def decontaminate(

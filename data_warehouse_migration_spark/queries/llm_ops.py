@@ -1544,3 +1544,98 @@ def decontaminate_against_eval(spark, sf_dir):
         n=3,
         min_shared=4,
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    tags=("dedup", "incremental", "minhash"),
+    oracle=f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'corpus' ELSE 'batch' END AS s
+    FROM documents
+), norm AS (
+    SELECT doc_id, s, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM split
+), dig AS (SELECT doc_id, s, md5(txt) AS digest FROM norm),
+bd AS (SELECT doc_id, digest FROM dig WHERE s = 'batch'),
+cd AS (SELECT doc_id, digest FROM dig WHERE s = 'corpus'),
+exact AS (
+    SELECT b.doc_id, min(c.doc_id) AS exact_match
+    FROM bd b JOIN cd c ON b.digest = c.digest GROUP BY 1
+),
+bmin AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY digest) AS bmin FROM bd
+),
+words AS (SELECT doc_id, s, string_split(txt, ' ') AS w FROM norm),
+sh AS (
+    SELECT DISTINCT doc_id AS doc, s, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM words, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+),
+seeds AS (SELECT unnest(range(0, 16)) AS i),
+mh AS (
+    SELECT doc, s, i, min(md5(i::VARCHAR || '|' || sh)) AS minhash
+    FROM sh CROSS JOIN seeds GROUP BY doc, s, i
+),
+banded AS (
+    SELECT doc, s, i // 2 AS band,
+           md5(string_agg(i::VARCHAR || ':' || minhash, '|'
+               ORDER BY i::VARCHAR || ':' || minhash)) AS band_sig
+    FROM mh GROUP BY doc, s, i // 2
+),
+cands AS (
+    SELECT DISTINCT b.doc AS doc_a, c.doc AS doc_b
+    FROM banded b JOIN banded c ON b.band = c.band AND b.band_sig = c.band_sig
+    WHERE b.s = 'batch' AND c.s = 'corpus'
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT ca.doc_a, ca.doc_b, count(*) AS n_inter
+    FROM cands ca
+    JOIN sh a ON a.doc = ca.doc_a
+    JOIN sh b2 ON b2.doc = ca.doc_b AND b2.sh = a.sh
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT doc_a AS doc_id, min(doc_b) AS near_match
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc
+    JOIN sizes sb ON inter.doc_b = sb.doc
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    GROUP BY 1
+)
+SELECT bd.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'dup_corpus'
+            WHEN bm.bmin < bd.doc_id THEN 'dup_batch'
+            WHEN nr.near_match IS NOT NULL THEN 'near_corpus'
+            ELSE 'new' END AS status,
+       CASE WHEN e.exact_match IS NOT NULL THEN e.exact_match
+            WHEN bm.bmin < bd.doc_id THEN bm.bmin
+            ELSE nr.near_match END AS match_id
+FROM bd
+LEFT JOIN exact e ON bd.doc_id = e.doc_id
+JOIN bmin bm ON bd.doc_id = bm.doc_id
+LEFT JOIN near nr ON bd.doc_id = nr.doc_id
+""",
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup.incremental_dedup):
+    the content-addressed 10% tail of the corpus stands in for today's
+    ingest batch, deduped against the other 90% without any
+    corpus x corpus work — exact via a digest-index join, near via
+    batch-bands x corpus-bands MinHash buckets + exact-Jaccard
+    verification of surfaced candidates only."""
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"corpus": 0.9, "batch": 0.1})
+    return D.incremental_dedup(
+        split.filter(F.col("split") == "batch").drop("split"),
+        split.filter(F.col("split") == "corpus").drop("split"),
+        n=3,
+        num_hashes=16,
+        bands=8,
+        threshold=0.8,
+    )

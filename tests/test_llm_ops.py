@@ -320,3 +320,35 @@ def test_budget_sample_spends_budget_within_one_doc(spark):
         assert total >= 100            # budget fully spent (docs available)
         assert total - kept[-1].n_chars < 100 if kept else True
         assert len(kept) == 4          # 30*3=90 < 100 <= 30*4 → 4 docs admitted
+
+
+def test_incremental_dedup_statuses(spark):
+    from data_warehouse_migration_spark.operators.dedup import incremental_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "an old corpus document about warehouse tables")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                      # verbatim corpus copy
+            (11, "  ALPHA beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon "),  # normalizes to corpus copy
+            (12, "a genuinely fresh document with brand new content"),
+            (13, "a genuinely fresh document with brand new content"),  # exact dup of 12
+            (14, base.replace("upsilon", "omega")),  # 1-word edit: near-dup of 1
+            (15, "nothing in common with anything else at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(batch, corpus, threshold=0.8)
+    got = {r.doc_id: (r.status, r.match_id) for r in out.collect()}
+    assert got[10] == ("dup_corpus", 1)
+    assert got[11] == ("dup_corpus", 1)   # normalization folds case/whitespace
+    assert got[12] == ("new", None)
+    assert got[13] == ("dup_batch", 12)
+    assert got[14] == ("near_corpus", 1)  # J = 17/19 shared shingles ≈ 0.89
+    assert got[15] == ("new", None)
+    assert len(got) == 6
