@@ -146,6 +146,38 @@ def _band_keys(vec: Column, planes: list[list[float]], band_bits: int) -> Column
     return F.array(*keys)
 
 
+def _band_keys_arrow(planes: list[list[float]], band_bits: int):
+    """Arrow-batched twin of :func:`_band_keys`: one numpy matmul per
+    batch computes every plane projection at once.
+
+    The Column-expression form evaluates ``n_planes`` interpreted
+    higher-order folds per row (Catalyst does not codegen lambda
+    functions), which measured ~13 s for 2000×128 projections at sf0.1;
+    the matmul is milliseconds. Bit semantics are identical — sign =
+    (proj >= 0), first plane of a band most significant — and
+    ``test_band_keys_arrow_matches_column`` pins the two paths equal
+    row-for-row. Kept out of the oracle surface: band keys only steer
+    candidate generation; verification is exact either way.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(planes, dtype=np.float64)
+    n_bands = len(planes) // band_bits
+    weights = 2 ** np.arange(band_bits - 1, -1, -1)
+
+    @pandas_udf("array<int>")
+    def _keys(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        v = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (v @ mat.T >= 0).astype(np.int64)
+        keys = (bits.reshape(len(v), n_bands, band_bits) * weights).sum(axis=2)
+        return pd.Series(list(keys.astype(np.int32)))
+
+    return _keys
+
+
 def lsh_candidate_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -193,11 +225,10 @@ def lsh_candidate_near_dup_pairs(
     one regardless; tighten the threshold and the same plan prunes hard.
     """
     planes = _gaussian_planes(n_bands * band_bits, dim, seed)
+    keys = _band_keys_arrow(planes, band_bits)
     sigs = vectors.select(
         F.col(id_col).alias("id"),
-        F.posexplode(_band_keys(F.col(vec_col), planes, band_bits)).alias(
-            "band", "key"
-        ),
+        F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
     )
     if max_bucket_size is not None:
         sizes = sigs.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
@@ -216,15 +247,37 @@ def lsh_candidate_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Verification: norms are a per-VECTOR quantity, so compute each one
+    # once here instead of twice per candidate pair — byte-identical to
+    # cosine() (same dot/(norm·norm) expression, just not recomputed),
+    # at a third of the per-pair fold work.
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    den = F.col("nrm_a") * F.col("nrm_b")
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(
+        dot(F.col("vec_a"), F.col("vec_b")) / den
+    )
     return (
         cand.join(
-            v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a"
+            v.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("vec_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "id_a",
         )
-        .join(v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
-        .withColumn(
-            "cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_to)
+        .join(
+            v.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vec_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "id_b",
         )
+        .withColumn("cosine", F.round(cos, round_to))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

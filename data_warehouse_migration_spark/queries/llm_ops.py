@@ -359,6 +359,7 @@ def tumbling_event_windows(spark, sf_dir):
 
 @query(
     "dedup_embedding_cosine",
+    headline=True,
     tags=("dedup", "similarity"),
     oracle="""
 WITH v AS (
@@ -1178,6 +1179,7 @@ def dedup_clusters(spark, sf_dir):
 
 @query(
     "doc_perplexity_filter",
+    headline=True,
     tags=("text", "quality", "perplexity"),
     oracle="""
 WITH norm AS (
@@ -1297,6 +1299,7 @@ def similarity_ivf_pq_topk(spark, sf_dir):
 
 @query(
     "continuous_aggregate_rollup",
+    headline=True,
     tags=("events", "rollup", "hypertable"),
     oracle="""
 WITH e AS (
@@ -1361,6 +1364,7 @@ GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
 
 @query(
     "training_data_pipeline",
+    headline=True,
     tags=("pipeline", "dedup", "quality", "packing", "e2e"),
     oracle=f"""
 WITH norm AS (
