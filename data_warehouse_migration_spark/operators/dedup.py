@@ -19,6 +19,8 @@ Operators:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -558,6 +560,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 20,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     step that turns pairwise near-dup EDGES into duplicate GROUPS (one
@@ -579,6 +582,12 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     same labels contract, fewer rounds; the call sites don't change.
 
+    A component whose diameter exceeds ``max_iter`` would come back
+    SPLIT into several cluster ids — silently wrong groups — so the
+    default is to raise when the final iteration still changed labels;
+    pass ``require_convergence=False`` to downgrade that to a warning
+    (e.g. when a best-effort partial clustering is acceptable).
+
     Returns one row per node: ``(id_col, cluster_id)`` where
     ``cluster_id`` is the component's minimum node id.
     """
@@ -592,6 +601,7 @@ def connected_components(
     labels = node_df.select(id_col, F.col(id_col).alias("cluster_id"))
     labels = labels.localCheckpoint()
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             e.join(labels, e["__s"] == labels[id_col])
@@ -617,4 +627,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"iterations ({changed} labels still changing); components with "
+            "diameter > max_iter are split into multiple cluster ids"
+        )
+        if require_convergence:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels

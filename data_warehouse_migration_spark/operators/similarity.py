@@ -178,6 +178,49 @@ def _band_keys_arrow(planes: list[list[float]], band_bits: int):
     return _keys
 
 
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 4,
+    n_bands: int = 32,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded-LSH CANDIDATE pairs (``id_a < id_b``, distinct) — the
+    generation stage of :func:`lsh_candidate_near_dup_pairs`, exposed
+    separately so its pruning power is measurable: candidate count /
+    (N·(N−1)/2) is the fraction of the all-pairs work the banding
+    actually admits (``test_lsh_pruning.py`` bounds it at production
+    thresholds). Every pair that shares ≥1 (band, key) bucket appears
+    exactly once; no stage touches the N² cross product.
+    """
+    planes = _gaussian_planes(n_bands * band_bits, dim, seed)
+    keys = _band_keys_arrow(planes, band_bits)
+    sigs = vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
+    )
+    if max_bucket_size is not None:
+        sizes = sigs.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        sigs = (
+            sigs.join(sizes.filter(F.col("__n") <= max_bucket_size), ["band", "key"])
+            .drop("__n")
+        )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -224,28 +267,15 @@ def lsh_candidate_near_dup_pairs(
     vectors at a near-random threshold. The plan is the scale-correct
     one regardless; tighten the threshold and the same plan prunes hard.
     """
-    planes = _gaussian_planes(n_bands * band_bits, dim, seed)
-    keys = _band_keys_arrow(planes, band_bits)
-    sigs = vectors.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
-    )
-    if max_bucket_size is not None:
-        sizes = sigs.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
-        sigs = (
-            sigs.join(sizes.filter(F.col("__n") <= max_bucket_size), ["band", "key"])
-            .drop("__n")
-        )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    cand = lsh_candidate_pairs(
+        vectors,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        band_bits=band_bits,
+        n_bands=n_bands,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     # Verification: norms are a per-VECTOR quantity, so compute each one
     # once here instead of twice per candidate pair — byte-identical to
@@ -286,13 +316,13 @@ def lsh_candidate_near_dup_pairs(
 def hyperplane_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
+    dim: int,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
     round_to: int = 6,
-    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets + exact rescoring.
 
@@ -304,13 +334,10 @@ def hyperplane_lsh_topk(
     recall & cost). The bucket join shuffles only (bucket, id) pairs —
     the 100 TB-safe shape.
 
-    Pass ``dim`` explicitly (it is fixed by the embedding model); the
-    fallback infers it with a one-row driver action, acceptable
-    interactively but not inside a pipeline.
+    ``dim`` is required: it is fixed by the embedding model, and
+    inferring it would cost a driver action inside what must stay a
+    pure plan-building function.
     """
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-
     planes = _gaussian_planes(n_planes, dim, seed)
 
     def signature(vec: Column) -> Column:

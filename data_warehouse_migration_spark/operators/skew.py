@@ -75,9 +75,13 @@ def key_skew_profile(df: DataFrame, key: str | Column, top: int = 10) -> DataFra
     keys — the first thing to run when a stage straggles."""
     key_col = F.col(key) if isinstance(key, str) else key
     counts = df.groupBy(key_col.alias("key")).agg(F.count(F.lit(1)).alias("n"))
-    total = df.count()
+    # total as a broadcast 1-row aggregate of the per-key counts: no
+    # driver action, no second scan of df
+    total = counts.agg(F.sum("n").alias("__total"))
     return (
-        counts.withColumn("share", F.col("n") / F.lit(total))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("__total"))
+        .drop("__total")
         .orderBy(F.col("n").desc(), F.col("key"))
         .limit(top)
     )

@@ -54,6 +54,14 @@ def read_external(
 
     ``table`` may be a bare table name or a parenthesized subquery
     alias (JDBC's dbtable contract), e.g. ``"(SELECT k, v FROM t) s"``.
+    It is interpolated into the generated SQL verbatim (the dbtable
+    contract makes it un-parameterizable) — it MUST come from trusted
+    pipeline config, never from user input.
+
+    On the DB-API path pass ``schema=`` whenever the result may be
+    empty: zero rows carry no type information, so ``createDataFrame``
+    cannot infer a schema from them (raises with guidance here rather
+    than failing obscurely downstream).
     """
     if (url is None) == (connection_factory is None):
         raise ValueError("pass exactly one of url= or connection_factory=")
@@ -81,6 +89,12 @@ def read_external(
         conn.close()
     if schema is not None:
         return spark.createDataFrame(rows, schema)
+    if not rows:
+        raise ValueError(
+            f"read_external: {table!r} returned no rows and no schema= was "
+            "given — an empty result carries no types to infer; pass an "
+            "explicit schema (e.g. 'id bigint, name string')"
+        )
     return spark.createDataFrame(rows, cols)
 
 

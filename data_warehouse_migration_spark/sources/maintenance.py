@@ -29,7 +29,7 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_mb: int = 256,
-    keep_old: bool = False,
+    keep_old: bool = True,
 ) -> int:
     """Rewrite a parquet table into ≈``target_file_mb`` files and swap
     atomically (symlink pointer flip — readers never see a partial
@@ -41,13 +41,28 @@ def compact_parquet(
     ``repartition`` — a full shuffle of the table, the honest cost of
     re-binning; run it per-partition-directory on partitioned tables
     (compact the partitions a freshness query actually touches, not the
-    table at once).
+    table at once). Calling it on a Hive-partitioned ROOT would fold
+    the partition columns into the data files and drop the
+    ``col=value`` directory layout — destroying partition pruning — so
+    that is detected and refused, not merely advised against.
 
     At 256 MB targets a 100 TB table compacts to ~400k files — the
     point is not the absolute count but restoring the
     bytes-per-file ratio scans are tuned for.
     """
     real = os.path.realpath(path)
+    part_dirs = sorted(
+        d
+        for d in os.listdir(real)
+        if "=" in d and os.path.isdir(os.path.join(real, d))
+    )
+    if part_dirs:
+        raise ValueError(
+            f"compact_parquet: {path!r} is a Hive-partitioned table root "
+            f"(found {part_dirs[0]!r}, …); compacting it would flatten the "
+            "partition layout and lose pruning — compact per partition "
+            "directory instead"
+        )
     total_bytes = sum(
         os.path.getsize(os.path.join(dirpath, f))
         for dirpath, _, files in os.walk(real)
@@ -127,10 +142,12 @@ def vacuum_versions(path: str) -> list[str]:
     """Garbage-collect stranded version directories around an
     atomically-swapped table (``sources/writers.atomic_overwrite_parquet``):
     a crash between the staging write and the pointer flip — or a swap
-    run with ``keep_old=True`` — leaves ``<path>.__v_*`` /
-    ``<path>.__ptr_*`` siblings that nothing references. Removes every
-    such sibling EXCEPT the one the live symlink points to; returns the
-    removed names.
+    run with ``keep_old=True`` (the default) — leaves hidden
+    ``.<base>.__v_*`` / ``.<base>.__ptr_*`` siblings that nothing
+    references. Removes every such sibling EXCEPT the one the live
+    symlink points to; returns the removed names. Also recognizes the
+    pre-hidden visible naming (``<base>.__v_*``) for tables swapped by
+    older builds.
 
     Run it on the maintenance schedule, never concurrently with a scan
     that may still be reading a superseded version (same grace-period
@@ -139,10 +156,13 @@ def vacuum_versions(path: str) -> list[str]:
     base = os.path.basename(path)
     live = os.path.realpath(path) if os.path.islink(path) else None
     removed = []
+    suffixes = ("__v_", "__ptr_", "__old_", "__staging_")
+    prefixes = tuple(
+        f"{vis}{base}.{sfx}" for vis in (".", "") for sfx in suffixes
+    )
     for entry in sorted(os.listdir(parent)):
         full = os.path.join(parent, entry)
-        if not entry.startswith((f"{base}.__v_", f"{base}.__ptr_", f"{base}.__old_",
-                                 f"{base}.__staging_")):
+        if not entry.startswith(prefixes):
             continue
         if live is not None and os.path.realpath(full) == live:
             continue

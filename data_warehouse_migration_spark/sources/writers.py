@@ -36,7 +36,7 @@ def write_parquet(
 
 
 def atomic_overwrite_parquet(
-    df: DataFrame, path: str, keep_old: bool = False
+    df: DataFrame, path: str, keep_old: bool = True
 ) -> None:
     """Write the full new table state, then atomically flip a pointer.
 
@@ -49,25 +49,34 @@ def atomic_overwrite_parquet(
     version live plus an orphaned staging directory — nothing to
     restore.
 
-    The superseded version is deleted after the flip; a scan that
-    resolved the symlink *before* the flip and is still running would
-    lose its files — pass ``keep_old=True`` and GC versioned dirs on
-    your own schedule if scans can span maintenance. First call over a
+    The superseded version is KEPT by default (``keep_old=True``): a
+    scan that resolved the symlink *before* the flip and is still
+    running keeps its files; GC stranded versions on your maintenance
+    schedule with ``sources/maintenance.vacuum_versions`` (which spares
+    the live version). Pass ``keep_old=False`` only when no reader can
+    span the swap — it deletes the superseded version immediately after
+    the flip, racing any in-flight scan. First call over a
     legacy real-directory layout migrates it (that one swap briefly has
     no ``path``; subsequent swaps are atomic). On object stores replace
     this with the table format's commit (Delta/Iceberg) — same call
     site, different implementation, which is why it's isolated here.
     """
-    version = f"{path}.__v_{uuid.uuid4().hex[:8]}"
+    parent, base = os.path.split(os.path.abspath(path))
+    # versions/pointers are DOT-prefixed: Hadoop's directory listing
+    # skips hidden entries, so stale versions sitting next to the live
+    # table are invisible to scans of the parent — in particular a
+    # versioned partition directory inside a Hive layout must not parse
+    # as an extra partition value
+    version = os.path.join(parent, f".{base}.__v_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").option("compression", "snappy").parquet(version)
     old_target = None
     if os.path.islink(path):
         old_target = os.path.realpath(path)
     elif os.path.exists(path):  # legacy plain-directory layout
-        old_target = f"{path}.__v_legacy_{uuid.uuid4().hex[:8]}"
+        old_target = os.path.join(parent, f".{base}.__v_legacy_{uuid.uuid4().hex[:8]}")
         os.rename(path, old_target)
-    tmp = f"{path}.__ptr_{uuid.uuid4().hex[:8]}"
-    os.symlink(os.path.abspath(version), tmp)
+    tmp = os.path.join(parent, f".{base}.__ptr_{uuid.uuid4().hex[:8]}")
+    os.symlink(version, tmp)
     os.rename(tmp, path)  # atomic pointer flip
     if old_target and not keep_old:
         shutil.rmtree(old_target, ignore_errors=True)

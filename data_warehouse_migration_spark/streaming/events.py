@@ -259,6 +259,7 @@ def streaming_user_ewma(
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Stateful streaming EWMA — the incremental twin of
     ``operators/recurrence.segmented_ewma`` (same recurrence:
@@ -267,10 +268,12 @@ def streaming_user_ewma(
     State per user is ONE (n, ewma) pair — constant bytes, the
     streaming answer to the unbounded-history problem the batch
     operator solves with segment-fold-stitch. Rows are event-time
-    sorted within each micro-batch; cross-batch correctness assumes
-    per-key event-time-ordered arrival between batches (true for
-    ordered sources like time-partitioned file drops — for disordered
-    producers, front with a watermark-delayed foreachBatch sorter).
+    sorted within each micro-batch (``ts_col`` then ``tiebreak_col``,
+    matching the batch twin's ordering); cross-batch correctness
+    assumes per-key event-time-ordered arrival between batches (true
+    for ordered sources like time-partitioned file drops — for
+    disordered producers, front with a watermark-delayed foreachBatch
+    sorter). The output key column is named after ``user_col``.
     """
     import pandas as pd  # local import: only the stateful path needs it
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -282,13 +285,13 @@ def streaming_user_ewma(
         chunks = [pdf for pdf in pdfs]
         rows = pd.concat(chunks) if chunks else pd.DataFrame()
         if len(rows):
-            rows = rows.sort_values([ts_col, "event_id"])
+            rows = rows.sort_values([ts_col, tiebreak_col])
             for v in rows[value_col].astype(float):
                 ewma = v if n == 0 else a * v + (1.0 - a) * ewma
                 n += 1
         state.update((n, float(ewma)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "ewma_value": [float(ewma)]}
+            {user_col: [key[0]], "n_events": [n], "ewma_value": [float(ewma)]}
         )
 
     return (
@@ -296,7 +299,7 @@ def streaming_user_ewma(
         .groupBy(user_col)
         .applyInPandasWithState(
             update,
-            outputStructType="user_id bigint, n_events bigint, ewma_value double",
+            outputStructType=f"{user_col} bigint, n_events bigint, ewma_value double",
             stateStructType="n bigint, ewma double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

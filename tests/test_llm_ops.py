@@ -212,6 +212,26 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_refuses_unconverged_labels(spark):
+    """With max_iter below the chain diameter the labels would come
+    back split — the operator must raise rather than return silently
+    wrong groups (ADVICE r2), and only warn when asked to."""
+    import pytest
+
+    from data_warehouse_migration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    with pytest.warns(UserWarning, match="did not converge"):
+        labels = connected_components(edges, max_iter=1, require_convergence=False)
+    assert labels.count() == 5  # best-effort labels still come back
+
+
 def test_pq_encode_and_adc_retrieval_on_clustered_fixture(spark):
     """PQ on a corpus with 3 tight, well-separated clusters: duplicate
     vectors share codes; ADC retrieval returns same-cluster neighbors

@@ -30,6 +30,26 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     assert os.path.islink(path)  # swap went through the atomic pointer
 
 
+def test_compact_parquet_refuses_partitioned_root(spark, tmp_path):
+    """Compacting a Hive-partitioned root would flatten col=value dirs
+    and lose pruning — it must refuse (ADVICE r2); per-partition
+    compaction still works."""
+    import pytest
+
+    path = str(tmp_path / "by_day")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2) for i in range(50)],
+        "v int, day string",
+    )
+    write_parquet(df, path, partition_by=["day"])
+    with pytest.raises(ValueError, match="partition"):
+        compact_parquet(spark, path)
+    # the sanctioned shape: compact one partition directory
+    n = compact_parquet(spark, f"{path}/day=2024-01-01", target_file_mb=256)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 100
+
+
 def test_drop_partitions_older_than_is_metadata_only(spark, tmp_path):
     path = str(tmp_path / "events_by_day")
     df = spark.createDataFrame(

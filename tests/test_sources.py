@@ -60,12 +60,19 @@ def test_atomic_overwrite_swaps_and_cleans(spark, tmp_path):
     df = spark.read.parquet(path)
     assert df.count() == 5 and "x" in df.columns
     # path is a pointer (symlink) whose flip is one atomic rename; the
-    # only surviving versioned dir is the one it points to — the
-    # superseded version and the tmp pointer are gone
+    # default keeps the superseded version on disk (in-flight scans
+    # that resolved the old target keep their files) — GC is
+    # vacuum_versions' job, on the operator's schedule
     assert os.path.islink(path)
     live = os.path.basename(os.path.realpath(path))
-    leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
-    assert leftovers == [live]
+    versions = sorted(d for d in os.listdir(tmp_path) if ".__v_" in d)
+    assert len(versions) == 2 and live in versions
+    # keep_old=False is the no-concurrent-readers fast path: the
+    # superseded version (and the kept one from before) minus live
+    atomic_overwrite_parquet(df.withColumn("y", F.lit(2)), path, keep_old=False)
+    live2 = os.path.basename(os.path.realpath(path))
+    versions2 = sorted(d for d in os.listdir(tmp_path) if ".__v_" in d)
+    assert live2 in versions2 and live not in versions2
 
 
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path, sf_dir):

@@ -1,8 +1,16 @@
 """Plan audit: dump the physical-plan evidence (pushed filters, pruned
-schemas, join strategies, exchange count) for every headline catalog
-query into PLANS.md — the artifact backing SCALE.md's claims.
+schemas, join strategies, exchange count) for the driver's full
+attestation window into PLANS.md — the artifact backing SCALE.md's
+claims — and FAIL (exit 1) on scale-killers:
 
-Usage: python tools/plan_audit.py [sf_dir] [out_md]
+- ``CartesianProduct`` anywhere;
+- ``BroadcastNestedLoopJoin`` outside the whitelisted exact twins
+  (brute-force verification baselines and 1-row broadcast totals,
+  where a nested loop is the point or is O(n)·1);
+- an UNPARTITIONED ``Window`` (every row through one task) outside the
+  whitelisted driver-sized tails.
+
+Usage: python tools/plan_audit.py [sf_dir] [out_md] [--window N]
 """
 
 from __future__ import annotations
@@ -17,26 +25,100 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KEEP = ("PushedFilters", "PartitionFilters", "ReadSchema")
 
-# Non-headline queries whose plans carry scale claims (SCALE.md) — the
-# round-2 reworks: bucketed LSH near-dup, per-stream packing, segmented
-# EWMA, the decorrelated TPC-H additions.
-EXTRA = (
-    "dedup_embedding_cosine",
-    "pack_documents_into_chunks",
-    "user_value_ewma",
-    "doc_perplexity_filter",
-    "q2_min_cost_supplier",
-    "q21_waiting_suppliers",
-    "training_data_pipeline",
-    "continuous_aggregate_rollup",
-)
+# How many leading registry entries the driver attests (its t2 gate).
+DRIVER_WINDOW = 50
+
+# Queries where BroadcastNestedLoopJoin is sanctioned. Each is either an
+# EXACT baseline whose all-pairs semantics require it (the approximate
+# scale path is a separate query), or joins a broadcast 1-ROW aggregate
+# (O(n·1), not O(n²)).
+BNLJ_WHITELIST = {
+    "similarity_topk",        # exact brute-force top-k: all query×corpus pairs
+    "dedup_embedding_cosine_exact",  # exact all-pairs verification twin
+    "training_data_pipeline", # 1-row corpus token total broadcast to the split
+    "token_budget_sample_per_lang",  # 1-row budget scalar broadcast
+    "funnel_click_to_purchase",      # k 1-row stage counts cross-joined
+    "data_quality_checks",    # 1-row rule aggregates combined
+    "table_profile_orders",   # 1-row per-column profiles combined
+    "doc_perplexity_filter",  # 1-row corpus log-prob total broadcast
+    "similarity_ivf_topk",    # N×C centroid assignment, C = driver-sized codebook
+    "similarity_ivf_pq_topk", # same coarse-assignment shape over residuals
+}
+
+# Queries allowed an unpartitioned Window: driver-sized inputs by
+# construction (≤ thousands of rows after aggregation) where a global
+# ordering is the semantics being computed.
+GLOBAL_WINDOW_WHITELIST = {
+    "dim_date",               # 7,671-row calendar: global day sequence
+    "word_frequency_topk",    # top-k over an aggregated vocabulary
+    "tfidf_top_terms",        # rank within doc over aggregated terms
+    "dataset_mix_by_lang",    # 5-row per-language shares
+}
+
+
+def _count_global_windowspecs(plan: str) -> int:
+    """Count window functions evaluated WITHOUT a partition spec.
+
+    ``windowspecdefinition(args...)`` lists partition columns first,
+    then order expressions (tagged ``ASC``/``DESC``), then the frame.
+    So the FIRST argument tells the story: a bare column → partitioned;
+    an ordering expression or the frame spec itself → every row flows
+    through one task. (Bracket-group counting on the Arguments line is
+    unreliable: partitionBy-without-orderBy also prints two groups.)
+    """
+    n_global = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        start = m.end()
+        depth = 1
+        i = start
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            elif plan[i] == "," and depth == 1:
+                break
+            i += 1
+        first_arg = plan[start:i].strip()
+        if first_arg.startswith("specifiedwindowframe") or re.search(
+            r"\b(ASC|DESC)\b", first_arg
+        ):
+            n_global += 1
+    return n_global
+
+
+def audit_plan(plan: str) -> dict:
+    """Extract the audit facts from one formatted physical plan."""
+    joins = sorted(
+        {m for m in re.findall(r"\b(\w*HashJoin|\w*MergeJoin|\w*NestedLoopJoin)\b", plan)}
+    )
+    lines = plan.splitlines()
+    global_windows = _count_global_windowspecs(plan)
+    return {
+        "joins": joins,
+        "n_exchange": len(re.findall(r"^\s*\(\d+\) Exchange\b", plan, re.M)),
+        "n_bcast": len(re.findall(r"^\s*\(\d+\) BroadcastExchange\b", plan, re.M)),
+        "cartesian": "CartesianProduct" in plan,
+        "bnlj": "BroadcastNestedLoopJoin" in plan,
+        "global_windows": global_windows,
+        "scans": [
+            re.sub(r"#\d+L?", "", s.strip())
+            for s in lines
+            if s.strip().startswith(KEEP)
+        ],
+    }
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    out_md = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
     )
+    window = DRIVER_WINDOW
+    for a in sys.argv[1:]:
+        if a.startswith("--window"):
+            window = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
 
     from data_warehouse_migration_spark.catalog import REGISTRY
     from data_warehouse_migration_spark.session import get_spark
@@ -44,40 +126,71 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
+    names = list(REGISTRY)
+    audited = [
+        n for i, n in enumerate(names)
+        if i < window or REGISTRY[n].headline
+    ]
+
     lines = [
-        "# PLANS — physical-plan evidence for the headline queries",
+        "# PLANS — physical-plan audit of the driver attestation window",
         "",
-        f"Generated by `python tools/plan_audit.py {sf_dir}`. Shows, per",
-        "headline query: scan-level pushdown/pruning and the join/exchange",
-        "skeleton Catalyst chose (AQE may still re-plan at runtime).",
+        f"Generated by `python tools/plan_audit.py {sf_dir}` over the first",
+        f"{window} registry entries (the driver's correctness window) plus",
+        "all bench headliners. Shows, per query: scan-level pushdown/pruning",
+        "and the join/exchange skeleton Catalyst chose (AQE may re-plan at",
+        "runtime). The audit FAILS on CartesianProduct, non-whitelisted",
+        "BroadcastNestedLoopJoin, and non-whitelisted unpartitioned Window.",
         "",
     ]
-    for name, q in REGISTRY.items():
-        if not q.headline and name not in EXTRA:
-            continue
+    violations: list[str] = []
+    for name in audited:
+        q = REGISTRY[name]
         df = q.spark_fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        plan = buf.getvalue()
-        joins = sorted(
-            {m for m in re.findall(r"\b(\w*HashJoin|\w*MergeJoin|\w*NestedLoopJoin)\b", plan)}
-        )
-        n_exchange = len(re.findall(r"^\s*\(\d+\) Exchange\b", plan, re.M))
-        n_bcast = len(re.findall(r"^\s*\(\d+\) BroadcastExchange\b", plan, re.M))
+        facts = audit_plan(buf.getvalue())
+
+        if facts["cartesian"]:
+            violations.append(f"{name}: CartesianProduct")
+        if facts["bnlj"] and name not in BNLJ_WHITELIST:
+            violations.append(f"{name}: BroadcastNestedLoopJoin (not whitelisted)")
+        if facts["global_windows"] and name not in GLOBAL_WINDOW_WHITELIST:
+            violations.append(
+                f"{name}: {facts['global_windows']} unpartitioned Window(s)"
+            )
+
+        flags = []
+        if facts["bnlj"]:
+            flags.append("BNLJ(whitelisted)" if name in BNLJ_WHITELIST else "BNLJ(VIOLATION)")
+        if facts["global_windows"]:
+            flags.append(
+                "global-window(whitelisted)"
+                if name in GLOBAL_WINDOW_WHITELIST
+                else "global-window(VIOLATION)"
+            )
         lines += [f"## {name}", "",
-                  f"- joins: {', '.join(joins) if joins else 'none'}",
-                  f"- shuffle exchanges: {n_exchange}; broadcast exchanges: {n_bcast}",
+                  f"- joins: {', '.join(facts['joins']) if facts['joins'] else 'none'}",
+                  f"- shuffle exchanges: {facts['n_exchange']}; broadcast exchanges: {facts['n_bcast']}"
+                  + (f"; flags: {', '.join(flags)}" if flags else ""),
                   "- scans:"]
-        for ln in plan.splitlines():
-            s = ln.strip()
-            if s.startswith(KEEP):
-                s = re.sub(r"#\d+L?", "", s)
-                lines.append(f"  - `{s[:180]}`")
+        lines += [f"  - `{s[:180]}`" for s in facts["scans"]]
+        lines.append("")
+
+    if violations:
+        lines += ["## VIOLATIONS", ""]
+        lines += [f"- {v}" for v in violations]
         lines.append("")
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {out_md}")
+    print(f"wrote {out_md} ({len(audited)} queries)")
+    if violations:
+        print("PLAN AUDIT FAILED:")
+        for v in violations:
+            print(f"  ✗ {v}")
+        sys.exit(1)
+    print(f"plan audit clean: 0 violations in {len(audited)} plans")
 
 
 if __name__ == "__main__":
