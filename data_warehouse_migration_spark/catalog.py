@@ -55,24 +55,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Parquet → column pruning + predicate
     pushdown happen at the scan via Catalyst once the query narrows it.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); Spark reads it as raw
-    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we convert to a
-    microsecond timestamp here — the same truncation DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` performs, so oracles align.
+    ``events.ts`` is parquet ``timestamp[us]`` with no zone — Spark
+    reads it as TIMESTAMP_NTZ, which matches DuckDB's naive TIMESTAMP
+    exactly, so batch oracles align with no conversion. One defensive
+    branch remains for the older testdata shape (TIMESTAMP(NANOS) read
+    as raw-nanos bigint via ``nanosAsLong``): integer-divide to µs —
+    ns epochs (~1.7e18) exceed double mantissa precision, and DuckDB's
+    CAST truncates rather than rounds.
     """
     if name == "events":
-        # Defensive: the driver's session may not carry our factory
-        # configs; this SQL conf is honored at read time.
+        # Harmless for timestamp[us] data; makes the bigint branch
+        # reachable if nanos-shaped testdata ever returns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: ns epochs (~1.7e18) exceed double mantissa
-        # precision, and DuckDB's CAST truncates rather than rounds.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast(
-                "timestamp_ntz"  # session tz is UTC → lossless; matches DuckDB's naive TIMESTAMP
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

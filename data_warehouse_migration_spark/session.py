@@ -53,9 +53,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark
-        # has no native type for; read as raw nanos (bigint) and convert
-        # at the loader (catalog.t) via timestamp_micros(ns div 1000).
+        # Defensive only: current events.parquet is timestamp[us] (read
+        # natively as TIMESTAMP_NTZ); this conf keeps the loader's bigint
+        # fallback reachable if TIMESTAMP(NANOS) testdata ever returns.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")

@@ -24,8 +24,13 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """``readStream`` over an events parquet directory.
 
     Schema is pinned from a batch peek (streaming sources require a
-    schema); the ns-epoch ``ts`` arrives as bigint (nanosAsLong) and is
-    converted exactly as the batch loader does.
+    schema). The driver's ``events.ts`` is parquet ``timestamp[us]``
+    (no zone), which Spark reads as TIMESTAMP_NTZ — but ``withWatermark``
+    requires TIMESTAMP, so the event time is normalized here. The
+    session timezone is pinned to UTC (session.py), so the NTZ→TIMESTAMP
+    cast is lossless. Two defensive branches cover other arrivals:
+    bigint ns-epochs (older testdata stored TIMESTAMP(NANOS), readable
+    via ``nanosAsLong``) and already-TIMESTAMP columns (no-op).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -36,10 +41,13 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     stream = reader.parquet(path)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":  # defensive: ns-epoch testdata shape
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":  # primary: timestamp[us] parquet
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

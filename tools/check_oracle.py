@@ -99,9 +99,10 @@ def main() -> int:
             print(f"○ {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(q.oracle)
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            rel = con.sql(q.oracle)
+            o_cols = list(rel.columns)
+            o_types = [str(t).upper() for t in rel.types]
+            o_rows = rel.fetchall()
         except Exception:
             print(f"✗ {name}: ORACLE ERROR\n{traceback.format_exc()}")
             failures.append(name)
@@ -110,6 +111,18 @@ def main() -> int:
         problems = []
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        # Driver-parity dtype check: the driver compares via pandas, where
+        # DuckDB HUGEINT (e.g. a bare sum(int) output column) lands as
+        # float64 and hash-diverges from a Spark bigint even when every
+        # value is identical (the r3 q12 failure). fetchall() returns
+        # Python ints for HUGEINT, so canon_cell masks it — catch it at
+        # the type level instead: any oracle column typed HUGEINT in an
+        # otherwise integer position must be CAST to BIGINT in the SQL.
+        hugeints = [c for c, ty in zip(o_cols, o_types) if ty == "HUGEINT"]
+        if hugeints:
+            problems.append(
+                f"oracle HUGEINT vs spark int on {hugeints} — CAST(... AS BIGINT) in the oracle SQL"
+            )
         if len(s_rows) != len(o_rows):
             problems.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
         if not problems:
