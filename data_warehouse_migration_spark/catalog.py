@@ -111,18 +111,41 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 3: the six TPC-H shapes added late in round 2 plus the two PQ gates
-# had only judge-run attestations; rotate them in for a driver-fresh row.
-_ROTATED_IN_R3 = (
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q12_late_line_priorities",
-    "q16_supplier_part_counts",
-    "q20_concentrated_shippers",
-    "q21_waiting_suppliers",
+# Round 4 window:
+# (a) q12_late_line_priorities stays pinned — its r3 hash-fail was the
+#     DuckDB-HUGEINT float64 rendering of a bare sum(CASE) output column;
+#     the oracle now casts to BIGINT and needs a fresh driver row.
+# (b) the six formerly rows-only gates (approx_distinct_users, the four
+#     approximate-ANN top-k's, embedding_kmeans) gained real value oracles
+#     this round — their query code changed, so prior rows are void and
+#     they stay in-window for first-time hash attestation.
+# (c) the scalar-function surface + window_analytics_suite (judge-green
+#     every round, but last DRIVER-attested in r1) rotate in.
+_ROTATED_IN_R4 = (
+    "string_functions",
+    "date_functions",
+    "json_extract_events",
+    "math_functions",
+    "map_functions_surface",
+    "unpivot_order_measures",
+    "histogram_order_values",
+    "window_analytics_suite",
 )
-# Displaced to make room (all hash-green in CORRECTNESS_r02.json, code
+# Displaced to make room (all hash-green in CORRECTNESS_r03.json, code
 # unchanged since; still gated every round by tools/check_oracle.py + pytest).
+_ROTATED_OUT_R4 = frozenset(
+    {
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q16_supplier_part_counts",
+        "q20_concentrated_shippers",
+        "q21_waiting_suppliers",
+        "lang_id",
+        "tfidf_top_terms",
+        "user_value_ewma",
+    }
+)
+# Still out from the r3 rotation (hash-green in r2, code unchanged).
 _ROTATED_OUT_R3 = frozenset(
     {
         "simhash_fingerprints",
@@ -145,23 +168,17 @@ _FIRST = (
     "q1_pricing_summary",
     "star_revenue_by_nation",
     "q3_shipping_priority",
-    *_ROTATED_IN_R3,
-    # LLM-data-pipeline suite (dedup, similarity, text, multimodal, …).
-    # Oracle-backed entries first: a hash-matched row attests strictly more
-    # than a rows-only row, so when the suite outgrows the window it is the
-    # rows-only gates (approx/iterative ops, fixture-pinned in tests) that
-    # spill out — minus this round's rotation displacements.
+    "q12_late_line_priorities",
+    *_ROTATED_IN_R4,
+    # LLM-data-pipeline suite (dedup, similarity, text, multimodal, …) —
+    # every entry now carries a value oracle (round 4 closed the last six)
+    # — minus the rotation displacements parked outside the window.
     *(
         n
         for n, q in REGISTRY.items()
         if q.spark_fn.__module__.endswith(".llm_ops")
-        and q.oracle is not None
         and n not in _ROTATED_OUT_R3
-    ),
-    *(
-        n
-        for n, q in REGISTRY.items()
-        if q.spark_fn.__module__.endswith(".llm_ops") and q.oracle is None
+        and n not in _ROTATED_OUT_R4
     ),
 )
 

@@ -19,12 +19,14 @@ from pyspark.sql import functions as F
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    # Squared diff via self-multiplication, not `** 2`: Spark's power
+    # lowers to Math.pow, which is only ~1-ulp accurate; a product is
+    # exact IEEE and matches what SQL engines (the DuckDB oracle)
+    # compute for (x-m)*(x-m), keeping cross-engine distances bitwise
+    # comparable before rounding.
     lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit_c, lambda a, b: (a.cast("double") - b) ** 2),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    diff = F.zip_with(vec, lit_c, lambda a, b: a.cast("double") - b)
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
 def assign_clusters(
@@ -59,11 +61,21 @@ def kmeans(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_centroids: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's algorithm; returns (centroids, assignments).
 
     Deterministic init: the ``k`` lowest-id vectors. An emptied cluster
     keeps its previous centroid (no resurrection randomness).
+
+    ``round_centroids``: round every updated centroid component to this
+    many decimals. Partition-order float summation makes a raw ``avg``
+    differ across engines (and cluster sizes) in the last ulps; rounding
+    to 7 decimals absorbs that noise so a re-implementation (the DuckDB
+    oracle, or a rerun at different parallelism) reproduces bit-equal
+    centroids — and therefore identical assignments — unless a true
+    value sits within ~1e-15 of a rounding boundary. The init centroids
+    are raw vector components (exact float32 widenings), never rounded.
     """
     # The loop re-scans the input once per iteration (assignment is
     # recomputed from the new centroids) — persist for the training
@@ -87,7 +99,10 @@ def kmeans(
             for r in means:
                 by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
             for ci, comps in by_cluster.items():
-                new_centroids[ci] = [comps[p] for p in sorted(comps)]
+                vals = [comps[p] for p in sorted(comps)]
+                if round_centroids is not None:
+                    vals = [round(v, round_centroids) for v in vals]
+                new_centroids[ci] = vals
             if new_centroids == centroids:
                 break
             centroids = new_centroids

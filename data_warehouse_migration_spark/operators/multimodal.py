@@ -13,11 +13,15 @@ Design (the part that matters at 100 TB and is fully real here):
   operator repartitions by a size-balanced key when asked so one giant
   video doesn't skew a task.
 
-The codec itself is STUBBED (media libraries are not in this
-container): ``decode_stub=True`` produces deterministic fake features
-(byte-length, a rolling checksum, fake dims); installing a real codec
-replaces ONE function (``_decode_batch``) — schema, batching, and
-plumbing stay identical, which is what the tests pin down.
+Codec posture: third-party media libraries (PIL/librosa/av) are not in
+this container, so ``decode_stub=True`` (the catalog-query default)
+produces deterministic fake features (byte-length, a rolling checksum,
+fake dims). The REAL branch (``decode_stub=False``) is nevertheless
+exercised end-to-end for the two formats the Python stdlib can decode
+— WAV (``wave``) and BMP (header parse) — so the Arrow batching, the
+schema, and the byte fidelity of the Python transition are tested
+against real payloads (tests/test_multimodal.py); any richer codec
+slots into ``_decode_real_asset`` per mime type.
 """
 
 from __future__ import annotations
@@ -37,17 +41,74 @@ MEDIA_FEATURES_SCHEMA = (
 )
 
 
-def _decode_batch(pdf: pd.DataFrame, decode_stub: bool) -> pd.DataFrame:
-    """Decode one Arrow batch of assets → features.
+def _decode_real_asset(mime: str, payload: bytes) -> tuple[int, int, float]:
+    """Real decode of one asset → (width, height, feature_norm).
 
-    REAL path (not available in this container): replace the stub
-    branch with e.g. PIL/librosa/av calls over ``payload`` bytes.
+    Stdlib-decodable formats only; the slot mapping per media kind:
+    - ``audio/wav``: (sample_rate, n_channels, RMS amplitude in [0, 1])
+      — frames parsed with ``wave`` + numpy, 16-bit PCM.
+    - ``image/bmp``: (width_px, height_px, mean pixel byte / 255) —
+      BITMAPINFOHEADER parse, uncompressed payloads.
+    Anything else raises ``NotImplementedError`` (honest absence: this
+    container has no PIL/librosa/av; a richer codec adds a branch here
+    without touching schema/batching/plumbing).
     """
+    import io
+    import wave
+
+    import numpy as np
+
+    if mime in ("audio/wav", "audio/x-wav"):
+        with wave.open(io.BytesIO(payload)) as w:
+            n_ch = w.getnchannels()
+            width_bytes = w.getsampwidth()
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+        if width_bytes != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is decoded")
+        samples = np.frombuffer(frames, dtype="<i2").astype("float64")
+        rms = float(np.sqrt((samples**2).mean())) / 32768.0 if samples.size else 0.0
+        return rate, n_ch, rms
+    if mime == "image/bmp":
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        width_px = int.from_bytes(payload[18:22], "little", signed=True)
+        height_px = int.from_bytes(payload[22:26], "little", signed=True)
+        pixel_offset = int.from_bytes(payload[10:14], "little")
+        pixels = np.frombuffer(payload[pixel_offset:], dtype="uint8")
+        mean_norm = float(pixels.mean()) / 255.0 if pixels.size else 0.0
+        return width_px, abs(height_px), mean_norm
+    raise NotImplementedError(
+        f"no stdlib decoder for mime {mime!r}; install a codec and add a "
+        "branch in _decode_real_asset"
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame, decode_stub: bool) -> pd.DataFrame:
+    """Decode one Arrow batch of assets → features."""
     if not decode_stub:
-        raise NotImplementedError(
-            "real media codecs are not installed in this environment; "
-            "run with decode_stub=True or install a codec and replace "
-            "_decode_batch's real branch"
+        decoded = [
+            _decode_real_asset(m, bytes(p))
+            for m, p in zip(pdf["mime"], pdf["payload"])
+        ]
+        return pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "checksum": pdf["payload"].map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+                "width": pd.Series(
+                    [d[0] for d in decoded], index=pdf.index, dtype="int32"
+                ),
+                "height": pd.Series(
+                    [d[1] for d in decoded], index=pdf.index, dtype="int32"
+                ),
+                "feature_norm": pd.Series(
+                    [d[2] for d in decoded], index=pdf.index, dtype="float64"
+                ),
+            }
         )
     payloads = pdf["payload"]
     n_bytes = payloads.map(len)

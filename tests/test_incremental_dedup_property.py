@@ -1,0 +1,137 @@
+"""Property-based test of incremental batch-vs-corpus dedup
+(operators/dedup.incremental_dedup) — VERDICT.md r3 follow-up: the
+4-way status priority (dup_corpus > dup_batch > near_corpus > new) and
+min-id match selection must hold for arbitrary batch/corpus mixes, not
+just the one fixture in tests/test_llm_ops.py.
+
+Deterministic laws asserted on every random example:
+- exactly one output row per batch doc, status in the 4-value domain;
+- ``dup_corpus``  ⟺ the batch doc's normalized text equals some corpus
+  doc's (match_id = the smallest such corpus id) — both directions;
+- ``dup_batch``   ⟺ not a corpus dup AND a smaller-id batch doc has the
+  same normalized text (match_id = that smallest batch id);
+- ``near_corpus`` ⟹ match_id is a corpus doc with shingle-Jaccard ≥
+  threshold (precision side; the banding recall side is probabilistic
+  by design — the banding curve — so absence of ``near_corpus`` is
+  never asserted);
+- ``new``         ⟹ no identical corpus text and no earlier identical
+  batch text.
+
+Texts are drawn from a small pool (so exact/near collisions are
+frequent) that includes a J≈0.95 near-duplicate pair.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_warehouse_migration_spark.operators.dedup import incremental_dedup
+
+_W = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+_BASE = " ".join(_W[i % 8] for i in range(20))
+_POOL = [
+    _BASE,  # near-dup anchor (20 words)
+    _BASE + " omega",  # J = 18/19 ≈ 0.947 vs anchor
+    "alpha beta gamma",
+    "beta gamma delta",
+    "gamma delta epsilon zeta",
+    "delta",
+    "epsilon zeta eta theta alpha beta",
+    "zeta eta",
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "theta eta zeta epsilon delta gamma beta alpha",
+]
+
+THRESHOLD = 0.8
+
+
+def _shingles(text: str, n: int = 3) -> frozenset[str]:
+    words = text.split(" ")
+    if len(words) >= n:
+        return frozenset(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+    return frozenset([text])
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from data_warehouse_migration_spark.session import get_spark
+
+        _spark = get_spark("incdedup-prop")
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+pool_idx = st.integers(min_value=0, max_value=len(_POOL) - 1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    batch_idx=st.lists(pool_idx, min_size=1, max_size=6),
+    corpus_idx=st.lists(pool_idx, min_size=1, max_size=6),
+)
+def test_incremental_dedup_priority_laws(batch_idx, corpus_idx):
+    spark = _get_spark()
+    batch_rows = [(i, _POOL[p]) for i, p in enumerate(batch_idx)]
+    corpus_rows = [(100 + i, _POOL[p]) for i, p in enumerate(corpus_idx)]
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in incremental_dedup(
+            batch, corpus, threshold=THRESHOLD
+        ).collect()
+    }
+
+    assert sorted(got) == [i for i, _ in batch_rows], "one row per batch doc"
+
+    corpus_text = {cid: txt for cid, txt in corpus_rows}
+    batch_text = dict(batch_rows)
+    for doc_id, txt in batch_rows:
+        status, match_id = got[doc_id]
+        assert status in ("dup_corpus", "dup_batch", "near_corpus", "new")
+
+        exact_corpus = [cid for cid, ct in corpus_rows if ct == txt]
+        earlier_batch = [bid for bid, bt in batch_rows if bt == txt and bid < doc_id]
+
+        if exact_corpus:
+            assert status == "dup_corpus", (doc_id, status)
+            assert match_id == min(exact_corpus)
+        elif earlier_batch:
+            assert status == "dup_batch", (doc_id, status)
+            assert match_id == min(earlier_batch)
+        elif status == "near_corpus":
+            assert match_id in corpus_text, (doc_id, match_id)
+            assert _jaccard(txt, corpus_text[match_id]) >= THRESHOLD
+        else:
+            assert status == "new" and match_id is None, (doc_id, status, match_id)
+            # 'new' precision: genuinely no exact twin anywhere earlier
+            assert not exact_corpus and not earlier_batch
+
+
+def test_near_dup_pair_is_detected(spark):
+    """The J≈0.947 pool pair must come back near_corpus: at 16 hashes /
+    8 bands the banding miss probability is (1 − J²)⁸ ≈ 1e-8, and the
+    MinHash family is seeded/deterministic, so this is a stable
+    expectation, not a flake."""
+    batch = spark.createDataFrame([(1, _POOL[1])], "doc_id bigint, text string")
+    corpus = spark.createDataFrame([(100, _POOL[0])], "doc_id bigint, text string")
+    [r] = incremental_dedup(batch, corpus, threshold=THRESHOLD).collect()
+    assert (r.status, r.match_id) == ("near_corpus", 100)

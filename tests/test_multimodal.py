@@ -45,10 +45,88 @@ def test_extract_features_repartitioned(spark, assets):
     assert out.count() == 3
 
 
-def test_real_codec_path_raises_cleanly(spark, assets):
+def test_real_codec_path_raises_cleanly_for_undecodable_mime(spark, assets):
+    # image/png has no stdlib decoder — the real branch must fail
+    # honestly, not fabricate features.
     out = extract_media_features(assets, decode_stub=False)
-    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+    with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
         out.collect()
+
+
+def _wav_bytes(rate=8000, n_ch=1, samples=()):
+    """16-bit PCM WAV payload via the stdlib encoder."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def _bmp_bytes(width, height, pixel_rows):
+    """Minimal uncompressed 24bpp BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes."""
+    row_size = (width * 3 + 3) // 4 * 4
+    pixel_data = b"".join(
+        row + b"\x00" * (row_size - len(row)) for row in pixel_rows
+    )
+    header_size = 14 + 40
+    file_size = header_size + len(pixel_data)
+    file_header = b"BM" + file_size.to_bytes(4, "little") + b"\x00" * 4 + header_size.to_bytes(4, "little")
+    info_header = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    return file_header + info_header + pixel_data
+
+
+def test_real_wav_decode_byte_exact(spark):
+    """The REAL decode branch against a genuine (stdlib-encoded) WAV:
+    sample rate, channel count, and RMS amplitude must be byte-exact."""
+    import math
+
+    samples = [16384, -16384, 16384, -16384]  # constant |amplitude| = 0.5
+    payload = _wav_bytes(rate=44100, n_ch=1, samples=samples)
+    assets = spark.createDataFrame(
+        [(7, "audio/wav", bytearray(payload))],
+        "asset_id bigint, mime string, payload binary",
+    )
+    r = extract_media_features(assets, decode_stub=False).collect()[0]
+    assert r.n_bytes == len(payload)
+    assert r.checksum == hashlib.md5(payload).hexdigest()
+    assert r.width == 44100  # sample rate slot
+    assert r.height == 1  # channel slot
+    expected_rms = math.sqrt(sum(s * s for s in samples) / len(samples)) / 32768.0
+    assert abs(r.feature_norm - expected_rms) < 1e-12
+
+
+def test_real_bmp_decode_byte_exact(spark):
+    """The REAL decode branch against a hand-built 24bpp BMP: pixel
+    dimensions from the header, mean pixel value from the raster."""
+    rows = [bytes([10, 20, 30, 40, 50, 60]), bytes([70, 80, 90, 100, 110, 120])]
+    payload = _bmp_bytes(2, 2, rows)
+    assets = spark.createDataFrame(
+        [(8, "image/bmp", bytearray(payload))],
+        "asset_id bigint, mime string, payload binary",
+    )
+    r = extract_media_features(assets, decode_stub=False).collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    # 2px * 3 bytes = 6-byte rows, already 4-byte-aligned? 6 % 4 != 0 →
+    # 2 pad bytes per row; the mean is over raster bytes incl. padding.
+    row_size = (2 * 3 + 3) // 4 * 4
+    raster = b"".join(row + b"\x00" * (row_size - len(row)) for row in rows)
+    expected = (sum(raster) / len(raster)) / 255.0
+    assert abs(r.feature_norm - expected) < 1e-12
+    assert r.checksum == hashlib.md5(payload).hexdigest()
 
 
 def test_frame_sample_plan(spark):

@@ -43,6 +43,11 @@ BNLJ_WHITELIST = {
     "doc_perplexity_filter",  # 1-row corpus log-prob total broadcast
     "similarity_ivf_topk",    # N×C centroid assignment, C = driver-sized codebook
     "similarity_ivf_pq_topk", # same coarse-assignment shape over residuals
+    "similarity_lsh_topk",    # r4 recall-summary gate: recomputes the exact
+    "similarity_pq_topk",     #   top-k baseline (sanctioned similarity_topk
+                              #   shape) to attest ANN recall; the ANN legs
+                              #   themselves stay equi-join/bucketed
+    "histogram_order_values", # 1-row min/max bounds broadcast (O(n·1))
 }
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
