@@ -143,6 +143,10 @@ _ROTATED_OUT_R4 = frozenset(
         "lang_id",
         "tfidf_top_terms",
         "user_value_ewma",
+        # displaced by streaming_tumbling_hourly — the new §2.10
+        # attestation query (the real streaming engine run to completion
+        # and hash-checked) outranks re-attesting an unchanged r3-green.
+        "token_stats",
     }
 )
 # Still out from the r3 rotation (hash-green in r2, code unchanged).

@@ -358,6 +358,71 @@ def tumbling_event_windows(spark, sf_dir):
 
 
 @query(
+    "streaming_tumbling_hourly",
+    tags=("streaming", "watermark", "2.10"),
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_hourly(spark, sf_dir):
+    """SURVEY §2.10 attestation query: the REAL Structured-Streaming
+    engine — watermark, state store, micro-batch scheduler — driven to
+    completion with ``trigger(availableNow=True)`` over the events
+    parquet, then hash-compared against the DuckDB batch oracle. This
+    is the streaming twin of ``tumbling_event_windows``: same grouping
+    expression, same exact-cents arithmetic; the watermark adds late-
+    data cutoff + state eviction. A bounded run exercises the exact
+    plan an unbounded deployment executes (streaming/events.py), so the
+    attestation covers the production path, not a batch stand-in.
+
+    In-session re-runs stop the previous gate query and use a fresh
+    checkpoint; the memory sink is rebuilt per run (complete mode).
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.streaming.events import (
+        read_event_stream,
+        streaming_tumbling_agg,
+    )
+
+    name = "stream_tumbling_gate"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    stream = streaming_tumbling_agg(
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).select(
+        # Session tz is UTC → NTZ cast is lossless and matches DuckDB's
+        # naive date_trunc output.
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     headline=True,
     tags=("dedup", "similarity"),

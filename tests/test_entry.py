@@ -39,15 +39,25 @@ def test_attestation_window_membership():
         "q1_pricing_summary",
         "star_revenue_by_nation",
         "q3_shipping_priority",
-        # round-3 rotation targets (VERDICT r2 #1)
-        "q2_min_cost_supplier",
-        "q9_product_type_profit",
+        # round-4 rotation targets (ROTATION.md r4): the q12 re-attest,
+        # the six re-oracled gates, the rotated-in functions surface,
+        # and the new streaming attestation query.
         "q12_late_line_priorities",
-        "q16_supplier_part_counts",
-        "q20_concentrated_shippers",
-        "q21_waiting_suppliers",
+        "approx_distinct_users",
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
         "similarity_pq_topk",
         "similarity_ivf_pq_topk",
+        "embedding_kmeans",
+        "string_functions",
+        "date_functions",
+        "json_extract_events",
+        "math_functions",
+        "map_functions_surface",
+        "unpivot_order_measures",
+        "histogram_order_values",
+        "window_analytics_suite",
+        "streaming_tumbling_hourly",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
