@@ -384,35 +384,16 @@ def streaming_tumbling_hourly(spark, sf_dir):
     In-session re-runs stop the previous gate query and use a fresh
     checkpoint; the memory sink is rebuilt per run (complete mode).
     """
-    import shutil
-    import tempfile
-
     from data_warehouse_migration_spark.streaming.events import (
         read_event_stream,
+        run_stream_to_memory,
         streaming_tumbling_agg,
     )
 
-    name = "stream_tumbling_gate"
-    for active in spark.streams.active:
-        if active.name == name:
-            active.stop()
     stream = streaming_tumbling_agg(
         read_event_stream(spark, f"{sf_dir}/events.parquet")
     )
-    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name).select(
+    return run_stream_to_memory(spark, stream, "stream_tumbling_gate").select(
         # Session tz is UTC → NTZ cast is lossless and matches DuckDB's
         # naive date_trunc output.
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),

@@ -1,0 +1,104 @@
+"""Additional Structured-Streaming attestation queries (SURVEY §2.10).
+
+Each entry drives the REAL streaming engine to completion
+(``run_stream_to_memory``: availableNow micro-batches, watermarks,
+state store) and hash-compares the result against a DuckDB batch
+oracle — so the session-window state machine and the exactly-once
+dedup state store are value-attested, not just test-pinned to batch
+twins.
+
+These register OUTSIDE the driver's 50-entry attestation window on
+purpose (the window is budgeted in catalog.py; ROTATION.md): they are
+covered every round by ``tools/check_oracle.py`` and the judge's full
+sweep, and ``streaming_tumbling_hourly`` carries the in-window driver
+attestation for the streaming engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.catalog import query
+from data_warehouse_migration_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    streaming_dedup,
+    streaming_sessionize,
+)
+
+
+@query(
+    "streaming_session_windows",
+    tags=("streaming", "session_window", "2.10"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+), m AS (
+    SELECT *,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT *,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM s
+GROUP BY user_id, session_seq
+""",
+)
+def streaming_session_windows(spark, sf_dir):
+    """``session_window`` sessionization on the real streaming engine,
+    value-attested: Spark's native stateful session operator (merge
+    windows closer than the 30-minute gap, watermark-evicted state)
+    must reproduce the batch gap-and-island oracle exactly — including
+    the session_window convention that a session ends at last event +
+    gap (hence ``max(ts) + INTERVAL 30 MINUTE`` in the SQL). The
+    streaming id is the (start, end) interval rather than a per-user
+    sequence number, so the comparison keys on the boundaries
+    themselves."""
+    stream = streaming_sessionize(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"), gap="30 minutes"
+    )
+    return run_stream_to_memory(spark, stream, "stream_sessions_gate").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "streaming_dedup_counts",
+    tags=("streaming", "dedup", "2.10"),
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_dedup_counts(spark, sf_dir):
+    """Exactly-once streaming dedup, value-attested: the event stream
+    unioned with itself (every row duplicated) flows through
+    ``dropDuplicatesWithinWatermark`` on event_id; the surviving rows
+    must reproduce the original per-type counts exactly — one dropped
+    or double-kept row breaks the hash. State is watermark-bounded
+    (the duplicate pairs share an event time, so they always fall
+    inside the horizon); the per-type count is a batch aggregate over
+    the attested streaming output."""
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = streaming_dedup(stream.union(stream), keys=["event_id"])
+    out = run_stream_to_memory(
+        spark, deduped, "stream_dedup_gate", output_mode="append"
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))

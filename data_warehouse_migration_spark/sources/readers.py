@@ -91,3 +91,60 @@ def read_increment(
         df = df.filter(F.col(ts_col) > F.lit(high_watermark))
     new_mark = df.agg(F.max(ts_col).alias("m")).collect()[0].m
     return df, (new_mark if new_mark is not None else high_watermark)
+
+
+_EXT_MIME = {
+    "wav": "audio/wav",
+    "bmp": "image/bmp",
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "webm": "video/webm",
+    "bin": "application/octet-stream",
+}
+
+
+def read_binary_assets(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Multimodal ingestion source: Spark's ``binaryFile`` format over a
+    directory of media files → the asset schema the feature extractor
+    consumes (``operators/multimodal.extract_media_features``):
+
+    ``asset_id bigint`` (xxhash64 of the file path — stable across
+    runs and cluster sizes), ``mime string`` (from the extension, the
+    ingest-time heuristic; a real pipeline overrides from sidecar
+    metadata), ``payload binary``, plus passthrough ``source_uri``,
+    ``n_bytes``, ``modified_at``.
+
+    Scale posture: binaryFile is a standard FileFormat — files
+    partition across executors by size (``maxPartitionBytes``), the
+    scan carries ``pathGlobFilter`` pushdown, and column pruning means
+    a metadata-only query (count, size audit) never reads payload
+    bytes. One file = one row; giant assets are the skew case →
+    repartition by asset_id before decode (the extractor exposes
+    ``target_partitions``).
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MIME.items() for x in kv]
+    )
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("asset_id"),
+        F.coalesce(
+            mime_map[ext], F.lit("application/octet-stream")
+        ).alias("mime"),
+        F.col("content").alias("payload"),
+        F.col("path").alias("source_uri"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+    )

@@ -232,6 +232,47 @@ def split_event_stream(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return purchases, clicks
 
 
+def run_stream_to_memory(
+    spark: SparkSession,
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion
+    (``trigger(availableNow=True)``) into a memory-sink table and
+    return it as a batch DataFrame — the harness the oracle-gate
+    streaming queries use: a bounded run of the exact unbounded plan
+    (watermarks, state store, micro-batch scheduler), hash-comparable
+    against a batch SQL oracle afterward.
+
+    Re-entrant per session: a previous gate query with the same name is
+    stopped and its memory table replaced; each run gets a fresh
+    checkpoint (removed afterward — the run is complete, there is
+    nothing to resume).
+    """
+    import shutil
+    import tempfile
+
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def run_stream_to_parquet(
     stream: DataFrame,
     path: str,

@@ -45,11 +45,16 @@ def test_extract_features_repartitioned(spark, assets):
     assert out.count() == 3
 
 
-def test_real_codec_path_raises_cleanly_for_undecodable_mime(spark, assets):
-    # image/png has no stdlib decoder — the real branch must fail
-    # honestly, not fabricate features.
+def test_real_codec_path_raises_cleanly_for_undecodable_assets(spark, assets):
+    # The real branch must fail honestly, never fabricate features:
+    # image/png has no stdlib decoder (NotImplementedError) and the
+    # fixture's "audio/wav" payload is not actually RIFF (wave.Error).
+    # Either failure surfaces depending on task completion order.
     out = extract_media_features(assets, decode_stub=False)
-    with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
+    with pytest.raises(
+        Exception,
+        match="NotImplementedError|no stdlib decoder|RIFF|wave",
+    ):
         out.collect()
 
 
@@ -127,6 +132,40 @@ def test_real_bmp_decode_byte_exact(spark):
     expected = (sum(raster) / len(raster)) / 255.0
     assert abs(r.feature_norm - expected) < 1e-12
     assert r.checksum == hashlib.md5(payload).hexdigest()
+
+
+def test_binaryfile_ingest_to_real_decode_end_to_end(spark, tmp_path):
+    """Full multimodal path: media files on disk → binaryFile source
+    (sources/readers.read_binary_assets) → Arrow-batched REAL decode.
+    Ids are path-hash stable, mimes come from extensions, payloads
+    cross both boundaries (file scan, Python transition) byte-exact."""
+    from data_warehouse_migration_spark.sources.readers import read_binary_assets
+
+    wav = _wav_bytes(rate=16000, n_ch=2, samples=[1000, -1000, 2000, -2000])
+    bmp = _bmp_bytes(2, 1, [bytes([255, 0, 0, 0, 255, 0])])
+    (tmp_path / "a.wav").write_bytes(wav)
+    (tmp_path / "b.bmp").write_bytes(bmp)
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    assets = read_binary_assets(spark, str(tmp_path), path_glob="*.{wav,bmp}")
+    rows = {r.source_uri.rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert set(rows) == {"a.wav", "b.bmp"}, "glob filtered the txt file"
+    assert rows["a.wav"].mime == "audio/wav"
+    assert rows["b.bmp"].mime == "image/bmp"
+    assert bytes(rows["a.wav"].payload) == wav
+
+    feats = {
+        r.mime: r
+        for r in extract_media_features(assets, decode_stub=False).collect()
+    }
+    assert feats["audio/wav"].width == 16000  # sample rate survives e2e
+    assert feats["audio/wav"].height == 2
+    assert feats["image/bmp"].width == 2 and feats["image/bmp"].height == 1
+    assert feats["image/bmp"].checksum == hashlib.md5(bmp).hexdigest()
+
+    # metadata-only query never touches payload bytes (column pruning)
+    plan = assets.select("n_bytes")._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
 
 
 def test_frame_sample_plan(spark):
