@@ -92,6 +92,7 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
     analytics,
     functions_surface,
     llm_ops,
+    quality_ops,
     streaming_gates,
     warehouse,
 )

@@ -95,3 +95,23 @@ def predicted_lang(text: Column) -> Column:
     for lang in reversed(list(LANG_MARKERS)):
         expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
+
+
+# --- PII redaction (training-data scrubbing) -------------------------------
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically, so redacted text is byte-identical cross-engine
+# (the oracle md5-hashes it).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{7,15}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and +-prefixed phone numbers with
+    typed placeholders. Order matters: emails first (an address can
+    contain digit runs), then IPs, then phones. Pure Column
+    expressions — the scrub runs inside codegen at scan speed, the only
+    sane shape for a 100 TB corpus pass."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
