@@ -193,3 +193,126 @@ def pii_redaction_stats(spark, sf_dir):
         F.md5(red).alias("redacted_hash"),
         F.length(red).cast("int").alias("redacted_len"),
     )
+
+
+@query(
+    "bigram_lm_scores",
+    tags=("text", "lm", "quality"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+    FROM documents
+), tok AS (
+    SELECT doc_id, unnest(w) AS t FROM n
+), uni AS (
+    SELECT t, count(*) AS cu FROM tok GROUP BY t
+), v AS (
+    SELECT count(*) AS vsz FROM uni
+), bi AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM n, (SELECT unnest(range(1, 1000)) AS i) ii
+    WHERE i <= len(w) - 1
+), bic AS (
+    SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2
+), scored AS (
+    SELECT bi.doc_id,
+           ln((bic.cb + 1.0) / (uni.cu + v.vsz)) AS lp
+    FROM bi
+    JOIN bic USING (w1, w2)
+    JOIN uni ON uni.t = bi.w1
+    CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(lp), 6) AS mean_lp
+FROM scored
+GROUP BY doc_id
+""",
+)
+def bigram_lm_scores(spark, sf_dir):
+    """Bigram language-model scoring — the KenLM-stage shape with a real
+    (if tiny) model: train add-1-smoothed bigram conditionals on the
+    corpus itself in one pass, then score every document by its mean
+    log P(w_i | w_{i-1}). Low scores mark text the corpus-level model
+    finds surprising — the standard LM-based quality signal next to
+    ``doc_perplexity_filter``'s unigram twin.
+
+    Shape at 100 TB: unigram/bigram count tables are vocabulary-sized
+    (map-side combined shuffles), broadcast back against the bigram
+    occurrence stream; the corpus text is scanned twice and never
+    shuffled. Smoothing math is exact integer counts inside the log;
+    the per-doc mean follows the doc_perplexity_filter precedent
+    (avg of ln, rounded to 6)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
+    )
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    vsz = uni.agg(F.count(F.lit(1)).alias("vsz"))
+    bi = _ngram_rows(docs, 2).select(
+        "doc_id",
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bi.join(F.broadcast(bic), ["w1", "w2"])
+        .join(F.broadcast(uni), F.col("w1") == F.col("t"))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vsz"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_lp"),
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    tags=("embeddings", "pooling"),
+    oracle="""
+WITH v AS (
+    SELECT label, list_transform(embedding, x -> x::DOUBLE) AS emb
+    FROM embeddings
+), vl AS (
+    SELECT label, i.pos, emb[i.pos + 1] AS x
+    FROM v, (SELECT unnest(range(64)) AS pos) i
+), m AS (
+    SELECT label, pos, avg(x) AS m FROM vl GROUP BY 1, 2
+)
+SELECT label,
+       CAST((SELECT count(*) FROM v v2 WHERE v2.label = m.label) AS BIGINT)
+           AS n_vectors,
+       round(sqrt(sum(m * m)), 6) AS centroid_norm
+FROM m
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Mean-pooled class centroids over the embedding corpus — the
+    building block for label-conditioned retrieval, classifier
+    initialization, and per-domain embedding drift monitoring. One
+    posexplode + (label, pos)-keyed avg shuffle; centroids are
+    label-count-sized, never driver-bound. Norm rounded to 6 (partition
+    -order float noise in the avg is ~1e-15 relative)."""
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+    m = comp.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    norms = m.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    return (
+        counts.join(norms, "label")
+        .select("label", "n_vectors", "centroid_norm")
+        .orderBy("label")
+    )
