@@ -102,3 +102,59 @@ def streaming_dedup_counts(spark, sf_dir):
         spark, deduped, "stream_dedup_gate", output_mode="append"
     )
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "sliding_event_windows",
+    tags=("events", "window", "sliding"),
+    oracle="""
+WITH e AS (
+    SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), w AS (
+    SELECT make_timestamp(((us // 1800000000) - k.k) * 1800000000)
+               AS window_start,
+           event_type, cents
+    FROM e, (SELECT unnest(range(2)) AS k) k
+    WHERE us < (((us // 1800000000) - k.k) * 1800000000) + 3600000000
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value
+FROM w
+GROUP BY 1, 2
+""",
+)
+def sliding_event_windows(spark, sf_dir):
+    """Sliding (hopping) windows — 1-hour windows every 30 minutes, so
+    each event lands in two overlapping windows. Spark's ``F.window``
+    with a slide expands rows window-side before the aggregate (the
+    same two-phase map-side-combined count as tumbling; row
+    amplification = window/slide, here 2×). The oracle reproduces
+    Spark's epoch-aligned window assignment with exact integer
+    microsecond arithmetic (no float time math, no tz dependence).
+
+    Completes the window-shape coverage next to tumbling
+    (``tumbling_event_windows``), session (``sessionize_events`` /
+    ``streaming_session_windows``), and the §2.5 ordered analytics
+    windows; the streaming twin is the same ``F.window`` expression
+    under a watermark (``streaming_tumbling_agg`` with a slide)."""
+    from data_warehouse_migration_spark.catalog import cents, t as load
+
+    e = load(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        e.withColumn("__cents", cents("value"))
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("__cents") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
