@@ -316,3 +316,59 @@ def embedding_label_centroids(spark, sf_dir):
         .select("label", "n_vectors", "centroid_norm")
         .orderBy("label")
     )
+
+
+@query(
+    "chunk_documents_overlap",
+    tags=("text", "chunking", "rag"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+    FROM documents
+), s AS (
+    SELECT doc_id, w,
+           unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS start
+    FROM n
+)
+SELECT doc_id,
+       CAST((start - 1) // 24 AS INT) AS chunk_id,
+       CAST(least(32, len(w) - start + 1) AS INT) AS n_tokens,
+       md5(array_to_string(w[start:start+31], ' ')) AS chunk_hash
+FROM s
+""",
+)
+def chunk_documents_overlap(spark, sf_dir):
+    """Fixed-size overlapping token chunking — the RAG / long-context
+    training splitter (32-token chunks, 8-token overlap, stride 24):
+    every token is covered, consecutive chunks share the overlap so no
+    boundary context is lost. Pure Column expressions (sequence →
+    explode → slice), zero shuffles, zero Python — each document
+    chunks independently, so the operator is embarrassingly parallel
+    at any scale. Chunk text is md5'd so the oracle attests the exact
+    chunk contents, not just counts. Complements
+    ``pack_documents_into_chunks`` (bin packing many docs into fixed
+    budgets) — this splits single docs; a pipeline composes split →
+    pack."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    sized = docs.select(
+        "doc_id", words.alias("w"), F.size(words).alias("len")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("len") - 8, F.lit(1)), F.lit(24)
+    )
+    return (
+        sized.select("doc_id", "w", "len", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 24).cast("int").alias("chunk_id"),
+            F.least(F.lit(32), F.col("len") - F.col("start") + 1)
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(
+                F.array_join(F.slice(F.col("w"), F.col("start"), 32), " ")
+            ).alias("chunk_hash"),
+        )
+    )
