@@ -148,3 +148,26 @@ def read_binary_assets(
         F.col("length").alias("n_bytes"),
         F.col("modificationTime").alias("modified_at"),
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """JSON-Lines source — the interchange format most raw LLM corpora
+    arrive in (one document object per line). With a declared schema the
+    parse is PERMISSIVE drift-tolerant like :func:`read_csv` (unknown
+    fields ignored, malformed lines → nulls, never fail); without one,
+    Spark samples to infer.
+
+    Scale posture: JSONL splits by line, so files parallelize like CSV;
+    the declared schema avoids the full inference pass (which reads the
+    data twice) and keeps column pruning effective. Convert to parquet
+    at bronze (``ingest_bronze``) — JSON parsing is the most expensive
+    scan in any pipeline and should happen exactly once.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").json(path)

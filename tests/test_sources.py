@@ -151,3 +151,25 @@ def test_write_sorted_produces_disjoint_sorted_files(spark, tmp_path, sf_dir):
         assert hi1 <= lo2  # range-partitioned → whole-file skipping
     # nothing lost
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_read_jsonl_declared_schema_drift(spark, tmp_path):
+    """JSONL with a declared schema: extra fields ignored, missing
+    fields null, malformed lines null out — never fail (the raw-corpus
+    ingest contract)."""
+    from data_warehouse_migration_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "extra": true}\n'
+        '{"doc_id": 2, "text": "second"}\n'
+        '{"doc_id": 3}\n'
+        "not json at all\n"
+    )
+    df = read_jsonl(spark, str(p), "doc_id bigint, text string")
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert rows[1] == "hello world"
+    assert rows[2] == "second"
+    assert rows[3] is None
+    assert None in rows  # malformed line arrives as an all-null row
+    assert df.columns == ["doc_id", "text"]  # extra field pruned
