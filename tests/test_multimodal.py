@@ -168,6 +168,48 @@ def test_binaryfile_ingest_to_real_decode_end_to_end(spark, tmp_path):
     assert "content" not in plan
 
 
+def test_multimodal_pipeline_end_to_end(spark, tmp_path):
+    """Composed multimodal pipeline over real files: binaryFile ingest →
+    Arrow-batched real decode → exact dedup on payload checksum →
+    per-mime stats. Two of the four WAVs are byte-identical, so the
+    dedup stage must collapse them; counts and rates survive the full
+    chain."""
+    from data_warehouse_migration_spark.sources.readers import read_binary_assets
+
+    dup = _wav_bytes(rate=8000, n_ch=1, samples=[100, -100] * 8)
+    uniq = _wav_bytes(rate=22050, n_ch=1, samples=[5000, -5000])
+    bmp = _bmp_bytes(2, 1, [bytes([1, 2, 3, 4, 5, 6])])
+    (tmp_path / "dup_a.wav").write_bytes(dup)
+    (tmp_path / "dup_b.wav").write_bytes(dup)
+    (tmp_path / "uniq.wav").write_bytes(uniq)
+    (tmp_path / "img.bmp").write_bytes(bmp)
+
+    assets = read_binary_assets(spark, str(tmp_path), path_glob="*.{wav,bmp}")
+    feats = extract_media_features(assets, decode_stub=False)
+
+    from pyspark.sql import functions as F
+
+    deduped = (
+        feats.groupBy("checksum")
+        .agg(
+            F.min("asset_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.first("mime").alias("mime"),
+            F.first("width").alias("width"),
+        )
+    )
+    rows = deduped.collect()
+    assert len(rows) == 3, "byte-identical WAVs collapse to one asset"
+    by_ck = {r.checksum: r for r in rows}
+    assert by_ck[hashlib.md5(dup).hexdigest()].n_copies == 2
+    assert by_ck[hashlib.md5(uniq).hexdigest()].width == 22050
+    stats = {
+        r.mime: r.n
+        for r in deduped.groupBy("mime").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stats == {"audio/wav": 2, "image/bmp": 1}
+
+
 def test_frame_sample_plan(spark):
     vids = spark.createDataFrame(
         [(1, 12.0), (2, 3.0), (3, 0.0)], "asset_id bigint, duration_s double"
