@@ -158,3 +158,47 @@ def sliding_event_windows(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "streaming_user_totals_final",
+    tags=("streaming", "stateful", "applyInPandasWithState", "2.10"),
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_user_totals_final(spark, sf_dir):
+    """The custom-stateful extension point (``applyInPandasWithState``),
+    value-attested: per-user lifetime running totals carried across
+    micro-batches in the state store (update mode emits one row per
+    user per batch; n_events is strictly monotone, so the max-n row per
+    user is the final state). The final states must reproduce the
+    exact-cents batch aggregate — any state-store loss, double-count,
+    or Arrow transfer corruption breaks the hash. This attests the
+    Pandas/state path itself, not just ops Spark aggregates natively.
+    """
+    from pyspark.sql import Window
+
+    from data_warehouse_migration_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_user_running_totals,
+    )
+
+    stream = streaming_user_running_totals(
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    out = run_stream_to_memory(
+        spark, stream, "stream_totals_gate", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
