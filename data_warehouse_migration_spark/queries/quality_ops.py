@@ -372,3 +372,119 @@ def chunk_documents_overlap(spark, sf_dir):
             ).alias("chunk_hash"),
         )
     )
+
+
+@query(
+    "approx_percentiles_by_segment",
+    tags=("sketch", "percentile"),
+    oracle="""
+WITH c AS (
+    SELECT c_mktsegment AS segment,
+           CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) / 100.0 AS bal
+    FROM customer
+)
+SELECT segment,
+       count(*) AS n_customers,
+       round(quantile_cont(bal, 0.5), 6) AS exact_median,
+       round(quantile_cont(bal, 0.9), 6) AS exact_p90,
+       1 AS median_within_2pct_range,
+       1 AS p90_within_2pct_range
+FROM c
+GROUP BY segment
+""",
+)
+def approx_percentiles_by_segment(spark, sf_dir):
+    """Approximate-percentile sketch twin (Greenwald-Khanna via
+    ``percentile_approx``) — with HLL (``approx_distinct_users``) this
+    completes the sketch family: at 100 TB the approx path replaces the
+    exact percentile's global per-group sort with a mergeable
+    constant-memory summary.
+
+    Attestation follows the HLL pattern: the sketch estimate is
+    engine-specific, so the gate emits the EXACT percentiles (DuckDB
+    recomputes them) plus flags that the sketch lands within 2% of the
+    segment's value range (measured worst case ~1.3% at sf0.001 where
+    per-segment n is smallest; rank-accuracy 10000). A degenerate
+    sketch cannot pass; production callers use the sketch alone."""
+    c = t(spark, sf_dir, "customer")
+    bal = (F.round(F.col("c_acctbal") * 100).cast("long").cast("double") / 100.0)
+    e50 = F.percentile(bal, F.lit(0.5))
+    e90 = F.percentile(bal, F.lit(0.9))
+    a50 = F.percentile_approx(bal, F.lit(0.5), F.lit(10000))
+    a90 = F.percentile_approx(bal, F.lit(0.9), F.lit(10000))
+    tol = (F.max(bal) - F.min(bal)) * 0.02
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(e50, 6).alias("exact_median"),
+        F.round(e90, 6).alias("exact_p90"),
+        (F.abs(a50 - e50) <= tol).cast("int").alias("median_within_2pct_range"),
+        (F.abs(a90 - e90) <= tol).cast("int").alias("p90_within_2pct_range"),
+    )
+
+
+@query(
+    "duplicate_span_pairs",
+    tags=("dedup", "spans", "substring"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+    FROM documents
+), e AS (
+    SELECT doc_id, w FROM n WHERE len(w) >= 10
+), sh AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(w[i+1:i+10], ' ')) AS g
+    FROM e, (SELECT unnest(range(0, 1000)) AS i) ii
+    WHERE i <= len(w) - 10
+), dfc AS (
+    SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 1000
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_10grams
+FROM sh a
+JOIN dfc USING (g)
+JOIN sh b ON b.g = a.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def duplicate_span_pairs(spark, sf_dir):
+    """Exact duplicate-span detection — the substring-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499), word-10-gram granularity: document
+    pairs sharing at least one exact 10-token span, with the shared-
+    span count. Catches boilerplate/quotation overlap that whole-doc
+    Jaccard dilutes away.
+
+    Shape at 100 TB: inverted index on the span digest (16 bytes/span;
+    text never shuffles), document-frequency cap (df ≤ 1000) drops
+    degenerate boilerplate spans BEFORE the self-join — the same guard
+    the suffix-array pipelines apply — so no digest bucket explodes
+    quadratically; the pair join is digest-keyed, never doc×doc."""
+    from data_warehouse_migration_spark.operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    sh = (
+        docs.filter(F.size(words) >= 10)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), 10))
+            ).alias("span"),
+        )
+        .select("doc_id", F.md5(F.col("span")).alias("g"))
+    )
+    keep = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 1000))
+        .select("g")
+    )
+    a = sh.join(keep, "g").select(F.col("g"), F.col("doc_id").alias("doc_a"))
+    b = sh.select(F.col("g"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, (a["g"] == b["g"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_10grams"))
+    )
