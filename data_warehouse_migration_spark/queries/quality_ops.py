@@ -488,3 +488,101 @@ def duplicate_span_pairs(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_10grams"))
     )
+
+
+@query(
+    "curation_pipeline_v2",
+    tags=("pipeline", "composed", "quality", "chunking"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), survivors AS (
+    SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(txt)
+), w AS (
+    SELECT n.doc_id, n.lang, string_split(n.txt, ' ') AS w
+    FROM n JOIN survivors USING (doc_id)
+), bi AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+    FROM w, (SELECT unnest(range(1, 1000)) AS i) ii
+    WHERE i <= len(w) - 1
+), bic AS (
+    SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2
+), rep AS (
+    SELECT doc_id FROM bic GROUP BY doc_id
+    HAVING round(CAST(max(c) AS DOUBLE) / sum(c), 6) < 0.06
+), kept AS (
+    SELECT w.doc_id, w.lang, w.w FROM w JOIN rep USING (doc_id)
+), chunks AS (
+    SELECT doc_id, lang,
+           unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS start,
+           len(w) AS n_words
+    FROM kept
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(least(32, n_words - start + 1)) AS BIGINT) AS n_chunk_tokens
+FROM chunks
+GROUP BY lang
+""",
+)
+def curation_pipeline_v2(spark, sf_dir):
+    """Composed curation pipeline over the round-4 operators — the
+    second end-to-end flagship next to ``training_data_pipeline``:
+    exact dedup (min-id per normalized-text digest) → repetition
+    filter (top-2-gram occupancy < 0.06) → overlapping 32/8 token
+    chunking → per-language corpus stats. The DuckDB oracle recomputes
+    every stage, so the attestation covers the COMPOSITION (stage
+    ordering, survivor propagation, chunk arithmetic), not just each
+    operator in isolation.
+
+    Shape at 100 TB: dedup and the repetition counts are digest/gram-
+    keyed shuffles (text never shuffles); chunking is zero-shuffle
+    per-doc expression work; the final rollup is language-cardinality
+    sized. Stages prune monotonically, so each later stage scans less."""
+    docs = t(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    base = docs.select("doc_id", "lang", norm.alias("txt"))
+    survivors = (
+        base.groupBy(F.md5(F.col("txt")).alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept_docs = base.join(survivors, "doc_id")
+    w = kept_docs.select(
+        "doc_id", "lang", F.split(F.col("txt"), " ").alias("w")
+    )
+    bic = (
+        _ngram_rows(kept_docs.withColumnRenamed("txt", "text"), 2)
+        .groupBy("doc_id", "gram")
+        .count()
+    )
+    rep = (
+        bic.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("count").cast("double") / F.sum("count"), 6
+            ).alias("frac")
+        )
+        .filter(F.col("frac") < 0.06)
+        .select("doc_id")
+    )
+    kept = w.join(rep, "doc_id")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("w") - 8, F.lit(1)), F.lit(24)
+    )
+    chunks = kept.select(
+        "doc_id",
+        "lang",
+        F.size("w").alias("n_words"),
+        F.explode(starts).alias("start"),
+    )
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.least(F.lit(32), F.col("n_words") - F.col("start") + 1))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
