@@ -1437,10 +1437,13 @@ def doc_perplexity_filter(spark, sf_dir):
     file this container lacks — the Spark shape is identical: broadcast
     the model, score per token, aggregate per doc).
 
-    Scale: one shuffle to count tokens (map-side combined), the token
-    table broadcast-joined back (corpus vocab ≪ corpus), one shuffle
-    for the per-doc mean. The keep flag compares the ROUNDED mean so
-    both engines decide from bit-identical inputs."""
+    Scale: one shuffle to count tokens (map-side combined), the vocab
+    table joined back with NO broadcast hint — vocabulary is unbounded
+    in corpus size, so AQE picks broadcast only when the table actually
+    fits (a shuffle hash join on tok is the honest fallback); only the
+    1-row corpus-total scalar is hinted. One shuffle for the per-doc
+    mean. The keep flag compares the ROUNDED mean so both engines
+    decide from bit-identical inputs."""
     toks = (
         t(spark, sf_dir, "documents")
         .select(

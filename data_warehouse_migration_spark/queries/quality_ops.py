@@ -48,8 +48,7 @@ WITH n AS (
     FROM documents
 ), bi AS (
     SELECT doc_id, w[i] || ' ' || w[i+1] AS g
-    FROM n, (SELECT unnest(range(1, 1000)) AS i) ii
-    WHERE i <= len(w) - 1
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM n)
 ), bic AS (
     SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2
 ), bagg AS (
@@ -57,8 +56,7 @@ WITH n AS (
     FROM bic GROUP BY 1
 ), tri AS (
     SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-    FROM n, (SELECT unnest(range(1, 1000)) AS i) ii
-    WHERE i <= len(w) - 2
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM n)
 ), tric AS (
     SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2
 ), tagg AS (
@@ -212,8 +210,7 @@ WITH n AS (
     SELECT count(*) AS vsz FROM uni
 ), bi AS (
     SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-    FROM n, (SELECT unnest(range(1, 1000)) AS i) ii
-    WHERE i <= len(w) - 1
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM n)
 ), bic AS (
     SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2
 ), scored AS (
@@ -239,12 +236,17 @@ def bigram_lm_scores(spark, sf_dir):
     finds surprising — the standard LM-based quality signal next to
     ``doc_perplexity_filter``'s unigram twin.
 
-    Shape at 100 TB: unigram/bigram count tables are vocabulary-sized
-    (map-side combined shuffles), broadcast back against the bigram
-    occurrence stream; the corpus text is scanned twice and never
-    shuffled. Smoothing math is exact integer counts inside the log;
-    the per-doc mean follows the doc_perplexity_filter precedent
-    (avg of ln, rounded to 6)."""
+    Shape at 100 TB: the count tables come from map-side-combined
+    shuffles, then join back against the bigram occurrence stream with
+    NO broadcast hints — distinct-bigram counts grow near-quadratically
+    in vocabulary (O(10⁹⁺) rows on a 100 TB corpus), so the scale-safe
+    plan is a shuffle hash join on (w1, w2) whose bytes are ∝ bigram
+    occurrences; AQE picks broadcast on its own when a tiny corpus
+    makes the table actually fit. Only the 1-row vocabulary-size scalar
+    is broadcast. The corpus text is scanned twice and never shuffled.
+    Smoothing math is exact integer counts inside the log; the per-doc
+    mean follows the doc_perplexity_filter precedent (avg of ln,
+    rounded to 6)."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -259,8 +261,12 @@ def bigram_lm_scores(spark, sf_dir):
     )
     bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
-        bi.join(F.broadcast(bic), ["w1", "w2"])
-        .join(F.broadcast(uni), F.col("w1") == F.col("t"))
+        # No broadcast hints on bic/uni: distinct-bigram (and even
+        # unigram) tables are unbounded in corpus size — a forced
+        # broadcast OOMs executors at real scale. AQE chooses the
+        # strategy; only the 1-row vsz scalar is hinted.
+        bi.join(bic, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("t"))
         .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",
@@ -435,8 +441,7 @@ WITH n AS (
     SELECT doc_id, w FROM n WHERE len(w) >= 10
 ), sh AS (
     SELECT DISTINCT doc_id, md5(array_to_string(w[i+1:i+10], ' ')) AS g
-    FROM e, (SELECT unnest(range(0, 1000)) AS i) ii
-    WHERE i <= len(w) - 10
+    FROM (SELECT doc_id, w, unnest(range(0, len(w) - 9)) AS i FROM e)
 ), dfc AS (
     SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 1000
 )
@@ -505,8 +510,7 @@ WITH n AS (
     FROM n JOIN survivors USING (doc_id)
 ), bi AS (
     SELECT doc_id, w[i] || ' ' || w[i+1] AS g
-    FROM w, (SELECT unnest(range(1, 1000)) AS i) ii
-    WHERE i <= len(w) - 1
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)
 ), bic AS (
     SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2
 ), rep AS (

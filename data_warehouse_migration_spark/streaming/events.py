@@ -267,7 +267,18 @@ def run_stream_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        # awaitTermination(timeout) returns False on timeout with the
+        # query still running — reading the memory sink then would hand
+        # the caller a partially-filled table (a confusing hash-mismatch
+        # instead of a clear error), and rmtree would yank the
+        # checkpoint from under a live query. Fail loudly instead.
+        if not q.awaitTermination(timeout_s):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                f"streaming gate {name!r} did not finish within "
+                f"{timeout_s}s" + (f"; query exception: {exc}" if exc else "")
+            )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
