@@ -56,11 +56,14 @@ def exact_dedup(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text (array<string>).
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams of the normalized text in POSITIONAL order
+    (array<string>; element i-1 is the n-gram starting at 1-based word
+    position i). Keeps duplicates — span-level operators need every
+    occurrence and its position.
 
     Documents shorter than ``n`` words contribute their whole text as a
-    single shingle so they can still match exact duplicates.
+    single gram so they can still match exact duplicates.
 
     Formulated as a chain of ``zip_with`` over shifted copies of the
     token array (w, w[2:], w[3:], …) rather than
@@ -68,16 +71,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     walks the arrays linearly while per-index slice re-copies, making
     the naive form quadratic in document length.
     """
-    words = F.split(normalized_text(text), " ")
-    size = F.size(words)
-    acc = words
-    for k in range(1, n):
-        shifted = F.slice(words, k + 1, F.greatest(size - k, F.lit(1)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    ngrams = F.when(size >= n, F.slice(acc, 1, size - n + 1)).otherwise(
-        F.array(F.concat_ws(" ", words))
-    )
-    return F.array_distinct(ngrams)
+    return word_ngrams_from_words(F.split(normalized_text(text), " "), n)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (array<string>) —
+    :func:`word_ngrams` deduplicated, the set form Jaccard/MinHash
+    operators consume."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def shingle_index(
@@ -511,6 +512,84 @@ def decontaminate(
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """Substring-level dedup REWRITE — the removal half of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): any word ``n``-gram span that also occurs in a
+    lower-id document is excised from this document; the lowest-id
+    occurrence survives (and a span's owner keeps ALL its occurrences).
+    Overlapping removed spans merge naturally — a word is dropped when
+    ANY removed span covers it.
+
+    Returns one row per input document:
+    ``(id_col, n_words int, n_removed int, cleaned_len int,
+    cleaned_text string)`` where ``cleaned_text`` is the surviving
+    words of the NORMALIZED text re-joined with single spaces (empty
+    string when every word was covered — e.g. an exact duplicate of a
+    lower-id document).
+
+    Shape at 100 TB (simpler than pair-finding): span digests are
+    16-byte keys; ownership is ``min(id)`` per digest — one map-side-
+    combined aggregate, no pair join, no df cap needed because nothing
+    is ever quadratic. Removal positions flow back as (id, start)
+    ints; the only time document text meets the removal list is ONE
+    equi-join on the document id, after which the rewrite is a pure
+    Column expression (filter-by-index over the token array) — text is
+    shuffled at most once, spans never carry text at all.
+    """
+    did = F.col(id_col)
+    base = docs.select(
+        did,
+        F.split(normalized_text(F.col(text_col)), " ").alias("__w"),
+    )
+    # (id, start, digest) for every n-gram occurrence; 1-based starts.
+    sh = (
+        base.filter(F.size("__w") >= n)
+        .select(did, F.posexplode(word_ngrams_from_words(F.col("__w"), n)).alias("__i0", "__span"))
+        .select(did, (F.col("__i0") + 1).alias("__start"), _hash_str(F.col("__span")).alias("__g"))
+    )
+    owner = sh.groupBy("__g").agg(F.min(id_col).alias("__owner"))
+    removals = (
+        sh.join(owner, "__g")
+        .filter(did > F.col("__owner"))
+        .select(did, "__start")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__rm"))
+    )
+    joined = base.join(removals, id_col, "left")
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    covered = lambda idx: F.exists(  # noqa: E731 — tiny plan-side helper
+        rm, lambda s: (idx + 1 >= s) & (idx + 1 <= s + (n - 1))
+    )
+    kept = F.filter(F.col("__w"), lambda w, idx: ~covered(idx))
+    return joined.select(
+        did,
+        F.size("__w").cast("int").alias("n_words"),
+        (F.size("__w") - F.size(kept)).cast("int").alias("n_removed"),
+        F.size(kept).cast("int").alias("cleaned_len"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
+def word_ngrams_from_words(words: Column, n: int) -> Column:
+    """:func:`word_ngrams` on an already-split token array (callers
+    that pre-normalize once and reuse the array)."""
+    size = F.size(words)
+    acc = words
+    for k in range(1, n):
+        shifted = F.slice(words, k + 1, F.greatest(size - k, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(size >= n, F.slice(acc, 1, size - n + 1)).otherwise(
+        F.array(F.concat_ws(" ", words))
     )
 
 

@@ -496,6 +496,80 @@ def duplicate_span_pairs(spark, sf_dir):
 
 
 @query(
+    "duplicate_span_removal",
+    tags=("dedup", "spans", "rewrite"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id, i, md5(array_to_string(w[i:i+9], ' ')) AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+          FROM n WHERE len(w) >= 10)
+), own AS (
+    SELECT g, min(doc_id) AS owner FROM sh GROUP BY g
+), rem AS (
+    SELECT DISTINCT sh.doc_id, sh.i
+    FROM sh JOIN own USING (g)
+    WHERE sh.doc_id > own.owner
+), cov AS (
+    SELECT DISTINCT doc_id, i + k AS pos
+    FROM rem, (SELECT unnest(range(0, 10)) AS k) kk
+), wpos AS (
+    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM n
+), keptw AS (
+    SELECT wpos.doc_id, wpos.pos, wpos.w[wpos.pos] AS word
+    FROM wpos LEFT JOIN cov
+      ON cov.doc_id = wpos.doc_id AND cov.pos = wpos.pos
+    WHERE cov.pos IS NULL
+), rebuilt AS (
+    SELECT doc_id, count(*) AS kept,
+           string_agg(word, ' ' ORDER BY pos) AS cleaned
+    FROM keptw GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(len(n.w) AS INT) AS n_words,
+       CAST(len(n.w) - coalesce(r.kept, 0) AS INT) AS n_removed,
+       CAST(coalesce(r.kept, 0) AS INT) AS cleaned_len,
+       md5(coalesce(r.cleaned, '')) AS cleaned_hash
+FROM n LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def duplicate_span_removal(spark, sf_dir):
+    """Duplicate-span REMOVAL — the rewrite half of Lee et al. 2022
+    that ``duplicate_span_pairs`` only reports: every 10-token span
+    also present in a lower-id document is excised; the lowest-id
+    occurrence survives (owners keep all their occurrences; an exact
+    duplicate of an earlier document cleans to the empty string). The
+    oracle recomputes ownership, interval union, and the rebuilt text
+    in DuckDB and compares the md5 of the cleaned text per document —
+    byte-exact attestation of the rewrite, the same contract
+    ``chunk_documents_overlap`` uses for chunk contents.
+
+    Shape at 100 TB (operators/dedup.remove_duplicate_spans): span
+    ownership is min(id) per 16-byte digest — one map-side-combined
+    aggregate, NO pair join, nothing quadratic; removal starts flow
+    back as ints and meet the text in a single id-keyed equi-join; the
+    rewrite itself is a zero-shuffle filter-by-index Column expression.
+    """
+    from data_warehouse_migration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, n=10)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_removed",
+        "cleaned_len",
+        F.md5(F.col("cleaned_text")).alias("cleaned_hash"),
+    )
+
+
+@query(
     "curation_pipeline_v2",
     tags=("pipeline", "composed", "quality", "chunking"),
     oracle="""
@@ -589,4 +663,155 @@ def curation_pipeline_v2(spark, sf_dir):
         F.sum(F.least(F.lit(32), F.col("n_words") - F.col("start") + 1))
         .cast("long")
         .alias("n_chunk_tokens"),
+    )
+
+
+@query(
+    "curation_pipeline_v3",
+    tags=("pipeline", "composed", "quality", "spans", "chunking"),
+    oracle="""
+WITH n0 AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), survivors AS (
+    SELECT min(doc_id) AS doc_id FROM n0 GROUP BY md5(txt)
+), n AS (
+    SELECT n0.doc_id, n0.lang, string_split(n0.txt, ' ') AS w
+    FROM n0 JOIN survivors USING (doc_id)
+), sh AS (
+    SELECT doc_id, i, md5(array_to_string(w[i:i+9], ' ')) AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+          FROM n WHERE len(w) >= 10)
+), own AS (
+    SELECT g, min(doc_id) AS owner FROM sh GROUP BY g
+), rem AS (
+    SELECT DISTINCT sh.doc_id, sh.i
+    FROM sh JOIN own USING (g)
+    WHERE sh.doc_id > own.owner
+), cov AS (
+    SELECT DISTINCT doc_id, i + k AS pos
+    FROM rem, (SELECT unnest(range(0, 10)) AS k) kk
+), wpos AS (
+    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM n
+), keptw AS (
+    SELECT wpos.doc_id, wpos.pos, wpos.w[wpos.pos] AS word
+    FROM wpos LEFT JOIN cov
+      ON cov.doc_id = wpos.doc_id AND cov.pos = wpos.pos
+    WHERE cov.pos IS NULL
+), cleaned AS (
+    SELECT n.doc_id, n.lang,
+           coalesce(r.cw, CAST([] AS VARCHAR[])) AS w,
+           len(n.w) - coalesce(r.kept, 0) AS n_removed
+    FROM n LEFT JOIN (
+        SELECT doc_id, count(*) AS kept, list(word ORDER BY pos) AS cw
+        FROM keptw GROUP BY doc_id
+    ) r USING (doc_id)
+), bi AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM cleaned)
+), bic AS (
+    SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2
+), rep AS (
+    SELECT doc_id FROM bic GROUP BY doc_id
+    HAVING round(CAST(max(c) AS DOUBLE) / sum(c), 6) < 0.06
+), kept AS (
+    SELECT c.doc_id, c.lang, c.w, c.n_removed
+    FROM cleaned c JOIN rep USING (doc_id)
+), lang_removed AS (
+    SELECT lang, CAST(sum(n_removed) AS BIGINT) AS n_span_words_removed
+    FROM kept GROUP BY lang
+), chunks AS (
+    SELECT doc_id, lang, len(w) AS n_words,
+           unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS start
+    FROM kept
+), cagg AS (
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(least(32, n_words - start + 1)) AS BIGINT)
+               AS n_chunk_tokens
+    FROM chunks
+    GROUP BY lang
+)
+SELECT cagg.lang, cagg.n_docs, cagg.n_chunks, cagg.n_chunk_tokens,
+       lang_removed.n_span_words_removed
+FROM cagg JOIN lang_removed USING (lang)
+""",
+)
+def curation_pipeline_v3(spark, sf_dir):
+    """The v2 curation pipeline with duplicate-span removal wired in as
+    stage 2.5 — the full Lee et al. treatment: exact dedup (min-id per
+    normalized-text digest) → SPAN REMOVAL across survivors (10-token
+    spans owned by the lowest id; other occurrences excised from the
+    text) → repetition filter on the CLEANED text (top-2-gram occupancy
+    < 0.06) → overlapping 32/8 chunking of the cleaned text →
+    per-language stats, including the total span-words removed so the
+    rewrite stage's effect is attested in the output. The DuckDB oracle
+    recomputes every stage; a document whose duplicated spans push its
+    cleaned text under 2 words has no bigrams and drops at the
+    repetition stage on both engines.
+
+    Shape at 100 TB: stages prune monotonically; the span stage adds
+    one digest-keyed min-aggregate and one id-keyed join to v2 (text
+    still shuffles at most once, for the removal join); chunking and
+    the rewrite are zero-shuffle Column work."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    base = docs.select("doc_id", "lang", norm.alias("txt"))
+    survivors = (
+        base.groupBy(F.md5(F.col("txt")).alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept_docs = base.join(survivors, "doc_id")
+    cleaned = remove_duplicate_spans(kept_docs, text_col="txt", n=10).join(
+        kept_docs.select("doc_id", "lang"), "doc_id"
+    )
+    bic = (
+        _ngram_rows(cleaned.withColumnRenamed("cleaned_text", "text"), 2)
+        .groupBy("doc_id", "gram")
+        .count()
+    )
+    rep = (
+        bic.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("count").cast("double") / F.sum("count"), 6
+            ).alias("frac")
+        )
+        .filter(F.col("frac") < 0.06)
+        .select("doc_id")
+    )
+    kept = cleaned.join(rep, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.split(F.col("cleaned_text"), " ").alias("w"),
+        "n_removed",
+    )
+    lang_removed = kept.groupBy("lang").agg(
+        F.sum("n_removed").cast("long").alias("n_span_words_removed")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("w") - 8, F.lit(1)), F.lit(24)
+    )
+    chunks = kept.select(
+        "doc_id",
+        "lang",
+        F.size("w").alias("n_words"),
+        F.explode(starts).alias("start"),
+    )
+    cagg = chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.least(F.lit(32), F.col("n_words") - F.col("start") + 1))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+    return cagg.join(lang_removed, "lang").select(
+        "lang", "n_docs", "n_chunks", "n_chunk_tokens", "n_span_words_removed"
     )
