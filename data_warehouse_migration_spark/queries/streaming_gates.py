@@ -161,6 +161,80 @@ def sliding_event_windows(spark, sf_dir):
 
 
 @query(
+    "streaming_interval_join",
+    tags=("streaming", "interval-join", "stream-stream", "2.10"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+   c AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(c.event_id) AS n_clicks_1h,
+       min(c.event_id) AS first_click_id
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id
+""",
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval JOIN on the real streaming engine,
+    value-attested against the batch ``interval_click_attribution``
+    oracle: purchases left-outer-joined to the same user's clicks from
+    the preceding hour, with watermarks on BOTH sides bounding the
+    state store (``streaming_click_attribution``). This was the last
+    §2.10 operator pinned only by pytest — the dual-watermark state
+    eviction and the outer-side flush now carry a hash gate.
+
+    Outer-join mechanics under ``availableNow``: an unmatched purchase
+    is only emitted once the JOINT watermark (min over both streams)
+    passes its eviction bound — rows inside the final watermark horizon
+    would be silently withheld when the bounded run terminates. The
+    gate therefore stages the events plus one far-future sentinel
+    purchase/click pair (user_id −1, filtered from the result): the
+    sentinel advances both watermarks past every real event, so the
+    no-data batch that precedes termination flushes ALL unmatched
+    purchases. The oracle runs on the original table only.
+    """
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from data_warehouse_migration_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        split_event_stream,
+        streaming_click_attribution,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = src.agg(F.max("ts")).first()[0]
+    far = max_ts + timedelta(hours=10)
+    sentinel = spark.createDataFrame(
+        [(-1, far, -1, "purchase", 0.0, "{}"), (-2, far, -1, "click", 0.0, "{}")],
+        schema=src.schema,
+    )
+    staged = tempfile.mkdtemp(prefix="stream_ij_src_")
+    try:
+        src.unionByName(sentinel).write.mode("overwrite").parquet(staged)
+        purchases, clicks = split_event_stream(read_event_stream(spark, staged))
+        joined = streaming_click_attribution(purchases, clicks, lookback="1 hour")
+        out = run_stream_to_memory(
+            spark, joined, "stream_ij_gate", output_mode="append"
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("click_id").alias("n_clicks_1h"),
+            F.min("click_id").alias("first_click_id"),
+        )
+    )
+
+
+@query(
     "streaming_user_totals_final",
     tags=("streaming", "stateful", "applyInPandasWithState", "2.10"),
     oracle="""
