@@ -496,6 +496,50 @@ def duplicate_span_pairs(spark, sf_dir):
 
 
 @query(
+    "deterministic_shard_manifest",
+    tags=("sharding", "shuffle", "training-data"),
+    oracle="""
+WITH a AS (
+    SELECT doc_id, md5('r5' || CAST(doc_id AS VARCHAR)) AS k, md5(text) AS h
+    FROM documents
+), s AS (
+    SELECT doc_id, k, h,
+           CAST(((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(k, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(k, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(k, 4, 1)) - 1)) % 8
+               AS INT) AS shard_id
+    FROM a
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(h, '' ORDER BY k, doc_id)) AS shard_checksum,
+       min(k) AS first_key,
+       max(k) AS last_key
+FROM s
+GROUP BY shard_id
+""",
+)
+def deterministic_shard_manifest(spark, sf_dir):
+    """Deterministic global shuffle + fixed-count sharding, attested
+    end to end (operators/sharding.py): every document gets a
+    content-addressed pseudo-random position (md5 over salt+id — no
+    ``rand()``, so retries and re-runs reproduce it bit-for-bit) and a
+    shard (first 16 key bits mod 8); the manifest emits per-shard row
+    counts plus an ORDER-SENSITIVE md5-chain checksum of the shard's
+    content hashes in shuffle order. The DuckDB oracle recomputes the
+    key, the hex→int shard arithmetic, and the ordered hash chain —
+    so the attestation covers the ordering itself, not just shard
+    membership. ``write_shuffled_shards`` writes the same order with
+    one repartition + partition-local sort + partitionBy parquet
+    (tests/test_sharding.py pins writer⇄manifest agreement)."""
+    from data_warehouse_migration_spark.operators.sharding import shard_manifest
+
+    docs = t(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=8, salt="r5")
+
+
+@query(
     "duplicate_span_removal",
     tags=("dedup", "spans", "rewrite"),
     oracle="""
