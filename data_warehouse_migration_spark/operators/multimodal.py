@@ -153,6 +153,72 @@ def extract_media_features(
     )
 
 
+def synthesize_assets(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic multimodal payloads from integer ids — REAL format
+    bytes (16-bit PCM WAV via the stdlib ``wave`` writer; 24-bpp BMP
+    with hand-built BITMAPINFOHEADER), reproducible bit-for-bit from
+    the id alone:
+
+    - even ids → mono WAV, rate ``8000 + 1000·(id%3)``,
+      ``100 + id%50`` samples, sample j = ``(id·31 + j·17) % 2001 −
+      1000`` (44-byte header ⇒ ``n_bytes = 44 + 2·n``);
+    - odd ids → 4×``(2 + id%3)`` BMP, pixel byte p =
+      ``(id·7 + p) % 256`` (width 4 ⇒ 12-byte rows, no padding;
+      54-byte header ⇒ ``n_bytes = 54 + 12·h``).
+
+    Every decoded property (rate, dims, RMS, pixel mean) is therefore
+    a CLOSED-FORM function of the id that a SQL oracle recomputes
+    without touching bytes — which is what lets the real-decode branch
+    of :func:`extract_media_features` carry a value oracle
+    (``media_feature_extract_real``). Runs as Arrow-batched
+    ``mapInPandas`` like the decoder itself."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, payloads = [], [], []
+            for raw in pdf[id_col]:
+                aid = int(raw)
+                if aid % 2 == 0:
+                    n = 100 + aid % 50
+                    rate = 8000 + 1000 * (aid % 3)
+                    samples = np.array(
+                        [(aid * 31 + j * 17) % 2001 - 1000 for j in range(n)],
+                        dtype="<i2",
+                    )
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(rate)
+                        w.writeframes(samples.tobytes())
+                    mimes.append("audio/wav")
+                    payloads.append(buf.getvalue())
+                else:
+                    h = 2 + aid % 3
+                    npx = 12 * h
+                    px = bytes((aid * 7 + p) % 256 for p in range(npx))
+                    header = struct.pack(
+                        "<2sIHHI", b"BM", 54 + npx, 0, 0, 54
+                    ) + struct.pack(
+                        "<IiiHHIIiiII", 40, 4, h, 1, 24, 0, npx, 0, 0, 0, 0
+                    )
+                    mimes.append("image/bmp")
+                    payloads.append(header + px)
+                ids.append(aid)
+            yield pd.DataFrame(
+                {id_col: ids, "mime": mimes, "payload": payloads}
+            )
+
+    return ids_df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, mime string, payload binary"
+    )
+
+
 def frame_sample_plan(
     assets: DataFrame,
     every_n_seconds: int = 5,
