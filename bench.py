@@ -84,6 +84,12 @@ def main() -> None:
     for name, q in headline.items():
         runs = []
         for _ in range(n_runs):
+            # Some queries persist() an intermediate stage (composed
+            # pipelines materialize their silver layer); Spark's cache
+            # is keyed by canonicalized plan, so without this a repeat
+            # run would silently time the cached stage instead of the
+            # full pipeline.
+            spark.catalog.clearCache()
             t0 = time.time()
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))

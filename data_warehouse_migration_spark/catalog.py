@@ -113,79 +113,78 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 4 window:
-# (a) q12_late_line_priorities stays pinned — its r3 hash-fail was the
-#     DuckDB-HUGEINT float64 rendering of a bare sum(CASE) output column;
-#     the oracle now casts to BIGINT and needs a fresh driver row.
-# (b) the six formerly rows-only gates (approx_distinct_users, the four
-#     approximate-ANN top-k's, embedding_kmeans) gained real value oracles
-#     this round — their query code changed, so prior rows are void and
-#     they stay in-window for first-time hash attestation.
-# (c) the scalar-function surface + window_analytics_suite (judge-green
-#     every round, but last DRIVER-attested in r1) rotate in.
-_ROTATED_IN_R4 = (
-    "string_functions",
-    "date_functions",
-    "json_extract_events",
-    "math_functions",
-    "map_functions_surface",
-    "unpivot_order_measures",
-    "histogram_order_values",
-    "window_analytics_suite",
+# Round 5 window (ROTATION.md has the full ledger):
+# (a) parity core (warehouse module) + bench headliners stay pinned;
+#     doc_perplexity_filter's code changed this round (vocab-join
+#     de-broadcast), voiding its r4 row, and dedup_exact rides along as
+#     insurance for the operators/dedup.py refactor (word_ngrams split).
+# (b) the 12 round-4 queries that registered outside the r4 window and
+#     have never had a driver row rotate in (VERDICT r4 action #1) —
+#     four of them additionally had oracle/code edits this round
+#     (range-bound fix, bigram de-broadcast).
+# (c) the five NEW round-5 queries register straight into the window
+#     (span removal, curation v3, shard manifest, stream-stream join
+#     gate, real-decode multimodal).
+# (d) the ten r2-stale queries rotated out in r3 rotate back (VERDICT
+#     r4 action #8) — after this round no registry entry's latest
+#     driver row is older than two rounds.
+_WINDOW_R5 = (
+    # (a) pinned core + headliners + changed-code insurance — the
+    # warehouse module is prepended in _FIRST below.
+    "q1_pricing_summary",
+    "star_revenue_by_nation",
+    "q3_shipping_priority",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "similarity_topk",
+    "sessionize_events",
+    "dedup_embedding_cosine",
+    "continuous_aggregate_rollup",
+    "training_data_pipeline",
+    "doc_perplexity_filter",
+    "dedup_exact",
+    # (b) the r4 attestation backlog.
+    "repetition_quality_flags",
+    "pii_redaction_stats",
+    "bigram_lm_scores",
+    "embedding_label_centroids",
+    "chunk_documents_overlap",
+    "approx_percentiles_by_segment",
+    "duplicate_span_pairs",
+    "curation_pipeline_v2",
+    "streaming_session_windows",
+    "streaming_dedup_counts",
+    "sliding_event_windows",
+    "streaming_user_totals_final",
+    # (c) new in round 5.
+    "deterministic_shard_manifest",
+    "duplicate_span_removal",
+    "curation_pipeline_v3",
+    "streaming_interval_join",
+    "media_feature_extract_real",
+    # (d) r2-stale set rotated back.
+    "simhash_fingerprints",
+    "doc_fingerprint_winnow",
+    "distinct_users_by_type",
+    "word_frequency_topk",
+    "higher_order_token_stats",
+    "gapfill_daily_event_counts",
+    "deterministic_split_documents",
+    "dataset_mix_by_lang",
+    "eval_sample_per_lang",
+    "funnel_click_to_purchase",
 )
-# Displaced to make room (all hash-green in CORRECTNESS_r03.json, code
-# unchanged since; still gated every round by tools/check_oracle.py + pytest).
-_ROTATED_OUT_R4 = frozenset(
-    {
-        "q2_min_cost_supplier",
-        "q9_product_type_profit",
-        "q16_supplier_part_counts",
-        "q20_concentrated_shippers",
-        "q21_waiting_suppliers",
-        "lang_id",
-        "tfidf_top_terms",
-        "user_value_ewma",
-        # displaced by streaming_tumbling_hourly — the new §2.10
-        # attestation query (the real streaming engine run to completion
-        # and hash-checked) outranks re-attesting an unchanged r3-green.
-        "token_stats",
-    }
-)
-# Still out from the r3 rotation (hash-green in r2, code unchanged).
-_ROTATED_OUT_R3 = frozenset(
-    {
-        "simhash_fingerprints",
-        "doc_fingerprint_winnow",
-        "distinct_users_by_type",
-        "word_frequency_topk",
-        "higher_order_token_stats",
-        "gapfill_daily_event_counts",
-        "deterministic_split_documents",
-        "dataset_mix_by_lang",
-        "eval_sample_per_lang",
-        "funnel_click_to_purchase",
-    }
-)
+# Displaced to make room — every one hash-green in CORRECTNESS_r04.json
+# with code unchanged since (q12 + the r4-re-oracled ANN/HLL/kmeans
+# gates, the scalar-function surface, window_analytics_suite,
+# streaming_tumbling_hourly, and the unchanged LLM-suite members) —
+# plus the r3-displaced set last green in r3. All remain gated every
+# round by tools/check_oracle.py + pytest.
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    # Bench headliners that live in the analytics module.
-    "q1_pricing_summary",
-    "star_revenue_by_nation",
-    "q3_shipping_priority",
-    "q12_late_line_priorities",
-    *_ROTATED_IN_R4,
-    # LLM-data-pipeline suite (dedup, similarity, text, multimodal, …) —
-    # every entry now carries a value oracle (round 4 closed the last six)
-    # — minus the rotation displacements parked outside the window.
-    *(
-        n
-        for n, q in REGISTRY.items()
-        if q.spark_fn.__module__.endswith(".llm_ops")
-        and n not in _ROTATED_OUT_R3
-        and n not in _ROTATED_OUT_R4
-    ),
+    *_WINDOW_R5,
 )
 
 

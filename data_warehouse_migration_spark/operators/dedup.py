@@ -520,6 +520,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 10,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Substring-level dedup REWRITE — the removal half of Lee et al.
     2022 ("Deduplicating Training Data Makes Language Models Better",
@@ -530,24 +531,30 @@ def remove_duplicate_spans(
     ANY removed span covers it.
 
     Returns one row per input document:
-    ``(id_col, n_words int, n_removed int, cleaned_len int,
-    cleaned_text string)`` where ``cleaned_text`` is the surviving
-    words of the NORMALIZED text re-joined with single spaces (empty
-    string when every word was covered — e.g. an exact duplicate of a
-    lower-id document).
+    ``(id_col, *passthrough, n_words int, n_removed int,
+    cleaned_len int, cleaned_text string)`` where ``cleaned_text`` is
+    the surviving words of the NORMALIZED text re-joined with single
+    spaces (empty string when every word was covered — e.g. an exact
+    duplicate of a lower-id document). ``passthrough`` columns ride
+    along so composed pipelines don't re-join the input to recover
+    metadata (that re-join would re-expand this whole subtree).
 
     Shape at 100 TB (simpler than pair-finding): span digests are
-    16-byte keys; ownership is ``min(id)`` per digest — one map-side-
-    combined aggregate, no pair join, no df cap needed because nothing
-    is ever quadratic. Removal positions flow back as (id, start)
-    ints; the only time document text meets the removal list is ONE
-    equi-join on the document id, after which the rewrite is a pure
-    Column expression (filter-by-index over the token array) — text is
-    shuffled at most once, spans never carry text at all.
+    16-byte keys; ownership is ``min(id) OVER (PARTITION BY digest)``
+    — a window on the digest shuffle rather than a groupBy+self-join,
+    so the occurrence stream is computed ONCE; no pair join, no df cap
+    needed because nothing is ever quadratic. Removal positions flow
+    back as (id, start) ints; the only time document text meets the
+    removal list is ONE equi-join on the document id, after which the
+    rewrite is a pure Column expression (filter-by-index over the
+    token array) — text is shuffled at most once, spans never carry
+    text at all.
     """
     did = F.col(id_col)
+    extra = [F.col(c) for c in passthrough]
     base = docs.select(
         did,
+        *extra,
         F.split(normalized_text(F.col(text_col)), " ").alias("__w"),
     )
     # (id, start, digest) for every n-gram occurrence; 1-based starts.
@@ -556,9 +563,9 @@ def remove_duplicate_spans(
         .select(did, F.posexplode(word_ngrams_from_words(F.col("__w"), n)).alias("__i0", "__span"))
         .select(did, (F.col("__i0") + 1).alias("__start"), _hash_str(F.col("__span")).alias("__g"))
     )
-    owner = sh.groupBy("__g").agg(F.min(id_col).alias("__owner"))
+    owner = F.min(id_col).over(Window.partitionBy("__g"))
     removals = (
-        sh.join(owner, "__g")
+        sh.withColumn("__owner", owner)
         .filter(did > F.col("__owner"))
         .select(did, "__start")
         .distinct()
@@ -573,6 +580,7 @@ def remove_duplicate_spans(
     kept = F.filter(F.col("__w"), lambda w, idx: ~covered(idx))
     return joined.select(
         did,
+        *extra,
         F.size("__w").cast("int").alias("n_words"),
         (F.size("__w") - F.size(kept)).cast("int").alias("n_removed"),
         F.size(kept).cast("int").alias("cleaned_len"),

@@ -1,9 +1,10 @@
 """Corpus-quality operators beyond the round-3 suite: repetition
 filters (the Gopher/MassiveText family) and PII redaction.
 
-Registered OUTSIDE the driver's 50-entry attestation window (the
-window budget is managed in catalog.py; these are covered by
-``tools/check_oracle.py`` and the judge's full sweep every round).
+Window placement is managed in catalog.py / ROTATION.md (round 5
+rotated this module's queries into the driver's 50-entry attestation
+window); everything here is additionally covered by
+``tools/check_oracle.py`` and the judge's full sweep every round.
 
 Cross-engine rules: fractions are ratios of exact integer counts
 rounded to 6 decimals; thresholds compare the *rounded* value;
@@ -430,6 +431,7 @@ def approx_percentiles_by_segment(spark, sf_dir):
 
 @query(
     "duplicate_span_pairs",
+    headline=True,
     tags=("dedup", "spans", "substring"),
     oracle="""
 WITH n AS (
@@ -615,6 +617,7 @@ def duplicate_span_removal(spark, sf_dir):
 
 @query(
     "curation_pipeline_v2",
+    headline=True,
     tags=("pipeline", "composed", "quality", "chunking"),
     oracle="""
 WITH n AS (
@@ -712,6 +715,7 @@ def curation_pipeline_v2(spark, sf_dir):
 
 @query(
     "curation_pipeline_v3",
+    headline=True,
     tags=("pipeline", "composed", "quality", "spans", "chunking"),
     oracle="""
 WITH n0 AS (
@@ -797,9 +801,14 @@ def curation_pipeline_v3(spark, sf_dir):
     repetition stage on both engines.
 
     Shape at 100 TB: stages prune monotonically; the span stage adds
-    one digest-keyed min-aggregate and one id-keyed join to v2 (text
-    still shuffles at most once, for the removal join); chunking and
-    the rewrite are zero-shuffle Column work."""
+    one digest-keyed window and one id-keyed join to v2 (text still
+    shuffles at most once, for the removal join); chunking and the
+    rewrite are zero-shuffle Column work. The cleaned corpus — the
+    stage-2.5 output consumed by BOTH the repetition stats and the
+    chunker — is materialized once (``persist``; in a production
+    medallion deployment this is the silver-layer parquet write
+    between stages) instead of re-expanding the span-removal subtree
+    per consumer."""
     from data_warehouse_migration_spark.operators.dedup import (
         remove_duplicate_spans,
     )
@@ -813,9 +822,9 @@ def curation_pipeline_v3(spark, sf_dir):
         .select("doc_id")
     )
     kept_docs = base.join(survivors, "doc_id")
-    cleaned = remove_duplicate_spans(kept_docs, text_col="txt", n=10).join(
-        kept_docs.select("doc_id", "lang"), "doc_id"
-    )
+    cleaned = remove_duplicate_spans(
+        kept_docs, text_col="txt", n=10, passthrough=("lang",)
+    ).persist()
     bic = (
         _ngram_rows(cleaned.withColumnRenamed("cleaned_text", "text"), 2)
         .groupBy("doc_id", "gram")

@@ -39,25 +39,38 @@ def test_attestation_window_membership():
         "q1_pricing_summary",
         "star_revenue_by_nation",
         "q3_shipping_priority",
-        # round-4 rotation targets (ROTATION.md r4): the q12 re-attest,
-        # the six re-oracled gates, the rotated-in functions surface,
-        # and the new streaming attestation query.
-        "q12_late_line_priorities",
-        "approx_distinct_users",
-        "similarity_lsh_topk",
-        "similarity_ivf_topk",
-        "similarity_pq_topk",
-        "similarity_ivf_pq_topk",
-        "embedding_kmeans",
-        "string_functions",
-        "date_functions",
-        "json_extract_events",
-        "math_functions",
-        "map_functions_surface",
-        "unpivot_order_measures",
-        "histogram_order_values",
-        "window_analytics_suite",
-        "streaming_tumbling_hourly",
+        # round-5 rotation targets (ROTATION.md r5): the 12-query r4
+        # attestation backlog, the five new round-5 queries, the
+        # changed-code re-attests, and the r2-stale set rotated back.
+        "doc_perplexity_filter",
+        "dedup_exact",
+        "repetition_quality_flags",
+        "pii_redaction_stats",
+        "bigram_lm_scores",
+        "embedding_label_centroids",
+        "chunk_documents_overlap",
+        "approx_percentiles_by_segment",
+        "duplicate_span_pairs",
+        "curation_pipeline_v2",
+        "streaming_session_windows",
+        "streaming_dedup_counts",
+        "sliding_event_windows",
+        "streaming_user_totals_final",
+        "deterministic_shard_manifest",
+        "duplicate_span_removal",
+        "curation_pipeline_v3",
+        "streaming_interval_join",
+        "media_feature_extract_real",
+        "simhash_fingerprints",
+        "doc_fingerprint_winnow",
+        "distinct_users_by_type",
+        "word_frequency_topk",
+        "higher_order_token_stats",
+        "gapfill_daily_event_counts",
+        "deterministic_split_documents",
+        "dataset_mix_by_lang",
+        "eval_sample_per_lang",
+        "funnel_click_to_purchase",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"

@@ -48,6 +48,11 @@ BNLJ_WHITELIST = {
                               #   shape) to attest ANN recall; the ANN legs
                               #   themselves stay equi-join/bucketed
     "histogram_order_values", # 1-row min/max bounds broadcast (O(n·1))
+    "bigram_lm_scores",       # 1-row vocabulary-size scalar cross join
+                              #   (the COUNT tables join equi/AQE — r5
+                              #   de-broadcast; only the scalar is BNLJ)
+    "gapfill_daily_event_counts",  # 1-row min/max date bounds broadcast
+                              #   feeding the sequence grid (O(n·1))
 }
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
