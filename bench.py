@@ -46,6 +46,12 @@ def previous_bench(repo_dir: str) -> tuple[str | None, dict[str, float]]:
     try:
         with open(best[1]) as f:
             data = json.load(f)
+        # The driver records bench output wrapped ({"rc": ..., "tail":
+        # ..., "parsed": {...}}); locally-written files are the bare
+        # JSON line. Accept both, else the regression guard silently
+        # compares against nothing.
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
         return os.path.basename(best[1]), dict(data.get("queries", {}))
     except Exception:
         return None, {}

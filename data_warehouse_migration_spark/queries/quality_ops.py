@@ -467,7 +467,14 @@ def duplicate_span_pairs(spark, sf_dir):
     text never shuffles), document-frequency cap (df ≤ 1000) drops
     degenerate boilerplate spans BEFORE the self-join — the same guard
     the suffix-array pipelines apply — so no digest bucket explodes
-    quadratically; the pair join is digest-keyed, never doc×doc."""
+    quadratically; the pair join is digest-keyed, never doc×doc. The
+    df filter is a count OVER the digest window (one shuffle, no
+    groupBy+self-join) and the filtered index is materialized once for
+    its two pair-join legs — joining BOTH legs from the filtered set
+    is equivalent to filtering one (a matching row's digest passed the
+    df filter by definition) and keeps the build side minimal."""
+    from pyspark.sql import Window
+
     from data_warehouse_migration_spark.operators.dedup import word_shingles
 
     docs = t(spark, sf_dir, "documents")
@@ -482,18 +489,105 @@ def duplicate_span_pairs(spark, sf_dir):
         )
         .select("doc_id", F.md5(F.col("span")).alias("g"))
     )
-    keep = (
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    filtered = (
+        sh.withColumn("df", df_w)
         .filter((F.col("df") >= 2) & (F.col("df") <= 1000))
-        .select("g")
+        .select("doc_id", "g")
+        .persist()
     )
-    a = sh.join(keep, "g").select(F.col("g"), F.col("doc_id").alias("doc_a"))
-    b = sh.select(F.col("g"), F.col("doc_id").alias("doc_b"))
+    a = filtered.select(F.col("g"), F.col("doc_id").alias("doc_a"))
+    b = filtered.select(F.col("g"), F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, (a["g"] == b["g"]) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_10grams"))
+    )
+
+
+def _zorder_oracle() -> str:
+    from data_warehouse_migration_spark.operators.layout import morton_sql
+
+    z = morton_sql("xi", "yi", bits=12)
+    return f"""
+WITH o AS (
+    SELECT CAST(o_custkey AS BIGINT) AS x,
+           CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+    FROM orders
+), s AS (
+    SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM o
+), q AS (
+    SELECT ((x - xlo) * 4096) // (xhi - xlo + 1) AS xi,
+           ((y - ylo) * 4096) // (yhi - ylo + 1) AS yi
+    FROM o CROSS JOIN s
+), z AS (
+    SELECT xi, yi, {z} AS zc FROM q
+)
+SELECT CAST(zc >> 18 AS BIGINT) AS z_bucket,
+       count(*) AS n_orders,
+       CAST(min(xi) AS INT) AS min_xq, CAST(max(xi) AS INT) AS max_xq,
+       CAST(min(yi) AS INT) AS min_yq, CAST(max(yi) AS INT) AS max_yq
+FROM z
+GROUP BY 1
+"""
+
+
+@query(
+    "zorder_locality_manifest",
+    tags=("layout", "zorder", "data-skipping"),
+    oracle=_zorder_oracle(),
+)
+def zorder_locality_manifest(spark, sf_dir):
+    """Z-order (Morton) clustering manifest — the lakehouse `OPTIMIZE
+    ZORDER BY` primitive (operators/layout.py), attested exactly:
+    (customer, order-day) are quantized onto the full 4096-grid from
+    their observed min/max (exact integer scaling — unscaled dims with
+    disparate ranges would hand every high interleave bit to the wider
+    one and degenerate z-order into a plain sort), interleaved into a
+    24-bit Morton code, and rolled up by coarse z-range bucket (top 6
+    bits — the per-file granularity ``write_zordered`` produces) with
+    min/max of BOTH quantized dimensions. The DuckDB oracle recomputes
+    the identical interleave via ``morton_sql`` — the same spec emits
+    the Spark Column — so the attestation covers the bit arithmetic,
+    the quantization grid, and the locality stats a data-skipping
+    reader consults. `test_layout.py` pins the pruning property (tight
+    per-file ranges in both dims) on actually-written files.
+
+    Shape at 100 TB: the 1-row min/max stats broadcast (the sanctioned
+    O(n·1) scalar pattern) + one scan to code and aggregate; the
+    writer adds one range shuffle."""
+    from data_warehouse_migration_spark.operators.layout import (
+        morton_code,
+        quantize_dim,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("y"),
+    )
+    s = o.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    )
+    q = o.crossJoin(F.broadcast(s)).select(
+        quantize_dim(F.col("x"), F.col("xlo"), F.col("xhi"), 12).alias("xi"),
+        quantize_dim(F.col("y"), F.col("ylo"), F.col("yhi"), 12).alias("yi"),
+    )
+    zc = morton_code(F.col("xi"), F.col("yi"), bits=12)
+    return (
+        q.withColumn("zc", zc)
+        .groupBy(F.shiftright(F.col("zc"), 18).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("xi").cast("int").alias("min_xq"),
+            F.max("xi").cast("int").alias("max_xq"),
+            F.min("yi").cast("int").alias("min_yq"),
+            F.max("yi").cast("int").alias("max_yq"),
+        )
     )
 
 
@@ -666,7 +760,15 @@ def curation_pipeline_v2(spark, sf_dir):
     Shape at 100 TB: dedup and the repetition counts are digest/gram-
     keyed shuffles (text never shuffles); chunking is zero-shuffle
     per-doc expression work; the final rollup is language-cardinality
-    sized. Stages prune monotonically, so each later stage scans less."""
+    sized. Stages prune monotonically, so each later stage scans less.
+    The tokenized survivor frame — consumed by BOTH the repetition
+    stats and the chunker — is materialized once (``persist``; the
+    silver parquet write in a production medallion deployment) so the
+    dedup join and the split don't re-run per consumer."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        word_ngrams_from_words,
+    )
+
     docs = t(spark, sf_dir, "documents")
     norm = normalized_text(F.col("text"))
     base = docs.select("doc_id", "lang", norm.alias("txt"))
@@ -678,9 +780,12 @@ def curation_pipeline_v2(spark, sf_dir):
     kept_docs = base.join(survivors, "doc_id")
     w = kept_docs.select(
         "doc_id", "lang", F.split(F.col("txt"), " ").alias("w")
-    )
+    ).persist()
+    grams = F.when(
+        F.size("w") >= 2, word_ngrams_from_words(F.col("w"), 2)
+    ).otherwise(F.array())
     bic = (
-        _ngram_rows(kept_docs.withColumnRenamed("txt", "text"), 2)
+        w.select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .count()
     )

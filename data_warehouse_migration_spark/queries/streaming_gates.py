@@ -160,6 +160,56 @@ def sliding_event_windows(spark, sf_dir):
 
 
 @query(
+    "streaming_sliding_halfhour",
+    tags=("streaming", "window", "sliding", "2.10"),
+    oracle="""
+WITH e AS (
+    SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), w AS (
+    SELECT make_timestamp(((us // 1800000000) - k.k) * 1800000000)
+               AS window_start,
+           event_type, cents
+    FROM e, (SELECT unnest(range(2)) AS k) k
+    WHERE us < (((us // 1800000000) - k.k) * 1800000000) + 3600000000
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value
+FROM w
+GROUP BY 1, 2
+""",
+)
+def streaming_sliding_halfhour(spark, sf_dir):
+    """Sliding (hopping) windows on the REAL streaming engine — 1-hour
+    windows every 30 minutes under a watermark, completing the
+    streaming window family (tumbling / sliding / session / dedup /
+    custom-stateful / stream-stream join, each hash-gated). Same
+    oracle as the batch twin ``sliding_event_windows``: exact integer-
+    microsecond epoch-aligned window assignment, 2× row expansion
+    window-side before the map-side-combined aggregate. State is one
+    row per (window, type) bounded by the watermark."""
+    from data_warehouse_migration_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_tumbling_agg,
+    )
+
+    stream = streaming_tumbling_agg(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"),
+        duration="1 hour",
+        slide="30 minutes",
+    )
+    return run_stream_to_memory(spark, stream, "stream_sliding_gate").select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
     "streaming_ewma_final",
     tags=("streaming", "stateful", "ewma", "applyInPandasWithState", "2.10"),
     oracle="""

@@ -62,6 +62,32 @@ def read_parquet(
     return df.select(*cols)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    declared: StructType | None = None,
+) -> DataFrame:
+    """ORC with the same optional declared-projection drift posture as
+    :func:`read_parquet` — extra columns tolerated, missing columns
+    NULL of the declared type. ORC is the other columnar format lake
+    interchange commonly arrives in (Hive-era lakes); Spark's native
+    reader gives the same predicate pushdown + column pruning as
+    parquet, which pytest pins via a round-trip through
+    ``writers.write_orc``."""
+    df = spark.read.orc(path)
+    if declared is None:
+        return df
+    cols = []
+    have = {f.name.lower(): f.name for f in df.schema.fields}
+    for field in declared.fields:
+        src = have.get(field.name.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 def read_increment(
     spark,
     path: str,

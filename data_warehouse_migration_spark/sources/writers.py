@@ -35,6 +35,22 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (zlib, Spark's default) with the same partitioning
+    contract as :func:`write_parquet` — for consumers standardized on
+    Hive-era ORC lakes. Round-tripped against ``readers.read_orc`` in
+    pytest, including declared-projection drift."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def atomic_overwrite_parquet(
     df: DataFrame, path: str, keep_old: bool = True
 ) -> None:

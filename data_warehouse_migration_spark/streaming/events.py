@@ -58,16 +58,23 @@ def streaming_tumbling_agg(
     ts_col: str = "ts",
     group_col: str = "event_type",
     value_col: str = "value",
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregate — the streaming twin of
     ``operators.sessionize.tumbling_window_agg`` (same grouping
     expression; the watermark adds late-data cutoff + state eviction).
+    Pass ``slide`` shorter than ``duration`` for a sliding (hopping)
+    window: each event lands in duration/slide overlapping windows,
+    expanded window-side before the aggregate exactly as in batch.
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
     return (
         events.withWatermark(ts_col, watermark)
         .withColumn("__cents", cents)
-        .groupBy(F.window(F.col(ts_col), duration).alias("w"), F.col(group_col))
+        .groupBy(
+            F.window(F.col(ts_col), duration, slide or duration).alias("w"),
+            F.col(group_col),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum("__cents") / 100.0).alias("total_value"),

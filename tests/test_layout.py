@@ -1,0 +1,88 @@
+"""Z-order layout (operators/layout.py): Morton codes vs a Python
+reference, and the actual data-skipping property — files written by
+``write_zordered`` must have tight min/max ranges in BOTH dimensions,
+where a one-column sort is tight in one and spans the other."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.operators.layout import (
+    morton_code,
+    write_zordered,
+)
+
+BITS = 12
+
+
+def _ref_morton(x: int, y: int, bits: int = BITS) -> int:
+    x &= (1 << bits) - 1
+    y &= (1 << bits) - 1
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_matches_reference(spark):
+    rows = [(x, y) for x in (0, 1, 5, 4095, 4096, 123456) for y in (0, 3, 77, 4095)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = df.select(
+        "x", "y", morton_code(F.col("x"), F.col("y"), BITS).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _ref_morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def _file_spans(spark, path, col):
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        row = (
+            spark.read.parquet(f)
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .first()
+        )
+        if row["lo"] is not None:
+            spans.append(row["hi"] - row["lo"])
+    return spans
+
+
+def test_zorder_write_prunes_both_dims(spark, sf_dir, tmp_path):
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("x"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    stats = o.agg(
+        (F.max("x") - F.min("x")).alias("sx"),
+        (F.max("y") - F.min("y")).alias("sy"),
+        F.count("*").alias("n"),
+    ).first()
+    zpath = str(tmp_path / "zorder")
+    write_zordered(o, zpath, "x", "y", bits=BITS, n_files=8)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == stats["n"]
+
+    # Data-skipping property: per-file ranges are tight in BOTH
+    # dimensions at once. A single-column sort makes one dimension
+    # tight and leaves the other ≈ the global span (span-fraction
+    # product ≈ 1.0 per file); z-ordering into k files shrinks the
+    # covered AREA toward 1/k. Per-dim bounds are looser (the
+    # interleave trades each dim's tightness for the product).
+    x_spans = _file_spans(spark, zpath, "x")
+    y_spans = _file_spans(spark, zpath, "y")
+    assert len(x_spans) >= 4
+    assert sum(x_spans) / len(x_spans) < 0.75 * stats["sx"]
+    assert sum(y_spans) / len(y_spans) < 0.75 * stats["sy"]
+    areas = [xs * ys for xs, ys in zip(x_spans, y_spans)]
+    area_frac = (sum(areas) / len(areas)) / (stats["sx"] * stats["sy"])
+    assert area_frac < 0.35, area_frac

@@ -53,6 +53,9 @@ BNLJ_WHITELIST = {
                               #   de-broadcast; only the scalar is BNLJ)
     "gapfill_daily_event_counts",  # 1-row min/max date bounds broadcast
                               #   feeding the sequence grid (O(n·1))
+    "zorder_locality_manifest",    # 1-row min/max quantization stats
+                              #   broadcast (O(n·1), layout optimizer
+                              #   range-stats pattern)
 }
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
