@@ -505,6 +505,127 @@ def duplicate_span_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "vector_ops_surface",
+    tags=("embeddings", "vectors", "matryoshka"),
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_aggregate(
+           list_transform(embedding, x -> x::DOUBLE * x), 'sum')), 6)
+           AS l2_norm,
+       round(sqrt(list_aggregate(
+               list_transform(embedding[1:16], x -> x::DOUBLE * x), 'sum'))
+           / sqrt(list_aggregate(
+               list_transform(embedding, x -> x::DOUBLE * x), 'sum')), 6)
+           AS trunc16_energy
+FROM embeddings
+""",
+)
+def vector_ops_surface(spark, sf_dir):
+    """Vector-column expression surface: per-embedding L2 norm and the
+    energy fraction retained by truncating to the first 16 dimensions
+    — the matryoshka/MRL question ("how many dims can retrieval drop?")
+    answered corpus-wide as pure Column expressions (transform +
+    aggregate fold, zero UDFs, zero shuffles). The fold order is the
+    array order on both engines, so doubles agree bit-for-bit before
+    the 6-decimal rounding.
+
+    Shape at 100 TB: embarrassingly parallel scan; the same
+    normalize/truncate expressions feed ``operators/similarity`` ANN
+    indexes when a pipeline standardizes vectors at ingest."""
+    emb = t(spark, sf_dir, "embeddings")
+    sq = lambda c: F.aggregate(  # noqa: E731 — tiny local fold helper
+        F.transform(c, lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    full = F.sqrt(sq(F.col("embedding")))
+    head = F.sqrt(sq(F.slice(F.col("embedding"), 1, 16)))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(full, 6).alias("l2_norm"),
+        F.round(head / full, 6).alias("trunc16_energy"),
+    )
+
+
+@query(
+    "corpus_drift_kl",
+    tags=("text", "drift", "monitoring"),
+    oracle="""
+WITH tok AS (
+    SELECT doc_id % 2 AS snap, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+    FROM documents
+), cnt AS (
+    SELECT snap, t, count(*) AS c FROM tok GROUP BY 1, 2
+), v AS (
+    SELECT t,
+           coalesce(max(CASE WHEN snap = 0 THEN c END), 0) AS ca,
+           coalesce(max(CASE WHEN snap = 1 THEN c END), 0) AS cb
+    FROM cnt GROUP BY t
+), s AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+           CAST(count(*) AS BIGINT) AS vu
+    FROM v
+), terms AS (
+    SELECT (ca + 1.0) / (na + vu) AS p, (cb + 1.0) / (nb + vu) AS q,
+           na, nb, vu
+    FROM v CROSS JOIN s
+)
+SELECT max(na) AS n_tokens_a, max(nb) AS n_tokens_b,
+       max(vu) AS vocab_union,
+       round(sum(p * ln(p / q)), 6) AS kl_ab,
+       round(sum(q * ln(q / p)), 6) AS kl_ba
+FROM terms
+""",
+)
+def corpus_drift_kl(spark, sf_dir):
+    """Corpus drift monitor: symmetric pair of add-1-smoothed KL
+    divergences between two corpus snapshots' unigram distributions
+    (snapshots stand in as doc_id parity halves; production compares
+    crawl N vs crawl N+1). THE recurring-ingestion health check: a
+    jump in KL flags topic/source composition shifts before they reach
+    training. Smoothing is over the union vocabulary, so novel tokens
+    contribute mass instead of infinities.
+
+    Shape at 100 TB: token-count shuffles (map-side combined), one
+    full-outer digest-sized merge of the two count tables, a 1-row
+    totals broadcast (sanctioned O(n·1) scalar), and a
+    vocabulary-sized sum — text never shuffles. Cross-engine: counts
+    are exact integers; the final float sums run ~1e-1 magnitudes over
+    vocabulary-sized term sets, far inside round-6 agreement."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
+    )
+    cnt = tok.groupBy("snap", "t").agg(F.count(F.lit(1)).alias("c"))
+    v = cnt.groupBy("t").agg(
+        F.coalesce(F.max(F.when(F.col("snap") == 0, F.col("c"))), F.lit(0)).alias("ca"),
+        F.coalesce(F.max(F.when(F.col("snap") == 1, F.col("c"))), F.lit(0)).alias("cb"),
+    )
+    s = v.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("vu"),
+    )
+    terms = v.crossJoin(F.broadcast(s)).select(
+        ((F.col("ca") + 1.0) / (F.col("na") + F.col("vu"))).alias("p"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + F.col("vu"))).alias("q"),
+        "na",
+        "nb",
+        "vu",
+    )
+    return terms.agg(
+        F.max("na").alias("n_tokens_a"),
+        F.max("nb").alias("n_tokens_b"),
+        F.max("vu").alias("vocab_union"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_ab"),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_ba"),
+    )
+
+
 def _zorder_oracle() -> str:
     from data_warehouse_migration_spark.operators.layout import morton_sql
 

@@ -56,6 +56,8 @@ BNLJ_WHITELIST = {
     "zorder_locality_manifest",    # 1-row min/max quantization stats
                               #   broadcast (O(n·1), layout optimizer
                               #   range-stats pattern)
+    "corpus_drift_kl",        # 1-row token-totals broadcast over the
+                              #   vocabulary-sized merged count table
 }
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
