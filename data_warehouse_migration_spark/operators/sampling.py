@@ -15,7 +15,7 @@ Zero shuffles — the assignment is a pure projection; engine-portable
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 65536  # 16^4
@@ -58,6 +58,56 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     second call with (1 - fraction) on the inverted predicate returns.
     """
     return df.filter(md5_bucket(F.col(key_col)) < int(fraction * BUCKETS))
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform in (0, 1) from md5(salt||key): the first
+    48 hash bits, offset half a step (never exactly 0 or 1). Exact in
+    double — the content-addressed replacement for ``rand()``."""
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    return (v + 0.5) / float(1 << 48)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme with content-addressed randomness.
+    Each row draws u = :func:`hash_uniform` and competes with key
+    ln(u)/weight (the monotone form of u^(1/w)); the global top-k win.
+    P(row in sample) increases with weight exactly as A-ES guarantees,
+    and the SAME (corpus, salt, k) always selects the same rows — no
+    ``rand()``, so retries, resizes, and re-runs agree, and a SQL
+    oracle can re-derive the selection bit-for-bit.
+
+    Scale: the score is a zero-shuffle projection; global top-k plans
+    as TakeOrderedAndProject (per-partition heads, driver merge of
+    k·partitions rows). Weights must be > 0.
+
+    Returns the k selected rows with ``es_key`` and ``sample_rank``
+    (rounded/tie-broken so the ordering is engine-stable).
+    """
+    u = hash_uniform(F.col(key_col), salt)
+    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.withColumn("es_key", es)
+        .orderBy(F.col("es_key").desc(), F.col(key_col))
+        .limit(k)
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("es_key").desc(), F.col(key_col))
+            ),
+        )
+    )
 
 
 def weighted_mix(

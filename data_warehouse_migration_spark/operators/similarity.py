@@ -47,6 +47,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -55,15 +56,32 @@ def brute_force_topk(
     then a per-query ``row_number`` keeps k. Ranking uses the *rounded*
     score with the neighbor id as tie-break, so the result is total and
     reproducible across engines/precisions.
+
+    ``match_cols``: metadata columns that must be EQUAL between query
+    and neighbor (label, language, tenant …) — filtered vector search
+    done as PRE-filtering: the predicate joins into candidate
+    generation, so top-k is computed over the eligible set. The
+    post-filter alternative (search first, drop mismatches after)
+    silently returns < k or misses eligible neighbors — the classic
+    filtered-ANN recall trap.
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            *[F.col(c).alias(f"q_{c}") for c in match_cols],
         )
     )
-    c = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = vectors.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        *match_cols,
+    )
+    cond = F.col("q_id") != F.col("n_id")
+    for mc in match_cols:
+        cond = cond & (F.col(f"q_{mc}") == F.col(mc))
     scored = (
-        q.join(c, F.col("q_id") != F.col("n_id"))
+        q.join(c, cond)
         .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))

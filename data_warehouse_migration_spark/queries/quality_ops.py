@@ -506,6 +506,110 @@ def duplicate_span_pairs(spark, sf_dir):
 
 
 @query(
+    "similarity_filtered_topk",
+    tags=("similarity", "filtered-search", "ann"),
+    oracle="""
+WITH v AS (
+    SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+    FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < 8)
+SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       round(list_cosine_similarity(q.emb, c.emb), 6) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC, c.vec_id
+       ) AS INT) AS rank
+FROM q JOIN v c ON c.vec_id <> q.vec_id AND c.label = q.label
+QUALIFY rank <= 5
+""",
+)
+def similarity_filtered_topk(spark, sf_dir):
+    """Filtered vector search — top-k neighbors restricted to the
+    query's metadata cohort (same label; production: language, tenant,
+    license class). Done as PRE-filtering: the equality predicate
+    joins into candidate generation (`brute_force_topk(match_cols=…)`)
+    so the top-k ranks over the ELIGIBLE set — the post-filter
+    alternative (search, then drop mismatches) silently under-fills k
+    and misses eligible neighbors, the classic filtered-ANN recall
+    trap. Exact oracle (DuckDB recomputes the filtered ranking), no
+    recall floor needed.
+
+    Shape at 100 TB: same broadcast-queries scan as `similarity_topk`
+    with the predicate fused into the join; the IVF/LSH variants
+    compose the same way — filter the corpus before bucketing."""
+    from data_warehouse_migration_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries_df, k=5, match_cols=("label",))
+
+
+def _hex12_to_int_sql(expr: str) -> str:
+    """First 48 md5 bits as a BIGINT, portable SQL (no engine hex-cast
+    needed): positional strpos arithmetic over 12 hex chars."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "weighted_doc_sample",
+    tags=("sampling", "weighted", "deterministic"),
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS n_words,
+           md5('r5' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+), s AS (
+    SELECT doc_id, n_words,
+           round(ln(({_hex12_to_int_sql('h')} + 0.5) / 281474976710656.0)
+                 / n_words, 9) AS es_key
+    FROM d
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, es_key,
+       CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT)
+           AS sample_rank
+FROM s
+QUALIFY sample_rank <= 50
+""",
+)
+def weighted_doc_sample(spark, sf_dir):
+    """Weighted sampling without replacement, deterministic — the
+    Efraimidis–Spirakis A-ES scheme with content-addressed randomness
+    (operators/sampling.weighted_sample): 50 documents drawn with
+    probability increasing in token count, selected by top-k of
+    ln(u)/weight where u derives from md5(salt‖id) instead of
+    ``rand()``. The corpus-mixing primitive when "sample X tokens
+    favoring long documents" must reproduce across retries, resizes,
+    and engines; the DuckDB oracle re-derives the exact same 50 rows
+    from the same hash arithmetic. Scores are rounded to 9 before
+    ranking so 1-ulp libm ln() differences can't flip an order.
+
+    Shape at 100 TB: score is a zero-shuffle projection; global top-k
+    plans as TakeOrderedAndProject."""
+    from data_warehouse_migration_spark.operators.dedup import normalized_text
+    from data_warehouse_migration_spark.operators.sampling import weighted_sample
+
+    docs = t(spark, sf_dir, "documents")
+    wdf = docs.select(
+        "doc_id",
+        F.size(F.split(normalized_text(F.col("text")), " "))
+        .cast("int")
+        .alias("n_words"),
+    )
+    return weighted_sample(wdf, "doc_id", "n_words", k=50, salt="r5").select(
+        "doc_id", "n_words", "es_key", "sample_rank"
+    )
+
+
+@query(
     "vector_ops_surface",
     tags=("embeddings", "vectors", "matryoshka"),
     oracle="""

@@ -68,6 +68,8 @@ GLOBAL_WINDOW_WHITELIST = {
     "word_frequency_topk",    # top-k over an aggregated vocabulary
     "tfidf_top_terms",        # rank within doc over aggregated terms
     "dataset_mix_by_lang",    # 5-row per-language shares
+    "weighted_doc_sample",    # rank over the k rows REMAINING after
+                              #   the TakeOrderedAndProject limit
 }
 
 
