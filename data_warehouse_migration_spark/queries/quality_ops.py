@@ -1,15 +1,21 @@
-"""Corpus-quality operators beyond the round-3 suite: repetition
-filters (the Gopher/MassiveText family) and PII redaction.
+"""Corpus-curation and data-layout operators added in rounds 4-5:
+repetition filters (the Gopher/MassiveText family), PII redaction,
+bigram LM scoring, label centroids, overlap chunking, approximate
+percentiles, duplicate-span detection AND removal, the composed
+curation pipelines (v2/v3), deterministic shuffle-sharding, Z-order
+layout clustering, corpus-drift KL monitoring, vector-column surface,
+filtered vector search, and deterministic weighted sampling.
 
 Window placement is managed in catalog.py / ROTATION.md (round 5
-rotated this module's queries into the driver's 50-entry attestation
+rotated the round-4 backlog into the driver's 50-entry attestation
 window); everything here is additionally covered by
 ``tools/check_oracle.py`` and the judge's full sweep every round.
 
 Cross-engine rules: fractions are ratios of exact integer counts
 rounded to 6 decimals; thresholds compare the *rounded* value;
-redacted text is md5-hashed (identical regex semantics on Java regex /
-RE2 — patterns restricted to the common subset).
+redacted/cleaned text is md5-hashed (identical regex semantics on
+Java regex / RE2 — patterns restricted to the common subset); float
+scores round before ranking so libm 1-ulp differences can't reorder.
 """
 
 from __future__ import annotations
