@@ -1,0 +1,43 @@
+"""Physical-plan guards: queries whose docstrings/SCALE.md claim
+zero-shuffle execution must actually plan without an Exchange, and the
+driver attestation window must stay exactly 50 unique entries.
+Complements tools/plan_audit.py (which fails on scale-killers but not
+on a quietly-introduced shuffle in a zero-shuffle operator)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from data_warehouse_migration_spark.catalog import REGISTRY
+
+#: Queries documented as zero-shuffle: scan → expressions → result.
+ZERO_SHUFFLE = [
+    "text_quality",
+    "pii_redaction_stats",
+    "chunk_documents_overlap",
+    "simhash_fingerprints",
+    "doc_fingerprint_winnow",
+    "vector_ops_surface",
+    "media_feature_extract_real",
+]
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_zero_shuffle_queries_have_no_exchange(spark, sf_dir):
+    for name in ZERO_SHUFFLE:
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan}"
+
+
+def test_window_is_exactly_fifty_unique(spark):
+    names = list(REGISTRY)
+    window = names[:50]
+    assert len(set(window)) == 50
