@@ -512,6 +512,137 @@ def duplicate_span_pairs(spark, sf_dir):
 
 
 @query(
+    "dynamic_gap_sessions",
+    tags=("events", "session", "dynamic-gap"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           CASE WHEN event_type = 'click' THEN 1200000000
+                ELSE 2400000000 END AS gap_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), m AS (
+    SELECT *, epoch_us(ts) AS s_us, epoch_us(ts) + gap_us AS e_us FROM e
+), x AS (
+    SELECT *,
+           max(e_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+    FROM m
+), y AS (
+    SELECT *,
+           CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END AS is_new
+    FROM x
+), z AS (
+    SELECT *,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM y
+)
+SELECT user_id,
+       make_timestamp(min(s_us)) AS session_start,
+       make_timestamp(max(e_us)) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value
+FROM z
+GROUP BY user_id, sid
+""",
+)
+def dynamic_gap_sessions(spark, sf_dir):
+    """Sessionization with a PER-EVENT gap — ``session_window`` with a
+    gap Column (clicks idle out in 20 minutes, everything else in 40):
+    the shape for engagement models where different interaction kinds
+    have different dwell expectations. The batch oracle generalizes
+    gap-and-island to variable gaps: a session continues while an
+    event starts at or before the RUNNING MAX of previous interval
+    ends (a lag-only check is wrong once gaps differ — a long-gap
+    event can bridge over a short-gap successor); session end is the
+    max interval end. Exact-cents values, boundary semantics matched
+    to the fixed-gap gates (diff == gap ⇒ same session).
+
+    Shape at 100 TB: identical to fixed-gap ``session_window`` — one
+    user-keyed shuffle, state merged window-side; the streaming twin
+    passes the same gap Column under a watermark."""
+    e = t(spark, sf_dir, "events")
+    # Dynamic gaps must be CalendarIntervalType — string literals in
+    # the conditional (the documented form), not ANSI day-time
+    # intervals, which session_window rejects.
+    gap = F.when(F.col("event_type") == "click", F.lit("20 minutes")).otherwise(
+        F.lit("40 minutes")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.withColumn("__cents", cents)
+        .groupBy(
+            F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("__cents") / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "hll_sketch_rollup",
+    tags=("sketch", "hll", "mergeable", "rollup"),
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       1 AS merged_within_3pct
+FROM events
+GROUP BY event_type
+""",
+)
+def hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — the property that makes distinct
+    counts feasible at 100 TB: per-(day, type) HLL sketches are built
+    ONCE at ingest granularity (``hll_sketch_agg``), then any coarser
+    rollup unions the stored sketches (``hll_union_agg``) without
+    touching raw data — here daily sketches merge into per-type totals
+    whose estimate must land within 3% of the exact distinct.
+    ``approx_distinct_users`` attested the direct one-shot sketch; this
+    gate attests the MERGE path, which is what a continuous-aggregate
+    pipeline actually stores and serves. Attestation follows the HLL
+    pattern: DuckDB recomputes the exact answer, Spark adds the
+    tolerance flag; a sketch or merge bug breaks the hash via the flag.
+
+    Shape: one shuffle to (day, type) sketches (map-side combined),
+    one tiny shuffle of sketch bytes to type — raw user_ids cross the
+    wire once, at the finest granularity only."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.round(F.col("exact_users") * 0.03), F.lit(1))
+        )
+        .cast("int")
+        .alias("merged_within_3pct"),
+    )
+
+
+@query(
     "similarity_filtered_topk",
     tags=("similarity", "filtered-search", "ann"),
     oracle="""
