@@ -160,6 +160,72 @@ def sliding_event_windows(spark, sf_dir):
 
 
 @query(
+    "streaming_dynamic_gap_sessions",
+    tags=("streaming", "session_window", "dynamic-gap", "2.10"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           CASE WHEN event_type = 'click' THEN 1200000000
+                ELSE 2400000000 END AS gap_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), m AS (
+    SELECT *, epoch_us(ts) AS s_us, epoch_us(ts) + gap_us AS e_us FROM e
+), x AS (
+    SELECT *,
+           max(e_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+    FROM m
+), y AS (
+    SELECT *,
+           CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END AS is_new
+    FROM x
+), z AS (
+    SELECT *,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM y
+)
+SELECT user_id,
+       make_timestamp(min(s_us)) AS session_start,
+       make_timestamp(max(e_us)) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value
+FROM z
+GROUP BY user_id, sid
+""",
+)
+def streaming_dynamic_gap_sessions(spark, sf_dir):
+    """Dynamic-gap sessionization on the REAL streaming engine: the
+    per-event gap Column (clicks 20 min, else 40) drives
+    ``session_window`` under a watermark, so the state store must
+    merge VARIABLE-length windows — a different engine path from the
+    fixed-gap gate (`streaming_session_windows`), attested against the
+    same running-max interval-merge oracle as the batch twin
+    (`dynamic_gap_sessions`)."""
+    from data_warehouse_migration_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    gap = F.when(F.col("event_type") == "click", F.lit("20 minutes")).otherwise(
+        F.lit("40 minutes")
+    )
+    stream = streaming_sessionize(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"), gap=gap
+    )
+    return run_stream_to_memory(spark, stream, "stream_dyngap_gate").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
     "streaming_sliding_halfhour",
     tags=("streaming", "window", "sliding", "2.10"),
     oracle="""

@@ -90,7 +90,7 @@ def streaming_tumbling_agg(
 
 def streaming_sessionize(
     events: DataFrame,
-    gap: str = "30 minutes",
+    gap="30 minutes",  # str, or a Column for per-event dynamic gaps
     watermark: str = "2 hours",
     ts_col: str = "ts",
     user_col: str = "user_id",
