@@ -588,6 +588,84 @@ def remove_duplicate_spans(
     )
 
 
+def remove_spans_in_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental duplicate-span removal — the continuous-ingestion
+    variant of :func:`remove_duplicate_spans`: every word ``n``-gram of
+    a BATCH document that already occurs anywhere in the existing
+    CORPUS is excised from the batch document (the corpus owns all its
+    spans; batch-internal duplication is left to a subsequent
+    :func:`remove_duplicate_spans` pass or the next corpus refresh).
+    Same output shape as the full-corpus operator.
+
+    Shape at 100 TB: corpus text is reduced to DISTINCT span digests
+    once (16 bytes each, reusable across batches as a stored index);
+    the batch's occurrences equi-join that digest set — batch×corpus
+    never materializes, corpus text never re-shuffles per batch. The
+    rewrite is the same single id-keyed join + filter-by-index Column
+    expression."""
+    did = F.col(id_col)
+    extra = [F.col(c) for c in passthrough]
+    base = batch.select(
+        did,
+        *extra,
+        F.split(normalized_text(F.col(text_col)), " ").alias("__w"),
+    )
+    corpus_digests = (
+        corpus.filter(
+            F.size(F.split(normalized_text(F.col(text_col)), " ")) >= n
+        )
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("__span")
+        )
+        .select(_hash_str(F.col("__span")).alias("__g"))
+        .distinct()
+    )
+    sh = (
+        base.filter(F.size("__w") >= n)
+        .select(
+            did,
+            F.posexplode(word_ngrams_from_words(F.col("__w"), n)).alias(
+                "__i0", "__span"
+            ),
+        )
+        .select(
+            did,
+            (F.col("__i0") + 1).alias("__start"),
+            _hash_str(F.col("__span")).alias("__g"),
+        )
+    )
+    removals = (
+        sh.join(corpus_digests, "__g")
+        .select(did, "__start")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__rm"))
+    )
+    joined = base.join(removals, id_col, "left")
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    covered = lambda idx: F.exists(  # noqa: E731 — tiny plan-side helper
+        rm, lambda s: (idx + 1 >= s) & (idx + 1 <= s + (n - 1))
+    )
+    kept = F.filter(F.col("__w"), lambda w, idx: ~covered(idx))
+    return joined.select(
+        did,
+        *extra,
+        F.size("__w").cast("int").alias("n_words"),
+        (F.size("__w") - F.size(kept)).cast("int").alias("n_removed"),
+        F.size(kept).cast("int").alias("cleaned_len"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def word_ngrams_from_words(words: Column, n: int) -> Column:
     """:func:`word_ngrams` on an already-split token array (callers
     that pre-normalize once and reuse the array)."""

@@ -1072,6 +1072,81 @@ def duplicate_span_removal(spark, sf_dir):
 
 
 @query(
+    "incremental_span_removal",
+    tags=("dedup", "spans", "incremental", "rewrite"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+    FROM documents
+), corpus_g AS (
+    SELECT DISTINCT md5(array_to_string(w[i:i+9], ' ')) AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+          FROM n WHERE doc_id % 2 = 0 AND len(w) >= 10)
+), b AS (
+    SELECT doc_id, w FROM n WHERE doc_id % 2 = 1
+), sh AS (
+    SELECT doc_id, i, md5(array_to_string(w[i:i+9], ' ')) AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+          FROM b WHERE len(w) >= 10)
+), rem AS (
+    SELECT DISTINCT sh.doc_id, sh.i FROM sh JOIN corpus_g USING (g)
+), cov AS (
+    SELECT DISTINCT doc_id, i + k AS pos
+    FROM rem, (SELECT unnest(range(0, 10)) AS k) kk
+), wpos AS (
+    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM b
+), keptw AS (
+    SELECT wpos.doc_id, wpos.pos, wpos.w[wpos.pos] AS word
+    FROM wpos LEFT JOIN cov
+      ON cov.doc_id = wpos.doc_id AND cov.pos = wpos.pos
+    WHERE cov.pos IS NULL
+), rebuilt AS (
+    SELECT doc_id, count(*) AS kept,
+           string_agg(word, ' ' ORDER BY pos) AS cleaned
+    FROM keptw GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS INT) AS n_words,
+       CAST(len(b.w) - coalesce(r.kept, 0) AS INT) AS n_removed,
+       CAST(coalesce(r.kept, 0) AS INT) AS cleaned_len,
+       md5(coalesce(r.cleaned, '')) AS cleaned_hash
+FROM b LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def incremental_span_removal(spark, sf_dir):
+    """Incremental duplicate-span removal
+    (operators/dedup.remove_spans_in_corpus): a NEW batch (odd doc_ids
+    here) is scrubbed of every 10-token span already present anywhere
+    in the EXISTING corpus (even doc_ids) — the continuous-ingestion
+    shape where yesterday's corpus owns its spans and today's arrivals
+    are rewritten against it, the span-level analogue of
+    ``dedup_incremental_batch``. Byte-exact md5 attestation of the
+    cleaned batch text, same contract as ``duplicate_span_removal``.
+
+    Shape at 100 TB: the corpus collapses to DISTINCT 16-byte span
+    digests once (a reusable stored index — in production it persists
+    between batches); each batch equi-joins that set; batch×corpus
+    never materializes and corpus text never re-shuffles per batch."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        remove_spans_in_corpus,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = remove_spans_in_corpus(batch, corpus, n=10)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_removed",
+        "cleaned_len",
+        F.md5(F.col("cleaned_text")).alias("cleaned_hash"),
+    )
+
+
+@query(
     "curation_pipeline_v2",
     headline=True,
     tags=("pipeline", "composed", "quality", "chunking"),

@@ -157,3 +157,26 @@ def test_owner_keeps_internal_repeats(spark):
     assert out[1]["cleaned_text"] == span
     assert out[2]["cleaned_text"] == "mid2"
     assert out[3]["cleaned_text"] == "tail3"
+
+
+def test_incremental_corpus_ownership(spark):
+    span_a = " ".join(f"a{i}" for i in range(N))
+    span_b = " ".join(f"b{i}" for i in range(N))
+    corpus = spark.createDataFrame([(0, span_a)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (1, span_a),                     # fully corpus-owned → empty
+            (3, f"{span_b} x3 {span_a}"),    # only the corpus span removed
+            (5, f"{span_b} y5 {span_b}"),    # batch-internal dup NOT removed
+        ],
+        ["doc_id", "text"],
+    )
+    from data_warehouse_migration_spark.operators.dedup import (
+        remove_spans_in_corpus,
+    )
+
+    out = {r["doc_id"]: r for r in remove_spans_in_corpus(batch, corpus).collect()}
+    assert out[1]["cleaned_text"] == ""
+    assert out[3]["cleaned_text"] == f"{span_b} x3"
+    assert out[5]["cleaned_text"] == f"{span_b} y5 {span_b}"
+    assert out[5]["n_removed"] == 0
