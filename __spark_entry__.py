@@ -32,9 +32,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY[FLAGSHIP].spark_fn(spark, SMOKE_SF_DIR)
 
 
+def _with_cache_reset(fn: Callable[[SparkSession, str], DataFrame]):
+    """Bound cached blocks to one query at a time: a few queries
+    ``persist()`` a shared intermediate (duplicate_span_pairs, the
+    curation pipelines), and a driver that runs many queries in one
+    session would otherwise accumulate their cached blocks for the
+    session lifetime (ADVICE r5). Queries are independent, so clearing
+    BEFORE each run releases the previous query's cache without
+    un-persisting anything the upcoming result still needs."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark_fn for name, q in REGISTRY.items()}
+    return {name: _with_cache_reset(q.spark_fn) for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

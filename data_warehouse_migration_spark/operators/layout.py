@@ -71,9 +71,13 @@ def quantize_dim(c: Column, lo: Column, hi: Column, bits: int = 12) -> Column:
     float rounding)."""
     span = hi - lo + F.lit(1)
     scaled = (c.cast("long") - lo) * F.lit(1 << bits)
-    # floor(a/b) on doubles is exact here: magnitudes stay far below
-    # 2^53, and DuckDB's integer `//` agrees for non-negative inputs.
-    return F.floor(scaled / span).cast("long")
+    # All-integer quotient: (a - a mod b) is an exact multiple of b, so
+    # the one double division is correctly-rounded to the exact integer
+    # quotient — no float path for wide spans (a double floor(a/b) can
+    # land one grid cell off DuckDB's `//` once 1/span nears the
+    # quotient's half-ulp). Inputs are non-negative (c ≥ lo), so pmod
+    # matches truncating `%` and the result matches integer `//`.
+    return ((scaled - F.pmod(scaled, span)) / span).cast("long")
 
 
 def write_zordered(

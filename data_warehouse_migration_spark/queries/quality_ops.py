@@ -816,8 +816,10 @@ WITH tok AS (
 )
 SELECT max(na) AS n_tokens_a, max(nb) AS n_tokens_b,
        max(vu) AS vocab_union,
-       round(sum(p * ln(p / q)), 6) AS kl_ab,
-       round(sum(q * ln(q / p)), 6) AS kl_ba
+       round(sum(CAST(round(p * ln(p / q) * 1e12) AS BIGINT)) / 1e12, 6)
+           AS kl_ab,
+       round(sum(CAST(round(q * ln(q / p) * 1e12) AS BIGINT)) / 1e12, 6)
+           AS kl_ba
 FROM terms
 """,
 )
@@ -834,8 +836,11 @@ def corpus_drift_kl(spark, sf_dir):
     full-outer digest-sized merge of the two count tables, a 1-row
     totals broadcast (sanctioned O(n·1) scalar), and a
     vocabulary-sized sum — text never shuffles. Cross-engine: counts
-    are exact integers; the final float sums run ~1e-1 magnitudes over
-    vocabulary-sized term sets, far inside round-6 agreement."""
+    are exact integers, and each float KL term is rounded to a scaled
+    1e-12 integer BEFORE summing (the catalog's exactness rule —
+    summing raw doubles is partition-order-dependent and could flip a
+    round-6 digit landing near a boundary); the integer sum is then
+    order-independent by construction."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         (F.col("doc_id") % 2).alias("snap"),
@@ -858,12 +863,14 @@ def corpus_drift_kl(spark, sf_dir):
         "nb",
         "vu",
     )
+    term_ab = F.round(F.col("p") * F.log(F.col("p") / F.col("q")) * 1e12).cast("long")
+    term_ba = F.round(F.col("q") * F.log(F.col("q") / F.col("p")) * 1e12).cast("long")
     return terms.agg(
         F.max("na").alias("n_tokens_a"),
         F.max("nb").alias("n_tokens_b"),
         F.max("vu").alias("vocab_union"),
-        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_ab"),
-        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_ba"),
+        F.round(F.sum(term_ab) / 1e12, 6).alias("kl_ab"),
+        F.round(F.sum(term_ba) / 1e12, 6).alias("kl_ba"),
     )
 
 

@@ -46,8 +46,10 @@ def scd2_stream_apply(
     available_now: bool = True,
 ):
     """Drive a stream of dimension snapshot rows into an SCD2 dimension
-    at ``dim_path``. Each micro-batch is one maintenance round:
-    ``now`` = the batch's max ``now_col`` (event-time of the extract,
+    at ``dim_path``. Each distinct ``now_col`` value in a micro-batch
+    is one maintenance round, applied in ascending extract order —
+    so catch-up batches that bundle several extracts replay the exact
+    sequential merge history (``now`` is event-time of the extract,
     injected so replays are reproducible — never wall clock). Returns
     the started streaming query."""
 
@@ -55,20 +57,35 @@ def scd2_stream_apply(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            dim = spark.read.parquet(dim_path)
-        except AnalysisException:
-            dim = None
-        now = batch_df.agg(F.max(now_col)).first()[0]
-        next_dim = scd2_merge(
-            dim,
-            batch_df,
-            keys=keys,
-            attrs=attrs,
-            now=now,
-            first_version_from=first_version_from,
-        )
-        atomic_overwrite_parquet(next_dim, dim_path)
+        # A micro-batch is NOT guaranteed to hold exactly one snapshot
+        # extract: a catch-up run (availableNow, or a file source
+        # without maxFilesPerTrigger=1) can deliver several extracts at
+        # once, and scd2_merge is specified for ONE snapshot per round
+        # — feeding it a union of extracts would open multiple IsActive
+        # versions per key under a single `now`. So the batch is split
+        # by extract timestamp and merged per extract in ascending
+        # order, exactly reproducing the sequential maintenance rounds.
+        # The collect is bounded by extracts-per-batch (a handful), not
+        # rows; replays re-derive the same order, keeping the
+        # checkpoint's exactly-once-per-epoch contract.
+        extract_ts = [
+            r[0]
+            for r in batch_df.select(now_col).distinct().orderBy(now_col).collect()
+        ]
+        for now in extract_ts:
+            try:
+                dim = spark.read.parquet(dim_path)
+            except AnalysisException:
+                dim = None
+            next_dim = scd2_merge(
+                dim,
+                batch_df.filter(F.col(now_col) == F.lit(now)),
+                keys=keys,
+                attrs=attrs,
+                now=now,
+                first_version_from=first_version_from,
+            )
+            atomic_overwrite_parquet(next_dim, dim_path)
 
     writer = snapshots.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

@@ -86,3 +86,31 @@ def test_zorder_write_prunes_both_dims(spark, sf_dir, tmp_path):
     areas = [xs * ys for xs, ys in zip(x_spans, y_spans)]
     area_frac = (sum(areas) / len(areas)) / (stats["sx"] * stats["sy"])
     assert area_frac < 0.35, area_frac
+
+
+def test_quantize_dim_exact_on_wide_spans(spark):
+    """quantize_dim must agree with exact integer `//` even when the
+    span approaches 2^41 — the regime where a double floor(a/b) can
+    land one grid cell off (ADVICE r5). All-integer path, no floats."""
+    from data_warehouse_migration_spark.operators.layout import quantize_dim
+
+    lo, hi = 0, (1 << 41) - 7
+    span = hi - lo + 1
+    bits = 12
+    # Values straddling grid-cell boundaries, where a half-ulp error flips
+    # the cell: c = ceil(k*span/2^bits) - 1 and its successor, across k.
+    cases = []
+    for k in (1, 7, 1025, 4095):
+        edge = -((-k * span) // (1 << bits))  # ceil
+        cases += [edge - 1, edge, edge + 1]
+    cases = [c for c in cases if lo <= c <= hi]
+    df = spark.createDataFrame([(c,) for c in cases], ["c"])
+    got = {
+        r["c"]: r["q"]
+        for r in df.select(
+            "c",
+            quantize_dim(F.col("c"), F.lit(lo), F.lit(hi), bits).alias("q"),
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == ((c - lo) * (1 << bits)) // span, c

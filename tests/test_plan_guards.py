@@ -38,6 +38,13 @@ def test_zero_shuffle_queries_have_no_exchange(spark, sf_dir):
 
 
 def test_window_is_exactly_fifty_unique(spark):
+    """The intended rotation set — catalog._FIRST, the parity core plus
+    this round's window — must BE the first 50 registry entries, in
+    order. (The prior form only checked dict-key uniqueness, which is
+    vacuous — ADVICE r5.)"""
+    from data_warehouse_migration_spark.catalog import _FIRST
+
     names = list(REGISTRY)
-    window = names[:50]
-    assert len(set(window)) == 50
+    assert len(_FIRST) == 50, len(_FIRST)
+    assert len(set(_FIRST)) == 50
+    assert names[:50] == list(_FIRST)

@@ -100,3 +100,54 @@ def test_stream_cdc_equals_sequential_batch(spark, tmp_path):
     alice = got.filter("cust_id = 1").orderBy("ValidFrom").collect()
     assert [r["IsActive"] for r in alice] == [False, True]
     assert alice[0]["ValidFrom"] == EPOCH0
+
+
+def test_catchup_batch_with_multiple_extracts(spark, tmp_path):
+    """A catch-up run (no maxFilesPerTrigger) delivers ALL extracts in
+    one availableNow micro-batch; scd2_stream_apply must split the
+    batch by extract timestamp and merge per extract in order — a
+    single-merge shortcut would open several IsActive versions per key
+    under one `now` and silently corrupt the dimension."""
+    src = str(tmp_path / "cdc_src")
+    dim_path = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    for i, (ts, rows) in enumerate(SNAPSHOTS):
+        _snap_df(spark, ts, rows).coalesce(1).write.parquet(f"{src}/extract_{i}")
+
+    schema = spark.read.parquet(f"{src}/extract_0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = scd2_stream_apply(
+        stream,
+        dim_path,
+        keys=KEYS,
+        attrs=ATTRS,
+        now_col="snap_ts",
+        checkpoint=ckpt,
+        first_version_from=EPOCH0,
+    )
+    assert q.awaitTermination(300)
+
+    expected = None
+    for ts, rows in SNAPSHOTS:
+        expected = scd2_merge(
+            expected,
+            _snap_df(spark, ts, rows),
+            keys=KEYS,
+            attrs=ATTRS,
+            now=ts,
+            first_version_from=EPOCH0,
+        )
+
+    got = spark.read.parquet(dim_path)
+    cols = got.columns
+    assert got.exceptAll(expected.select(cols)).count() == 0
+    assert expected.select(cols).exceptAll(got).count() == 0
+    # One open version per key — the exact corruption the split guards.
+    active = got.filter("IsActive").groupBy(KEYS).count().collect()
+    assert all(r["count"] == 1 for r in active)

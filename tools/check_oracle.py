@@ -88,6 +88,10 @@ def main() -> int:
         ran += 1
         t0 = time.time()
         try:
+            # Queries that persist() intermediates would otherwise leak
+            # cached blocks for the session lifetime (ADVICE r5); each
+            # query is independent, so bound the cache to one query.
+            spark.catalog.clearCache()
             sdf = q.spark_fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
