@@ -105,33 +105,50 @@ def shingle_index(
     return idx.select("doc", digest.alias("sh"))
 
 
-def _jaccard_for_candidates(
-    idx: DataFrame, candidates: DataFrame, threshold: float
+def shingle_hash_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard for a candidate pair set: intersect the two shingle
-    sets per pair (two hash joins keyed on doc / (doc, shingle)), join
-    set sizes, filter. Cost ∝ |candidates| × shingles-per-doc — cheap
-    when candidate generation already pruned."""
-    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = idx.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = idx.select(F.col("doc").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(
-            b,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    """Per-doc DISTINCT shingle-hash array: ``(doc, shs array<long>)``
+    with ``shs = array_distinct(xxhash64 of each word n-gram)`` —
+    computed entirely row-local (zero shuffle). The array form of
+    :func:`shingle_index` (``explode(shs)`` recovers the index), and
+    the verification-side input for exact Jaccard: one row per doc of
+    ~8 bytes/word, instead of one exploded row per shingle."""
+    grams = word_ngrams(F.col(text_col), n)
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))).alias("shs"),
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+
+
+def _jaccard_for_candidates(
+    grams: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for a candidate pair set, against the per-doc
+    shingle-hash arrays of :func:`shingle_hash_arrays`: two equi-joins
+    pull each side's array, then intersection/union are pure Column
+    work (``array_intersect``) — no explode, no groupBy, no size join.
+
+    Scale: the candidate set is already pruned (prefix filter / LSH
+    bands), so AQE broadcasts it and the array table is scanned in
+    place, never shuffled; per-pair cost is O(|A|+|B|) hash intersect.
+    (The previous formulation exploded the index into candidate×shingle
+    rows through a join + groupBy + two size joins — 3 extra shuffles
+    and the round-5 bench drift on dedup_ngram_jaccard.)"""
+    a = grams.select(F.col("doc").alias("doc_a"), F.col("shs").alias("__shs_a"))
+    b = grams.select(F.col("doc").alias("doc_b"), F.col("shs").alias("__shs_b"))
+    n_inter = F.size(F.array_intersect(F.col("__shs_a"), F.col("__shs_b")))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("__ni", n_inter)
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("__ni")
+            / (F.size("__shs_a") + F.size("__shs_b") - F.col("__ni")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -159,12 +176,20 @@ def ngram_jaccard_pairs(
     exact-verified, so results are identical to the naive all-pairs
     plan (``prefix_filter=False``).
 
-    100 TB: three shuffles (frequency count, prefix self-join,
-    verification) all keyed on shingle/doc — no driver state, no n².
-    Internally keyed on xxhash64 longs (see ``shingle_index``): the
-    output (pairs + exact Jaccard) is hash-scheme-independent.
+    100 TB: the index side shuffles (frequency count, prefix
+    self-join) are all keyed on 8-byte shingle hashes — no driver
+    state, no n²; verification joins the pruned candidates against
+    per-doc hash ARRAYS (``shingle_hash_arrays``), which AQE
+    broadcasts candidates into, so the arrays never shuffle.
+    Internally keyed on xxhash64 longs: the output (pairs + exact
+    Jaccard) is hash-scheme-independent.
     """
-    idx = shingle_index(docs, id_col, text_col, n, fast_hash=True).persist()
+    grams = shingle_hash_arrays(docs, id_col, text_col, n).persist()
+    # n_sh rides along from the array size — the per-doc set size needs
+    # no window/groupBy pass of its own.
+    idx = grams.select(
+        "doc", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+    )
     if not prefix_filter:
         a = idx.alias("a")
         b = idx.alias("b")
@@ -175,7 +200,7 @@ def ngram_jaccard_pairs(
             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
             .distinct()
         )
-        return _jaccard_for_candidates(idx, candidates, threshold)
+        return _jaccard_for_candidates(grams, candidates, threshold)
 
     freq = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = idx.join(freq, "sh").withColumn(
@@ -185,9 +210,7 @@ def ngram_jaccard_pairs(
         ),
     )
     sized = ranked.withColumn(
-        "prefix_len",
-        F.floor((1 - threshold) * F.count(F.lit(1)).over(Window.partitionBy("doc")))
-        + 1,
+        "prefix_len", F.floor((1 - threshold) * F.col("n_sh")) + 1
     )
     prefix = sized.filter(F.col("rn") <= F.col("prefix_len")).select("doc", "sh")
 
@@ -200,7 +223,7 @@ def ngram_jaccard_pairs(
         .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_for_candidates(idx, candidates, threshold)
+    return _jaccard_for_candidates(grams, candidates, threshold)
 
 
 def minhash_signatures(
@@ -300,9 +323,10 @@ def minhash_lsh_pairs(
 
     # Exact-verify only the LSH candidates (never the full pair space).
     # Signatures above must stay md5 (oracle recomputes them); the
-    # verification Jaccard only needs shingle-set identity → fast hash.
-    idx = shingle_index(docs, id_col, text_col, n, fast_hash=True)
-    return _jaccard_for_candidates(idx, candidates, threshold)
+    # verification Jaccard only needs shingle-set identity → fast hash
+    # arrays (jaccard value is hash-scheme-independent).
+    grams = shingle_hash_arrays(docs, id_col, text_col, n)
+    return _jaccard_for_candidates(grams, candidates, threshold)
 
 
 def winnowed_fingerprints(
@@ -418,11 +442,11 @@ def incremental_dedup(
         .select(F.col("b.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"))
         .distinct()
     )
-    idx = shingle_index(
-        batch.unionByName(corpus), id_col, text_col, n, fast_hash=True
+    grams = shingle_hash_arrays(
+        batch.unionByName(corpus), id_col, text_col, n
     )
     near = (
-        _jaccard_for_candidates(idx, candidates, threshold)
+        _jaccard_for_candidates(grams, candidates, threshold)
         .groupBy("doc_a")
         .agg(F.min("doc_b").alias("__near_match"))
         .withColumnRenamed("doc_a", "__nid")
