@@ -21,16 +21,16 @@ Design:
 
 Scale: assignment is a zero-shuffle Column expression; the write is
 one hash shuffle on shard_id (the honest minimum for co-locating a
-shard) + a partition-local sort. The manifest gate aggregates the
-per-shard hash chain via collect_list — bounded by shard size, fine
-for attestation at test SFs; at 100 TB the same checksum is computed
-streaming (foreachBatch per shard file, chaining file checksums), not
-by materializing a shard in one buffer.
+shard) + a partition-local sort. ``shard_manifest`` aggregates the
+per-shard hash chain via one flat collect_list — bounded by shard
+size, fine for attestation at test SFs; ``shard_manifest_chunked`` is
+the 100 TB form: a two-level chunk-chained checksum whose buffers are
+bounded by the chunk size (≈ one shard file), never a whole shard.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -97,4 +97,77 @@ def shard_manifest(
         F.md5(F.concat_ws("", ordered_hashes)).alias("shard_checksum"),
         F.min("sort_key").alias("first_key"),
         F.max("sort_key").alias("last_key"),
+    )
+
+
+def shard_manifest_chunked(
+    docs: DataFrame,
+    n_shards: int,
+    salt: str = "",
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    chunk_rows: int = 1000,
+) -> DataFrame:
+    """Bounded-memory shard manifest — the 100 TB form of
+    :func:`shard_manifest`'s order-sensitive checksum, as a two-level
+    hash chain (a fixed-depth Merkle chain):
+
+    - level 1: rows in shard order are grouped into fixed-size chunks
+      (``chunk_seq = (rank-1) div chunk_rows`` — exactly the rows a
+      shard *file* holds when the writer caps rows per file);
+      ``chunk_checksum = md5(row content-hashes concatenated in
+      order)``, buffering at most ``chunk_rows`` hashes;
+    - level 2: ``shard_checksum = md5(chunk checksums concatenated in
+      chunk order)``, buffering ``n_rows / chunk_rows`` hashes.
+
+    No aggregation buffer ever holds a whole shard — the flat
+    ``collect_list`` in :func:`shard_manifest` is what this replaces;
+    at a trillion rows, add a third level. The chunk boundary is a pure
+    function of the deterministic order, so a re-run, another engine,
+    or a per-file streaming consumer (``foreachBatch`` chaining file
+    checksums as shard files land) reproduces the same manifest.
+
+    Output: ``(shard_id, n_docs, n_chunks, shard_checksum, first_key,
+    last_key)``. The in-shard rank comes from one window over the
+    shard partition — the same shuffle+sort the shard writer performs,
+    so at scale the manifest rides the write's own exchange.
+    """
+    assigned = shard_assignments(docs, n_shards, salt, id_col)
+    w = Window.partitionBy("shard_id").orderBy("sort_key", id_col)
+    ranked = assigned.select(
+        "shard_id",
+        "sort_key",
+        F.col(id_col),
+        F.md5(F.col(content_col)).alias("__h"),
+    ).withColumn("__rn", F.row_number().over(w))
+    # Exact for int ranks: numerator < 2^31, far inside double ulp.
+    chunked = ranked.withColumn(
+        "__chunk", F.floor((F.col("__rn") - 1) / chunk_rows).cast("long")
+    )
+    in_chunk = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__rn").alias("r"), F.col("__h").alias("h")))
+        ),
+        lambda x: x["h"],
+    )
+    level1 = chunked.groupBy("shard_id", "__chunk").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.md5(F.concat_ws("", in_chunk)).alias("__ch"),
+        F.min("sort_key").alias("__k_min"),
+        F.max("sort_key").alias("__k_max"),
+    )
+    in_shard = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__chunk").alias("c"), F.col("__ch").alias("h"))
+            )
+        ),
+        lambda x: x["h"],
+    )
+    return level1.groupBy("shard_id").agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.md5(F.concat_ws("", in_shard)).alias("shard_checksum"),
+        F.min("__k_min").alias("first_key"),
+        F.max("__k_max").alias("last_key"),
     )

@@ -64,3 +64,49 @@ def test_reshuffle_changes_order_not_membership(spark, sf_dir):
     # Determinism: the same salt reproduces the same keys exactly.
     again = shard_assignments(docs, N_SHARDS, salt="a").select("doc_id", "sort_key")
     assert a.exceptAll(again).count() == 0
+
+
+def test_chunked_manifest_properties(spark, sf_dir):
+    """shard_manifest_chunked: same membership stats as the flat
+    manifest; checksum is a pure function of (order, chunk size) —
+    invariant to input partitioning, sensitive to the chunk boundary;
+    chunk count is ceil(n_docs / chunk_rows)."""
+    from data_warehouse_migration_spark.operators.sharding import (
+        shard_manifest_chunked,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = {r["shard_id"]: r for r in shard_manifest(docs, N_SHARDS, salt=SALT).collect()}
+    c50 = {
+        r["shard_id"]: r
+        for r in shard_manifest_chunked(
+            docs, N_SHARDS, salt=SALT, chunk_rows=10
+        ).collect()
+    }
+    assert set(c50) == set(flat)
+    for sid, r in c50.items():
+        assert r["n_docs"] == flat[sid]["n_docs"]
+        assert r["first_key"] == flat[sid]["first_key"]
+        assert r["last_key"] == flat[sid]["last_key"]
+        assert r["n_chunks"] == -(-r["n_docs"] // 10)
+        assert r["n_chunks"] > 1  # the multi-chunk path is exercised
+
+    # Partitioning-invariant: the deterministic order, not task layout,
+    # defines every chunk.
+    again = {
+        r["shard_id"]: r["shard_checksum"]
+        for r in shard_manifest_chunked(
+            docs.repartition(13), N_SHARDS, salt=SALT, chunk_rows=10
+        ).collect()
+    }
+    assert again == {sid: r["shard_checksum"] for sid, r in c50.items()}
+
+    # Chunk-boundary-sensitive: a different file size is a different
+    # (still attestable) manifest, not silently the same value.
+    c200 = {
+        r["shard_id"]: r["shard_checksum"]
+        for r in shard_manifest_chunked(
+            docs, N_SHARDS, salt=SALT, chunk_rows=25
+        ).collect()
+    }
+    assert any(c200[sid] != c50[sid]["shard_checksum"] for sid in c50)
