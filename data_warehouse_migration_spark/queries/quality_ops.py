@@ -790,10 +790,9 @@ def vector_ops_surface(spark, sf_dir):
     )
 
 
-@query(
-    "corpus_drift_kl",
-    tags=("text", "drift", "monitoring"),
-    oracle="""
+# Shared with the streaming twin (streaming_corpus_drift_kl): the
+# bounded streaming run must converge to exactly this batch value.
+DRIFT_KL_ORACLE = """
 WITH tok AS (
     SELECT doc_id % 2 AS snap, unnest(string_split(
         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
@@ -821,7 +820,13 @@ SELECT max(na) AS n_tokens_a, max(nb) AS n_tokens_b,
        round(sum(CAST(round(q * ln(q / p) * 1e12) AS BIGINT)) / 1e12, 6)
            AS kl_ba
 FROM terms
-""",
+"""
+
+
+@query(
+    "corpus_drift_kl",
+    tags=("text", "drift", "monitoring"),
+    oracle=DRIFT_KL_ORACLE,
 )
 def corpus_drift_kl(spark, sf_dir):
     """Corpus drift monitor: symmetric pair of add-1-smoothed KL
@@ -840,38 +845,18 @@ def corpus_drift_kl(spark, sf_dir):
     1e-12 integer BEFORE summing (the catalog's exactness rule —
     summing raw doubles is partition-order-dependent and could flip a
     round-6 digit landing near a boundary); the integer sum is then
-    order-independent by construction."""
+    order-independent by construction. The count→KL math lives in
+    operators/drift.py, shared bit-for-bit with the streaming twin
+    (`streaming_corpus_drift_kl`)."""
+    from data_warehouse_migration_spark.operators.drift import (
+        kl_between_counts,
+        token_counts,
+    )
+
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        (F.col("doc_id") % 2).alias("snap"),
-        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
-    )
-    cnt = tok.groupBy("snap", "t").agg(F.count(F.lit(1)).alias("c"))
-    v = cnt.groupBy("t").agg(
-        F.coalesce(F.max(F.when(F.col("snap") == 0, F.col("c"))), F.lit(0)).alias("ca"),
-        F.coalesce(F.max(F.when(F.col("snap") == 1, F.col("c"))), F.lit(0)).alias("cb"),
-    )
-    s = v.agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
-        F.count(F.lit(1)).cast("long").alias("vu"),
-    )
-    terms = v.crossJoin(F.broadcast(s)).select(
-        ((F.col("ca") + 1.0) / (F.col("na") + F.col("vu"))).alias("p"),
-        ((F.col("cb") + 1.0) / (F.col("nb") + F.col("vu"))).alias("q"),
-        "na",
-        "nb",
-        "vu",
-    )
-    term_ab = F.round(F.col("p") * F.log(F.col("p") / F.col("q")) * 1e12).cast("long")
-    term_ba = F.round(F.col("q") * F.log(F.col("q") / F.col("p")) * 1e12).cast("long")
-    return terms.agg(
-        F.max("na").alias("n_tokens_a"),
-        F.max("nb").alias("n_tokens_b"),
-        F.max("vu").alias("vocab_union"),
-        F.round(F.sum(term_ab) / 1e12, 6).alias("kl_ab"),
-        F.round(F.sum(term_ba) / 1e12, 6).alias("kl_ba"),
-    )
+    cnt_a = token_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    cnt_b = token_counts(docs.filter(F.col("doc_id") % 2 == 1))
+    return kl_between_counts(cnt_a, cnt_b)
 
 
 def _zorder_oracle() -> str:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_warehouse_migration_spark.catalog import query
+from data_warehouse_migration_spark.catalog import query, t
 from data_warehouse_migration_spark.streaming.events import (
     read_event_stream,
     run_stream_to_memory,
@@ -459,3 +459,92 @@ def streaming_user_totals_final(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@query(
+    "streaming_corpus_drift_kl",
+    tags=("streaming", "drift", "monitoring", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch monitor's oracle
+)
+def streaming_corpus_drift_kl(spark, sf_dir):
+    """The corpus-drift KL monitor on the real streaming engine
+    (streaming/drift.streaming_corpus_drift), value-attested: the
+    incoming snapshot (odd doc_ids) arrives as a 4-file document
+    stream processed one file per micro-batch; every epoch folds the
+    batch's token counts into a parquet-backed running histogram
+    (atomic stage-and-swap — no driver state) and appends the KL
+    against the fixed reference histogram (even doc_ids) to a results
+    log. After the bounded run, the FINAL epoch's row must hash-equal
+    the batch `corpus_drift_kl` — the same count→KL code path
+    (operators/drift.py) fed by incremental merges instead of one
+    scan, so the attestation covers the merge algebra and the epoch
+    protocol, not just the arithmetic.
+
+    The gate collects the single final row before cleaning its temp
+    dirs (bounded: 1 row; the results parquet would otherwise be
+    deleted under the returned lazy plan)."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.operators.drift import token_counts
+    from data_warehouse_migration_spark.streaming.drift import (
+        streaming_corpus_drift,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    ref = token_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+
+    base = tempfile.mkdtemp(prefix="stream_drift_")
+    try:
+        src = f"{base}/src"
+        incoming.repartitionByRange(4, "doc_id").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_corpus_drift(
+            stream,
+            ref,
+            state_path=f"{base}/state",
+            results_path=f"{base}/results",
+            checkpoint=f"{base}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_corpus_drift_kl did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        res = spark.read.parquet(f"{base}/results")
+        n_epochs = res.count()
+        if n_epochs < 2:
+            raise AssertionError(
+                f"expected a multi-epoch run, got {n_epochs} epoch rows"
+            )
+        last = (
+            res.orderBy(F.col("epoch").desc())
+            .limit(1)
+            .select("n_tokens_a", "n_tokens_b", "vocab_union", "kl_ab", "kl_ba")
+        )
+        rows = last.collect()
+        return spark.createDataFrame(rows, last.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_drift_oracle() -> None:
+    """The streaming twin attests against the SAME SQL as the batch
+    monitor — final converged state ≡ one-shot batch computation."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+    from data_warehouse_migration_spark.queries.quality_ops import (
+        DRIFT_KL_ORACLE,
+    )
+
+    REGISTRY["streaming_corpus_drift_kl"].oracle = DRIFT_KL_ORACLE
+
+
+_attach_drift_oracle()
