@@ -119,6 +119,16 @@ def atomic_overwrite_parquet(
     # as an extra partition value
     version = os.path.join(parent, f".{base}.__v_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").option("compression", "snappy").parquet(version)
+    atomic_publish_dir(version, path, keep_old=keep_old)
+
+
+def atomic_publish_dir(staged: str, path: str, keep_old: bool = True) -> None:
+    """Atomically point ``path`` at an ALREADY-WRITTEN immutable data
+    directory — the pointer-flip half of :func:`atomic_overwrite_parquet`,
+    for callers that stage their own layout (e.g. a Z-order-clustered
+    rewrite whose file boundaries must land exactly as written, not be
+    re-planned by a second write)."""
+    parent, base = os.path.split(os.path.abspath(path))
     old_target = None
     if os.path.islink(path):
         old_target = os.path.realpath(path)
@@ -126,7 +136,7 @@ def atomic_overwrite_parquet(
         old_target = os.path.join(parent, f".{base}.__v_legacy_{uuid.uuid4().hex[:8]}")
         os.rename(path, old_target)
     tmp = os.path.join(parent, f".{base}.__ptr_{uuid.uuid4().hex[:8]}")
-    os.symlink(version, tmp)
+    os.symlink(os.path.abspath(staged), tmp)
     os.rename(tmp, path)  # atomic pointer flip
     if old_target and not keep_old:
         shutil.rmtree(old_target, ignore_errors=True)

@@ -19,20 +19,17 @@ Scale posture: each round is the batch operator's plan (business-key
 shuffle, AQE-chosen joins, nothing collected); the swap is a rename.
 At very high change rates the dimension read-modify-write per batch is
 the cost — widen the trigger interval so each round amortizes more
-changes, or move the dim to a table format with native MERGE at the
-same call site.
+changes, or pass ``fmt="delta"`` (or ``fmt=None`` to auto-detect) so
+each round commits through the Delta transaction log instead of the
+Parquet stage-and-swap (``sources/lakehouse.py`` is the seam).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
-from data_warehouse_migration_spark.operators.scd2 import scd2_merge
-from data_warehouse_migration_spark.sources.writers import (
-    atomic_overwrite_parquet,
-)
+from data_warehouse_migration_spark.sources.lakehouse import scd2_apply
 
 
 def scd2_stream_apply(
@@ -44,6 +41,7 @@ def scd2_stream_apply(
     checkpoint: str,
     first_version_from=None,
     available_now: bool = True,
+    fmt: str | None = "parquet",
 ):
     """Drive a stream of dimension snapshot rows into an SCD2 dimension
     at ``dim_path``. Each distinct ``now_col`` value in a micro-batch
@@ -73,19 +71,16 @@ def scd2_stream_apply(
             for r in batch_df.select(now_col).distinct().orderBy(now_col).collect()
         ]
         for now in extract_ts:
-            try:
-                dim = spark.read.parquet(dim_path)
-            except AnalysisException:
-                dim = None
-            next_dim = scd2_merge(
-                dim,
+            scd2_apply(
+                spark,
                 batch_df.filter(F.col(now_col) == F.lit(now)),
+                dim_path,
                 keys=keys,
                 attrs=attrs,
                 now=now,
                 first_version_from=first_version_from,
+                fmt=fmt,
             )
-            atomic_overwrite_parquet(next_dim, dim_path)
 
     writer = snapshots.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
