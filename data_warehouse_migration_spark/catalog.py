@@ -113,24 +113,25 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 5 window (ROTATION.md has the full ledger):
-# (a) parity core (warehouse module) + bench headliners stay pinned;
-#     doc_perplexity_filter's code changed this round (vocab-join
-#     de-broadcast), voiding its r4 row, and dedup_exact rides along as
-#     insurance for the operators/dedup.py refactor (word_ngrams split).
-# (b) the 12 round-4 queries that registered outside the r4 window and
-#     have never had a driver row rotate in (VERDICT r4 action #1) —
-#     four of them additionally had oracle/code edits this round
-#     (range-bound fix, bigram de-broadcast).
-# (c) the five NEW round-5 queries register straight into the window
-#     (span removal, curation v3, shard manifest, stream-stream join
-#     gate, real-decode multimodal).
-# (d) the ten r2-stale queries rotated out in r3 rotate back (VERDICT
-#     r4 action #8) — after this round no registry entry's latest
-#     driver row is older than two rounds.
-_WINDOW_R5 = (
-    # (a) pinned core + headliners + changed-code insurance — the
-    # warehouse module is prepended in _FIRST below.
+# Round 6 window (ROTATION.md has the full ledger):
+# (a) parity core (warehouse module) + bench headliners stay pinned.
+# (b) the 11 round-5 registrations that landed outside the full r5
+#     window and have never had a driver row (VERDICT r5 action #1) —
+#     two of them (corpus_drift_kl: order-independent KL sum +
+#     drift-operator extraction; zorder_locality_manifest: all-integer
+#     quantize division) also changed code this round, so their rows
+#     are first-AND-fresh.
+# (c) the two NEW round-6 queries register straight into the window
+#     (chunk-chained shard checksum; streaming corpus-drift monitor).
+# (d) changed-code re-attests: the r6 Jaccard-verification refactor
+#     (`_jaccard_for_candidates` → per-doc hash arrays) voids the r4
+#     rows of dedup_minhash_lsh, dedup_incremental_batch and
+#     dedup_clusters (dedup_ngram_jaccard is pinned via (a)).
+# (e) the oldest of the r4-green entries displaced in r5: q12, the
+#     seven scalar-function-surface queries, window_analytics_suite.
+_WINDOW_R6 = (
+    # (a) pinned headliners — the warehouse module is prepended in
+    # _FIRST below.
     "q1_pricing_summary",
     "star_revenue_by_nation",
     "q3_shipping_priority",
@@ -142,49 +143,51 @@ _WINDOW_R5 = (
     "continuous_aggregate_rollup",
     "training_data_pipeline",
     "doc_perplexity_filter",
-    "dedup_exact",
-    # (b) the r4 attestation backlog.
-    "repetition_quality_flags",
-    "pii_redaction_stats",
-    "bigram_lm_scores",
-    "embedding_label_centroids",
-    "chunk_documents_overlap",
-    "approx_percentiles_by_segment",
     "duplicate_span_pairs",
     "curation_pipeline_v2",
-    "streaming_session_windows",
-    "streaming_dedup_counts",
-    "sliding_event_windows",
-    "streaming_user_totals_final",
-    # (c) new in round 5.
-    "deterministic_shard_manifest",
-    "duplicate_span_removal",
     "curation_pipeline_v3",
-    "streaming_interval_join",
-    "media_feature_extract_real",
-    # (d) r2-stale set rotated back.
-    "simhash_fingerprints",
-    "doc_fingerprint_winnow",
-    "distinct_users_by_type",
-    "word_frequency_topk",
-    "higher_order_token_stats",
-    "gapfill_daily_event_counts",
-    "deterministic_split_documents",
-    "dataset_mix_by_lang",
-    "eval_sample_per_lang",
-    "funnel_click_to_purchase",
+    # (b) the never-driver-attested r5 tail.
+    "dynamic_gap_sessions",
+    "hll_sketch_rollup",
+    "similarity_filtered_topk",
+    "weighted_doc_sample",
+    "vector_ops_surface",
+    "corpus_drift_kl",
+    "zorder_locality_manifest",
+    "incremental_span_removal",
+    "streaming_dynamic_gap_sessions",
+    "streaming_sliding_halfhour",
+    "streaming_ewma_final",
+    # (c) new in round 6.
+    "shard_manifest_chunked",
+    "streaming_corpus_drift_kl",
+    # (d) changed-code re-attests (r6 dedup verification refactor).
+    "dedup_minhash_lsh",
+    "dedup_incremental_batch",
+    "dedup_clusters",
+    # (e) oldest displaced r4-green entries.
+    "q12_late_line_priorities",
+    "string_functions",
+    "date_functions",
+    "json_extract_events",
+    "math_functions",
+    "map_functions_surface",
+    "unpivot_order_measures",
+    "histogram_order_values",
+    "window_analytics_suite",
 )
-# Displaced to make room — every one hash-green in CORRECTNESS_r04.json
-# with code unchanged since (q12 + the r4-re-oracled ANN/HLL/kmeans
-# gates, the scalar-function surface, window_analytics_suite,
-# streaming_tumbling_hourly, and the unchanged LLM-suite members) —
-# plus the r3-displaced set last green in r3. All remain gated every
-# round by tools/check_oracle.py + pytest.
+# Displaced to make room — every one hash-green in CORRECTNESS_r05.json
+# with code unchanged since (the r4 backlog set, the r5 new queries,
+# the r2-stale set rotated back in r5, dedup_exact). The four ANN
+# recall gates (similarity_{lsh,ivf,pq,ivf_pq}_topk, r4-green,
+# operators untouched this round) are the first r7 rotation
+# candidates. All remain gated every round by tools/check_oracle.py +
+# pytest.
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R5,
+    *_WINDOW_R6,
 )
 
 

@@ -39,38 +39,39 @@ def test_attestation_window_membership():
         "q1_pricing_summary",
         "star_revenue_by_nation",
         "q3_shipping_priority",
-        # round-5 rotation targets (ROTATION.md r5): the 12-query r4
-        # attestation backlog, the five new round-5 queries, the
-        # changed-code re-attests, and the r2-stale set rotated back.
+        # round-6 rotation targets (ROTATION.md r6): the 11-query
+        # never-driver-attested r5 tail, the two new round-6 queries,
+        # the changed-code re-attests voided by the r6 Jaccard
+        # verification refactor, and the oldest displaced r4 greens.
         "doc_perplexity_filter",
-        "dedup_exact",
-        "repetition_quality_flags",
-        "pii_redaction_stats",
-        "bigram_lm_scores",
-        "embedding_label_centroids",
-        "chunk_documents_overlap",
-        "approx_percentiles_by_segment",
         "duplicate_span_pairs",
         "curation_pipeline_v2",
-        "streaming_session_windows",
-        "streaming_dedup_counts",
-        "sliding_event_windows",
-        "streaming_user_totals_final",
-        "deterministic_shard_manifest",
-        "duplicate_span_removal",
         "curation_pipeline_v3",
-        "streaming_interval_join",
-        "media_feature_extract_real",
-        "simhash_fingerprints",
-        "doc_fingerprint_winnow",
-        "distinct_users_by_type",
-        "word_frequency_topk",
-        "higher_order_token_stats",
-        "gapfill_daily_event_counts",
-        "deterministic_split_documents",
-        "dataset_mix_by_lang",
-        "eval_sample_per_lang",
-        "funnel_click_to_purchase",
+        "dynamic_gap_sessions",
+        "hll_sketch_rollup",
+        "similarity_filtered_topk",
+        "weighted_doc_sample",
+        "vector_ops_surface",
+        "corpus_drift_kl",
+        "zorder_locality_manifest",
+        "incremental_span_removal",
+        "streaming_dynamic_gap_sessions",
+        "streaming_sliding_halfhour",
+        "streaming_ewma_final",
+        "shard_manifest_chunked",
+        "streaming_corpus_drift_kl",
+        "dedup_minhash_lsh",
+        "dedup_incremental_batch",
+        "dedup_clusters",
+        "q12_late_line_priorities",
+        "string_functions",
+        "date_functions",
+        "json_extract_events",
+        "math_functions",
+        "map_functions_surface",
+        "unpivot_order_measures",
+        "histogram_order_values",
+        "window_analytics_suite",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
