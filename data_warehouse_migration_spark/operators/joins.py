@@ -124,3 +124,93 @@ def as_of_join(
             *[F.col(f"__r.{c}") for c in value_cols],
         )
     )
+
+
+def as_of_join_merge_scan(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    right_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """:func:`as_of_join` semantics via ONE merge scan — the fact×fact
+    formulation for when BOTH sides are large (quotes⋈trades, feature
+    log ⋈ training events).
+
+    Why not the join+window form at that scale: its range join
+    materializes EVERY earlier right row per left row before the
+    window keeps one — O(left × preceding-rights-per-key) intermediate,
+    quadratic per key for long histories. Here neither side ever joins:
+    both are tagged and UNIONED, one hash shuffle co-locates each key,
+    and a single ordered window carries the latest right row forward
+    (``last(…, ignorenulls=True)`` over rows-unbounded-preceding) onto
+    each left row — cost is sort + linear scan, intermediate ≡ input.
+
+    Ordering makes the inclusive bound and determinism exact: rows
+    sort by (ts, side) with right rows FIRST at equal timestamps (so a
+    same-instant right row IS visible, matching ``right_ts <=
+    left_ts``), and equal-``right_ts`` right rows sort by
+    ``right_tiebreak`` DESCENDING so the carried (last) one is the
+    tiebreak-ascending winner — the same row the join+window form
+    keeps. ``tolerance`` (INTERVAL string) nulls out carried matches
+    older than ``left_ts - tolerance`` after the carry (the carry
+    itself stays O(1) per row).
+
+    Returns the left rows + matched right value columns (null where no
+    match). Verified equal to :func:`as_of_join` in
+    ``tests/test_joins.py``; at 100 TB pre-bucket both sides on the
+    key to delete the one shuffle.
+    """
+    from pyspark.sql import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = right_value_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    tiebreak = list(right_tiebreak or [])
+
+    rv = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__tb_{i}") for i, c in enumerate(tiebreak)],
+        rv.alias("__rv"),
+    )
+    l_tagged = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # Tiebreaks sort DESCENDING (nulls first, so left rows — whose
+    # __tb_* are null — keep their (__t, __side) position): among
+    # right rows sharing __t, the LAST row in this order is the
+    # tiebreak-ASCENDING winner, which is what the carry keeps.
+    order = [F.col("__t").asc(), F.col("__side").asc()] + [
+        F.col(f"__tb_{i}").desc_nulls_first() for i in range(len(tiebreak))
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("__rv", ignorenulls=True).over(w)
+    # Carry BEFORE dropping the right rows — the window must see them.
+    out = u.withColumn("__m", carried).filter(F.col("__side") == 1)
+    match = F.col("__m")
+    if tolerance is not None:
+        in_tol = match["__rts"] >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        match = F.when(in_tol, F.col("__m"))
+        out = out.withColumn("__m", match)
+    return out.select(
+        *left.columns,
+        *[F.col("__m")[c].alias(c) for c in value_cols],
+    )

@@ -519,6 +519,70 @@ def asof_click_before_purchase(spark, sf_dir):
 
 
 @query(
+    "asof_merge_scan_attribution",
+    tags=("events", "asof", "merge-scan", "J3"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+   c AS (SELECT * FROM e WHERE event_type = 'click'),
+   j AS (
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts DESC, c.event_id) AS rn
+    FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+), best AS (SELECT * FROM j WHERE rn = 1)
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN click_ts >= purchase_ts - INTERVAL 2 HOUR
+            THEN click_id END AS click_id,
+       CASE WHEN click_ts >= purchase_ts - INTERVAL 2 HOUR
+            THEN click_ts END AS click_ts
+FROM best
+""",
+)
+def asof_merge_scan_attribution(spark, sf_dir):
+    """The fact×fact as-of join (`as_of_join_merge_scan`): identical
+    attribution semantics to `asof_click_before_purchase` plus a
+    2-hour staleness tolerance, but computed by tagging + UNIONING the
+    two sides and carrying the latest click forward through ONE
+    ordered window over the user partition — no join at all, ONE
+    shuffle, intermediate ≡ input. This is the formulation that
+    survives both sides being 100 TB facts (quotes⋈trades, feature
+    log ⋈ events): the join+window form materializes every preceding
+    click per purchase first, which is quadratic per key for long
+    histories. The oracle recomputes via that join+window form —
+    attesting the two formulations agree, tolerance and
+    lowest-click-id tie-break included. `test_joins.py` pins
+    operator-level equality and the single-Exchange plan."""
+    from data_warehouse_migration_spark.operators.joins import (
+        as_of_join_merge_scan,
+    )
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return as_of_join_merge_scan(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_value_cols=["click_id", "click_ts"],
+        tolerance="2 hours",
+        right_tiebreak=["click_id"],
+    )
+
+
+@query(
     "interval_click_attribution",
     tags=("events", "range-join"),
     oracle="""

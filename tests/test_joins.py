@@ -115,3 +115,55 @@ def test_as_of_join_keeps_duplicate_left_rows(spark):
     out = as_of_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts")
     assert out.count() == 2
     assert [r.px for r in out.collect()] == [100.0, 100.0]
+
+
+def test_merge_scan_asof_equals_join_window(spark, sf_dir):
+    """as_of_join_merge_scan must reproduce as_of_join exactly on real
+    event data — inclusive bound, lowest-id tie-break, tolerance — and
+    plan exactly ONE shuffle (the union's key partition), no join."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.joins import (
+        as_of_join_merge_scan,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    kwargs = dict(
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_value_cols=["click_id", "click_ts"],
+        right_tiebreak=["click_id"],
+    )
+    for tol in (None, "2 hours"):
+        a = as_of_join(purchases, clicks, tolerance=tol, **kwargs)
+        b = as_of_join_merge_scan(purchases, clicks, tolerance=tol, **kwargs)
+        assert a.count() == purchases.count()
+        assert b.count() == purchases.count()
+        assert a.exceptAll(b).count() == 0, f"tol={tol}"
+        assert b.exceptAll(a).count() == 0, f"tol={tol}"
+
+    plan_buf = io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        as_of_join_merge_scan(purchases, clicks, **kwargs).explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "Join" not in plan, plan
+    import re
+
+    n_ex = len(re.findall(r"^\s*\(\d+\) Exchange\b", plan, re.M))
+    assert n_ex == 1, plan

@@ -23,11 +23,38 @@ ZERO_SHUFFLE = [
 ]
 
 
+#: Shuffle-exchange budgets for the composed pipelines: the r5
+#: diamond-DAG fix cut curation_pipeline_v3 from 38 to 13 exchanges
+#: (stage sharing via window-min ownership + passthrough columns); a
+#: regression re-expanding shared subtrees would show up here before
+#: it shows up in the bench (VERDICT r5 action #5).
+EXCHANGE_BUDGET = {
+    "curation_pipeline_v3": 13,
+    "curation_pipeline_v2": 5,
+}
+
+
 def _formatted_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def _n_shuffle_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\s*\(\d+\) Exchange\b", plan, re.M))
+
+
+def test_pipeline_exchange_budgets(spark, sf_dir):
+    for name, budget in EXCHANGE_BUDGET.items():
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        n = _n_shuffle_exchanges(_formatted_plan(df))
+        assert n <= budget, (
+            f"{name} plans {n} shuffle exchanges (budget {budget}) — "
+            "a shared stage is being re-expanded"
+        )
 
 
 def test_zero_shuffle_queries_have_no_exchange(spark, sf_dir):
