@@ -329,3 +329,109 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "adc_dist", "rank")
     )
+
+
+def sq8_train(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Scalar-quantization bounds: per-dimension (lo, hi) over the
+    corpus — the whole "codebook" of SQ8 (FAISS ``SQ8`` shape). One
+    aggregation, 2·dim floats to the driver (same sanctioned budget as
+    a k-means centroid collect)."""
+    aggs = []
+    for p in range(dim):
+        comp = F.element_at(F.col(vec_col), p + 1).cast("double")
+        aggs += [F.min(comp).alias(f"lo{p}"), F.max(comp).alias(f"hi{p}")]
+    row = vectors.agg(*aggs).first()
+    los = [float(row[f"lo{p}"]) for p in range(dim)]
+    his = [float(row[f"hi{p}"]) for p in range(dim)]
+    return los, his
+
+
+def _sq8_scale(lo: list[float], hi: list[float]) -> list[float]:
+    # Degenerate (constant) dimensions quantize to code 0 via scale 0.
+    return [(h - l) / 255.0 if h > l else 0.0 for l, h in zip(lo, hi)]
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """``(id_col, codes array<int>)`` with each component quantized to
+    its dimension's 0..255 grid — 4× smaller than float32 at ~8-bit
+    precision (vs PQ's 32-64×/lossier trade). Pure Column zip_with
+    with the bounds as plan literals; zero shuffles; out-of-range
+    values (e.g. encoding a query against corpus bounds) clamp."""
+    scale = _sq8_scale(lo, hi)
+    lo_lit = F.array(*[F.lit(x) for x in lo])
+    sc_lit = F.array(*[F.lit(x) for x in scale])
+    pair = F.zip_with(F.col(vec_col), lo_lit, lambda x, l: x.cast("double") - l)
+    codes = F.zip_with(
+        pair,
+        sc_lit,
+        lambda d, s: F.when(s > 0, F.round(d / s)).otherwise(F.lit(0.0)),
+    )
+    clamped = F.transform(
+        codes, lambda c: F.greatest(F.lit(0.0), F.least(F.lit(255.0), c)).cast("int")
+    )
+    return vectors.select(F.col(id_col), clamped.alias(out_col))
+
+
+def sq8_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric top-k over an SQ8-compressed corpus: the float query
+    scores COSINE against DECODED codes (x̂_d = lo_d + code_d·scale_d)
+    — no quantization error on the query side, same asymmetric
+    principle as ADC, and directly comparable to the exact cosine
+    ranking (`similarity.brute_force_topk`). Plan shape == brute force
+    with 4× smaller corpus rows: the query batch cross-broadcasts, the
+    corpus streams once, the score is one fused zip_with/aggregate
+    kernel, top-k is a per-query window. Near-lossless (8 bits/dim):
+    recall vs the exact ranking is ~1.0, unlike the coarser PQ/LSH
+    paths — SQ8 is the "just fit in memory" step before those become
+    necessary."""
+    from data_warehouse_migration_spark.operators.similarity import cosine
+
+    scale = _sq8_scale(lo, hi)
+    lo_lit = F.array(*[F.lit(x) for x in lo])
+    sc_lit = F.array(*[F.lit(x) for x in scale])
+    decoded = F.zip_with(
+        F.zip_with(F.col("codes"), sc_lit, lambda c, s: c.cast("double") * s),
+        lo_lit,
+        lambda cs, l: cs + l,
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    n = codes.select(F.col(id_col).alias("n_id"), decoded.alias("n_vec"))
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )

