@@ -214,3 +214,81 @@ def as_of_join_merge_scan(
         *left.columns,
         *[F.col("__m")[c].alias(c) for c in value_cols],
     )
+
+
+def _floor_div(a: Column, b: int) -> Column:
+    """Exact floor(a/b) for non-negative longs — all-integer via the
+    pmod identity (a double division can land one bucket off once a/b
+    nears an integer within the quotient's half-ulp)."""
+    bl = F.lit(b)
+    return ((a - F.pmod(a, bl)) / bl).cast("long")
+
+
+def range_join_by_bucket(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    on: str | list[str] | None = None,
+) -> DataFrame:
+    """INNER range join ``right_ts ∈ [left_ts + lower_s, left_ts +
+    upper_s]`` (seconds, inclusive both ends, negative = before) as an
+    EQUI join on time buckets — the formulation that survives having
+    NO selective equi key.
+
+    Why: a pure time-range condition gives Catalyst nothing to hash
+    on — the plan degenerates to BroadcastNestedLoopJoin (the exact
+    scale-killer ``tools/plan_audit.py`` hard-fails). Bucketing width
+    ``W = upper_s - lower_s`` makes it hashable: each left row's
+    window spans at most TWO W-buckets, so the left side replicates
+    ≤2× (explode over ``sequence(b_lo, b_hi)``), the right side maps
+    to its single bucket, and the join is a plain shuffle-hash/SMJ on
+    (``on`` keys +) bucket with the range as residual — candidates
+    per row are bounded by the rows inside a 2W slice of time, linear
+    for any stationary arrival rate. Bucket arithmetic is exact
+    integer µs (``_floor_div``). This is the public range-join
+    optimization shape (Databricks range-join hints, Flink interval
+    joins); Spark OSS has no native rule, so it lives here as an
+    operator.
+
+    Outer semantics: compose — aggregate this INNER result and
+    re-join onto ``left`` (replicated left copies make a direct
+    left-outer emit spurious unmatched duplicates). Output: all left
+    columns + all right columns (name-collision-free inputs).
+    """
+    if upper_s <= lower_s:
+        raise ValueError("upper_s must exceed lower_s")
+    w_us = (upper_s - lower_s) * 1_000_000
+    keys = [on] if isinstance(on, str) else list(on or [])
+
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    lo_us = F.lit(lower_s * 1_000_000).cast("long")
+    hi_us = F.lit(upper_s * 1_000_000).cast("long")
+
+    l_exp = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                _floor_div(l_us + lo_us, w_us), _floor_div(l_us + hi_us, w_us)
+            )
+        ),
+    )
+    r_b = right.withColumn("__b", _floor_div(r_us, w_us))
+
+    cond: Column = l_exp["__b"] == r_b["__b"]
+    for k in keys:
+        cond = cond & (l_exp[k] == r_b[k])
+    l_ts_col = l_exp[left_ts].cast("timestamp")
+    r_ts_col = r_b[right_ts].cast("timestamp")
+    l_us_j = F.unix_micros(l_ts_col)
+    r_us_j = F.unix_micros(r_ts_col)
+    cond = cond & (r_us_j >= l_us_j + lo_us) & (r_us_j <= l_us_j + hi_us)
+
+    right_cols = [c for c in right.columns if c not in keys]
+    return l_exp.join(r_b, cond).select(
+        *[l_exp[c] for c in left.columns],
+        *[r_b[c] for c in right_cols],
+    )

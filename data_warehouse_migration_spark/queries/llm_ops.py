@@ -630,6 +630,61 @@ def interval_click_attribution(spark, sf_dir):
 
 
 @query(
+    "range_join_bucketed_activity",
+    tags=("events", "range-join", "bucketed", "no-equi-key"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+), p AS (SELECT event_id, ts FROM e WHERE event_type = 'purchase'),
+   c AS (SELECT event_id, ts FROM e WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id,
+       count(c.event_id) AS n_clicks_5m,
+       min(c.event_id) AS first_click_id
+FROM p LEFT JOIN c
+  ON c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 5 MINUTE
+GROUP BY p.event_id
+""",
+)
+def range_join_bucketed_activity(spark, sf_dir):
+    """Range join WITHOUT an equi key — global activity correlation:
+    for each purchase, all clicks from ANY user in the preceding five
+    minutes (`operators/joins.range_join_by_bucket`). A bare
+    time-range condition gives Catalyst nothing to hash, so the naive
+    plan is a BroadcastNestedLoopJoin — the scale-killer the plan
+    audit hard-fails; bucketing the time axis at the window width
+    turns it into a plain equi join on the bucket (left side
+    replicated ≤2×) with the range as residual. The DuckDB oracle runs
+    the naive range join (its optimizer handles it via IEJoin), so the
+    attestation proves the bucketed rewrite is exactly the naive
+    semantics — left-outer zero-click purchases included (recovered by
+    composing the INNER bucket join with a re-join onto purchases).
+    `test_joins.py` pins no-BNLJ/no-Cartesian in the plan."""
+    from data_warehouse_migration_spark.operators.joins import (
+        range_join_by_bucket,
+    )
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    matched = range_join_by_bucket(
+        p, c, left_ts="p_ts", right_ts="c_ts", lower_s=-300, upper_s=0
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.count("click_id").alias("__n"),
+        F.min("click_id").alias("__first"),
+    )
+    return p.join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_clicks_5m"),
+        F.col("__first").alias("first_click_id"),
+    )
+
+
+@query(
     "distinct_users_by_type",
     tags=("events", "distinct-agg"),
     oracle="""

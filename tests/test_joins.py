@@ -167,3 +167,69 @@ def test_merge_scan_asof_equals_join_window(spark, sf_dir):
 
     n_ex = len(re.findall(r"^\s*\(\d+\) Exchange\b", plan, re.M))
     assert n_ex == 1, plan
+
+
+def test_range_join_by_bucket_equals_naive_and_avoids_bnlj(spark, sf_dir):
+    """Bucketed range join == the naive residual join (keyless AND
+    keyed), and its physical plan contains a hashable equi join — no
+    BroadcastNestedLoopJoin/CartesianProduct (what the naive keyless
+    form degenerates to)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.joins import (
+        range_join_by_bucket,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+
+    # Keyless: clicks from anyone in the 10 minutes around a purchase
+    # (two-sided window exercises both bucket edges).
+    bucketed = range_join_by_bucket(
+        p, c, left_ts="p_ts", right_ts="c_ts", lower_s=-300, upper_s=300
+    ).select("purchase_id", "click_id")
+    naive = p.join(
+        c,
+        (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 300 SECONDS"))
+        & (c["c_ts"] <= p["p_ts"] + F.expr("INTERVAL 300 SECONDS")),
+    ).select("purchase_id", "click_id")
+    assert bucketed.exceptAll(naive).count() == 0
+    assert naive.exceptAll(bucketed).count() == 0
+    assert bucketed.count() > 0
+
+    # Keyed: same-user clicks in the preceding hour.
+    pk = p.withColumnRenamed("p_user", "user_id")
+    ck = c.withColumnRenamed("c_user", "user_id")
+    bucketed_k = range_join_by_bucket(
+        pk, ck, left_ts="p_ts", right_ts="c_ts", lower_s=-3600, upper_s=0,
+        on="user_id",
+    ).select("purchase_id", "click_id")
+    naive_k = p.join(
+        c,
+        (p["p_user"] == c["c_user"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id")
+    assert bucketed_k.exceptAll(naive_k).count() == 0
+    assert naive_k.exceptAll(bucketed_k).count() == 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bucketed.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
