@@ -1461,3 +1461,79 @@ def curation_pipeline_v3(spark, sf_dir):
     return cagg.join(lang_removed, "lang").select(
         "lang", "n_docs", "n_chunks", "n_chunk_tokens", "n_span_words_removed"
     )
+
+
+@query(
+    "doc_token_entropy",
+    tags=("text", "quality", "entropy"),
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+    FROM documents
+), cnt AS (
+    SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+), withn AS (
+    SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt
+), ent AS (
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+               * ln(CAST(c AS DOUBLE) / n) * 1e12) AS BIGINT)) AS ent_scaled
+    FROM withn GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       round(ent_scaled / 1e12, 6) AS token_entropy,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       CAST(round(ent_scaled / 1e12, 6) >= 3.0
+            AND CAST(n_types AS DOUBLE) / n_tokens >= 0.2 AS INT)
+           AS entropy_quality_flag
+FROM ent
+""",
+)
+def doc_token_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy + type-token ratio — the
+    information-density quality signal curation stacks pair with the
+    Gopher repetition rules: low entropy ⇒ keyboard-mash / template /
+    highly repetitive text even when no single n-gram dominates, low
+    TTR ⇒ tiny vocabulary. The flag ANDs both at conventional
+    thresholds (H ≥ 3 nats, TTR ≥ 0.2).
+
+    Shape at 100 TB: two shuffles, both keyed by doc (token counts,
+    entropy fold) — shuffle rows ∝ distinct (doc, token) pairs, text
+    itself never shuffles. Cross-engine exactness: counts are
+    integers; each float entropy term is rounded to a scaled-1e-12
+    integer BEFORE summing (the drift-monitor precedent), so the
+    per-doc sum is partition-order-independent."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
+    )
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / n
+    term = F.round((-p) * F.log(p) * 1e12).cast("long")
+    per_doc = cnt.withColumn("__term", term).groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("__term").alias("__ent_scaled"),
+    )
+    entropy = F.round(F.col("__ent_scaled") / 1e12, 6)
+    ttr = F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        entropy.alias("token_entropy"),
+        ttr.alias("type_token_ratio"),
+        (
+            (entropy >= 3.0)
+            & (F.col("n_types").cast("double") / F.col("n_tokens") >= 0.2)
+        )
+        .cast("int")
+        .alias("entropy_quality_flag"),
+    )
