@@ -417,11 +417,62 @@ def incremental_dedup(
     Requires globally unique ids across batch ∪ corpus. Returns one
     row per batch doc: ``(id_col, status, match_id)``.
     """
+    idx = dedup_index(corpus, id_col, text_col, n, num_hashes, bands)
+    return incremental_dedup_against_index(
+        batch, idx, id_col, text_col, n, num_hashes, bands, threshold
+    )
+
+
+def dedup_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> dict[str, DataFrame]:
+    """The materialized content indexes incremental dedup matches
+    against — what a production deployment keeps at rest and appends
+    per ingest batch instead of rescanning corpus text:
+
+    - ``digests``: ``(doc, digest)`` — 16 bytes/doc, the exact pass;
+    - ``bands``:   ``(doc, band, band_sig)`` — constant bytes/doc,
+      the MinHash candidate-generation pass;
+    - ``grams``:   ``(doc, shs array<long>)`` — ~8 bytes/word, the
+      exact-Jaccard verification side (:func:`shingle_hash_arrays`).
+
+    All three are pure functions of the text (content-addressed):
+    rebuilding any index slice reproduces it bit-for-bit.
+    """
+    return {
+        "digests": corpus.select(
+            F.col(id_col).alias("doc"),
+            content_digest(F.col(text_col)).alias("digest"),
+        ),
+        "bands": band_signatures(corpus, id_col, text_col, n, num_hashes, bands),
+        "grams": shingle_hash_arrays(corpus, id_col, text_col, n),
+    }
+
+
+def incremental_dedup_against_index(
+    batch: DataFrame,
+    index: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`incremental_dedup` against pre-materialized
+    :func:`dedup_index` tables — corpus TEXT is never touched, which
+    is the point at 100 TB (and what the streaming ingest form feeds,
+    ``streaming/ingest.py``)."""
     b_dig = batch.select(
         F.col(id_col), content_digest(F.col(text_col)).alias("digest")
     )
-    c_dig = corpus.select(
-        F.col(id_col).alias("__cid"), content_digest(F.col(text_col)).alias("digest")
+    c_dig = index["digests"].select(
+        F.col("doc").alias("__cid"), "digest"
     )
     exact = (
         b_dig.join(c_dig, "digest")
@@ -431,19 +482,18 @@ def incremental_dedup(
     batch_min = b_dig.groupBy("digest").agg(F.min(id_col).alias("__bmin"))
 
     b_bands = band_signatures(batch, id_col, text_col, n, num_hashes, bands)
-    c_bands = band_signatures(corpus, id_col, text_col, n, num_hashes, bands)
     candidates = (
         b_bands.alias("b")
         .join(
-            c_bands.alias("c"),
+            index["bands"].alias("c"),
             (F.col("b.band") == F.col("c.band"))
             & (F.col("b.band_sig") == F.col("c.band_sig")),
         )
         .select(F.col("b.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"))
         .distinct()
     )
-    grams = shingle_hash_arrays(
-        batch.unionByName(corpus), id_col, text_col, n
+    grams = shingle_hash_arrays(batch, id_col, text_col, n).unionByName(
+        index["grams"]
     )
     near = (
         _jaccard_for_candidates(grams, candidates, threshold)

@@ -548,3 +548,172 @@ def _attach_drift_oracle() -> None:
 
 
 _attach_drift_oracle()
+
+
+def _ingest_dedup_oracle() -> str:
+    from data_warehouse_migration_spark.queries.llm_ops import _MD5_BUCKET_SQL
+
+    return f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'corpus' ELSE 'batch' END AS s
+    FROM documents
+), tagged AS (
+    SELECT doc_id, s,
+           CASE WHEN s = 'batch' THEN CAST(doc_id % 3 AS INT) ELSE -1 END
+               AS bnum,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM split
+), dig AS (SELECT doc_id, s, bnum, md5(txt) AS digest FROM tagged),
+bd AS (SELECT doc_id, bnum, digest FROM dig WHERE s = 'batch'),
+exact AS (
+    SELECT b.doc_id, min(i.doc_id) AS exact_match
+    FROM bd b JOIN dig i ON i.digest = b.digest
+     AND (i.s = 'corpus' OR i.bnum < b.bnum)
+    GROUP BY 1
+),
+bmin AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY digest, bnum) AS bmin
+    FROM bd
+),
+words AS (SELECT doc_id, s, bnum, string_split(txt, ' ') AS w FROM tagged),
+sh AS (
+    SELECT DISTINCT doc_id AS doc, s, bnum,
+           md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM (SELECT doc_id, s, bnum, w,
+                 unnest(range(0, greatest(len(w) - 2, 1))) AS i
+          FROM words)
+),
+seeds AS (SELECT unnest(range(0, 16)) AS i),
+mh AS (
+    SELECT doc, s, bnum, i, min(md5(i::VARCHAR || '|' || sh)) AS minhash
+    FROM sh CROSS JOIN seeds GROUP BY doc, s, bnum, i
+),
+banded AS (
+    SELECT doc, s, bnum, i // 2 AS band,
+           md5(string_agg(i::VARCHAR || ':' || minhash, '|'
+               ORDER BY i::VARCHAR || ':' || minhash)) AS band_sig
+    FROM mh GROUP BY doc, s, bnum, i // 2
+),
+cands AS (
+    SELECT DISTINCT b.doc AS doc_a, c.doc AS doc_b
+    FROM banded b JOIN banded c ON b.band = c.band AND b.band_sig = c.band_sig
+    WHERE b.s = 'batch' AND (c.s = 'corpus' OR c.bnum < b.bnum)
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT ca.doc_a, ca.doc_b, count(*) AS n_inter
+    FROM cands ca
+    JOIN sh a ON a.doc = ca.doc_a
+    JOIN sh b2 ON b2.doc = ca.doc_b AND b2.sh = a.sh
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT doc_a AS doc_id, min(doc_b) AS near_match
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc
+    JOIN sizes sb ON inter.doc_b = sb.doc
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    GROUP BY 1
+)
+SELECT bd.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'dup_corpus'
+            WHEN bm.bmin < bd.doc_id THEN 'dup_batch'
+            WHEN nr.near_match IS NOT NULL THEN 'near_corpus'
+            ELSE 'new' END AS status,
+       CASE WHEN e.exact_match IS NOT NULL THEN e.exact_match
+            WHEN bm.bmin < bd.doc_id THEN bm.bmin
+            ELSE nr.near_match END AS match_id
+FROM bd
+LEFT JOIN exact e ON bd.doc_id = e.doc_id
+JOIN bmin bm ON bd.doc_id = bm.doc_id
+LEFT JOIN near nr ON bd.doc_id = nr.doc_id
+"""
+
+
+@query(
+    "streaming_ingest_dedup",
+    tags=("streaming", "dedup", "incremental", "foreachBatch", "2.10"),
+    oracle=None,  # attached below (f-string oracle)
+)
+def streaming_ingest_dedup_gate(spark, sf_dir):
+    """Streaming ingest dedup on the real engine
+    (streaming/ingest.streaming_ingest_dedup): the content-addressed
+    10% tail of `documents` arrives as a 3-file stream (one file per
+    micro-batch, mtime-ordered by `doc_id % 3`); each epoch dedups its
+    batch against the at-rest index (initial 90% corpus + every
+    earlier epoch's additions) and appends its own digests/bands/gram
+    arrays — corpus text is never rescanned. The DuckDB oracle
+    recomputes every status from the batch-order predicate (`earlier
+    epoch` ⟺ smaller `doc_id % 3`), so the attestation covers the
+    grow-the-index protocol, the epoch-partitioned exactly-once
+    writes, and the 4-way status priority across batch boundaries.
+    Statuses are collected (≤ the stream slice) before temp cleanup."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+    from data_warehouse_migration_spark.streaming.ingest import (
+        streaming_ingest_dedup,
+        write_dedup_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"corpus": 0.9, "batch": 0.1})
+    corpus = split.filter(F.col("split") == "corpus").drop("split")
+    incoming = split.filter(F.col("split") == "batch").drop("split")
+
+    base = tempfile.mkdtemp(prefix="stream_ingest_")
+    try:
+        write_dedup_index(corpus, f"{base}/index")
+        src = f"{base}/src"
+        for k in range(3):
+            part = f"{src}/b{k}"
+            incoming.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
+                part
+            )
+            ts = time.time() + k * 2
+            for root, _, files in os.walk(part):
+                for fname in files:
+                    os.utime(os.path.join(root, fname), (ts, ts))
+        schema = spark.read.parquet(f"{src}/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = streaming_ingest_dedup(
+            stream,
+            index_dir=f"{base}/index",
+            results_path=f"{base}/results",
+            checkpoint=f"{base}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_ingest_dedup did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        res = spark.read.parquet(f"{base}/results")
+        n_epochs = res.select("epoch").distinct().count()
+        if n_epochs != 3:
+            raise AssertionError(f"expected 3 epochs, saw {n_epochs}")
+        out = res.select("doc_id", "status", "match_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_ingest_oracle() -> None:
+    from data_warehouse_migration_spark.catalog import REGISTRY
+
+    REGISTRY["streaming_ingest_dedup"].oracle = _ingest_dedup_oracle()
+
+
+_attach_ingest_oracle()
