@@ -52,7 +52,13 @@ def get_spark(
         # disable them).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[n] runs every executor thread inside the driver JVM, so
+        # this heap IS the cluster's memory: 8g across 32 threads put
+        # the shuffle-heaviest pipeline (curation v3: 13 exchanges + a
+        # persisted stage) into GC pressure — 16g is ~20% faster on it
+        # (A/B at sf0.1) and a rounding error on a 128 GiB host. On a
+        # real cluster this conf is inert (executor memory governs).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Defensive only: current events.parquet is timestamp[us] (read
         # natively as TIMESTAMP_NTZ); this conf keeps the loader's bigint
         # fallback reachable if TIMESTAMP(NANOS) testdata ever returns.
