@@ -1537,3 +1537,68 @@ def doc_token_entropy(spark, sf_dir):
         .cast("int")
         .alias("entropy_quality_flag"),
     )
+
+
+@query(
+    "dataset_card_summary",
+    tags=("text", "reporting", "dataset-card"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt,
+           n_chars
+    FROM documents
+), d AS (
+    SELECT doc_id, lang, n_chars,
+           len(string_split(txt, ' ')) AS n_tok,
+           md5(txt) AS digest
+    FROM n
+), dup AS (
+    SELECT digest, count(*) AS cnt FROM d GROUP BY digest
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(d.n_tok, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(d.n_tok, 0.9), 6) AS p90_tokens,
+       CAST(sum(CASE WHEN dup.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_in_dup_groups,
+       CAST(count(DISTINCT d.digest) AS BIGINT) AS distinct_texts
+FROM d JOIN dup USING (digest)
+GROUP BY d.lang
+""",
+)
+def dataset_card_summary(spark, sf_dir):
+    """The per-language dataset card a curation pipeline publishes with
+    every corpus release: document/token/char totals, exact token-count
+    percentiles (linear-interpolated, the `quantile_cont` semantics both
+    engines share), and duplication structure (documents sitting in
+    multi-copy digest groups + distinct-text count). One scan, one
+    digest window, one groupBy — text never shuffles (digest + integer
+    stats do). At 100 TB the same plan runs per release snapshot;
+    percentiles switch to `approx_percentile` with the HLL-style
+    tolerance gate if exact sort-based percentiles get hot (the
+    `approx_percentiles_by_segment` precedent)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    txt = normalized_text(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(txt, " ")).alias("n_tok"),
+        F.md5(txt).alias("digest"),
+    )
+    dup_cnt = F.count(F.lit(1)).over(Window.partitionBy("digest"))
+    d = d.withColumn("__dup", (dup_cnt > 1).cast("int"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90_tokens"),
+        F.sum("__dup").cast("long").alias("docs_in_dup_groups"),
+        F.countDistinct("digest").cast("long").alias("distinct_texts"),
+    )
