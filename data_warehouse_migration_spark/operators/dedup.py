@@ -1,9 +1,13 @@
 """Document deduplication operators (north-star extension, BASELINE.json).
 
-All hash choices are *engine-portable* (md5/sha2 hex strings, not
-xxhash64) so every operator has an exact DuckDB oracle; at 100 TB the
-hex-string md5 costs ~2× a native 64-bit hash — an acceptable constant
-for verifiability, and trivially swappable (``_HASH`` below).
+Hash policy: digests an oracle must recompute bit-for-bit (content
+digests, MinHash signatures, winnowing fingerprints) are engine-
+portable md5 hex; digests that are INTERNAL join/shuffle keys whose
+outputs are hash-scheme-independent (shingle set identity for exact
+Jaccard, span-occurrence keys for span removal) use ``xxhash64`` —
+JVM-native longs, ~4× the hashing throughput and a quarter of the
+shuffle bytes, with ~2⁻⁶⁵ collision odds. Each site documents which
+side of the line it is on.
 
 Operators:
 - exact dedup: group-by content digest — one shuffle on the digest.
@@ -614,7 +618,9 @@ def remove_duplicate_spans(
     metadata (that re-join would re-expand this whole subtree).
 
     Shape at 100 TB (simpler than pair-finding): span digests are
-    16-byte keys; ownership is ``min(id) OVER (PARTITION BY digest)``
+    8-byte xxhash64 keys (internal only — the cleaned-text output is
+    hash-scheme-independent, which the md5-based oracle verifies);
+    ownership is ``min(id) OVER (PARTITION BY digest)``
     — a window on the digest shuffle rather than a groupBy+self-join,
     so the occurrence stream is computed ONCE; no pair join, no df cap
     needed because nothing is ever quadratic. Removal positions flow
@@ -635,7 +641,7 @@ def remove_duplicate_spans(
     sh = (
         base.filter(F.size("__w") >= n)
         .select(did, F.posexplode(word_ngrams_from_words(F.col("__w"), n)).alias("__i0", "__span"))
-        .select(did, (F.col("__i0") + 1).alias("__start"), _hash_str(F.col("__span")).alias("__g"))
+        .select(did, (F.col("__i0") + 1).alias("__start"), F.xxhash64(F.col("__span")).alias("__g"))
     )
     owner = F.min(id_col).over(Window.partitionBy("__g"))
     removals = (
@@ -700,7 +706,7 @@ def remove_spans_in_corpus(
                 F.array_distinct(word_ngrams(F.col(text_col), n))
             ).alias("__span")
         )
-        .select(_hash_str(F.col("__span")).alias("__g"))
+        .select(F.xxhash64(F.col("__span")).alias("__g"))
         .distinct()
     )
     sh = (
@@ -714,7 +720,7 @@ def remove_spans_in_corpus(
         .select(
             did,
             (F.col("__i0") + 1).alias("__start"),
-            _hash_str(F.col("__span")).alias("__g"),
+            F.xxhash64(F.col("__span")).alias("__g"),
         )
     )
     removals = (

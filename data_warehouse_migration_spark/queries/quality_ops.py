@@ -469,7 +469,9 @@ def duplicate_span_pairs(spark, sf_dir):
     span count. Catches boilerplate/quotation overlap that whole-doc
     Jaccard dilutes away.
 
-    Shape at 100 TB: inverted index on the span digest (16 bytes/span;
+    Shape at 100 TB: inverted index on the span digest (8-byte
+    xxhash64 — internal keys; shared-span counts are hash-scheme-
+    independent, which the md5-based oracle verifies;
     text never shuffles), document-frequency cap (df ≤ 1000) drops
     degenerate boilerplate spans BEFORE the self-join — the same guard
     the suffix-array pipelines apply — so no digest bucket explodes
@@ -493,7 +495,7 @@ def duplicate_span_pairs(spark, sf_dir):
                 F.array_distinct(word_shingles(F.col("text"), 10))
             ).alias("span"),
         )
-        .select("doc_id", F.md5(F.col("span")).alias("g"))
+        .select("doc_id", F.xxhash64(F.col("span")).alias("g"))
     )
     df_w = F.count(F.lit(1)).over(Window.partitionBy("g"))
     filtered = (
@@ -1176,7 +1178,7 @@ def incremental_span_removal(spark, sf_dir):
     ``dedup_incremental_batch``. Byte-exact md5 attestation of the
     cleaned batch text, same contract as ``duplicate_span_removal``.
 
-    Shape at 100 TB: the corpus collapses to DISTINCT 16-byte span
+    Shape at 100 TB: the corpus collapses to DISTINCT 8-byte span
     digests once (a reusable stored index — in production it persists
     between batches); each batch equi-joins that set; batch×corpus
     never materializes and corpus text never re-shuffles per batch."""
