@@ -55,19 +55,29 @@ def write_shuffled_shards(
     n_shards: int,
     salt: str = "",
     id_col: str = "doc_id",
+    max_rows_per_file: int | None = None,
 ) -> None:
     """Shuffle-once/write-once sharded output: one repartition on
     shard_id, partition-local sort by (shard_id, sort_key, id), one
     ``partitionBy`` parquet write → ``path/shard_id=K/`` directories
-    whose row order is globally deterministic."""
+    whose row order is globally deterministic.
+
+    ``max_rows_per_file`` rolls each shard into files of exactly that
+    many rows (last file short) IN SHARD ORDER — the writer-side half
+    of :func:`shard_manifest_chunked`'s "chunk = file" contract: with
+    ``max_rows_per_file == chunk_rows``, each on-disk file's row-hash
+    chain equals the corresponding level-1 chunk checksum
+    (test-pinned in ``test_sharding.py``), so a consumer can verify
+    shards file-by-file without ever buffering a whole shard."""
     assigned = shard_assignments(docs, n_shards, salt, id_col)
-    (
+    writer = (
         assigned.repartition(n_shards, F.col("shard_id"))
         .sortWithinPartitions("shard_id", "sort_key", id_col)
         .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(path)
     )
+    if max_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+    writer.partitionBy("shard_id").parquet(path)
 
 
 def shard_manifest(

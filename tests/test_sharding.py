@@ -110,3 +110,54 @@ def test_chunked_manifest_properties(spark, sf_dir):
         ).collect()
     }
     assert any(c200[sid] != c50[sid]["shard_checksum"] for sid in c50)
+
+
+def test_chunked_manifest_checksums_match_on_disk_files(spark, sf_dir, tmp_path):
+    """The "chunk = file" contract, end to end: writing shards with
+    max_rows_per_file == chunk_rows must produce on-disk files whose
+    per-file row-hash chains equal shard_manifest_chunked's level-1
+    chunk checksums, file-for-chunk in order — a consumer can verify a
+    100 TB shard file-by-file with no shard-sized buffer anywhere."""
+    import glob
+    import hashlib
+
+    from data_warehouse_migration_spark.operators.sharding import (
+        shard_manifest_chunked,
+    )
+
+    CHUNK = 10
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(docs, out, N_SHARDS, salt=SALT, max_rows_per_file=CHUNK)
+
+    # Recompute level-1 chunk checksums from the manifest operator…
+    want = {}
+    for r in shard_manifest_chunked(
+        docs, N_SHARDS, salt=SALT, chunk_rows=CHUNK
+    ).collect():
+        want[r["shard_id"]] = r
+
+    # …and per-FILE chains from what the writer actually wrote.
+    for sid in want:
+        files = sorted(glob.glob(f"{out}/shard_id={sid}/part-*"))
+        assert len(files) == want[sid]["n_chunks"], sid
+        file_chains = []
+        for fpath in files:
+            rows = (
+                spark.read.parquet(fpath)
+                .select("sort_key", "doc_id", "text")
+                .collect()
+            )
+            assert len(rows) <= CHUNK
+            # File rows must already be in shard order (writer sorted).
+            keys = [(r["sort_key"], r["doc_id"]) for r in rows]
+            assert keys == sorted(keys), fpath
+            chain = hashlib.md5(
+                "".join(
+                    hashlib.md5(r["text"].encode()).hexdigest() for r in rows
+                ).encode()
+            ).hexdigest()
+            file_chains.append(chain)
+        # Level-2: the shard checksum chains the file chains in order.
+        level2 = hashlib.md5("".join(file_chains).encode()).hexdigest()
+        assert level2 == want[sid]["shard_checksum"], sid
