@@ -1751,11 +1751,11 @@ def similarity_sq8_topk(spark, sf_dir):
     return _ann_recall_summary(ann, exact, k=5, floor_pct=80)
 
 
-@query(
-    "continuous_aggregate_rollup",
-    headline=True,
-    tags=("events", "rollup", "hypertable"),
-    oracle="""
+# Shared with the streaming maintenance twin
+# (streaming_rollup_maintenance): the served aggregate of the
+# incrementally-maintained partial table must equal this one-shot
+# lattice exactly.
+ROLLUP_ORACLE = """
 WITH e AS (
     SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
            CAST(round(value * 100) AS BIGINT) AS cents
@@ -1780,7 +1780,14 @@ SELECT CASE WHEN gh = 0 THEN 'hour' WHEN gd = 0 THEN 'day'
        coalesce(hour_b, day_b, month_b) AS bucket,
        event_type, n_events, total_value
 FROM g
-""",
+"""
+
+
+@query(
+    "continuous_aggregate_rollup",
+    headline=True,
+    tags=("events", "rollup", "hypertable"),
+    oracle=ROLLUP_ORACLE,
 )
 def continuous_aggregate_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: hourly, daily, and

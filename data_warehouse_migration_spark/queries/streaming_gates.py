@@ -717,3 +717,90 @@ def _attach_ingest_oracle() -> None:
 
 
 _attach_ingest_oracle()
+
+
+@query(
+    "streaming_rollup_maintenance",
+    tags=("streaming", "rollup", "continuous-aggregate", "foreachBatch", "2.10"),
+    oracle=None,  # attached below — shares the batch lattice oracle
+)
+def streaming_rollup_maintenance_gate(spark, sf_dir):
+    """Incrementally-maintained continuous aggregate on the real
+    engine (streaming/rollup.streaming_rollup_maintenance): events
+    arrive as a 3-file stream, every epoch writes its own partial
+    hour/day/month lattice into an `epoch=K` partition (dynamic
+    overwrite ⇒ replay-idempotent), the served aggregate folds
+    partials algebraically, and `compact_rollup` collapses the epochs
+    through the atomic pointer flip. The gate asserts the multi-epoch
+    run, verifies compaction changes NOTHING in the served result,
+    and hash-attests that result against the batch GROUPING SETS
+    oracle — the exactness of partial aggregation across arbitrary
+    batch splits is the whole point (counts and integer cents are
+    algebraic; a non-algebraic statistic would need the drift
+    monitor's full-recompute shape instead)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from data_warehouse_migration_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        streaming_rollup_maintenance,
+    )
+
+    events = t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="stream_rollup_")
+    try:
+        src = f"{base}/src"
+        for k in range(3):
+            part = f"{src}/b{k}"
+            events.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(
+                part
+            )
+            ts = time.time() + k * 2
+            for root, _, files in os.walk(part):
+                for fname in files:
+                    os.utime(os.path.join(root, fname), (ts, ts))
+        schema = spark.read.parquet(f"{src}/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = streaming_rollup_maintenance(
+            stream, table_path=f"{base}/rollup", checkpoint=f"{base}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_rollup_maintenance did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        n_epochs = (
+            spark.read.parquet(f"{base}/rollup").select("epoch").distinct().count()
+        )
+        if n_epochs != 3:
+            raise AssertionError(f"expected 3 epoch partitions, saw {n_epochs}")
+        served = read_rollup(spark, f"{base}/rollup")
+        before = {tuple(r) for r in served.collect()}
+        compact_rollup(spark, f"{base}/rollup")
+        after_df = read_rollup(spark, f"{base}/rollup")
+        after = [tuple(r) for r in after_df.collect()]
+        if before != set(after):
+            raise AssertionError("compaction changed the served aggregate")
+        return spark.createDataFrame(after, after_df.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_rollup_oracle() -> None:
+    from data_warehouse_migration_spark.catalog import REGISTRY
+    from data_warehouse_migration_spark.queries.llm_ops import ROLLUP_ORACLE
+
+    REGISTRY["streaming_rollup_maintenance"].oracle = ROLLUP_ORACLE
+
+
+_attach_rollup_oracle()
