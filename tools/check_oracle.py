@@ -4,9 +4,11 @@ Runs every catalog query on Spark AND its DuckDB oracle on the same
 parquet tables, then compares row count, column names/order-insensitive
 sorted columns, and an order-insensitive value hash. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--window] [sf_dir] [query ...]
 
-Defaults to /root/testdata/sf0.001 and all queries.
+Defaults to /root/testdata/sf0.001 and all queries; ``--window``
+restricts to the first 50 registry entries — the driver's attestation
+window (ROTATION.md).
 """
 
 from __future__ import annotations
@@ -65,11 +67,20 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --window: only the first 50 registry entries — exactly the set
+    # the driver's correctness gate attests (ROTATION.md), for a fast
+    # local replica of that run.
+    window_only = "--window" in args
+    args = [a for a in args if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from data_warehouse_migration_spark.catalog import REGISTRY
     from data_warehouse_migration_spark.session import get_spark
+
+    if window_only:
+        only = set(list(REGISTRY)[:50]) & (only or set(REGISTRY))
 
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
