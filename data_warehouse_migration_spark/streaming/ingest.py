@@ -63,11 +63,23 @@ def write_dedup_index(
         )
 
 
-def read_dedup_index(spark: SparkSession, index_dir: str) -> dict[str, DataFrame]:
-    return {
-        part: spark.read.parquet(f"{index_dir}/{part}").drop("epoch")
-        for part in _INDEX_PARTS
-    }
+def read_dedup_index(
+    spark: SparkSession, index_dir: str, before_epoch: int | None = None
+) -> dict[str, DataFrame]:
+    """Read the index; ``before_epoch`` keeps only additions from
+    strictly earlier epochs (initial corpus = epoch -1). The matching
+    pass MUST pass its own epoch here: a crash between the index
+    append and the checkpoint commit replays the batch against an
+    index that already contains the batch's own signatures — without
+    the cutoff every replayed doc flags itself as a corpus dup
+    (caught by ``test_maintenance_replay.py``)."""
+    out = {}
+    for part in _INDEX_PARTS:
+        df = spark.read.parquet(f"{index_dir}/{part}")
+        if before_epoch is not None:
+            df = df.filter(F.col("epoch") < before_epoch)
+        out[part] = df.drop("epoch")
+    return out
 
 
 def streaming_ingest_dedup(
@@ -93,7 +105,7 @@ def streaming_ingest_dedup(
             return
         spark = batch_df.sparkSession
         try:
-            idx = read_dedup_index(spark, index_dir)
+            idx = read_dedup_index(spark, index_dir, before_epoch=int(epoch_id))
         except AnalysisException as e:
             raise RuntimeError(
                 f"no dedup index at {index_dir} — run write_dedup_index first"
