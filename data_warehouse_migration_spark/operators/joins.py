@@ -232,6 +232,7 @@ def range_join_by_bucket(
     lower_s: int,
     upper_s: int,
     on: str | list[str] | None = None,
+    n_salts: int = 1,
 ) -> DataFrame:
     """INNER range join ``right_ts ∈ [left_ts + lower_s, left_ts +
     upper_s]`` (seconds, inclusive both ends, negative = before) as an
@@ -257,6 +258,15 @@ def range_join_by_bucket(
     re-join onto ``left`` (replicated left copies make a direct
     left-outer emit spurious unmatched duplicates). Output: all left
     columns + all right columns (name-collision-free inputs).
+
+    ``n_salts > 1`` splits every bucket into that many sub-buckets for
+    HOT time windows (a flash crowd packs one W-slice with rows, and
+    one task inherits the whole bucket): the right side salts by a
+    content-addressed hash of its own row (``pmod(xxhash64(right_ts),
+    n_salts)`` — no ``rand()``, retries reproduce it), the left side
+    replicates across all salts (×``n_salts`` on the already-≤2×
+    replicated probe side). Results are provably identical — salting
+    only refines the partitioning key.
     """
     if upper_s <= lower_s:
         raise ValueError("upper_s must exceed lower_s")
@@ -277,8 +287,18 @@ def range_join_by_bucket(
         ),
     )
     r_b = right.withColumn("__b", _floor_div(r_us, w_us))
+    if n_salts > 1:
+        l_exp = l_exp.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        r_b = r_b.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(right_ts)), F.lit(n_salts)).cast("int"),
+        )
 
     cond: Column = l_exp["__b"] == r_b["__b"]
+    if n_salts > 1:
+        cond = cond & (l_exp["__salt"] == r_b["__salt"])
     for k in keys:
         cond = cond & (l_exp[k] == r_b[k])
     l_ts_col = l_exp[left_ts].cast("timestamp")

@@ -233,3 +233,30 @@ def test_range_join_by_bucket_equals_naive_and_avoids_bnlj(spark, sf_dir):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_salting_is_result_invariant(spark, sf_dir):
+    """n_salts refines the partitioning only — salted and unsalted
+    bucketed range joins must return identical pairs."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.joins import (
+        range_join_by_bucket,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    kw = dict(left_ts="p_ts", right_ts="c_ts", lower_s=-300, upper_s=0)
+    plain = range_join_by_bucket(p, c, **kw).select("purchase_id", "click_id")
+    salted = range_join_by_bucket(p, c, n_salts=4, **kw).select(
+        "purchase_id", "click_id"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
