@@ -47,6 +47,10 @@ BNLJ_WHITELIST = {
     "similarity_pq_topk",     #   top-k baseline (sanctioned similarity_topk
                               #   shape) to attest ANN recall; the ANN legs
                               #   themselves stay equi-join/bucketed
+    "similarity_sq8_topk",    # same recall-gate shape; additionally the SQ8
+                              #   scoring leg IS a broadcast-|Q| exact scan
+                              #   over decoded codes (brute force with 4×
+                              #   smaller rows — the operator's semantics)
     "histogram_order_values", # 1-row min/max bounds broadcast (O(n·1))
     "bigram_lm_scores",       # 1-row vocabulary-size scalar cross join
                               #   (the COUNT tables join equi/AQE — r5
@@ -59,6 +63,19 @@ BNLJ_WHITELIST = {
     "corpus_drift_kl",        # 1-row token-totals broadcast over the
                               #   vocabulary-sized merged count table
 }
+
+# Batch queries registered OUTSIDE the driver window this round whose
+# plans are nonetheless audited every run (r7 rotation head-of-line —
+# their scale claims shouldn't wait a round for plan evidence).
+# Streaming gates are excluded: their spark_fn RUNS the bounded stream
+# and returns a collected result whose plan is trivially local.
+EXTRA_AUDIT = (
+    "asof_merge_scan_attribution",
+    "range_join_bucketed_activity",
+    "similarity_sq8_topk",
+    "doc_token_entropy",
+    "dataset_card_summary",
+)
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
 # construction (≤ thousands of rows after aggregation) where a global
@@ -146,7 +163,7 @@ def main() -> None:
     names = list(REGISTRY)
     audited = [
         n for i, n in enumerate(names)
-        if i < window or REGISTRY[n].headline
+        if i < window or REGISTRY[n].headline or n in EXTRA_AUDIT
     ]
 
     lines = [
