@@ -33,16 +33,28 @@ def morton_code(x: Column, y: Column, bits: int = 12) -> Column:
     columns into a Z-order (Morton) code: x occupies even bit
     positions, y odd. 2·bits output bits; inputs are masked to
     ``bits`` first."""
+    return morton_code_n([x, y], bits)
+
+
+def morton_code_n(dims: list[Column], bits: int = 12) -> Column:
+    """N-dimensional Morton interleave — the general ``OPTIMIZE ZORDER
+    BY (c1, …, cn)`` kernel: dimension ``j`` of ``d`` owns output bit
+    positions ``j, j+d, j+2d, …``. ``len(dims)·bits`` output bits must
+    fit a signed long (≤ 62). Pure Column bit arithmetic, whole-stage
+    codegen; :func:`morton_sql_n` emits identical SQL for oracles."""
+    d = len(dims)
+    if d < 1:
+        raise ValueError("need at least one dimension")
+    if d * bits > 62:
+        raise ValueError(f"{d} dims × {bits} bits exceeds a signed long")
     mask = (1 << bits) - 1
-    xi = x.cast("long").bitwiseAND(F.lit(mask))
-    yi = y.cast("long").bitwiseAND(F.lit(mask))
     z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(yi, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+    for j, c in enumerate(dims):
+        ci = c.cast("long").bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(ci, i).bitwiseAND(F.lit(1)), d * i + j)
+            )
     return z
 
 
@@ -50,14 +62,18 @@ def morton_sql(x_expr: str, y_expr: str, bits: int = 12) -> str:
     """The same interleave as :func:`morton_code`, as an ANSI-SQL
     expression string (DuckDB-compatible bit operators) — the oracle
     half of the pair. Inputs are masked to ``bits`` identically."""
+    return morton_sql_n([x_expr, y_expr], bits)
+
+
+def morton_sql_n(dim_exprs: list[str], bits: int = 12) -> str:
+    """:func:`morton_code_n` as an ANSI-SQL expression string."""
+    d = len(dim_exprs)
     mask = (1 << bits) - 1
-    xi = f"(({x_expr}) & {mask})"
-    yi = f"(({y_expr}) & {mask})"
     terms = []
     for i in range(bits):
-        terms.append(f"((({xi} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({yi} >> {i}) & 1) << {2 * i + 1})")
-    return "(" + " | ".join(terms) + ")"
+        for j, e in enumerate(dim_exprs):
+            terms.append(f"(((({e}) & {mask}) >> {i}) & 1) << {d * i + j}")
+    return "(" + " | ".join(f"({t})" for t in terms) + ")"
 
 
 def quantize_dim(c: Column, lo: Column, hi: Column, bits: int = 12) -> Column:
@@ -109,6 +125,47 @@ def write_zordered(
         x = quantize_dim(x, F.lit(int(stats["xlo"])), F.lit(int(stats["xhi"])), bits)
         y = quantize_dim(y, F.lit(int(stats["ylo"])), F.lit(int(stats["yhi"])), bits)
     coded = df.withColumn("z_code", morton_code(x, y, bits))
+    (
+        coded.repartitionByRange(n_files, F.col("z_code"))
+        .sortWithinPartitions("z_code")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zordered_n(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int | None = None,
+    n_files: int = 8,
+) -> None:
+    """N-column Z-order-clustered write — ``OPTIMIZE ZORDER BY
+    (c1, …, cn)``. Per-dimension bits default to the largest fitting a
+    signed long (``62 // n``, e.g. 3 cols → 20 bits each); every
+    dimension is quantized onto its full grid from observed min/max
+    (one 1-row stats agg), interleaved via :func:`morton_code_n`, then
+    one range shuffle + partition-local sort + write. More dimensions
+    trade per-dimension resolution for breadth — beyond 3-4 columns
+    the per-file ranges loosen enough that Hilbert curves or column
+    stats reordering are the published next steps."""
+    if not cols:
+        raise ValueError("need at least one column")
+    bits = bits if bits is not None else 62 // len(cols)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stats = df.agg(*aggs).first()
+    dims = [
+        quantize_dim(
+            F.col(c),
+            F.lit(int(stats[f"__lo_{c}"])),
+            F.lit(int(stats[f"__hi_{c}"])),
+            bits,
+        )
+        for c in cols
+    ]
+    coded = df.withColumn("z_code", morton_code_n(dims, bits))
     (
         coded.repartitionByRange(n_files, F.col("z_code"))
         .sortWithinPartitions("z_code")

@@ -1,10 +1,16 @@
-"""Product quantization (PQ) for embedding compression + fast
-approximate scoring — the third classic ANN scale path next to
-hyperplane-LSH and IVF (similarity.py), and the memory story for
-100 TB vector corpora: a 64-dim float32 embedding (256 B) compresses
-to ``m`` one-byte codes (e.g. 4-8 B, 32-64× smaller), and distance
-evaluation against a query becomes ``m`` table lookups instead of a
-``dim``-length dot product (ADC — asymmetric distance computation).
+"""Vector compression for ANN — the memory story for 100 TB vector
+corpora, as a ladder of trade-offs next to hyperplane-LSH and IVF
+(similarity.py):
+
+- **SQ8** (``sq8_*``): 8 bits/dim against per-dimension corpus
+  bounds — 4× smaller, near-lossless (recall ≈ 1.0), the "just fit
+  in memory" step;
+- **PQ** (``pq_*``): a 64-dim float32 embedding (256 B) compresses
+  to ``m`` one-byte codes (4-8 B, 32-64× smaller), and distance
+  evaluation against a query becomes ``m`` table lookups instead of
+  a ``dim``-length dot product (ADC — asymmetric distance
+  computation);
+- **IVF-PQ** (``ivf_pq_topk``): + coarse routing over residuals.
 
 Pipeline:
 - :func:`train_pq_codebooks` — split the vector into ``m`` contiguous

@@ -114,3 +114,87 @@ def test_quantize_dim_exact_on_wide_spans(spark):
     }
     for c in cases:
         assert got[c] == ((c - lo) * (1 << bits)) // span, c
+
+
+def test_morton_n_matches_reference_and_2d_compat(spark):
+    """morton_code_n: matches a pure-Python interleave for 3 dims, and
+    with 2 dims is bit-identical to the original morton_code (so the
+    attested zorder oracle arithmetic is unchanged)."""
+    from data_warehouse_migration_spark.operators.layout import (
+        morton_code,
+        morton_code_n,
+        morton_sql_n,
+    )
+
+    def py_morton(vals, bits):
+        z = 0
+        d = len(vals)
+        for j, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (d * i + j)
+        return z
+
+    rows = [(3, 5, 9), (0, 0, 0), (1023, 1, 512), (7, 7, 7)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    got = df.select(
+        morton_code_n([F.col("a"), F.col("b"), F.col("c")], bits=10).alias("z3"),
+        morton_code_n([F.col("a"), F.col("b")], bits=10).alias("z2n"),
+        morton_code(F.col("a"), F.col("b"), bits=10).alias("z2"),
+    ).collect()
+    for (a, b, c), r in zip(rows, got):
+        assert r["z3"] == py_morton([a, b, c], 10), (a, b, c)
+        assert r["z2n"] == r["z2"]
+
+    # SQL twin agrees with the Column twin (DuckDB evaluation).
+    import duckdb
+
+    expr = morton_sql_n(["a", "b", "c"], bits=10)
+    con = duckdb.connect()
+    for (a, b, c), r in zip(rows, got):
+        val = con.sql(
+            f"SELECT {expr} AS z FROM (SELECT {a} AS a, {b} AS b, {c} AS c)"
+        ).fetchone()[0]
+        assert val == r["z3"]
+
+
+def test_zorder_n_three_column_write_prunes_all_dims(spark, sf_dir, tmp_path):
+    """write_zordered_n over three orders dimensions: per-file VOLUME
+    (product of per-dim span fractions) shrinks well below 1 — every
+    dimension's file stats stay useful for skipping."""
+    from data_warehouse_migration_spark.operators.layout import (
+        write_zordered_n,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_custkey").cast("long").alias("x"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("y"),
+            (F.round(F.col("o_totalprice")).cast("long")).alias("w"),
+        )
+    )
+    stats = o.agg(
+        (F.max("x") - F.min("x")).alias("sx"),
+        (F.max("y") - F.min("y")).alias("sy"),
+        (F.max("w") - F.min("w")).alias("sw"),
+        F.count("*").alias("n"),
+    ).first()
+    zpath = str(tmp_path / "z3")
+    write_zordered_n(o, zpath, ["x", "y", "w"], n_files=8)
+    back = spark.read.parquet(zpath)
+    assert back.count() == stats["n"]
+
+    spans = {c: _file_spans(spark, zpath, c) for c in ("x", "y", "w")}
+    n_files = len(spans["x"])
+    assert n_files >= 4
+    vol = 0.0
+    for i in range(n_files):
+        vol += (
+            (spans["x"][i] / stats["sx"])
+            * (spans["y"][i] / stats["sy"])
+            * (spans["w"][i] / stats["sw"])
+        )
+    assert vol / n_files < 0.45, vol / n_files
