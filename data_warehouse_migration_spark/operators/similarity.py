@@ -394,6 +394,29 @@ def hyperplane_lsh_topk(
     )
 
 
+def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    return F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+            "c_id int, c_vec array<double>",
+        )
+    )
+
+
+def _assign_nearest(
+    df: DataFrame, c: DataFrame, side_id: str, side_vec: str, keep: int
+) -> DataFrame:
+    """Nearest ``keep`` centroids per row (cosine, lowest-id ties)."""
+    w = Window.partitionBy(side_id).orderBy(F.col("__sim").desc(), F.col("c_id"))
+    return (
+        df.join(c, how="cross")
+        .withColumn("__sim", cosine(F.col(side_vec), F.col("c_vec")))
+        .withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= keep)
+        .select(side_id, side_vec, F.col("c_id").alias("cluster"))
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -435,33 +458,15 @@ def ivf_topk(
             vectors, k=n_centroids, max_iter=train_iters,
             id_col=id_col, vec_col=vec_col,
         )
-    c = F.broadcast(
-        vectors.sparkSession.createDataFrame(
-            [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
-            "c_id int, c_vec array<double>",
-        )
-    )
+    c = _centroid_frame(vectors.sparkSession, centroids)
 
-    def assign(df: DataFrame, side_id: str, side_vec: str, keep: int) -> DataFrame:
-        """Nearest `keep` centroids per row of df."""
-        w = Window.partitionBy(side_id).orderBy(
-            F.col("__sim").desc(), F.col("c_id")
-        )
-        return (
-            df.join(c, how="cross")
-            .withColumn("__sim", cosine(F.col(side_vec), F.col("c_vec")))
-            .withColumn("__cr", F.row_number().over(w))
-            .filter(F.col("__cr") <= keep)
-            .select(side_id, side_vec, F.col("c_id").alias("cluster"))
-        )
-
-    corpus = assign(
+    corpus = _assign_nearest(
         vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
-        "n_id", "n_vec", keep=1,
+        c, "n_id", "n_vec", keep=1,
     )
-    probes = assign(
+    probes = _assign_nearest(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
-        "q_id", "q_vec", keep=n_probe,
+        c, "q_id", "q_vec", keep=n_probe,
     )
 
     scored = (
@@ -503,3 +508,96 @@ def cosine_pandas_udf():
         return pd.Series(np.where(den == 0, 0.0, num / np.where(den == 0, 1, den)))
 
     return _cos
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    train_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index AT REST — the corpus's one build-time
+    shuffle, paid once instead of per query batch:
+
+    - ``{index_dir}/centroids``: the trained codebook (k rows);
+    - ``{index_dir}/lists/cluster=J/``: every corpus vector in its
+      inverted list, written ``partitionBy('cluster')`` — so a probe
+      reads ONLY the probed lists' files via partition pruning, which
+      is the literal meaning of "inverted file" on a data lake.
+
+    Returns the centroids (also persisted) for offline reuse."""
+    if centroids is None:
+        from data_warehouse_migration_spark.operators.clustering import kmeans
+
+        centroids, _ = kmeans(
+            vectors, k=n_centroids, max_iter=train_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    spark = vectors.sparkSession
+    c = _centroid_frame(spark, centroids)
+    assigned = _assign_nearest(
+        vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        c, "n_id", "n_vec", keep=1,
+    )
+    (
+        assigned.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{index_dir}/lists")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+        "c_id int, c_vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    return centroids
+
+
+def read_ivf_centroids(spark, index_dir: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("c_id").collect()
+    return [[float(x) for x in r["c_vec"]] for r in rows]
+
+
+def ivf_topk_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe a persisted :func:`write_ivf_index`: rank centroids per
+    query (codebook is k×dim plan literals), collect the UNION of
+    probed cluster ids (≤ n_centroids ints — driver-sized by
+    construction), and scan ``lists/`` with ``cluster IN (…)`` so
+    partition pruning skips every unprobed list's files
+    (test-asserted via the scanned-file set). Scoring/top-k math is
+    identical to :func:`ivf_topk` — same results when built from the
+    same codebook."""
+    centroids = read_ivf_centroids(spark, index_dir)
+    c = _centroid_frame(spark, centroids)
+    probes = _assign_nearest(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        c, "q_id", "q_vec", keep=n_probe,
+    )
+    probed = sorted({r["cluster"] for r in probes.select("cluster").distinct().collect()})
+    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+        F.col("cluster").isin(probed)
+    )
+    scored = (
+        probes.join(lists, "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )

@@ -439,3 +439,67 @@ def test_sq8_roundtrip_error_bound_and_exact_recall(spark, sf_dir):
     n_exact = exact.count()
     hits = exact.join(ann, ["q_id", "n_id"]).count()
     assert hits * 100 >= n_exact * 90, f"recall {hits}/{n_exact}"
+
+
+def test_ivf_index_at_rest_matches_fresh_and_prunes_lists(spark, sf_dir, tmp_path):
+    """write_ivf_index → ivf_topk_from_index: identical results to the
+    in-memory ivf_topk built from the SAME codebook, and the probe
+    scan reads ONLY the probed clusters' partition directories (the
+    'inverted file' property, asserted on the actual file set)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2)
+    idx_dir = str(tmp_path / "ivf")
+    stored = write_ivf_index(emb, idx_dir, n_centroids=8, train_iters=1)
+    assert read_ivf_centroids(spark, idx_dir) == [
+        [float(x) for x in c] for c in stored
+    ]
+
+    fresh = ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=1, centroids=stored
+    )
+    from_idx = ivf_topk_from_index(spark, idx_dir, queries, k=5, n_probe=1)
+    assert fresh.exceptAll(from_idx).count() == 0
+    assert from_idx.exceptAll(fresh).count() == 0
+    assert from_idx.count() == 2 * 5
+
+    # Partition pruning: the filtered lists scan touches a strict
+    # subset of cluster directories (2 queries × 1 probe ≤ 2 of the 8
+    # lists). Rebuild the pruned scan the same way the reader does.
+    all_files = set(spark.read.parquet(f"{idx_dir}/lists").inputFiles())
+    from data_warehouse_migration_spark.operators.similarity import (
+        _assign_nearest,
+        _centroid_frame,
+    )
+
+    c = _centroid_frame(spark, stored)
+    probes = _assign_nearest(
+        queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+        c, "q_id", "q_vec", keep=1,
+    )
+    probed = sorted({r["cluster"] for r in probes.select("cluster").distinct().collect()})
+    pruned = spark.read.parquet(f"{idx_dir}/lists").filter(
+        F.col("cluster").isin(probed)
+    )
+    assert len(probed) <= 2 < 8
+    # inputFiles() ignores pushed filters, so assert on the scan node:
+    # the isin-literal must land in PartitionFilters (directory-level
+    # pruning), not a post-scan Filter.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cluster" in ln and "IN" in ln for ln in pf), plan
+    assert len(all_files) == 8  # one file per cluster list on disk
