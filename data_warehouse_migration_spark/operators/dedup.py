@@ -882,3 +882,72 @@ def connected_components(
             raise RuntimeError(msg)
         warnings.warn(msg, stacklevel=2)
     return labels
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    radius: int = 2,
+) -> DataFrame:
+    """All pairs (a < b) with Hamming(simhash16) ≤ ``radius`` — the
+    block-pigeonhole formulation of Manku et al. 2007 ("Detecting
+    Near-Duplicates for Web Crawling", WWW): split the 16-bit
+    fingerprint into ``radius + 1`` blocks; two fingerprints within
+    Hamming ``radius`` MUST agree exactly on at least one block
+    (pigeonhole), so candidates come from ``radius + 1`` equi-joins on
+    (block_id, block_value) — never an all-pairs scan — and are then
+    verified with the exact popcount. Recall is therefore PROVABLY
+    complete and precision exact; the oracle recomputes via naive
+    all-pairs.
+
+    Scale: each doc contributes ``radius + 1`` (block, key) rows of
+    constant bytes; the block join buckets like any LSH band join.
+    16-bit fingerprints make block keys coarse (5-6 bits) — a
+    production 64-bit simhash widens the blocks to ~16 bits each,
+    same plan shape, sharper buckets.
+    """
+    n_blocks = radius + 1
+    base, rem = divmod(16, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    offsets = [sum(widths[:j]) for j in range(n_blocks)]
+
+    fps = docs.select(
+        F.col(id_col).alias("doc"), simhash16(F.col(text_col)).alias("fp")
+    )
+    block_structs = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.shiftright(F.col("fp"), offsets[j])
+            .bitwiseAND(F.lit((1 << widths[j]) - 1))
+            .alias("key"),
+        )
+        for j in range(n_blocks)
+    ]
+    blocks = fps.select(
+        "doc", "fp", F.explode(F.array(*block_structs)).alias("b")
+    ).select("doc", "fp", F.col("b.j").alias("j"), F.col("b.key").alias("key"))
+
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -154,6 +154,51 @@ def simhash_fingerprints(spark, sf_dir):
 
 
 @query(
+    "simhash_near_pairs",
+    tags=("dedup", "simhash", "hamming"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), toks AS (
+    SELECT doc_id, unnest(string_split(txt, ' ')) AS tok FROM norm
+), vals AS (
+    SELECT doc_id,
+           (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS val
+    FROM toks
+), votes AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (val // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM vals CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+    GROUP BY doc_id, bit
+), fps AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1 << bit)::BIGINT ELSE 0 END)::BIGINT AS fp
+    FROM votes
+    GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 2
+""",
+)
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash Hamming-ball near-dup pairs (operators/dedup.py) — the
+    block-pigeonhole candidate generation of Manku et al. 2007: pairs
+    within Hamming 2 of each other's 16-bit fingerprints, found via
+    radius+1 block equi-joins (provably complete by pigeonhole) and
+    popcount-verified. The DuckDB oracle recomputes the fingerprints
+    AND the naive all-pairs answer, so the attestation proves the
+    bucketed plan loses nothing."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, radius=2)
+
+
+@query(
     "text_quality",
     headline=True,
     tags=("text",),
