@@ -75,6 +75,7 @@ EXTRA_AUDIT = (
     "similarity_sq8_topk",
     "doc_token_entropy",
     "dataset_card_summary",
+    "simhash_near_pairs",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
