@@ -126,15 +126,16 @@ def scd2_apply(
 def optimize_zorder(
     spark: SparkSession,
     path: str,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     fmt: str | None = None,
     bits: int = 12,
     n_files: int = 8,
 ) -> None:
-    """``OPTIMIZE <table> ZORDER BY (cols)``: native on Delta, the
-    Morton-code range-clustered rewrite (`operators/layout`) on
-    Parquet — both leave every file covering a tight range in BOTH
-    dimensions so min/max statistics prune scans on either column."""
+    """``OPTIMIZE <table> ZORDER BY (c1, …, cn)``: native on Delta,
+    the N-dimensional Morton-code range-clustered rewrite
+    (`operators/layout.write_zordered_n`) on Parquet — both leave
+    every file covering a tight range in EVERY listed dimension so
+    min/max statistics prune scans on any of them."""
     fmt = resolve_format(fmt)
     if fmt == "delta":
         quoted = ", ".join(f"`{c}`" for c in cols)
@@ -143,7 +144,9 @@ def optimize_zorder(
     import os
     import uuid
 
-    from data_warehouse_migration_spark.operators.layout import write_zordered
+    from data_warehouse_migration_spark.operators.layout import (
+        write_zordered_n,
+    )
     from data_warehouse_migration_spark.sources.writers import (
         atomic_publish_dir,
     )
@@ -151,7 +154,7 @@ def optimize_zorder(
     df = spark.read.parquet(path)
     parent, base = os.path.split(os.path.abspath(path))
     staged = os.path.join(parent, f".{base}.__v_zorder_{uuid.uuid4().hex[:8]}")
-    write_zordered(df, staged, cols[0], cols[1], bits=bits, n_files=n_files)
+    write_zordered_n(df, staged, list(cols), bits=bits, n_files=n_files)
     # Publish the clustered layout exactly as written (no second write
     # that would re-plan file boundaries) via the same pointer flip the
     # maintenance writer uses.

@@ -119,3 +119,26 @@ def test_optimize_zorder_delta(spark, tmp_path):
     lh.overwrite_table(_snap(spark, SNAPSHOTS[0][1]), path, fmt="delta")
     lh.optimize_zorder(spark, path, (KEYS, "segment"), fmt="delta")
     assert lh.read_table(spark, path, "delta").count() == 2
+
+
+def test_optimize_zorder_three_columns(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders3")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").cast("long").alias("x"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("y"),
+            F.round(F.col("o_totalprice")).cast("long").alias("w"),
+        )
+    )
+    lh.overwrite_table(o, path, fmt="parquet")
+    n = lh.read_table(spark, path, "parquet").count()
+    lh.optimize_zorder(spark, path, ("x", "y", "w"), fmt="parquet", n_files=4)
+    back = lh.read_table(spark, path, "parquet")
+    assert back.count() == n
+    assert "z_code" in back.columns
