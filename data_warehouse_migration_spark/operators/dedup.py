@@ -690,14 +690,26 @@ def remove_spans_in_corpus(
     never materializes, corpus text never re-shuffles per batch. The
     rewrite is the same single id-keyed join + filter-by-index Column
     expression."""
-    did = F.col(id_col)
-    extra = [F.col(c) for c in passthrough]
-    base = batch.select(
-        did,
-        *extra,
-        F.split(normalized_text(F.col(text_col)), " ").alias("__w"),
+    return remove_spans_against_digests(
+        batch,
+        span_digest_index(corpus, text_col=text_col, n=n),
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        passthrough=passthrough,
     )
-    corpus_digests = (
+
+
+def span_digest_index(
+    corpus: DataFrame, text_col: str = "text", n: int = 10
+) -> DataFrame:
+    """The corpus's DISTINCT span-digest set ``(__g long)`` — the
+    stored index :func:`remove_spans_against_digests` consumes. Write
+    it to parquet once per corpus refresh and reuse it across every
+    ingest batch (it is a pure function of corpus content, so a
+    rebuild reproduces it bit-for-bit); appends compose by union+
+    distinct, the same grow-the-index shape as ``streaming/ingest``."""
+    return (
         corpus.filter(
             F.size(F.split(normalized_text(F.col(text_col)), " ")) >= n
         )
@@ -708,6 +720,25 @@ def remove_spans_in_corpus(
         )
         .select(F.xxhash64(F.col("__span")).alias("__g"))
         .distinct()
+    )
+
+
+def remove_spans_against_digests(
+    batch: DataFrame,
+    corpus_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`remove_spans_in_corpus` against a pre-materialized
+    :func:`span_digest_index` — corpus text is never touched."""
+    did = F.col(id_col)
+    extra = [F.col(c) for c in passthrough]
+    base = batch.select(
+        did,
+        *extra,
+        F.split(normalized_text(F.col(text_col)), " ").alias("__w"),
     )
     sh = (
         base.filter(F.size("__w") >= n)

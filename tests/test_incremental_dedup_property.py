@@ -135,3 +135,37 @@ def test_near_dup_pair_is_detected(spark):
     corpus = spark.createDataFrame([(100, _POOL[0])], "doc_id bigint, text string")
     [r] = incremental_dedup(batch, corpus, threshold=THRESHOLD).collect()
     assert (r.status, r.match_id) == ("near_corpus", 100)
+
+
+def test_span_index_at_rest_matches_direct(tmp_path_factory):
+    """remove_spans_against_digests fed from a PARQUET-stored
+    span_digest_index must equal remove_spans_in_corpus computed
+    directly from corpus text — the stored-index production path."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        remove_spans_against_digests,
+        remove_spans_in_corpus,
+        span_digest_index,
+    )
+
+    spark = _get_spark()
+    corpus = spark.createDataFrame(
+        [(0, " ".join(_W[i % 8] for i in range(30)))], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, " ".join(_W[i % 8] for i in range(25))),  # overlaps corpus
+            (11, "zeta zeta zeta eta eta eta theta theta theta alpha beta"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx_path = str(tmp_path_factory.mktemp("spanidx") / "digests")
+    span_digest_index(corpus, n=10).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+
+    direct = remove_spans_in_corpus(batch, corpus, n=10)
+    from_idx = remove_spans_against_digests(batch, stored, n=10)
+    assert direct.exceptAll(from_idx).count() == 0
+    assert from_idx.exceptAll(direct).count() == 0
+    # the overlapping doc actually lost words; the clean one did not
+    got = {r["doc_id"]: r["n_removed"] for r in from_idx.collect()}
+    assert got[10] > 0 and got[11] == 0
