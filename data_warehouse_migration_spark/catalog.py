@@ -93,6 +93,7 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
     functions_surface,
     llm_ops,
     quality_ops,
+    sketch_ops,
     streaming_gates,
     warehouse,
 )

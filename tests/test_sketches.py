@@ -1,0 +1,96 @@
+"""Bloom-filter and count-min-sketch invariants (operators/sketches.py).
+
+The gate queries (bloom_prefilter_dedup, heavy_hitters_cms) attest the
+exact values against DuckDB; these tests pin the SKETCH GUARANTEES the
+values must obey on any input — no Bloom false negatives, count-min
+never under-estimates — plus the hash-portability contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.operators.sketches import (
+    bloom_bits,
+    bloom_maybe_member,
+    cms_counters,
+    cms_estimate,
+    hash_mod,
+)
+
+M, K = 1024, 3
+
+
+def test_hash_mod_range_and_determinism(spark):
+    df = spark.range(200).select(F.concat(F.lit("key-"), F.col("id")).alias("s"))
+    hashed = df.select(hash_mod(F.col("s"), 0, 64).alias("h0"),
+                       hash_mod(F.col("s"), 1, 64).alias("h1"))
+    rows = hashed.collect()
+    assert all(0 <= r.h0 < 64 and 0 <= r.h1 < 64 for r in rows)
+    # seeds decorrelate: the two hash streams must not be identical
+    assert any(r.h0 != r.h1 for r in rows)
+    assert hashed.collect() == rows  # rerun-stable
+
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    members = spark.range(300).select(
+        F.concat(F.lit("doc:"), F.col("id")).alias("key")
+    )
+    bits = bloom_bits(members, "key", M, K)
+    assert bits.count() <= M
+    screened = bloom_maybe_member(members, bits, "key", M, K)
+    assert screened.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_bloom_rejects_most_non_members(spark):
+    members = spark.range(300).select(
+        F.concat(F.lit("doc:"), F.col("id")).alias("key")
+    )
+    bits = bloom_bits(members, "key", M, K)
+    probes = spark.range(300).select(
+        F.concat(F.lit("other:"), F.col("id")).alias("key")
+    )
+    fp = bloom_maybe_member(probes, bits, "key", M, K).filter(
+        F.col("maybe_member")
+    ).count()
+    # theoretical fp ≈ (1 - e^(-K*300/M))^K ≈ 21% at this deliberately
+    # tight sizing; 50% would mean the hashes are correlated/broken.
+    assert fp < 150
+
+
+def test_cms_never_underestimates(spark):
+    wc = (
+        spark.range(500)
+        .select((F.col("id") % 37).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.concat(F.lit("tok"), F.col("k")).alias("tok"), "c")
+    )
+    counters = cms_counters(wc, "tok", "c", depth=4, width=16)  # force collisions
+    est = cms_estimate(wc, counters, "tok", depth=4, width=16)
+    assert est.filter(F.col("cms_est") < F.col("c")).count() == 0
+
+
+def test_cms_exact_when_no_collisions(spark):
+    wc = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 11)], ["tok", "c"]
+    )
+    counters = cms_counters(wc, "tok", "c", depth=4, width=4096)
+    est = cms_estimate(wc, counters, "tok", depth=4, width=4096)
+    assert est.filter(F.col("cms_est") != F.col("c")).count() == 0
+
+
+def test_cms_grid_is_mergeable(spark):
+    """sketch(A) + sketch(B) cell-wise == sketch(A ∪ B) — the property
+    that makes daily/streaming rollups a sum, not a re-scan."""
+    a = spark.createDataFrame([("x", 2), ("y", 7)], ["tok", "c"])
+    b = spark.createDataFrame([("x", 3), ("z", 1)], ["tok", "c"])
+    merged = (
+        cms_counters(a, "tok", "c", 3, 32)
+        .union(cms_counters(b, "tok", "c", 3, 32))
+        .groupBy("r", "bucket")
+        .agg(F.sum("total").alias("total"))
+    )
+    direct = cms_counters(a.union(b), "tok", "c", 3, 32)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0

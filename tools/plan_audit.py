@@ -76,6 +76,8 @@ EXTRA_AUDIT = (
     "doc_token_entropy",
     "dataset_card_summary",
     "simhash_near_pairs",
+    "bloom_prefilter_dedup",
+    "heavy_hitters_cms",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
@@ -88,6 +90,9 @@ GLOBAL_WINDOW_WHITELIST = {
     "dataset_mix_by_lang",    # 5-row per-language shares
     "weighted_doc_sample",    # rank over the k rows REMAINING after
                               #   the TakeOrderedAndProject limit
+    "heavy_hitters_cms",      # top-k over the aggregated vocabulary
+                              #   (the exact side exists to attest the
+                              #   sketch estimates at test SF)
 }
 
 
