@@ -1288,7 +1288,7 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7) -> str:
+def _kmeans_cte(k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7) -> str:
     """Full Lloyd's recomputation in SQL, iterations unrolled as CTEs.
 
     Replicates operators/clustering.kmeans exactly: init = the k
@@ -1355,9 +1355,14 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7) -> s
         "        FROM df) WHERE rn = 1\n"
         ")"
     )
+    return "WITH " + ",\n".join(cte)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7) -> str:
+    """Cluster-profile oracle: the Lloyd's CTE chain (``_kmeans_cte``,
+    ending at per-vector assignments ``af``) + the summary select."""
     return (
-        "WITH "
-        + ",\n".join(cte)
+        _kmeans_cte(k, iters, dim, rnd)
         + """
 SELECT cluster,
        count(*) AS n_vectors,
@@ -1403,6 +1408,49 @@ def embedding_kmeans(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+def _semdedup_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7, tau: float = 0.4
+) -> str:
+    """SemDeDup re-derivation: the Lloyd's CTE chain (identical to the
+    embedding_kmeans oracle) + the within-cluster lowest-id cosine
+    keep rule, cosine rounded to 6 like every similarity gate."""
+    return (
+        _kmeans_cte(k, iters, dim, rnd)
+        + f""",
+pairs AS (
+    SELECT b.vec_id, min(a.vec_id) AS dup_of
+    FROM af a
+    JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN vecs va ON va.vec_id = a.vec_id
+    JOIN vecs vb ON vb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(va.emb, vb.emb), 6) >= {tau}
+    GROUP BY 1
+)
+SELECT af.vec_id, af.cluster, p.dup_of, (p.dup_of IS NULL) AS kept
+FROM af LEFT JOIN pairs p ON af.vec_id = p.vec_id
+"""
+    )
+
+
+@query(
+    "semdedup_embeddings",
+    tags=("dedup", "semantic", "clustering", "similarity"),
+    oracle=_semdedup_oracle(),
+)
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py; Abbas et al. 2023): k-means
+    restricts the near-dup cosine search to within-cluster pairs —
+    O(Σ cluster²) instead of the all-pairs O(N²) that
+    dedup_embedding_cosine pays — then the lowest-id member of each
+    similar group survives. Per-vector verdicts (cluster, dup_of,
+    kept) are value-attested end to end: the oracle re-runs the
+    identical deterministic Lloyd's AND the keep rule in SQL."""
+    from data_warehouse_migration_spark.operators.semdedup import semdedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, max_iter=3, tau=0.4)
 
 
 @query(

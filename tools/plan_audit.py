@@ -78,6 +78,7 @@ EXTRA_AUDIT = (
     "simhash_near_pairs",
     "bloom_prefilter_dedup",
     "heavy_hitters_cms",
+    "semdedup_embeddings",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
