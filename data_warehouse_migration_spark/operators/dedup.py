@@ -982,3 +982,58 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= radius)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def contamination_scores(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Graded contamination scoring: per TRAINING document, the
+    fraction of its distinct n-gram shingles that appear anywhere in
+    the eval set — the GPT-3 appendix-C "dirtiness" measure (Brown et
+    al. 2020), complementing :func:`decontaminate`'s binary pair flags
+    with a score a curation pipeline can threshold, bucket, or audit.
+
+    Returns ``(id, n_shingles, n_contaminated, contaminated_frac)``
+    for every training doc (zero-overlap docs included, frac 0.0).
+
+    Same plan skeleton and scale posture as :func:`decontaminate`:
+    both sides explode to (doc, shingle-digest), the eval side
+    collapses to a DISTINCT digest set (eval suites are small) and is
+    broadcast, so the train corpus is scanned once with zero shuffle
+    of its shingles — the only shuffles are the two per-doc count
+    aggregations keyed on the doc id. Keyed on xxhash64 (set identity
+    only); counts are hash-scheme-independent, which the md5-based
+    oracle verifies.
+    """
+    t_idx = shingle_index(train, id_col, text_col, n, fast_hash=True)
+    e_sh = (
+        shingle_index(eval_set, id_col, text_col, n, fast_hash=True)
+        .select("sh")
+        .distinct()
+    )
+    if broadcast_eval:
+        e_sh = F.broadcast(e_sh)
+    totals = t_idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        t_idx.join(e_sh, "sh", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contaminated_frac"),
+        )
+    )

@@ -172,3 +172,50 @@ def budget_sample(
         .filter(F.col("__cum") - F.col(size_col) < budget)
         .withColumnRenamed("__cum", f"cum_{size_col}")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_col: str,
+    size_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum: p_s ∝ n_s^α —
+    the multilingual-pretraining rebalancing rule (α=0.3 in XLM-R,
+    Conneau et al. 2020; α=1 is natural proportion, α=0 uniform).
+    Low-resource strata are up-weighted relative to their natural
+    share; ``boost`` reports exactly that ratio (p_s / natural share,
+    >1 = up-sampled).
+
+    Returns one row per stratum: ``(stratum, n_size, weight, boost)``.
+
+    Scale & exactness: one map-side-combined shuffle to the per-stratum
+    totals (stratum-count rows — driver-tiny), then a 1-row totals
+    broadcast (sanctioned O(n·1) scalar pattern). The α-power weight is
+    rounded into scaled 1e6 integers BEFORE the totals sum, so the
+    denominator is an order-independent integer sum (the catalog's
+    exactness rule — raw double sums are partition-order-dependent);
+    the final ratios are IEEE divisions of identical integers on any
+    engine, rounded to 6.
+    """
+    agg = df.groupBy(stratum_col).agg(
+        F.sum(size_col).cast("long").alias("n_size")
+    )
+    w_int = F.round(
+        F.pow(F.col("n_size").cast("double"), F.lit(float(alpha))) * 1e6
+    ).cast("long")
+    weighted = agg.withColumn("w_int", w_int)
+    totals = weighted.agg(
+        F.sum("w_int").alias("tot_w"), F.sum("n_size").alias("tot_n")
+    )
+    share = F.col("w_int").cast("double") / F.col("tot_w")
+    natural = F.col("n_size").cast("double") / F.col("tot_n")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            stratum_col,
+            "n_size",
+            F.round(share, 6).alias("weight"),
+            F.round(share / natural, 6).alias("boost"),
+        )
+    )

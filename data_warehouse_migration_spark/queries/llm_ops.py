@@ -2105,6 +2105,107 @@ def decontaminate_against_eval(spark, sf_dir):
 
 
 @query(
+    "contamination_overlap_scores",
+    tags=("dedup", "decontamination", "eval", "quality"),
+    oracle=f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'train' ELSE 'eval' END AS s
+    FROM documents
+), norm AS (
+    SELECT doc_id, s, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM split
+), words AS (
+    SELECT doc_id, s, string_split(txt, ' ') AS w FROM norm
+), sh AS (
+    SELECT DISTINCT doc_id AS doc, s, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM words, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+), tn AS (
+    SELECT doc, count(*) AS n_shingles FROM sh WHERE s = 'train' GROUP BY 1
+), esh AS (SELECT DISTINCT sh FROM sh WHERE s = 'eval'),
+hits AS (
+    SELECT tr.doc, count(*) AS n_contaminated
+    FROM sh tr JOIN esh USING (sh) WHERE tr.s = 'train' GROUP BY 1
+)
+SELECT tn.doc AS doc_id,
+       CAST(tn.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) / CAST(tn.n_shingles AS DOUBLE), 6)
+           AS contaminated_frac
+FROM tn LEFT JOIN hits h ON tn.doc = h.doc
+""",
+)
+def contamination_overlap_scores(spark, sf_dir):
+    """Graded eval contamination (operators/dedup.contamination_scores;
+    Brown et al. 2020 appendix C): per training document, the fraction
+    of its distinct 3-gram shingles found anywhere in the eval set —
+    the score a curation pipeline thresholds where
+    decontaminate_against_eval gives only binary pair flags. Same
+    broadcast-eval-index plan: the train corpus is scanned once, zero
+    shuffle of its shingles; every train doc gets a row (frac 0.0 when
+    clean). Split = the standing content-addressed 90/10 convention."""
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.9, "eval": 0.1})
+    return D.contamination_scores(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        n=3,
+    )
+
+
+@query(
+    "temperature_mix_weights",
+    tags=("sampling", "mixing", "multilingual"),
+    oracle="""
+WITH n AS (
+    SELECT lang,
+           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS nt
+    FROM documents
+), agg AS (
+    SELECT lang, CAST(sum(nt) AS BIGINT) AS n_size FROM n GROUP BY lang
+), w AS (
+    SELECT lang, n_size,
+           CAST(round(pow(CAST(n_size AS DOUBLE), 0.3) * 1000000) AS BIGINT)
+               AS w_int
+    FROM agg
+), tot AS (
+    SELECT CAST(sum(w_int) AS BIGINT) AS tot_w,
+           CAST(sum(n_size) AS BIGINT) AS tot_n
+    FROM w
+)
+SELECT lang, n_size,
+       round(CAST(w_int AS DOUBLE) / tot_w, 6) AS weight,
+       round((CAST(w_int AS DOUBLE) / tot_w)
+             / (CAST(n_size AS DOUBLE) / tot_n), 6) AS boost
+FROM w CROSS JOIN tot
+""",
+)
+def temperature_mix_weights(spark, sf_dir):
+    """Temperature-scaled language-mixture weights
+    (operators/sampling.temperature_weights; XLM-R's p ∝ n^0.3):
+    per-language token masses → sampling weights + the up/down-sampling
+    boost vs natural share. The α-power weights round into scaled-1e6
+    integers BEFORE the denominator sum, so the totals are
+    order-independent integer sums and the oracle reproduces every
+    ratio exactly — the catalog's exactness rule applied to a
+    float-weighted normalization."""
+    from data_warehouse_migration_spark.operators.dedup import normalized_text
+    from data_warehouse_migration_spark.operators.sampling import temperature_weights
+
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(normalized_text(F.col("text")), " ")).alias("nt"),
+    )
+    return temperature_weights(per_doc, "lang", "nt", alpha=0.3)
+
+
+@query(
     "dedup_incremental_batch",
     tags=("dedup", "incremental", "minhash"),
     oracle=f"""

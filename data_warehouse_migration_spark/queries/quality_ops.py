@@ -1604,3 +1604,80 @@ def dataset_card_summary(spark, sf_dir):
         F.sum("__dup").cast("long").alias("docs_in_dup_groups"),
         F.countDistinct("digest").cast("long").alias("distinct_texts"),
     )
+
+
+@query(
+    "key_skew_profile",
+    tags=("skew", "profiling", "events"),
+    oracle="""
+WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn FROM c),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           CAST(max(c) AS BIGINT) AS max_cnt
+    FROM c
+)
+SELECT tot.n_keys, tot.total_events, tot.max_cnt,
+       CAST(max(CASE WHEN rn = floor((n_keys - 1) * 0.5) + 1 THEN c END)
+            AS BIGINT) AS p50_cnt,
+       CAST(max(CASE WHEN rn = floor((n_keys - 1) * 0.9) + 1 THEN c END)
+            AS BIGINT) AS p90_cnt,
+       CAST(max(CASE WHEN rn = floor((n_keys - 1) * 0.99) + 1 THEN c END)
+            AS BIGINT) AS p99_cnt,
+       round(max_cnt / (total_events / CAST(n_keys AS DOUBLE)), 6)
+           AS skew_ratio,
+       round(max_cnt / CAST(total_events AS DOUBLE), 6) AS top_share
+FROM r CROSS JOIN tot
+GROUP BY tot.n_keys, tot.total_events, tot.max_cnt
+""",
+)
+def key_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostic: the per-key count distribution of
+    the events grouping key — key count, hottest-key mass, discrete
+    p50/p90/p99 per-key counts, and the skew ratio (max / mean) that
+    decides whether a downstream join/agg on this key needs salting
+    (operators/skew.py) or AQE skew handling. This is the measurement
+    half of the skew story: profile first, salt when skew_ratio says
+    so — guessing salts everything and doubles every shuffle.
+
+    Scale: one map-side-combined count per key, then the profile runs
+    on the AGGREGATED key table (|keys| rows, not |events|); the
+    global rank window is over that bounded table (whitelisted), and
+    the totals row is a 1-row broadcast. Discrete (type-1) percentiles
+    via rank picking — exact integers on both engines, no
+    interpolation ambiguity."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = counts.withColumn(
+        "rn", F.row_number().over(Window.orderBy("c", "user_id"))
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_events"),
+        F.max("c").alias("max_cnt"),
+    )
+
+    def pick(q: float):
+        idx = F.floor((F.col("n_keys") - 1) * F.lit(q)) + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("c")))
+
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_keys", "total_events", "max_cnt")
+        .agg(
+            pick(0.5).alias("p50_cnt"),
+            pick(0.9).alias("p90_cnt"),
+            pick(0.99).alias("p99_cnt"),
+            F.round(
+                F.max("max_cnt")
+                / (F.max("total_events") / F.max("n_keys").cast("double")),
+                6,
+            ).alias("skew_ratio"),
+            F.round(
+                F.max("max_cnt") / F.max("total_events").cast("double"), 6
+            ).alias("top_share"),
+        )
+    )

@@ -62,6 +62,10 @@ BNLJ_WHITELIST = {
                               #   range-stats pattern)
     "corpus_drift_kl",        # 1-row token-totals broadcast over the
                               #   vocabulary-sized merged count table
+    "temperature_mix_weights",  # 1-row weight/size totals broadcast to
+                              #   the per-stratum table (O(strata·1))
+    "key_skew_profile",       # 1-row totals broadcast to the
+                              #   aggregated per-key count table
 }
 
 # Batch queries registered OUTSIDE the driver window this round whose
@@ -79,6 +83,9 @@ EXTRA_AUDIT = (
     "bloom_prefilter_dedup",
     "heavy_hitters_cms",
     "semdedup_embeddings",
+    "contamination_overlap_scores",
+    "temperature_mix_weights",
+    "key_skew_profile",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
@@ -94,6 +101,8 @@ GLOBAL_WINDOW_WHITELIST = {
     "heavy_hitters_cms",      # top-k over the aggregated vocabulary
                               #   (the exact side exists to attest the
                               #   sketch estimates at test SF)
+    "key_skew_profile",       # rank over the aggregated per-key count
+                              #   table (|keys| rows, not |events|)
 }
 
 
