@@ -804,3 +804,113 @@ def _attach_rollup_oracle() -> None:
 
 
 _attach_rollup_oracle()
+
+
+@query(
+    "streaming_heavy_hitters_cms",
+    tags=("streaming", "sketch", "count-min", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch sketch's oracle
+)
+def streaming_heavy_hitters_cms(spark, sf_dir):
+    """The count-min heavy-hitters sketch built INCREMENTALLY on the
+    real streaming engine (streaming/sketches.py): documents arrive as
+    a 4-file stream, one per micro-batch; each epoch writes its own
+    partial counter grid under an epoch partition (replay = rewrite,
+    never double-count), and the served sketch is the cell-wise fold.
+    Because sum-of-sketches IS the sketch-of-union (integer cell
+    sums), the stream-built grid must be bit-identical to the one-shot
+    batch grid — so this gate attests against the SAME oracle as
+    `heavy_hitters_cms`: probe the folded sketch for the corpus top-20
+    tokens and hash-compare estimates. Covers the epoch protocol, the
+    dynamic-partition delta writes, and the fold — not just the
+    arithmetic.
+
+    The probe set (top-20 exact counts) is computed batch-side: it is
+    the attestation harness, not the streamed artifact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from data_warehouse_migration_spark.operators.dedup import normalized_text
+    from data_warehouse_migration_spark.operators.sketches import cms_estimate
+    from data_warehouse_migration_spark.queries.sketch_ops import (
+        _CMS_D,
+        _CMS_W,
+        _TOPK,
+    )
+    from data_warehouse_migration_spark.streaming.sketches import (
+        read_cms,
+        streaming_cms_maintenance,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        src = f"{base}/src"
+        docs.repartitionByRange(4, "doc_id").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_cms_maintenance(
+            stream,
+            table_path=f"{base}/cms",
+            checkpoint=f"{base}/ckpt",
+            depth=_CMS_D,
+            width=_CMS_W,
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_heavy_hitters_cms did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        partials = spark.read.parquet(f"{base}/cms")
+        n_epochs = partials.select("epoch").distinct().count()
+        if n_epochs < 2:
+            raise AssertionError(
+                f"expected a multi-epoch run, got {n_epochs} epoch partitions"
+            )
+        sketch = read_cms(spark, f"{base}/cms")
+        wc = (
+            docs.select(
+                F.explode(
+                    F.split(normalized_text(F.col("text")), " ")
+                ).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            wc.withColumn(
+                "rn", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+            )
+            .filter(F.col("rn") <= _TOPK)
+            .select("tok", "c")
+        )
+        out = cms_estimate(top, sketch, "tok", _CMS_D, _CMS_W).select(
+            F.col("tok").alias("token"),
+            F.col("c").alias("exact_cnt"),
+            "cms_est",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_cms_oracle() -> None:
+    """The streaming twin attests against the SAME SQL as the batch
+    sketch — folded stream state ≡ one-shot batch sketch."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+    from data_warehouse_migration_spark.queries.sketch_ops import _cms_oracle
+
+    REGISTRY["streaming_heavy_hitters_cms"].oracle = _cms_oracle()
+
+
+_attach_cms_oracle()

@@ -1,0 +1,80 @@
+"""Streaming CMS maintenance invariants (streaming/sketches.py):
+epoch-replay idempotence, fold-equals-batch, compaction neutrality.
+The gate query attests exact values on the real streaming engine.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.operators.sketches import cms_counters
+from data_warehouse_migration_spark.streaming.sketches import (
+    cms_batch_partial,
+    compact_cms,
+    read_cms,
+)
+from data_warehouse_migration_spark.sources.writers import (
+    overwrite_partitions_dynamic,
+)
+
+D, W = 3, 64
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="cms_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _write_epoch(df, path, epoch):
+    overwrite_partitions_dynamic(
+        df.withColumn("epoch", F.lit(epoch).cast("long")), path, partition_by=["epoch"]
+    )
+
+
+def test_fold_of_partials_equals_one_shot_sketch(spark, tmpdir):
+    a = _docs(spark, [(1, "the cat sat"), (2, "the dog ran")])
+    b = _docs(spark, [(3, "the cat ran far away")])
+    _write_epoch(cms_batch_partial(a, D, W), tmpdir, 0)
+    _write_epoch(cms_batch_partial(b, D, W), tmpdir, 1)
+    folded = read_cms(spark, tmpdir)
+    direct = cms_batch_partial(a.union(b), D, W)
+    assert folded.exceptAll(direct).count() == 0
+    assert direct.exceptAll(folded).count() == 0
+
+
+def test_epoch_replay_does_not_double_count(spark, tmpdir):
+    a = _docs(spark, [(1, "alpha beta alpha")])
+    _write_epoch(cms_batch_partial(a, D, W), tmpdir, 0)
+    before = sorted(read_cms(spark, tmpdir).collect())
+    _write_epoch(cms_batch_partial(a, D, W), tmpdir, 0)  # replayed epoch
+    assert sorted(read_cms(spark, tmpdir).collect()) == before
+
+
+def test_compaction_preserves_served_sketch(spark, tmpdir):
+    for e in range(3):
+        _write_epoch(
+            cms_batch_partial(_docs(spark, [(e, f"word{e} common")]), D, W),
+            tmpdir,
+            e,
+        )
+    before = sorted(read_cms(spark, tmpdir).collect())
+    compact_cms(spark, tmpdir)
+    after_df = spark.read.parquet(tmpdir)
+    assert after_df.select("epoch").distinct().collect()[0].epoch == -1
+    assert sorted(read_cms(spark, tmpdir).collect()) == before
+
+
+def test_partial_grid_is_bounded(spark, tmpdir):
+    many = _docs(spark, [(i, f"tok{i} tok{i % 7} x y z") for i in range(200)])
+    grid = cms_batch_partial(many, D, W)
+    assert grid.count() <= D * W
