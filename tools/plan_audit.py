@@ -86,6 +86,7 @@ EXTRA_AUDIT = (
     "contamination_overlap_scores",
     "temperature_mix_weights",
     "key_skew_profile",
+    "hdr_quantile_sketch",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
