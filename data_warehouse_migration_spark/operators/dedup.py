@@ -29,6 +29,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _prefix_len(n_sh_col: str, threshold: float) -> Column:
+    """Exact ppjoin prefix length ``|A| − ⌈t·|A|⌉ + 1`` in INTEGER
+    arithmetic. The float form ``floor((1−t)·n)+1`` silently loses one
+    slot whenever (1−t)·n is an exact integer that IEEE computes a hair
+    low (t=0.9, n=10 → 0.9999… → floor 0), which drops boundary-
+    overlap pairs — a real recall bug, caught by the containment
+    oracle at sf0.01. Thresholds are rationalized over 1e6 (the repo's
+    6-decimal threshold convention); ⌈a/b⌉ = (a+b−1) div b on longs.
+    """
+    t_num = round(threshold * 1_000_000)
+    ceil_t_n = F.expr(f"({t_num}L * {n_sh_col} + 999999L) div 1000000L")
+    return (F.col(n_sh_col) - ceil_t_n + 1).cast("int")
+
+
 def _hash_str(c: Column) -> Column:
     return F.md5(c)
 
@@ -214,7 +228,7 @@ def ngram_jaccard_pairs(
         ),
     )
     sized = ranked.withColumn(
-        "prefix_len", F.floor((1 - threshold) * F.col("n_sh")) + 1
+        "prefix_len", _prefix_len("n_sh", threshold)
     )
     prefix = sized.filter(F.col("rn") <= F.col("prefix_len")).select("doc", "sh")
 
@@ -1036,4 +1050,77 @@ def contamination_scores(
                 6,
             ).alias("contaminated_frac"),
         )
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs where the first
+    document's shingle set is ≥ ``threshold`` CONTAINED in the
+    second's — C(A,B) = |A∩B| / |A|. Catches what symmetric Jaccard
+    structurally misses: a short document wholly quoted inside a much
+    longer one has J ≈ |A|/|B| ≈ 0 but C = 1.0 (quotation, mirror-
+    with-boilerplate, and excerpt detection in curation sweeps).
+
+    Returns ``(contained_id, container_id, containment)`` with
+    containment rounded to 6; identical documents emit both
+    directions. EXACT: candidates are generated by prefix filtering on
+    the CONTAINED side only — under the global ascending-df shingle
+    order, A ⊆ᵗ B implies a shared shingle within A's first
+    ``⌊(1-t)·|A|⌋ + 1`` shingles (the ppjoin bound specialised to
+    containment, where B is unrestricted and must stay fully indexed)
+    — then verified against per-doc hash arrays.
+
+    100 TB shape mirrors :func:`ngram_jaccard_pairs`: all index
+    shuffles keyed on 8-byte shingle hashes; at t=0.9 the prefix is
+    the rarest ~10% of each doc's shingles, so the prefix×full-index
+    join stays linear-ish; verification joins pruned candidates
+    against the arrays (AQE broadcasts the candidate side). Keyed on
+    xxhash64 internally; the output is hash-scheme-independent (md5
+    oracle attests it).
+    """
+    grams = shingle_hash_arrays(docs, id_col, text_col, n)
+    idx = grams.select(
+        "doc", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+    )
+    freq = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = idx.join(freq, "sh").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(F.col("df"), F.col("sh"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= _prefix_len("n_sh", threshold)
+    ).select("doc", "sh")
+    candidates = (
+        prefix.alias("pa")
+        .join(
+            idx.alias("pb"),
+            (F.col("pa.sh") == F.col("pb.sh"))
+            & (F.col("pa.doc") != F.col("pb.doc")),
+        )
+        .select(
+            F.col("pa.doc").alias("contained_id"),
+            F.col("pb.doc").alias("container_id"),
+        )
+        .distinct()
+    )
+    a = grams.select(F.col("doc").alias("contained_id"), F.col("shs").alias("__a"))
+    b = grams.select(F.col("doc").alias("container_id"), F.col("shs").alias("__b"))
+    containment = (
+        F.size(F.array_intersect(F.col("__a"), F.col("__b")))
+        / F.size("__a")
+    )
+    return (
+        candidates.join(a, "contained_id")
+        .join(b, "container_id")
+        .withColumn("containment", F.round(containment, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
     )

@@ -2105,6 +2105,46 @@ def decontaminate_against_eval(spark, sf_dir):
 
 
 @query(
+    "containment_quote_pairs",
+    tags=("dedup", "containment", "asymmetric"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), words AS (
+    SELECT doc_id, string_split(txt, ' ') AS w FROM norm
+), sh AS (
+    SELECT DISTINCT doc_id AS doc, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM words, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+), sizes AS (
+    SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc AS ca, b.doc AS cb, count(*) AS ni
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc <> b.doc
+    GROUP BY 1, 2
+)
+SELECT ca AS contained_id, cb AS container_id,
+       round(ni / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+FROM inter JOIN sizes sa ON ca = sa.doc
+WHERE round(ni / CAST(sa.n_sh AS DOUBLE), 6) >= 0.9
+""",
+)
+def containment_quote_pairs(spark, sf_dir):
+    """Asymmetric containment near-dups
+    (operators/dedup.containment_pairs): ordered (contained,
+    container) pairs with |A∩B|/|A| ≥ 0.9 — quotation/excerpt
+    detection that symmetric Jaccard structurally misses (a doc fully
+    quoted inside a 10× longer one has J≈0.1 but C=1.0). EXACT via
+    contained-side-only prefix filtering (the ppjoin bound specialised
+    to containment) + hash-array verification; the oracle recomputes
+    the naive all-pairs answer, proving the pruned plan loses
+    nothing."""
+    docs = t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, n=3, threshold=0.9)
+
+
+@query(
     "contamination_overlap_scores",
     tags=("dedup", "decontamination", "eval", "quality"),
     oracle=f"""

@@ -87,6 +87,7 @@ EXTRA_AUDIT = (
     "temperature_mix_weights",
     "key_skew_profile",
     "hdr_quantile_sketch",
+    "containment_quote_pairs",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
