@@ -914,3 +914,99 @@ def _attach_cms_oracle() -> None:
 
 
 _attach_cms_oracle()
+
+
+@query(
+    "streaming_semdedup_ingest",
+    tags=("streaming", "dedup", "semantic", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch SemDeDup oracle
+)
+def streaming_semdedup_ingest_gate(spark, sf_dir):
+    """SemDeDup as a continuous ingest on the real streaming engine
+    (streaming/embedding_dedup.py): the embedding corpus arrives as a
+    3-file stream in ascending vec_id ranges (mtime-forced order, the
+    ingest-dedup gate convention); the coarse quantizer is trained
+    offline (the same deterministic Lloyd's the batch operator uses)
+    and PINNED; each epoch assigns its batch to clusters, probes only
+    its clusters' stored members plus in-batch lower ids, and appends
+    all batch vectors to the epoch-partitioned member index. Because
+    arrival order is ascending-id, the union of per-epoch verdicts
+    must be BIT-IDENTICAL to one-shot batch `semdedup_embeddings` —
+    attested against the SAME unrolled-Lloyd's + keep-rule SQL oracle,
+    covering the epoch protocol, the member-index growth, and the
+    replay cutoff, not just the cosine arithmetic."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    from data_warehouse_migration_spark.operators.clustering import kmeans
+    from data_warehouse_migration_spark.streaming.embedding_dedup import (
+        streaming_semdedup_ingest,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, _ = kmeans(emb, k=8, max_iter=3, round_centroids=7)
+
+    n = emb.count()
+    per = -(-n // 3)  # ceil
+    ranked = emb.withColumn(
+        "__b", ((F.row_number().over(Window.orderBy("vec_id")) - 1) / per).cast("int")
+    )
+    base = tempfile.mkdtemp(prefix="stream_semdedup_")
+    try:
+        src = f"{base}/src"
+        for k in range(3):
+            part = f"{src}/b{k}"
+            ranked.filter(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(
+                part
+            )
+            ts = time.time() + k * 2
+            for root, _, files in os.walk(part):
+                for fname in files:
+                    os.utime(os.path.join(root, fname), (ts, ts))
+        schema = spark.read.parquet(f"{src}/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = streaming_semdedup_ingest(
+            stream,
+            centroids,
+            index_dir=f"{base}/members",
+            results_path=f"{base}/results",
+            checkpoint=f"{base}/ckpt",
+            tau=0.4,
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_semdedup_ingest did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        res = spark.read.parquet(f"{base}/results")
+        n_epochs = res.select("epoch").distinct().count()
+        if n_epochs != 3:
+            raise AssertionError(f"expected 3 epochs, saw {n_epochs}")
+        out = res.select("vec_id", "cluster", "dup_of", "kept")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_semdedup_oracle() -> None:
+    """The streaming ingest attests against the SAME SQL as batch
+    SemDeDup — ascending-id arrival makes the verdict sets equal."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+    from data_warehouse_migration_spark.queries.llm_ops import _semdedup_oracle
+
+    REGISTRY["streaming_semdedup_ingest"].oracle = _semdedup_oracle()
+
+
+_attach_semdedup_oracle()
