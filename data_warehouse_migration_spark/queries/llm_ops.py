@@ -1436,6 +1436,7 @@ FROM af LEFT JOIN pairs p ON af.vec_id = p.vec_id
 
 @query(
     "semdedup_embeddings",
+    headline=True,  # the heaviest new r6 operator: watch it per-round
     tags=("dedup", "semantic", "clustering", "similarity"),
     oracle=_semdedup_oracle(),
 )
@@ -2106,6 +2107,7 @@ def decontaminate_against_eval(spark, sf_dir):
 
 @query(
     "containment_quote_pairs",
+    headline=True,  # ppjoin-family heavy, tracked like dedup_ngram_jaccard
     tags=("dedup", "containment", "asymmetric"),
     oracle="""
 WITH norm AS (
