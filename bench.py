@@ -115,11 +115,15 @@ def main() -> None:
     # interference windows (SCALE.md round-6 note) — a query whose 3
     # runs all landed inside one reads 2-4× slow with an unchanged
     # plan. Before flagging a regression, give each flagged query up to
-    # 3 extra runs (later in time ⇒ likely outside the episode) and
-    # keep the global min. A REAL regression survives: its min is slow
-    # in calm windows too.
+    # 3 extra runs and keep the global min. Retries SLEEP first: the
+    # whole point is time diversity (later ⇒ likely outside the
+    # episode), and back-to-back retries measured inside one episode
+    # still flagged a verified-unchanged plan (curation_pipeline_v3,
+    # r6 — both r5 and r6 code min at ~3.3-4.1 s in calm windows). A
+    # REAL regression survives: its min is slow in calm windows too.
     for name in flagged():
         for _ in range(3):
+            time.sleep(15)
             spark.catalog.clearCache()
             t0 = time.time()
             headline[name].spark_fn(spark, sf_dir).write.format("noop").mode(
