@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_warehouse_migration_spark.operators.clustering import kmeans
-from data_warehouse_migration_spark.operators.similarity import cosine
+from data_warehouse_migration_spark.operators.similarity import dot, l2_norm
 
 
 def semdedup(
@@ -59,18 +59,31 @@ def semdedup(
         vec_col=vec_col,
         round_centroids=7,
     )
-    a = assigned.select(
-        "cluster", F.col(id_col).alias("_a_id"), F.col(vec_col).alias("_a_vec")
+    # Norms are a per-VECTOR quantity: compute each once before the
+    # pair join — byte-identical to cosine() (same dot/(norm·norm)
+    # expression, just not recomputed) at a third of the per-pair fold
+    # work (the LSH-verification precedent, operators/similarity.py).
+    sized = assigned.withColumn("_nrm", l2_norm(F.col(vec_col)))
+    a = sized.select(
+        "cluster",
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_vec"),
+        F.col("_nrm").alias("_a_nrm"),
     )
-    b = assigned.select(
-        "cluster", F.col(id_col).alias("_b_id"), F.col(vec_col).alias("_b_vec")
+    b = sized.select(
+        "cluster",
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_vec"),
+        F.col("_nrm").alias("_b_nrm"),
+    )
+    den = F.col("_a_nrm") * F.col("_b_nrm")
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(
+        dot(F.col("_a_vec"), F.col("_b_vec")) / den
     )
     dup = (
         a.join(b, "cluster")
         .filter(F.col("_a_id") < F.col("_b_id"))
-        .withColumn(
-            "cos", F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), round_to)
-        )
+        .withColumn("cos", F.round(cos, round_to))
         .filter(F.col("cos") >= tau)
         .groupBy(F.col("_b_id").alias(id_col))
         .agg(F.min("_a_id").alias("dup_of"))
