@@ -146,3 +146,46 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("total"), F.lit(0))).alias("cms_est"))
     )
     return queries.join(est, item_col, "left")
+
+
+def bloom_words(bits: DataFrame, m: int) -> DataFrame:
+    """Pack a set-bit table into ``m/64`` bitmap words ``(word_idx,
+    word)`` — the deployment broadcast form (64× fewer rows, fixed
+    8·m/64 bytes). ``union → groupBy → bit_or`` merges packed filters
+    exactly like bit tables."""
+    return (
+        bits.select(
+            F.expr("bit_pos div 64").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(bit_pos % 64 as int))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("cast(bit_or(w) as long)").alias("word"))
+    )
+
+
+def bloom_maybe_member_packed(
+    batch: DataFrame, words: DataFrame, key_col: str, m: int, k: int
+) -> DataFrame:
+    """``bloom_maybe_member`` against the packed form: probe joins on
+    the word index and tests the bit with a mask — same verdicts as
+    the bit-table probe (pinned by test), smaller broadcast."""
+    probed = batch.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[hash_mod(F.col(key_col), i, m) for i in range(k)])
+        ).alias("bit_pos"),
+    ).select(
+        key_col,
+        F.expr("bit_pos div 64").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(bit_pos % 64 as int))").alias("mask"),
+    )
+    hits = (
+        probed.join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "_set",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0),
+        )
+        .groupBy(key_col)
+        .agg((F.sum(F.col("_set").cast("int")) == F.lit(k)).alias("maybe_member"))
+    )
+    return batch.join(hits, key_col, "left")

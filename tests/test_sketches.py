@@ -94,3 +94,46 @@ def test_cms_grid_is_mergeable(spark):
     direct = cms_counters(a.union(b), "tok", "c", 3, 32)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_packed_bloom_matches_bit_table(spark):
+    """The m/64-word packed filter must produce identical verdicts to
+    the bit-table probe on members AND non-members, and merge by
+    bit_or exactly."""
+    from data_warehouse_migration_spark.operators.sketches import (
+        bloom_maybe_member_packed,
+        bloom_words,
+    )
+
+    members = spark.range(250).select(
+        F.concat(F.lit("doc:"), F.col("id")).alias("key")
+    )
+    probes = spark.range(500).select(
+        F.when(F.col("id") < 250, F.concat(F.lit("doc:"), F.col("id")))
+        .otherwise(F.concat(F.lit("other:"), F.col("id")))
+        .alias("key")
+    )
+    bits = bloom_bits(members, "key", M, K)
+    words = bloom_words(bits, M)
+    assert words.count() <= M // 64 + 1
+    flat = {
+        r.key: r.maybe_member
+        for r in bloom_maybe_member(probes, bits, "key", M, K).collect()
+    }
+    packed = {
+        r.key: r.maybe_member
+        for r in bloom_maybe_member_packed(probes, words, "key", M, K).collect()
+    }
+    assert flat == packed
+    # merging packed filters: words(A ∪ B) == bit_or fold of words(A), words(B)
+    a = spark.range(100).select(F.concat(F.lit("doc:"), F.col("id")).alias("key"))
+    b = spark.range(100, 250).select(
+        F.concat(F.lit("doc:"), F.col("id")).alias("key")
+    )
+    merged = (
+        bloom_words(bloom_bits(a, "key", M, K), M)
+        .union(bloom_words(bloom_bits(b, "key", M, K), M))
+        .groupBy("word_idx")
+        .agg(F.expr("cast(bit_or(word) as long)").alias("word"))
+    )
+    assert sorted(merged.collect()) == sorted(words.collect())
