@@ -1767,3 +1767,68 @@ def q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "ohlc_hourly_candlesticks",
+    tags=("timeseries", "resample", "ohlc"),
+    oracle="""
+WITH e AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           ts, event_id
+    FROM events
+), r AS (
+    SELECT event_type, bucket, cents,
+           row_number() OVER (PARTITION BY event_type, bucket
+                              ORDER BY ts, event_id) AS rn_f,
+           row_number() OVER (PARTITION BY event_type, bucket
+                              ORDER BY ts DESC, event_id DESC) AS rn_l
+    FROM e
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(CASE WHEN rn_f = 1 THEN cents END) / 100.0 AS open,
+       max(cents) / 100.0 AS high,
+       min(cents) / 100.0 AS low,
+       max(CASE WHEN rn_l = 1 THEN cents END) / 100.0 AS close,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS total
+FROM r GROUP BY 1, 2
+""",
+)
+def ohlc_hourly_candlesticks(spark, sf_dir):
+    """OHLC candlestick downsampling — the time-series resample every
+    monitoring/finance stack ships (TimescaleDB candlestick_agg /
+    ClickHouse-style first/last buckets): per (event_type, hour),
+    open/close by total (ts, event_id) arrival order plus high/low/
+    volume. First/last are computed with rank windows rather than
+    min_by/max_by so the tie-break is explicit and engine-portable
+    (composite-key arg_min semantics differ across engines).
+
+    Scale: ONE shuffle on the (type, bucket) composite via the two
+    rank windows sharing a partitioning; high/low/total are algebraic
+    (map-side combined). At 100 TB, buckets are bounded (types ×
+    hours), per-bucket sort is bounded by in-bucket event count —
+    the same posture as sessionize. All money through exact cents."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        cents("value").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    wf = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = ev.withColumn("rn_f", F.row_number().over(wf)).withColumn(
+        "rn_l", F.row_number().over(wl)
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.when(F.col("rn_f") == 1, F.col("cents"))) / 100.0).alias("open"),
+        (F.max("cents") / 100.0).alias("high"),
+        (F.min("cents") / 100.0).alias("low"),
+        (F.max(F.when(F.col("rn_l") == 1, F.col("cents"))) / 100.0).alias("close"),
+        (F.sum("cents") / 100.0).alias("total"),
+    )

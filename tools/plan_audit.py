@@ -88,6 +88,7 @@ EXTRA_AUDIT = (
     "key_skew_profile",
     "hdr_quantile_sketch",
     "containment_quote_pairs",
+    "ohlc_hourly_candlesticks",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
