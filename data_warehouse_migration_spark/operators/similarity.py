@@ -601,3 +601,34 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+def pseudo_embedding(text: Column, dim: int = 16) -> Column:
+    """Deterministic text → dense vector stand-in for an embedding
+    model: component j = md5(j '|' text)'s first 8 hex nibbles scaled
+    to [-1, 1). The MODEL is the stub (the container ships no encoder,
+    the multimodal-decode principle); the PLUMBING — schema
+    array<double>, per-chunk vectorization, index build, top-k
+    retrieval — is real, engine-portable, and value-attested (the
+    DuckDB oracle recomputes every component bit-for-bit, which no
+    real float32 model inference would allow).
+
+    Swap-in contract for a real encoder: replace this Column with an
+    Arrow-batched ``pandas_udf`` returning array<float> (the
+    operators/multimodal.py pattern); everything downstream
+    (brute-force / LSH / IVF / PQ top-k) is unchanged.
+
+    Cost shape: dim md5 calls per row, computed inside codegen —
+    row-local, zero shuffle, linear scan.
+    """
+    comps = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), text)), 1, 8), 16, 10
+            ).cast("double")
+            / F.lit(float(2**31))
+            - F.lit(1.0)
+        )
+        for j in range(dim)
+    ]
+    return F.array(*comps)

@@ -2340,3 +2340,122 @@ def dedup_incremental_batch(spark, sf_dir):
         bands=8,
         threshold=0.8,
     )
+
+
+def _rag_oracle(dim: int = 8, k: int = 3) -> str:
+    """Full SQL re-derivation of the RAG retrieval pipeline: chunking,
+    per-component md5 pseudo-embeddings, cosine, per-query top-k."""
+    nib = "0123456789abcdef"
+
+    def comp(expr: str, j: int) -> str:
+        inner = f"md5('{j}|' || {expr})"
+        decode = " + ".join(
+            f"(strpos('{nib}', substr({inner}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        return f"(({decode}) / 2147483648.0 - 1.0)"
+
+    cemb = "\nUNION ALL\n".join(
+        f"SELECT chunk_key, {j} AS j, {comp('ctext', j)} AS x FROM ck"
+        for j in range(dim)
+    )
+    qemb = "\nUNION ALL\n".join(
+        f"SELECT q_id, {j} AS j, {comp('qtext', j)} AS x FROM qd"
+        for j in range(dim)
+    )
+    return f"""
+WITH split AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt,
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'corpus' ELSE 'query' END AS s
+    FROM documents
+), w AS (
+    SELECT doc_id, s, txt, string_split(txt, ' ') AS w FROM split
+), ck AS (
+    SELECT doc_id || '#' || start AS chunk_key,
+           array_to_string(w[start:start+31], ' ') AS ctext
+    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 32))
+              AS start
+          FROM w WHERE s = 'corpus')
+), qd AS (
+    SELECT 'q' || doc_id AS q_id, txt AS qtext FROM w WHERE s = 'query'
+), cemb AS (
+    {cemb}
+), qemb AS (
+    {qemb}
+), cn AS (
+    SELECT chunk_key, sqrt(sum(x * x)) AS nrm FROM cemb GROUP BY 1
+), qn AS (
+    SELECT q_id, sqrt(sum(x * x)) AS nrm FROM qemb GROUP BY 1
+), d AS (
+    SELECT q.q_id, c.chunk_key, sum(q.x * c.x) AS dp
+    FROM qemb q JOIN cemb c USING (j) GROUP BY 1, 2
+), scored AS (
+    SELECT d.q_id, d.chunk_key,
+           round(d.dp / (qn.nrm * cn.nrm), 6) AS cosine
+    FROM d JOIN qn ON d.q_id = qn.q_id JOIN cn ON d.chunk_key = cn.chunk_key
+), ranked AS (
+    SELECT q_id, chunk_key, cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, chunk_key) AS rank
+    FROM scored
+)
+SELECT q_id, chunk_key AS n_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "rag_retrieval_pipeline",
+    tags=("similarity", "rag", "pipeline", "chunking"),
+    oracle=_rag_oracle(),
+)
+def rag_retrieval_pipeline(spark, sf_dir):
+    """The RAG indexing + retrieval path end to end: corpus documents
+    are chunked (non-overlapping 32-token windows), each chunk is
+    vectorized (operators/similarity.pseudo_embedding — the MODEL is a
+    deterministic stub, the container ships no encoder; the plumbing
+    is real and byte-attested), and held-out query documents retrieve
+    their exact top-3 chunks by cosine
+    (operators/similarity.brute_force_topk, queries broadcast, corpus
+    streamed once). Swap the stub for an Arrow-batched pandas_udf
+    encoder and everything downstream is unchanged — and at corpus
+    scale the brute-force stage swaps for the LSH/IVF/PQ index path
+    (similarity_*_topk), same contract.
+
+    Oracle: the whole pipeline re-derived in SQL — chunk boundaries,
+    every embedding component, cosine, and rank must all match."""
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+    from data_warehouse_migration_spark.operators.similarity import (
+        pseudo_embedding,
+    )
+
+    docs = hash_split(
+        t(spark, sf_dir, "documents"), "doc_id", {"corpus": 0.9, "query": 0.1}
+    )
+    txt = D.normalized_text(F.col("text"))
+    base = docs.select("doc_id", "split", txt.alias("txt"))
+    words = F.split(F.col("txt"), " ")
+    chunks = (
+        base.filter(F.col("split") == "corpus")
+        .select(
+            "doc_id",
+            words.alias("w"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(32))
+            ).alias("start"),
+        )
+        .select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("start"))
+            .alias("vid"),
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("start"), 32)).alias(
+                "ctext"
+            ),
+        )
+    )
+    cvec = chunks.select("vid", pseudo_embedding(F.col("ctext"), 8).alias("emb"))
+    qvec = base.filter(F.col("split") == "query").select(
+        F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias("vid"),
+        pseudo_embedding(F.col("txt"), 8).alias("emb"),
+    )
+    return brute_force_topk(cvec, qvec, k=3, id_col="vid", vec_col="emb")

@@ -66,6 +66,11 @@ BNLJ_WHITELIST = {
                               #   the per-stratum table (O(strata·1))
     "key_skew_profile",       # 1-row totals broadcast to the
                               #   aggregated per-key count table
+    "rag_retrieval_pipeline", # exact brute-force retrieval baseline
+                              #   (sanctioned similarity_topk shape —
+                              #   queries broadcast, corpus streamed);
+                              #   at corpus scale the same contract
+                              #   runs on the LSH/IVF/PQ index path
 }
 
 # Batch queries registered OUTSIDE the driver window this round whose
@@ -89,6 +94,7 @@ EXTRA_AUDIT = (
     "hdr_quantile_sketch",
     "containment_quote_pairs",
     "ohlc_hourly_candlesticks",
+    "rag_retrieval_pipeline",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
