@@ -1681,3 +1681,118 @@ def key_skew_profile(spark, sf_dir):
             ).alias("top_share"),
         )
     )
+
+
+_BUCKET4 = """(
+      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"""
+
+
+@query(
+    "curation_pipeline_v4",
+    tags=("pipeline", "composed", "decontamination", "mixing"),
+    oracle=f"""
+WITH split AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt,
+           CASE WHEN {_BUCKET4} < CAST(0.9 * 65536 AS INT)
+                THEN 'train' ELSE 'eval' END AS s
+    FROM documents
+), surv AS (
+    SELECT min(doc_id) AS doc_id FROM split WHERE s = 'train' GROUP BY md5(txt)
+), tr AS (
+    SELECT sp.doc_id, sp.lang, string_split(sp.txt, ' ') AS w
+    FROM split sp JOIN surv USING (doc_id)
+), we AS (
+    SELECT doc_id, string_split(txt, ' ') AS w FROM split WHERE s = 'eval'
+), sh_t AS (
+    SELECT DISTINCT tr.doc_id, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM tr, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+), sh_e AS (
+    SELECT DISTINCT md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM we, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+), tn AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh_t GROUP BY 1
+), hits AS (
+    SELECT st.doc_id, count(*) AS n_hit
+    FROM sh_t st JOIN sh_e USING (sh) GROUP BY 1
+), clean AS (
+    SELECT tn.doc_id FROM tn LEFT JOIN hits USING (doc_id)
+    WHERE round(coalesce(hits.n_hit, 0) / CAST(tn.n_sh AS DOUBLE), 6) < 0.25
+), kept AS (
+    SELECT tr.lang, len(tr.w) AS nt FROM tr JOIN clean USING (doc_id)
+), agg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_size
+    FROM kept GROUP BY lang
+), wgt AS (
+    SELECT lang, n_docs, n_size,
+           CAST(round(pow(CAST(n_size AS DOUBLE), 0.3) * 1000000) AS BIGINT)
+               AS w_int
+    FROM agg
+), tot AS (
+    SELECT CAST(sum(w_int) AS BIGINT) AS tot_w,
+           CAST(sum(n_size) AS BIGINT) AS tot_n
+    FROM wgt
+)
+SELECT lang, n_docs, n_size,
+       round(CAST(w_int AS DOUBLE) / tot_w, 6) AS weight,
+       round((CAST(w_int AS DOUBLE) / tot_w)
+             / (CAST(n_size AS DOUBLE) / tot_n), 6) AS boost
+FROM wgt CROSS JOIN tot
+""",
+)
+def curation_pipeline_v4(spark, sf_dir):
+    """The release-preparation pipeline composed from the round-6
+    surface: content-addressed train/eval split → exact dedup of the
+    train side (min-id per normalized-text digest) → GRADED
+    decontamination (operators/dedup.contamination_scores — drop train
+    docs whose 3-gram overlap fraction with the eval set reaches 0.25)
+    → temperature-scaled release mix
+    (operators/sampling.temperature_weights, α=0.3) with per-language
+    doc/token totals. The oracle re-derives every stage, so the gate
+    attests the COMPOSITION — the split/dedup/decontaminate/mix
+    contracts surviving each other — not the stages in isolation.
+
+    Shape at 100 TB: stages prune monotonically; the eval shingle set
+    broadcasts (zero shuffle of train shingles); the mix summary is
+    strata-sized. Each stage boundary is a silver materialization in
+    deployment (plans/pipeline.py stage materialization)."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        contamination_scores,
+    )
+    from data_warehouse_migration_spark.operators.sampling import (
+        hash_split,
+        temperature_weights,
+    )
+
+    docs = hash_split(t(spark, sf_dir, "documents"), "doc_id", {"train": 0.9, "eval": 0.1})
+    base = docs.select(
+        "doc_id", "lang", "split", normalized_text(F.col("text")).alias("txt")
+    )
+    train = base.filter(F.col("split") == "train")
+    surv = (
+        train.groupBy(F.md5(F.col("txt")).alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    tr = train.join(surv, "doc_id").select(
+        "doc_id", "lang", F.col("txt").alias("text")
+    )
+    ev = base.filter(F.col("split") == "eval").select(
+        "doc_id", F.col("txt").alias("text")
+    )
+    scored = contamination_scores(tr, ev, n=3)
+    clean = scored.filter(F.col("contaminated_frac") < 0.25).select("doc_id")
+    kept = tr.join(clean, "doc_id").select(
+        "lang", F.size(F.split(F.col("text"), " ")).alias("nt")
+    )
+    mix = temperature_weights(kept, "lang", "nt", alpha=0.3)
+    n_docs = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return mix.join(n_docs, "lang").select(
+        "lang", "n_docs", "n_size", "weight", "boost"
+    )

@@ -66,6 +66,8 @@ BNLJ_WHITELIST = {
                               #   the per-stratum table (O(strata·1))
     "key_skew_profile",       # 1-row totals broadcast to the
                               #   aggregated per-key count table
+    "curation_pipeline_v4",   # 1-row mix totals broadcast (the
+                              #   temperature_weights tail stage)
     "rag_retrieval_pipeline", # exact brute-force retrieval baseline
                               #   (sanctioned similarity_topk shape —
                               #   queries broadcast, corpus streamed);
@@ -95,6 +97,7 @@ EXTRA_AUDIT = (
     "containment_quote_pairs",
     "ohlc_hourly_candlesticks",
     "rag_retrieval_pipeline",
+    "curation_pipeline_v4",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
