@@ -1832,3 +1832,126 @@ def ohlc_hourly_candlesticks(spark, sf_dir):
         (F.max(F.when(F.col("rn_l") == 1, F.col("cents"))) / 100.0).alias("close"),
         (F.sum("cents") / 100.0).alias("total"),
     )
+
+
+@query(
+    "cohort_weekly_retention",
+    tags=("timeseries", "cohort", "retention"),
+    oracle="""
+WITH e AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), first AS (
+    SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1
+), act AS (
+    SELECT DISTINCT f.cohort_wk, e.user_id,
+           CAST(date_diff('day', f.cohort_wk, e.wk) // 7 AS INT) AS week_offset
+    FROM e JOIN first f USING (user_id)
+), size_ AS (
+    SELECT cohort_wk, count(*) AS cohort_size FROM first GROUP BY 1
+)
+SELECT a.cohort_wk, a.week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(max(s.cohort_size) AS BIGINT) AS cohort_size,
+       round(count(*) / CAST(max(s.cohort_size) AS DOUBLE), 6) AS retention
+FROM act a JOIN size_ s USING (cohort_wk)
+GROUP BY 1, 2
+""",
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Weekly cohort retention matrix — THE product-analytics query:
+    users grouped by first-activity week, per (cohort, week-offset)
+    distinct active users and retention fraction. Two shuffles (first-
+    seen per user, then the cohort-offset distinct count); the matrix
+    is (weeks × offsets)-sized — driver-tiny however many events.
+    ISO-Monday week truncation and integer day//7 offsets are
+    identical across engines; retention is a ratio of exact counts."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_wk",
+            "user_id",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    size = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.join(size, "cohort_wk")
+        .groupBy("cohort_wk", "week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.max("cohort_size").alias("cohort_size"),
+            F.round(
+                F.count(F.lit(1)) / F.max("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "hourly_anomaly_zscores",
+    tags=("timeseries", "anomaly", "monitoring"),
+    oracle="""
+WITH h AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(cents) AS BIGINT) AS s1,
+           CAST(sum(cents * cents) AS BIGINT) AS s2
+    FROM h GROUP BY 1
+), z AS (
+    SELECT h.event_type, h.bucket, h.cents, s.n_buckets,
+           round((h.cents - CAST(s.s1 AS DOUBLE) / s.n_buckets)
+                 / sqrt(CAST(s.s2 AS DOUBLE) / s.n_buckets
+                        - (CAST(s.s1 AS DOUBLE) / s.n_buckets)
+                          * (CAST(s.s1 AS DOUBLE) / s.n_buckets)), 6) AS zscore
+    FROM h JOIN stats s USING (event_type)
+)
+SELECT event_type, bucket, cents / 100.0 AS hourly_total, zscore
+FROM z WHERE abs(zscore) >= 2.5
+""",
+)
+def hourly_anomaly_zscores(spark, sf_dir):
+    """Volume-anomaly detection: per event type, hourly revenue totals
+    scored against the type's own distribution (population z-score);
+    emit the |z| ≥ 2.5 outliers a monitoring pipeline would page on.
+    All moments through exact integer cents (s1, s2 are
+    order-independent integer sums — the catalog rule applied to
+    variance); the only floats are the final identical divisions/sqrt,
+    rounded to 6, with the threshold comparing the ROUNDED score.
+    Two shuffles: hourly totals (map-side combined), then a per-type
+    1-row stats join against the bucket table (types-sized)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        cents("value").alias("c"),
+    )
+    h = ev.groupBy("event_type", "bucket").agg(F.sum("c").alias("cents"))
+    stats = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_buckets")
+    var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
+    z = F.round((F.col("cents") - mean) / F.sqrt(var), 6)
+    return (
+        h.join(stats, "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= 2.5)
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("cents") / 100.0).alias("hourly_total"),
+            "zscore",
+        )
+    )

@@ -98,6 +98,8 @@ EXTRA_AUDIT = (
     "ohlc_hourly_candlesticks",
     "rag_retrieval_pipeline",
     "curation_pipeline_v4",
+    "cohort_weekly_retention",
+    "hourly_anomaly_zscores",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
