@@ -1894,10 +1894,7 @@ def cohort_weekly_retention(spark, sf_dir):
     )
 
 
-@query(
-    "hourly_anomaly_zscores",
-    tags=("timeseries", "anomaly", "monitoring"),
-    oracle="""
+ANOMALY_Z_ORACLE = """
 WITH h AS (
     SELECT event_type, date_trunc('hour', ts) AS bucket,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -1918,7 +1915,13 @@ WITH h AS (
 )
 SELECT event_type, bucket, cents / 100.0 AS hourly_total, zscore
 FROM z WHERE abs(zscore) >= 2.5
-""",
+"""
+
+
+@query(
+    "hourly_anomaly_zscores",
+    tags=("timeseries", "anomaly", "monitoring"),
+    oracle=ANOMALY_Z_ORACLE,
 )
 def hourly_anomaly_zscores(spark, sf_dir):
     """Volume-anomaly detection: per event type, hourly revenue totals

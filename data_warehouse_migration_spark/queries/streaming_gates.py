@@ -1010,3 +1010,83 @@ def _attach_semdedup_oracle() -> None:
 
 
 _attach_semdedup_oracle()
+
+
+@query(
+    "streaming_anomaly_zscores",
+    tags=("streaming", "anomaly", "monitoring", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch monitor's oracle
+)
+def streaming_anomaly_zscores(spark, sf_dir):
+    """The volume-anomaly monitor maintained incrementally on the real
+    streaming engine (streaming/anomaly.py): events arrive as a 4-file
+    stream; each epoch writes its own hourly-partial partition
+    (replay = rewrite), and the served report folds the partials and
+    scores per-type z on exact integer moments. Because n/Σx/Σx² are
+    algebraic, the folded scores are bit-identical to the one-shot
+    batch `hourly_anomaly_zscores` — attested against the SAME oracle,
+    covering the epoch protocol and the fold, not just the variance
+    arithmetic."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.streaming.anomaly import (
+        read_anomalies,
+        streaming_anomaly_maintenance,
+    )
+    from data_warehouse_migration_spark.streaming.events import (
+        read_event_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_anom_")
+    try:
+        src = f"{base}/src"
+        t(spark, sf_dir, "events").repartitionByRange(4, "event_id").write.parquet(
+            src
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_anomaly_maintenance(
+            stream, table_path=f"{base}/partials", checkpoint=f"{base}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_anomaly_zscores did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        partials = spark.read.parquet(f"{base}/partials")
+        n_epochs = partials.select("epoch").distinct().count()
+        if n_epochs < 2:
+            raise AssertionError(
+                f"expected a multi-epoch run, got {n_epochs} epoch partitions"
+            )
+        out = read_anomalies(spark, f"{base}/partials", z_threshold=2.5).select(
+            "event_type",
+            F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+            "hourly_total",
+            "zscore",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_anomaly_oracle() -> None:
+    """The streaming twin attests against the SAME SQL as the batch
+    monitor — algebraic moments fold exactly across epochs."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+    from data_warehouse_migration_spark.queries.analytics import (
+        ANOMALY_Z_ORACLE,
+    )
+
+    REGISTRY["streaming_anomaly_zscores"].oracle = ANOMALY_Z_ORACLE
+
+
+_attach_anomaly_oracle()

@@ -78,3 +78,36 @@ def test_partial_grid_is_bounded(spark, tmpdir):
     many = _docs(spark, [(i, f"tok{i} tok{i % 7} x y z") for i in range(200)])
     grid = cms_batch_partial(many, D, W)
     assert grid.count() <= D * W
+
+
+def test_anomaly_partials_replay_and_fold(spark, tmpdir):
+    """streaming/anomaly.py partials: replayed epoch rewrites (no
+    double count) and the fold equals the one-shot hourly totals."""
+    import datetime
+
+    from data_warehouse_migration_spark.streaming.anomaly import hourly_partials
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, h), "click", 1.0 + h)
+        for i, h in enumerate([0, 0, 1, 2, 2, 2])
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    _write_epoch(hourly_partials(ev), tmpdir, 0)
+    before = sorted(
+        spark.read.parquet(tmpdir)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cents").alias("cents"))
+        .collect()
+    )
+    _write_epoch(hourly_partials(ev), tmpdir, 0)  # replay
+    after = sorted(
+        spark.read.parquet(tmpdir)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cents").alias("cents"))
+        .collect()
+    )
+    assert before == after
+    direct = sorted(hourly_partials(ev).collect())
+    assert [(r.event_type, r.bucket, r.cents) for r in after] == [
+        (r.event_type, r.bucket, r.cents) for r in direct
+    ]
