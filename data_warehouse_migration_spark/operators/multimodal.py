@@ -239,3 +239,87 @@ def frame_sample_plan(
             )
         ).alias("frame_ts"),
     )
+
+
+def resize_media(assets: DataFrame) -> DataFrame:
+    """REAL media downsampling — the 'resize' leg of the multimodal
+    contract (decode / feature-extract / resize / frame-sample):
+    nearest-neighbor 2× reduction applied to decoded payloads inside
+    the same Arrow-batched ``mapInPandas`` shape as the decoder.
+
+    - 16-bit PCM WAV → every other sample (2× decimation; a production
+      resampler slots into the same per-asset function);
+    - 24-bpp BMP → every other stored row and every other pixel within
+      the row (selection is defined on the RAW pixel buffer — BMP
+      stores rows bottom-up, and nearest-neighbor is order-symmetric,
+      so buffer-order selection keeps the math byte-honest).
+
+    Output per asset: ``(asset_id, mime, out_w, out_h, checksum,
+    feature_norm)`` where checksum is the EXACT integer sum of the
+    selected samples/bytes (attests the selection itself, not just a
+    rounded aggregate) and feature_norm is RMS/32768 (audio) or mean
+    pixel/255 (image), rounded to 6. Every value is a closed-form
+    function of the synthesized asset id, so the DuckDB oracle
+    recomputes the resize by formula (``media_resize_real``).
+
+    Scale: assets are independent rows; one Python stage, no shuffle.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "mime": [], "out_w": [], "out_h": [],
+                "checksum": [], "feature_norm": [],
+            }
+            for aid, mime, payload in zip(
+                pdf["asset_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime == "audio/wav":
+                    import io
+                    import wave
+
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        frames = w.readframes(w.getnframes())
+                    samples = np.frombuffer(frames, dtype="<i2")[::2]
+                    norm = round(
+                        float(
+                            np.sqrt((samples.astype("float64") ** 2).mean())
+                        )
+                        / 32768.0,
+                        6,
+                    )
+                    out_w, out_h = len(samples), 1
+                    checksum = int(samples.astype("int64").sum())
+                elif mime == "image/bmp":
+                    raw = bytes(payload)
+                    off = int.from_bytes(raw[10:14], "little")
+                    width = int.from_bytes(raw[18:22], "little", signed=True)
+                    height = int.from_bytes(raw[22:26], "little", signed=True)
+                    row_bytes = ((width * 3 + 3) // 4) * 4
+                    px = np.frombuffer(
+                        raw[off : off + row_bytes * height], dtype="u1"
+                    ).reshape(height, row_bytes)[:, : width * 3].reshape(
+                        height, width, 3
+                    )
+                    sel = px[::2, ::2, :]
+                    norm = round(float(sel.mean()) / 255.0, 6)
+                    out_h, out_w = sel.shape[0], sel.shape[1]
+                    checksum = int(sel.astype("int64").sum())
+                else:
+                    raise NotImplementedError(f"no resize for {mime}")
+                out["asset_id"].append(int(aid))
+                out["mime"].append(mime)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["checksum"].append(checksum)
+                out["feature_norm"].append(norm)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run,
+        schema=(
+            "asset_id bigint, mime string, out_w int, out_h int, "
+            "checksum bigint, feature_norm double"
+        ),
+    )

@@ -2459,3 +2459,58 @@ def rag_retrieval_pipeline(spark, sf_dir):
         pseudo_embedding(F.col("txt"), 8).alias("emb"),
     )
     return brute_force_topk(cvec, qvec, k=3, id_col="vid", vec_col="emb")
+
+
+@query(
+    "media_resize_real",
+    tags=("multimodal", "mapInPandas", "real-decode", "resize"),
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+wav AS (SELECT doc_id, 100 + (doc_id % 50) AS n FROM d WHERE doc_id % 2 = 0),
+wsel AS (
+    SELECT doc_id, n, ((doc_id * 31 + j * 17) % 2001 - 1000) AS s
+    FROM (SELECT doc_id, n, unnest(range(0, n, 2)) AS j FROM wav)
+), wavf AS (
+    SELECT doc_id, 'audio/wav' AS mime,
+           CAST((n + 1) // 2 AS INT) AS out_w, 1 AS out_h,
+           CAST(sum(s) AS BIGINT) AS checksum,
+           round(sqrt(sum(CAST(s * s AS DOUBLE)) / ((n + 1) // 2))
+                 / 32768.0, 6) AS feature_norm
+    FROM wsel GROUP BY doc_id, n
+), bmp AS (SELECT doc_id, 2 + (doc_id % 3) AS h FROM d WHERE doc_id % 2 = 1),
+bsel AS (
+    SELECT doc_id, h, (doc_id * 7 + 12 * (2 * y) + o) % 256 AS b
+    FROM (SELECT doc_id, h, unnest(range(0, (h + 1) // 2)) AS y FROM bmp),
+         (SELECT unnest([0, 1, 2, 6, 7, 8]) AS o) oo
+), bmpf AS (
+    SELECT doc_id, 'image/bmp' AS mime, 2 AS out_w,
+           CAST((h + 1) // 2 AS INT) AS out_h,
+           CAST(sum(b) AS BIGINT) AS checksum,
+           round(avg(CAST(b AS DOUBLE)) / 255.0, 6) AS feature_norm
+    FROM bsel GROUP BY doc_id, h
+)
+SELECT doc_id AS asset_id, mime, out_w, out_h, checksum, feature_norm FROM wavf
+UNION ALL
+SELECT doc_id AS asset_id, mime, out_w, out_h, checksum, feature_norm FROM bmpf
+""",
+)
+def media_resize_real(spark, sf_dir):
+    """REAL media downsampling, value-attested — the 'resize' leg of
+    the multimodal contract (operators/multimodal.resize_media): the
+    deterministic WAV/BMP corpus is synthesized per doc_id, decoded,
+    2×-reduced (audio decimation / image nearest-neighbor on the raw
+    pixel buffer), and the output dims + EXACT integer checksum of the
+    selected samples/bytes + rounded norm must all match the DuckDB
+    closed-form recomputation. The checksum attests the SELECTION
+    (which samples, which rows/cols), not just a smoothed aggregate —
+    an off-by-one stride or a top-down/bottom-up row mix-up flips it.
+
+    Shape at 100 TB: identical to the decode path — per-asset
+    Arrow-batched mapInPandas, no shuffle."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        resize_media,
+        synthesize_assets,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    return resize_media(synthesize_assets(ids))

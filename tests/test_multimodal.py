@@ -220,3 +220,49 @@ def test_frame_sample_plan(spark):
     # pure JVM plan: no Python (mapInPandas/BatchEvalPython) stage
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_resize_media_known_values(spark):
+    """Crafted 4×2 BMP + tiny WAV through the real resize: dims,
+    integer checksum of the selected bytes/samples, and the
+    unsupported-mime guard."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.multimodal import resize_media
+
+    # BMP 4x2, pixel bytes 0..23 (rows of 12, no padding)
+    npx = 24
+    px = bytes(range(npx))
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", 54 + npx, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 24, 0, npx, 0, 0, 0, 0)
+        + px
+    )
+    # WAV: samples 10, -20, 30, -40 → select [10, 30]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(int(s).to_bytes(2, "little", signed=True) for s in (10, -20, 30, -40))
+        )
+    assets = spark.createDataFrame(
+        [(1, "image/bmp", bmp), (2, "audio/wav", buf.getvalue())],
+        "asset_id long, mime string, payload binary",
+    )
+    out = {r.asset_id: r for r in resize_media(assets).collect()}
+    # BMP row 0 (stored first), cols 0 and 2 → bytes {0,1,2, 6,7,8} sum 24
+    assert (out[1].out_w, out[1].out_h, out[1].checksum) == (2, 1, 24)
+    assert (out[2].out_w, out[2].out_h, out[2].checksum) == (2, 1, 40)
+
+    bad = spark.createDataFrame(
+        [(3, "video/mp4", b"x")], "asset_id long, mime string, payload binary"
+    )
+    with pytest.raises(Exception, match="no resize"):
+        resize_media(bad).collect()
