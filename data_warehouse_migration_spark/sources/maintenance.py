@@ -172,3 +172,56 @@ def vacuum_versions(path: str) -> list[str]:
             os.remove(full)
         removed.append(entry)
     return removed
+
+
+def list_table_versions(path: str) -> list[str]:
+    """Version history of an atomically-swapped table, OLDEST →
+    NEWEST, last element = the live version (the symlink target).
+    Versions are the hidden ``.<base>.__v_*`` siblings
+    ``atomic_overwrite_parquet`` retains under ``keep_old=True``;
+    ordering is directory mtime (each version is written once and
+    never touched again — immutability is the swap contract). On a
+    transactional format (Delta/Iceberg) this maps to the commit log;
+    the call site is the seam.
+
+    Partially-written dirs (crash mid-staging-write) are excluded by
+    the ``_SUCCESS`` job-commit marker. A dir that finished staging
+    but crashed BEFORE its pointer flip is indistinguishable from a
+    superseded version without a commit log — it shows up in history
+    until ``vacuum_versions`` clears it; a transactional format's log
+    is the real fix, and this seam is where it plugs in.
+    """
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    live = os.path.realpath(path) if os.path.islink(path) else None
+    vers = []
+    for entry in os.listdir(parent):
+        if not (entry.startswith(f".{base}.__v_") or entry.startswith(f"{base}.__v_")):
+            continue
+        full = os.path.join(parent, entry)
+        if not os.path.isdir(full) or os.path.islink(full):
+            continue
+        committed = os.path.exists(os.path.join(full, "_SUCCESS"))
+        if not committed and os.path.realpath(full) != live:
+            continue  # crashed pre-flip staging dir
+        vers.append(full)
+    vers.sort(key=os.path.getmtime)
+    if live is not None and live in vers:  # live is last even on mtime ties
+        vers.remove(live)
+        vers.append(live)
+    return vers
+
+
+def read_table_version(spark, path: str, version: int = -1):
+    """Time-travel read: ``version=-1`` is the live table, ``-2`` the
+    state before the last swap, and so on (positive indexes count from
+    the oldest retained version). The read is an ordinary parquet scan
+    of an immutable directory — a long-running job can hold a
+    superseded version open across later swaps, which is exactly the
+    reader guarantee ``keep_old=True`` exists to provide. Combine with
+    ``vacuum_versions`` retention policy; ``VERSION AS OF`` on Delta
+    at the same call site."""
+    vers = list_table_versions(path)
+    if not vers:
+        raise FileNotFoundError(f"no retained versions for {path}")
+    return spark.read.parquet(vers[version])

@@ -90,3 +90,37 @@ def test_vacuum_versions_removes_orphans_keeps_live(spark, tmp_path):
     leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
     assert leftovers == [live]
     assert vacuum_versions(path) == []  # idempotent
+
+
+def test_time_travel_reads_previous_versions(spark, tmp_path):
+    """list_table_versions orders oldest→newest with the live target
+    last; read_table_version(-2) returns the pre-swap state; vacuum
+    collapses history to the live version only."""
+    import time as _time
+
+    from data_warehouse_migration_spark.sources.maintenance import (
+        list_table_versions,
+        read_table_version,
+        vacuum_versions,
+    )
+    from data_warehouse_migration_spark.sources.writers import (
+        atomic_overwrite_parquet,
+    )
+
+    path = str(tmp_path / "tbl")
+    for n in (1, 2, 3):
+        atomic_overwrite_parquet(spark.range(n * 10), path)
+        _time.sleep(0.05)  # distinct mtimes for deterministic ordering
+
+    vers = list_table_versions(path)
+    assert len(vers) == 3
+    import os
+
+    assert os.path.realpath(vers[-1]) == os.path.realpath(path)
+    assert read_table_version(spark, path, -1).count() == 30
+    assert read_table_version(spark, path, -2).count() == 20
+    assert read_table_version(spark, path, 0).count() == 10
+
+    vacuum_versions(path)
+    assert len(list_table_versions(path)) == 1
+    assert read_table_version(spark, path, -1).count() == 30
