@@ -189,3 +189,46 @@ def bloom_maybe_member_packed(
         .agg((F.sum(F.col("_set").cast("int")) == F.lit(k)).alias("maybe_member"))
     )
     return batch.join(hits, key_col, "left")
+
+
+def feature_hash(
+    tokens: DataFrame,
+    doc_col: str,
+    token_col: str,
+    count_col: str,
+    n_features: int,
+    signed: bool = True,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): per-document sparse
+    feature vectors of FIXED dimensionality ``n_features`` with no
+    vocabulary table — bucket = hash(token) mod n, value = Σ ±count
+    (the sign from an independent hash makes collisions cancel in
+    expectation instead of only inflating, the property that lets
+    hashed features feed linear models unbiased).
+
+    Returns sparse rows ``(doc, feature_idx, value)`` — the join-
+    friendly form (assemble arrays downstream if a dense layout is
+    needed). Rows whose signed contributions cancel to 0 are kept:
+    dropping them would make the output depend on collision layout.
+
+    Scale: no vocabulary state AT ALL — the reason this beats TF-IDF
+    at 100 TB feature extraction (no global df pass, no vocab
+    broadcast, new tokens never resize anything). One shuffle on
+    (doc, bucket) with map-side combine. md5-portable hashes: the
+    DuckDB oracle recomputes every bucket and sign.
+    """
+    sign = (
+        F.when(hash_mod(F.col(token_col), 1, 2) == 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        if signed
+        else F.lit(1)
+    )
+    rows = tokens.select(
+        F.col(doc_col),
+        hash_mod(F.col(token_col), 0, n_features).alias("feature_idx"),
+        (sign * F.col(count_col).cast("long")).alias("_v"),
+    )
+    return rows.groupBy(doc_col, "feature_idx").agg(
+        F.sum("_v").alias("value")
+    )

@@ -304,3 +304,63 @@ def hdr_quantile_sketch(spark, sf_dir):
     daily = hdr_histogram(ev, ["event_type", "day"], "cents")
     merged = merge_histograms(daily.drop("day"))
     return hdr_quantiles(merged, ["event_type"], qs=(0.5, 0.95, 0.99))
+
+
+_FH_N = 64
+
+
+def _feature_hash_oracle() -> str:
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), wc AS (
+    SELECT doc_id, tok, count(*) AS c FROM words WHERE tok <> '' GROUP BY 1, 2
+), h AS (
+    SELECT doc_id,
+           {_h_sql('tok', 0, _FH_N)} AS feature_idx,
+           CASE WHEN {_h_sql('tok', 1, 2)} = 0 THEN c ELSE -c END AS v
+    FROM wc
+)
+SELECT doc_id, CAST(feature_idx AS BIGINT) AS feature_idx,
+       CAST(sum(v) AS BIGINT) AS value
+FROM h GROUP BY 1, 2
+"""
+
+
+@query(
+    "feature_hash_vectors",
+    tags=("sketch", "features", "hashing-trick"),
+    oracle=_feature_hash_oracle(),
+)
+def feature_hash_vectors(spark, sf_dir):
+    """Hashing-trick document features
+    (operators/sketches.feature_hash; Weinberger et al. 2009): each
+    document's token counts fold into a FIXED {n}-bucket signed
+    feature vector with no vocabulary table — the zero-global-state
+    text vectorizer (vs tfidf_top_terms' df pass + vocab join). Sparse
+    (doc, feature_idx, value) rows, signed so collisions cancel in
+    expectation; every bucket and sign recomputed by the oracle."""
+    from data_warehouse_migration_spark.operators.dedup import normalized_text
+    from data_warehouse_migration_spark.operators.sketches import feature_hash
+
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return feature_hash(wc, "doc_id", "tok", "c", _FH_N).select(
+        "doc_id",
+        F.col("feature_idx").cast("long").alias("feature_idx"),
+        "value",
+    )
+
+
+feature_hash_vectors.__doc__ = feature_hash_vectors.__doc__.replace(
+    "{n}", str(_FH_N)
+)

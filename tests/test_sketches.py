@@ -137,3 +137,22 @@ def test_packed_bloom_matches_bit_table(spark):
         .agg(F.expr("cast(bit_or(word) as long)").alias("word"))
     )
     assert sorted(merged.collect()) == sorted(words.collect())
+
+
+def test_feature_hash_fixed_dim_and_sign_cancellation(spark):
+    from data_warehouse_migration_spark.operators.sketches import feature_hash
+
+    wc = spark.createDataFrame(
+        [(1, f"tok{i}", i + 1) for i in range(200)], ["doc", "tok", "c"]
+    )
+    out = feature_hash(wc, "doc", "tok", "c", n_features=16).collect()
+    assert all(0 <= r.feature_idx < 16 for r in out)
+    assert len(out) <= 16  # fixed dimensionality regardless of vocab
+    # signed: absolute bucket mass ≤ unsigned mass wherever collisions mix signs
+    unsigned = feature_hash(
+        wc, "doc", "tok", "c", n_features=16, signed=False
+    ).collect()
+    u = {r.feature_idx: r.value for r in unsigned}
+    assert all(abs(r.value) <= u[r.feature_idx] for r in out)
+    # unsigned totals conserve mass exactly
+    assert sum(u.values()) == sum(range(1, 201))

@@ -100,6 +100,7 @@ EXTRA_AUDIT = (
     "curation_pipeline_v4",
     "cohort_weekly_retention",
     "hourly_anomaly_zscores",
+    "feature_hash_vectors",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
