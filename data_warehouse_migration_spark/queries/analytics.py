@@ -1958,3 +1958,165 @@ def hourly_anomaly_zscores(spark, sf_dir):
             "zscore",
         )
     )
+
+
+@query(
+    "equidepth_bucketizer",
+    tags=("features", "binning", "quantiles"),
+    oracle="""
+WITH v AS (
+    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), vc AS (
+    SELECT cents, count(*) AS c FROM v GROUP BY 1
+), r AS (
+    SELECT cents,
+           sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER () AS n
+    FROM vc
+), edges AS (
+    SELECT min(CASE WHEN cum >= CAST(floor(n * 0.25) AS BIGINT) THEN cents END) AS e1,
+           min(CASE WHEN cum >= CAST(floor(n * 0.50) AS BIGINT) THEN cents END) AS e2,
+           min(CASE WHEN cum >= CAST(floor(n * 0.75) AS BIGINT) THEN cents END) AS e3
+    FROM r
+), binned AS (
+    SELECT CASE WHEN cents <= e1 THEN 0
+                WHEN cents <= e2 THEN 1
+                WHEN cents <= e3 THEN 2
+                ELSE 3 END AS bucket,
+           cents
+    FROM v CROSS JOIN edges
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi
+FROM binned GROUP BY 1
+""",
+)
+def equidepth_bucketizer(spark, sf_dir):
+    """Equi-depth (quartile) feature binning — train-then-apply like
+    MLlib's QuantileDiscretizer but with EXACT edges, deterministic
+    and engine-portable: the rank-⌊n·q⌋ element equals the smallest
+    value whose cumulative count reaches ⌊n·q⌋, so training runs on
+    the AGGREGATED (value, count) table — shuffle and window are
+    bounded by the value DOMAIN (≤ distinct cents), never by the row
+    count, the key_skew_profile posture (whitelisted bounded global
+    window). Apply = a 1-row edge broadcast into a pure Column CASE —
+    zero shuffle on the 100 TB side. Output: per-bucket row counts +
+    actual value ranges."""
+    from pyspark.sql import Window
+
+    v = t(spark, sf_dir, "events").select(
+        "event_id", cents("value").alias("cents")
+    )
+    vc = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    r = vc.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("c").over(Window.partitionBy()))
+    edges = r.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor(F.col("n") * F.lit(q)).cast("long"),
+                    F.col("cents"),
+                )
+            ).alias(f"e{i}")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    binned = v.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("cents") <= F.col("e1"), 0)
+        .when(F.col("cents") <= F.col("e2"), 1)
+        .when(F.col("cents") <= F.col("e3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+        "cents",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.min("cents") / 100.0).alias("lo"),
+        (F.max("cents") / 100.0).alias("hi"),
+    )
+
+
+@query(
+    "welch_t_event_values",
+    tags=("stats", "ab-test"),
+    oracle="""
+WITH m AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+), w AS (
+    SELECT max(CASE WHEN event_type = 'click' THEN n END) AS na,
+           max(CASE WHEN event_type = 'click' THEN s1 END) AS sa1,
+           max(CASE WHEN event_type = 'click' THEN s2 END) AS sa2,
+           max(CASE WHEN event_type = 'purchase' THEN n END) AS nb,
+           max(CASE WHEN event_type = 'purchase' THEN s1 END) AS sb1,
+           max(CASE WHEN event_type = 'purchase' THEN s2 END) AS sb2
+    FROM m
+)
+SELECT na, nb,
+       round((CAST(sa1 AS DOUBLE) / na) / 100, 6) AS mean_a,
+       round((CAST(sb1 AS DOUBLE) / nb) / 100, 6) AS mean_b,
+       round((CAST(sa1 AS DOUBLE) / na - CAST(sb1 AS DOUBLE) / nb)
+             / sqrt((CAST(sa2 AS DOUBLE) / na
+                     - (CAST(sa1 AS DOUBLE) / na) * (CAST(sa1 AS DOUBLE) / na))
+                        / (na - 1)
+                    + (CAST(sb2 AS DOUBLE) / nb
+                       - (CAST(sb1 AS DOUBLE) / nb) * (CAST(sb1 AS DOUBLE) / nb))
+                        / (nb - 1)), 6)
+           AS t_stat
+FROM w
+""",
+)
+def welch_t_event_values(spark, sf_dir):
+    """Two-sample Welch t-statistic for value differences between two
+    event populations — the A/B-test primitive, computed entirely from
+    exact integer moments (n, Σx, Σx² per group; the anomaly-monitor
+    rule applied to inference). Each Welch term s²/n collapses
+    to population-variance/(n−1) — one division from the moments; all
+    divisions/sqrt identical IEEE on both engines, rounded to 6. One map-side-combined shuffle
+    to TWO rows; the statistic is a 1-row fold. (The p-value lookup is
+    a client-side table — a t CDF is not portable SQL.)"""
+    m = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", cents("value").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+    )
+    pick = lambda et, col: F.max(F.when(F.col("event_type") == et, F.col(col)))
+    w = m.agg(
+        pick("click", "n").alias("na"),
+        pick("click", "s1").alias("sa1"),
+        pick("click", "s2").alias("sa2"),
+        pick("purchase", "n").alias("nb"),
+        pick("purchase", "s1").alias("sb1"),
+        pick("purchase", "s2").alias("sb2"),
+    )
+    ma = F.col("sa1").cast("double") / F.col("na")
+    mb = F.col("sb1").cast("double") / F.col("nb")
+    # Welch term s²/n = (sample var)/n = (population var)·n/(n−1)/n
+    # = population var / (n−1): one division, no cancellation games.
+    va = (F.col("sa2").cast("double") / F.col("na") - ma * ma) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("sb2").cast("double") / F.col("nb") - mb * mb) / (
+        F.col("nb") - 1
+    )
+    return w.select(
+        "na",
+        "nb",
+        F.round(ma / 100, 6).alias("mean_a"),
+        F.round(mb / 100, 6).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(va + vb), 6).alias("t_stat"),
+    )

@@ -68,6 +68,8 @@ BNLJ_WHITELIST = {
                               #   aggregated per-key count table
     "curation_pipeline_v4",   # 1-row mix totals broadcast (the
                               #   temperature_weights tail stage)
+    "equidepth_bucketizer",   # 1-row trained-edges broadcast applied
+                              #   as a Column CASE (O(n·1))
     "rag_retrieval_pipeline", # exact brute-force retrieval baseline
                               #   (sanctioned similarity_topk shape —
                               #   queries broadcast, corpus streamed);
@@ -101,6 +103,8 @@ EXTRA_AUDIT = (
     "cohort_weekly_retention",
     "hourly_anomaly_zscores",
     "feature_hash_vectors",
+    "equidepth_bucketizer",
+    "welch_t_event_values",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
@@ -118,6 +122,9 @@ GLOBAL_WINDOW_WHITELIST = {
                               #   sketch estimates at test SF)
     "key_skew_profile",       # rank over the aggregated per-key count
                               #   table (|keys| rows, not |events|)
+    "equidepth_bucketizer",   # cumulative count over the aggregated
+                              #   DISTINCT-value table (domain-bounded,
+                              #   not row-bounded)
 }
 
 
