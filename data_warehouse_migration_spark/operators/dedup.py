@@ -37,8 +37,16 @@ def _prefix_len(n_sh_col: str, threshold: float) -> Column:
     overlap pairs — a real recall bug, caught by the containment
     oracle at sf0.01. Thresholds are rationalized over 1e6 (the repo's
     6-decimal threshold convention); ⌈a/b⌉ = (a+b−1) div b on longs.
+
+    One scaled unit of SLACK is built in (t_num − 1): verification
+    accepts on the ROUNDED similarity (round(x, 6) ≥ t), which admits
+    true values down to t − 5e-7 — the candidate bound must cover that
+    half-ulp band, or a pair verification would keep can fail to be
+    GENERATED once |A| is large enough for the band to contain an
+    integer overlap count (~1e6+ shingles). Cost: prefix at most one
+    shingle longer.
     """
-    t_num = round(threshold * 1_000_000)
+    t_num = round(threshold * 1_000_000) - 1
     ceil_t_n = F.expr(f"({t_num}L * {n_sh_col} + 999999L) div 1000000L")
     return (F.col(n_sh_col) - ceil_t_n + 1).cast("int")
 

@@ -45,10 +45,22 @@ def hdr_histogram(
     ``sub = (v·subbuckets div 2^e) − subbuckets`` ∈ [0, subbuckets).
     """
     sb = subbuckets
+    log_sb = sb.bit_length() - 1
+    if 1 << log_sb != sb:
+        raise ValueError("subbuckets must be a power of two")
     e = (F.length(F.conv(F.col(cents_col), 10, 2)) - 1).cast("int")
+    # v·sb div 2^e, computed WITHOUT the multiply for e ≥ log2(sb):
+    # v·sb overflows long at v ≥ 2^(63−log2 sb), well inside the
+    # advertised int64 domain; v div 2^(e−log2 sb) is the identical
+    # quotient (sb = 2^log2 sb exactly) and never overflows. The
+    # multiply form survives only for the tiny v < sb octaves.
     rows = df.withColumn("e", e).withColumn(
         "sub",
-        F.expr(f"(({cents_col} * {sb}) div shiftleft(1L, e)) - {sb}").cast("int"),
+        F.expr(
+            f"CASE WHEN e >= {log_sb}"
+            f" THEN ({cents_col} div shiftleft(1L, e - {log_sb})) - {sb}"
+            f" ELSE (({cents_col} * {sb}) div shiftleft(1L, e)) - {sb} END"
+        ).cast("int"),
     )
     return rows.groupBy(*group_cols, "e", "sub").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -78,7 +90,12 @@ def hdr_quantiles(
     count reaches ⌈q·n⌉, descaled to original units and rounded to 6.
 
     ``lo_scaled = (subbuckets + sub)·2^e`` keeps the representative in
-    integers until the single final division — the cross-engine rule.
+    integers until the single final division — the cross-engine rule
+    (exact for values below 2^(63−log2(2·subbuckets)), i.e. the whole
+    money-cents domain). The rank cut ⌈q·n⌉ is integer arithmetic with
+    q rationalized over 1e4 — ``ceil(0.99·n)`` through a double reads
+    one rank high whenever 0.99·n is an exact integer the product
+    computes a hair above.
     """
     sb = subbuckets
     w_cum = Window.partitionBy(*group_cols).orderBy("e", "sub")
@@ -90,11 +107,9 @@ def hdr_quantiles(
     )
     aggs = [F.max("total").cast("long").alias("n_values")]
     for q in qs:
-        est = F.min(
-            F.when(
-                F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("lo_scaled")
-            )
-        )
+        q_num = round(q * 10_000)
+        rank_cut = F.expr(f"({q_num}L * total + 9999L) div 10000L")
+        est = F.min(F.when(F.col("cum") >= rank_cut, F.col("lo_scaled")))
         aggs.append(
             F.round(est / float(sb) / float(scale), 6).alias(
                 f"p{str(q)[2:].ljust(2, '0')}_est"

@@ -76,7 +76,11 @@ def bloom_maybe_member(
 
     The bits table is broadcast — it is ≤ m rows by construction —
     so the probe is shuffle-free on the batch side: explode k
-    positions, hash-probe the broadcast set, count hits per key.
+    positions, hash-probe the broadcast set, and require EVERY probed
+    position to be set (``min`` over the hit flags — not a ``count ==
+    k``, which reads 2k rows for a key that appears twice in the
+    batch and k−1 distinct positions for a key whose hashes self-
+    collide, breaking the no-false-negative guarantee either way).
     """
     probed = batch.select(
         F.col(key_col),
@@ -89,7 +93,7 @@ def bloom_maybe_member(
             F.broadcast(bits.withColumn("_set", F.lit(1))), "bit_pos", "left"
         )
         .groupBy(key_col)
-        .agg((F.count("_set") == F.lit(k)).alias("maybe_member"))
+        .agg((F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("maybe_member"))
     )
     return batch.join(hits, key_col, "left")
 
@@ -186,7 +190,7 @@ def bloom_maybe_member_packed(
             (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0),
         )
         .groupBy(key_col)
-        .agg((F.sum(F.col("_set").cast("int")) == F.lit(k)).alias("maybe_member"))
+        .agg((F.min(F.col("_set").cast("int")) == 1).alias("maybe_member"))
     )
     return batch.join(hits, key_col, "left")
 
@@ -232,3 +236,19 @@ def feature_hash(
     return rows.groupBy(doc_col, "feature_idx").agg(
         F.sum("_v").alias("value")
     )
+
+
+def word_counts(docs: DataFrame, text_col: str = "text", group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Normalized-token counts ``(group..., tok, c)`` — THE tokenization
+    every sketch consumer shares (batch CMS, its streaming partials,
+    feature hashing). One definition on purpose: the streaming gates'
+    "bit-identical to batch" attestations hold only while both sides
+    tokenize identically, so the token stream must not be re-derived
+    per call site. Empty tokens dropped; map-side combined."""
+    from data_warehouse_migration_spark.operators.dedup import normalized_text
+
+    tok = docs.select(
+        *group_cols,
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return tok.groupBy(*group_cols, "tok").agg(F.count(F.lit(1)).alias("c"))

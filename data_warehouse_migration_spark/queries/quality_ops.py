@@ -1619,11 +1619,11 @@ tot AS (
     FROM c
 )
 SELECT tot.n_keys, tot.total_events, tot.max_cnt,
-       CAST(max(CASE WHEN rn = floor((n_keys - 1) * 0.5) + 1 THEN c END)
+       CAST(max(CASE WHEN rn = ((n_keys - 1) * 50) // 100 + 1 THEN c END)
             AS BIGINT) AS p50_cnt,
-       CAST(max(CASE WHEN rn = floor((n_keys - 1) * 0.9) + 1 THEN c END)
+       CAST(max(CASE WHEN rn = ((n_keys - 1) * 90) // 100 + 1 THEN c END)
             AS BIGINT) AS p90_cnt,
-       CAST(max(CASE WHEN rn = floor((n_keys - 1) * 0.99) + 1 THEN c END)
+       CAST(max(CASE WHEN rn = ((n_keys - 1) * 99) // 100 + 1 THEN c END)
             AS BIGINT) AS p99_cnt,
        round(max_cnt / (total_events / CAST(n_keys AS DOUBLE)), 6)
            AS skew_ratio,
@@ -1661,7 +1661,12 @@ def key_skew_profile(spark, sf_dir):
     )
 
     def pick(q: float):
-        idx = F.floor((F.col("n_keys") - 1) * F.lit(q)) + 1
+        # Integer rank: floor((n−1)·q) via (n−1)·q_num div 100 — the
+        # double product reads one low when (n−1)·0.99 is an exact
+        # integer (0.99 has no finite binary form), silently shifting
+        # the claimed type-1 percentile by one rank.
+        q_num = round(q * 100)
+        idx = F.expr(f"((n_keys - 1) * {q_num}) div 100") + 1
         return F.max(F.when(F.col("rn") == idx, F.col("c")))
 
     return (
@@ -1683,11 +1688,13 @@ def key_skew_profile(spark, sf_dir):
     )
 
 
-_BUCKET4 = """(
-      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"""
+# One canonical copy of the 4-nibble md5 bucket SQL (mirrors
+# operators/sampling.md5_bucket) lives in queries/llm_ops — import it
+# so a future convention change cannot desynchronize the v4 oracle's
+# split from every other gate's.
+from data_warehouse_migration_spark.queries.llm_ops import (  # noqa: E402
+    _MD5_BUCKET_SQL as _BUCKET4,
+)
 
 
 @query(

@@ -67,7 +67,8 @@ probe AS (
 ),
 maybe AS (
     SELECT p.doc_id,
-           (count(b.bit_pos) = {_BLOOM_K}) AS maybe_member
+           (min(CASE WHEN b.bit_pos IS NULL THEN 0 ELSE 1 END) = 1)
+               AS maybe_member
     FROM probe p LEFT JOIN bits b ON p.bit_pos = b.bit_pos
     GROUP BY 1
 ),
@@ -204,21 +205,14 @@ def heavy_hitters_cms(spark, sf_dir):
     sketches), and broadcasts for zero-shuffle probes. The exact
     count table here exists only to attest the estimates at test SF."""
     from pyspark.sql import Window
-    from data_warehouse_migration_spark.operators.dedup import normalized_text
     from data_warehouse_migration_spark.operators.sketches import (
         cms_counters,
         cms_estimate,
+        word_counts,
     )
 
     docs = t(spark, sf_dir, "documents")
-    wc = (
-        docs.select(
-            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok")
-        )
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    wc = word_counts(docs)
     counters = cms_counters(wc, "tok", "c", _CMS_D, _CMS_W)
     top = (
         wc.withColumn(
@@ -250,8 +244,10 @@ WITH c AS (
 ), b AS (
     SELECT event_type,
            CAST(length(bin(cents)) - 1 AS INT) AS e,
-           CAST(((cents * 16) // (1::BIGINT << (length(bin(cents)) - 1))) - 16
-                AS INT) AS sub
+           CAST(CASE WHEN length(bin(cents)) - 1 >= 4
+                     THEN (cents // (1::BIGINT << (length(bin(cents)) - 5))) - 16
+                     ELSE ((cents * 16) // (1::BIGINT << (length(bin(cents)) - 1))) - 16
+                END AS INT) AS sub
     FROM c
 ), h AS (
     SELECT event_type, e, sub, count(*) AS cnt FROM b GROUP BY 1, 2, 3
@@ -264,11 +260,11 @@ WITH c AS (
 )
 SELECT event_type,
        CAST(max(total) AS BIGINT) AS n_values,
-       round(min(CASE WHEN cum >= ceil(0.5 * total) THEN lo_scaled END)
+       round(min(CASE WHEN cum >= (5000 * total + 9999) // 10000 THEN lo_scaled END)
              / 16.0 / 100.0, 6) AS p50_est,
-       round(min(CASE WHEN cum >= ceil(0.95 * total) THEN lo_scaled END)
+       round(min(CASE WHEN cum >= (9500 * total + 9999) // 10000 THEN lo_scaled END)
              / 16.0 / 100.0, 6) AS p95_est,
-       round(min(CASE WHEN cum >= ceil(0.99 * total) THEN lo_scaled END)
+       round(min(CASE WHEN cum >= (9900 * total + 9999) // 10000 THEN lo_scaled END)
              / 16.0 / 100.0, 6) AS p99_est
 FROM w GROUP BY 1
 """,
@@ -341,19 +337,13 @@ def feature_hash_vectors(spark, sf_dir):
     text vectorizer (vs tfidf_top_terms' df pass + vocab join). Sparse
     (doc, feature_idx, value) rows, signed so collisions cancel in
     expectation; every bucket and sign recomputed by the oracle."""
-    from data_warehouse_migration_spark.operators.dedup import normalized_text
-    from data_warehouse_migration_spark.operators.sketches import feature_hash
+    from data_warehouse_migration_spark.operators.sketches import (
+        feature_hash,
+        word_counts,
+    )
 
     docs = t(spark, sf_dir, "documents")
-    wc = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    wc = word_counts(docs, group_cols=("doc_id",))
     return feature_hash(wc, "doc_id", "tok", "c", _FH_N).select(
         "doc_id",
         F.col("feature_idx").cast("long").alias("feature_idx"),

@@ -832,8 +832,10 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
 
     from pyspark.sql import Window
 
-    from data_warehouse_migration_spark.operators.dedup import normalized_text
-    from data_warehouse_migration_spark.operators.sketches import cms_estimate
+    from data_warehouse_migration_spark.operators.sketches import (
+        cms_estimate,
+        word_counts,
+    )
     from data_warehouse_migration_spark.queries.sketch_ops import (
         _CMS_D,
         _CMS_W,
@@ -876,16 +878,7 @@ def streaming_heavy_hitters_cms(spark, sf_dir):
                 f"expected a multi-epoch run, got {n_epochs} epoch partitions"
             )
         sketch = read_cms(spark, f"{base}/cms")
-        wc = (
-            docs.select(
-                F.explode(
-                    F.split(normalized_text(F.col("text")), " ")
-                ).alias("tok")
-            )
-            .filter(F.col("tok") != "")
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        wc = word_counts(docs)
         top = (
             wc.withColumn(
                 "rn", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
@@ -1034,10 +1027,6 @@ def streaming_anomaly_zscores(spark, sf_dir):
         read_anomalies,
         streaming_anomaly_maintenance,
     )
-    from data_warehouse_migration_spark.streaming.events import (
-        read_event_stream,
-    )
-
     base = tempfile.mkdtemp(prefix="stream_anom_")
     try:
         src = f"{base}/src"

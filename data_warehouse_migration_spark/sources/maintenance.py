@@ -206,9 +206,15 @@ def list_table_versions(path: str) -> list[str]:
             continue  # crashed pre-flip staging dir
         vers.append(full)
     vers.sort(key=os.path.getmtime)
-    if live is not None and live in vers:  # live is last even on mtime ties
-        vers.remove(live)
-        vers.append(live)
+    # live-last even on mtime ties; compare via realpath — the entries
+    # are abspath-built and an ancestor symlink (e.g. a linked data
+    # root) would otherwise defeat the membership test silently.
+    if live is not None:
+        for v in vers:
+            if os.path.realpath(v) == live:
+                vers.remove(v)
+                vers.append(v)
+                break
     return vers
 
 

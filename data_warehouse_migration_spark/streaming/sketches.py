@@ -36,17 +36,11 @@ def cms_batch_partial(
 ) -> DataFrame:
     """One batch's partial counter grid ``(r, bucket, total)`` over
     its normalized token stream."""
-    from data_warehouse_migration_spark.operators.dedup import normalized_text
+    from data_warehouse_migration_spark.operators.sketches import word_counts
 
-    wc = (
-        docs.select(
-            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok")
-        )
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+    return cms_counters(
+        word_counts(docs, text_col), "tok", "c", depth, width
     )
-    return cms_counters(wc, "tok", "c", depth, width)
 
 
 def streaming_cms_maintenance(

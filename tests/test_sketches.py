@@ -156,3 +156,31 @@ def test_feature_hash_fixed_dim_and_sign_cancellation(spark):
     assert all(abs(r.value) <= u[r.feature_idx] for r in out)
     # unsigned totals conserve mass exactly
     assert sum(u.values()) == sum(range(1, 201))
+
+
+def test_bloom_duplicate_probe_keys_no_false_negative(spark):
+    """A key appearing TWICE in the probe batch (duplicate texts — the
+    very thing a dedup pipeline sees) must still read maybe_member=
+    True when it is a member: the count==k formulation saw 2k probe
+    rows per key and reported a false negative (review finding)."""
+    members = spark.createDataFrame([("dup-key",), ("other",)], ["key"])
+    bits = bloom_bits(members, "key", M, K)
+    probes = spark.createDataFrame(
+        [("dup-key",), ("dup-key",), ("absent-key",)], ["key"]
+    )
+    out = bloom_maybe_member(probes, bits, "key", M, K).collect()
+    verdicts = {}
+    for r in out:
+        verdicts.setdefault(r.key, set()).add(r.maybe_member)
+    assert verdicts["dup-key"] == {True}
+    assert len([r for r in out if r.key == "dup-key"]) == 2
+
+    from data_warehouse_migration_spark.operators.sketches import (
+        bloom_maybe_member_packed,
+        bloom_words,
+    )
+
+    packed = bloom_maybe_member_packed(
+        probes, bloom_words(bits, M), "key", M, K
+    ).collect()
+    assert {r.maybe_member for r in packed if r.key == "dup-key"} == {True}
