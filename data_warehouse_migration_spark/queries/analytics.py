@@ -2120,3 +2120,125 @@ def welch_t_event_values(spark, sf_dir):
         F.round(mb / 100, 6).alias("mean_b"),
         F.round((ma - mb) / F.sqrt(va + vb), 6).alias("t_stat"),
     )
+
+
+@query(
+    "bitmap_distinct_rollup",
+    tags=("bitmap", "distinct", "rollup", "exact"),
+    oracle="""
+WITH e AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+), daily AS (
+    SELECT event_type, day, count(DISTINCT user_id) AS d FROM e GROUP BY 1, 2
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(d.d) AS BIGINT) AS sum_daily_distinct,
+       CAST(t.total AS BIGINT) AS distinct_users_total
+FROM daily d
+JOIN (SELECT event_type, count(DISTINCT user_id) AS total
+      FROM e GROUP BY 1) t USING (event_type)
+GROUP BY d.event_type, t.total
+""",
+)
+def bitmap_distinct_rollup(spark, sf_dir):
+    """Exact distinct-user rollup via bitmaps
+    (operators/bitmaps.py, the ClickHouse groupBitmap pattern): per
+    (type, day) bitmap words are built ONCE from events, then the
+    cross-day total comes from a ``bit_or`` UNION of the stored daily
+    words — no second scan of events, no approximation. The gate
+    output (per-day distinct sums vs the merged exact total) is
+    checked against plain COUNT(DISTINCT) recomputation, attesting
+    that popcount-over-words ≡ true distinct and that the word-level
+    union deduplicates across days exactly — the continuous-aggregate
+    story HLL can only approximate, for dense integer id spaces.
+
+    Scale: one (type, day, word) shuffle over events; merges and
+    cardinalities touch only word tables (≤ keyspace/64 rows per
+    group). Sparse/64-bit ids → roaring containers, same plan."""
+    from data_warehouse_migration_spark.operators.bitmaps import (
+        bitmap_cardinality,
+        bitmap_merge,
+        key_bitmap,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily_bm = key_bitmap(ev, ["event_type", "day"], "user_id")
+    daily = bitmap_cardinality(daily_bm, ["event_type", "day"])
+    total = bitmap_cardinality(
+        bitmap_merge(daily_bm.drop("day"), ["event_type"]), ["event_type"]
+    ).withColumnRenamed("n_distinct", "distinct_users_total")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_distinct").alias("sum_daily_distinct"),
+        )
+        .join(total, "event_type")
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    tags=("stats", "trend", "monitoring"),
+    oracle="""
+WITH d AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type,
+           CASE WHEN b.cents > a.cents THEN 1
+                WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+    FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+), agg AS (
+    SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+)
+SELECT event_type, s_stat, n_pairs,
+       round(CAST(s_stat AS DOUBLE) / n_pairs, 6) AS kendall_tau
+FROM agg
+""",
+)
+def mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend statistic per event type over the DAILY
+    revenue series — the nonparametric drift detector monitoring
+    pipelines run on KPI series (S = Σ sign(x_j − x_i) over ordered
+    day pairs; τ = S / n_pairs). The pair join runs on the AGGREGATED
+    per-day table — |days|² pairs per type, bounded by the calendar,
+    never by event count — after one map-side-combined daily rollup.
+    All integers until the final τ division (exact cents; sign is
+    integer), so the oracle recomputes bit-for-bit."""
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents("value").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    a = d.select("event_type", F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select("event_type", F.col("day").alias("db"), F.col("cents").alias("cb"))
+    pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
+    sgn = (
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+    )
+    return (
+        pairs.select("event_type", sgn.alias("sgn"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("sgn").cast("long").alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .withColumn(
+            "kendall_tau",
+            F.round(F.col("s_stat").cast("double") / F.col("n_pairs"), 6),
+        )
+    )

@@ -184,3 +184,28 @@ def test_bloom_duplicate_probe_keys_no_false_negative(spark):
         probes, bloom_words(bits, M), "key", M, K
     ).collect()
     assert {r.maybe_member for r in packed if r.key == "dup-key"} == {True}
+
+
+def test_bitmap_exact_distinct_and_union(spark):
+    """Bitmap popcount == true COUNT(DISTINCT); bit_or union across
+    groups deduplicates exactly (operators/bitmaps.py)."""
+    from data_warehouse_migration_spark.operators.bitmaps import (
+        bitmap_cardinality,
+        bitmap_merge,
+        key_bitmap,
+    )
+
+    rows = [("a", u) for u in [1, 1, 63, 64, 65, 200]] + [
+        ("b", u) for u in [1, 64, 300, 300]
+    ]
+    df = spark.createDataFrame(rows, ["g", "uid"])
+    bm = key_bitmap(df, ["g"], "uid")
+    per_group = {
+        r.g: r.n_distinct for r in bitmap_cardinality(bm, ["g"]).collect()
+    }
+    assert per_group == {"a": 5, "b": 3}
+    merged = bitmap_cardinality(
+        bitmap_merge(bm.drop("g"), []), []
+    ).collect()[0]
+    # union: {1, 63, 64, 65, 200, 300} — 1 and 64 shared between groups
+    assert merged.n_distinct == 6

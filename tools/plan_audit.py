@@ -105,6 +105,8 @@ EXTRA_AUDIT = (
     "feature_hash_vectors",
     "equidepth_bucketizer",
     "welch_t_event_values",
+    "bitmap_distinct_rollup",
+    "mann_kendall_trend",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
