@@ -1079,3 +1079,74 @@ def _attach_anomaly_oracle() -> None:
 
 
 _attach_anomaly_oracle()
+
+
+@query(
+    "streaming_bitmap_distinct",
+    tags=("streaming", "bitmap", "distinct", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch rollup's oracle
+)
+def streaming_bitmap_distinct(spark, sf_dir):
+    """Exact distinct-user maintenance on the real streaming engine
+    (streaming/bitmaps.py): events arrive as a 4-file stream, each
+    epoch writes its own partial bitmap words, and the served summary
+    folds them with bit_or — idempotent AND commutative, the strongest
+    merge algebra in the maintenance family, so the stream-built
+    result is bit-identical to the one-shot batch
+    `bitmap_distinct_rollup` regardless of batch boundaries, replays,
+    or arrival order. Attested against the SAME COUNT(DISTINCT)
+    oracle."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.streaming.bitmaps import (
+        read_bitmap_rollup,
+        streaming_bitmap_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_bitmap_")
+    try:
+        src = f"{base}/src"
+        t(spark, sf_dir, "events").repartitionByRange(4, "event_id").write.parquet(
+            src
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_bitmap_maintenance(
+            stream, table_path=f"{base}/words", checkpoint=f"{base}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_bitmap_distinct did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        partials = spark.read.parquet(f"{base}/words")
+        n_epochs = partials.select("epoch").distinct().count()
+        if n_epochs < 2:
+            raise AssertionError(
+                f"expected a multi-epoch run, got {n_epochs} epoch partitions"
+            )
+        out = read_bitmap_rollup(spark, f"{base}/words")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_bitmap_oracle() -> None:
+    """The streaming twin attests against the SAME SQL as the batch
+    rollup — bit_or folds are batch-boundary-invariant."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+
+    REGISTRY["streaming_bitmap_distinct"].oracle = REGISTRY[
+        "bitmap_distinct_rollup"
+    ].oracle
+
+
+_attach_bitmap_oracle()

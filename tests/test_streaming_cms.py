@@ -111,3 +111,33 @@ def test_anomaly_partials_replay_and_fold(spark, tmpdir):
     assert [(r.event_type, r.bucket, r.cents) for r in after] == [
         (r.event_type, r.bucket, r.cents) for r in direct
     ]
+
+
+def test_bitmap_partials_replay_and_fold(spark, tmpdir):
+    """streaming/bitmaps.py: replayed epoch rewrites; overlapping
+    batches fold to the exact union (bit_or idempotence)."""
+    import datetime
+
+    from data_warehouse_migration_spark.streaming.bitmaps import (
+        bitmap_partials,
+        read_bitmap_rollup,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [
+                (i, datetime.datetime(2024, 1, 1 + d, 9), "click", u, 1.0)
+                for i, (d, u) in enumerate(rows)
+            ],
+            ["event_id", "ts", "event_type", "user_id", "value"],
+        )
+
+    a = ev([(0, 1), (0, 2), (1, 1)])
+    b = ev([(0, 2), (1, 3)])  # user 2 on day 0 overlaps batch a
+    _write_epoch(bitmap_partials(a), tmpdir, 0)
+    _write_epoch(bitmap_partials(b), tmpdir, 1)
+    _write_epoch(bitmap_partials(b), tmpdir, 1)  # replay
+    out = {r.event_type: r for r in read_bitmap_rollup(spark, tmpdir).collect()}
+    r = out["click"]
+    # day0 users {1,2}, day1 users {1,3}: daily sum 4, total distinct 3
+    assert (r.n_days, r.sum_daily_distinct, r.distinct_users_total) == (2, 4, 3)
