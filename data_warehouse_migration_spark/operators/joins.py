@@ -262,8 +262,11 @@ def range_join_by_bucket(
     ``n_salts > 1`` splits every bucket into that many sub-buckets for
     HOT time windows (a flash crowd packs one W-slice with rows, and
     one task inherits the whole bucket): the right side salts by a
-    content-addressed hash of its own row (``pmod(xxhash64(right_ts),
-    n_salts)`` — no ``rand()``, retries reproduce it), the left side
+    content-addressed hash of its WHOLE row (``pmod(xxhash64(*cols),
+    n_salts)`` — no ``rand()``, retries reproduce it; hashing only the
+    timestamp would send a flash crowd sharing one second-resolution
+    ts into a single salt, leaving the skew intact while the left
+    still pays full replication — review finding), the left side
     replicates across all salts (×``n_salts`` on the already-≤2×
     replicated probe side). Results are provably identical — salting
     only refines the partitioning key.
@@ -293,7 +296,10 @@ def range_join_by_bucket(
         )
         r_b = r_b.withColumn(
             "__salt",
-            F.pmod(F.xxhash64(F.col(right_ts)), F.lit(n_salts)).cast("int"),
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in right.columns]),
+                F.lit(n_salts),
+            ).cast("int"),
         )
 
     cond: Column = l_exp["__b"] == r_b["__b"]

@@ -122,6 +122,20 @@ def write_zordered(
             F.min(y_col).alias("ylo"),
             F.max(y_col).alias("yhi"),
         ).first()
+        if any(stats[k] is None for k in ("xlo", "xhi", "ylo", "yhi")):
+            raise ValueError(
+                "write_zordered: empty input or all-null z-order column — "
+                "nothing to cluster"
+            )
+        span = max(
+            int(stats["xhi"]) - int(stats["xlo"]) + 1,
+            int(stats["yhi"]) - int(stats["ylo"]) + 1,
+        )
+        if bits > 62 - span.bit_length():  # quantize_dim (c−lo)·2^bits headroom
+            raise ValueError(
+                f"write_zordered: bits={bits} overflows for span {span}; "
+                f"max safe bits here is {62 - span.bit_length()}"
+            )
         x = quantize_dim(x, F.lit(int(stats["xlo"])), F.lit(int(stats["xhi"])), bits)
         y = quantize_dim(y, F.lit(int(stats["ylo"])), F.lit(int(stats["yhi"])), bits)
     coded = df.withColumn("z_code", morton_code(x, y, bits))
@@ -151,11 +165,33 @@ def write_zordered_n(
     stats reordering are the published next steps."""
     if not cols:
         raise ValueError("need at least one column")
-    bits = bits if bits is not None else 62 // len(cols)
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     stats = df.agg(*aggs).first()
+    spans = {}
+    for c in cols:
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"write_zordered_n: column {c!r} has no values (empty input "
+                "or all-null) — nothing to cluster"
+            )
+        spans[c] = int(hi) - int(lo) + 1
+    # quantize_dim computes (c − lo)·2^bits on longs: bits must leave
+    # headroom for the widest span or the product silently wraps (ANSI
+    # off) and z-codes are garbage. Cap the default by BOTH the
+    # interleave budget (62 // n) and per-dimension span headroom;
+    # reject an explicit bits that would overflow.
+    span_cap = min(62 - s.bit_length() for s in spans.values())
+    if bits is None:
+        bits = max(1, min(62 // len(cols), span_cap))
+    elif bits > span_cap:
+        widest = max(spans, key=spans.get)
+        raise ValueError(
+            f"write_zordered_n: bits={bits} overflows (column {widest!r} "
+            f"spans {spans[widest]}; max safe bits here is {span_cap})"
+        )
     dims = [
         quantize_dim(
             F.col(c),

@@ -577,30 +577,42 @@ def ivf_topk_from_index(
     partition pruning skips every unprobed list's files
     (test-asserted via the scanned-file set). Scoring/top-k math is
     identical to :func:`ivf_topk` — same results when built from the
-    same codebook."""
+    same codebook. Returns a MATERIALIZED local frame (q×k rows —
+    driver-small by construction), which lets the probe assignment be
+    persisted across its two consumers and released before return."""
     centroids = read_ivf_centroids(spark, index_dir)
     c = _centroid_frame(spark, centroids)
+    # Persist the (small) probe assignment: it feeds BOTH the probed-
+    # cluster-id collect and the scoring join — unpersisted, the
+    # query×centroid assignment ran twice per lookup (review finding).
     probes = _assign_nearest(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
         c, "q_id", "q_vec", keep=n_probe,
-    )
-    probed = sorted({r["cluster"] for r in probes.select("cluster").distinct().collect()})
-    lists = spark.read.parquet(f"{index_dir}/lists").filter(
-        F.col("cluster").isin(probed)
-    )
-    scored = (
-        probes.join(lists, "cluster")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "cosine", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to)
+    ).persist()
+    try:
+        probed = sorted(
+            {r["cluster"] for r in probes.select("cluster").distinct().collect()}
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+        lists = spark.read.parquet(f"{index_dir}/lists").filter(
+            F.col("cluster").isin(probed)
+        )
+        scored = (
+            probes.join(lists, "cluster")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .withColumn(
+                "cosine", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to)
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cosine", "rank")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        probes.unpersist()
 
 
 def pseudo_embedding(text: Column, dim: int = 16) -> Column:

@@ -26,6 +26,34 @@ from data_warehouse_migration_spark.streaming.events import (
 )
 
 
+def _stage_ordered_stream(spark, parts, src):
+    """Write the given DataFrames as one staged multi-directory stream
+    source with STRICTLY INCREASING mtimes (+2 s apart) and return a
+    maxFilesPerTrigger=1 reader over it — FileStreamSource orders by
+    modification time, and three gates depend on that arrival order
+    (ingest dedup's batch-order statuses, SemDeDup's ascending-id
+    equivalence with batch, rollup's epoch accounting). ONE copy of
+    the os.utime trick on purpose: if mtime ordering ever flakes on a
+    filesystem, the fix lands everywhere at once."""
+    import os
+    import time
+
+    for k, df in enumerate(parts):
+        part = f"{src}/b{k}"
+        df.coalesce(1).write.parquet(part)
+        ts = time.time() + k * 2
+        for root, _, files in os.walk(part):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (ts, ts))
+    schema = spark.read.parquet(f"{src}/b0").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+
+
 @query(
     "streaming_session_windows",
     tags=("streaming", "session_window", "2.10"),
@@ -650,10 +678,8 @@ def streaming_ingest_dedup_gate(spark, sf_dir):
     grow-the-index protocol, the epoch-partitioned exactly-once
     writes, and the 4-way status priority across batch boundaries.
     Statuses are collected (≤ the stream slice) before temp cleanup."""
-    import os
     import shutil
     import tempfile
-    import time
 
     from data_warehouse_migration_spark.operators.sampling import hash_split
     from data_warehouse_migration_spark.streaming.ingest import (
@@ -669,22 +695,10 @@ def streaming_ingest_dedup_gate(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="stream_ingest_")
     try:
         write_dedup_index(corpus, f"{base}/index")
-        src = f"{base}/src"
-        for k in range(3):
-            part = f"{src}/b{k}"
-            incoming.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
-                part
-            )
-            ts = time.time() + k * 2
-            for root, _, files in os.walk(part):
-                for fname in files:
-                    os.utime(os.path.join(root, fname), (ts, ts))
-        schema = spark.read.parquet(f"{src}/b0").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(src)
+        stream = _stage_ordered_stream(
+            spark,
+            [incoming.filter(F.col("doc_id") % 3 == k) for k in range(3)],
+            f"{base}/src",
         )
         q = streaming_ingest_dedup(
             stream,
@@ -738,10 +752,8 @@ def streaming_rollup_maintenance_gate(spark, sf_dir):
     batch splits is the whole point (counts and integer cents are
     algebraic; a non-algebraic statistic would need the drift
     monitor's full-recompute shape instead)."""
-    import os
     import shutil
     import tempfile
-    import time
 
     from data_warehouse_migration_spark.streaming.rollup import (
         compact_rollup,
@@ -752,22 +764,10 @@ def streaming_rollup_maintenance_gate(spark, sf_dir):
     events = t(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="stream_rollup_")
     try:
-        src = f"{base}/src"
-        for k in range(3):
-            part = f"{src}/b{k}"
-            events.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(
-                part
-            )
-            ts = time.time() + k * 2
-            for root, _, files in os.walk(part):
-                for fname in files:
-                    os.utime(os.path.join(root, fname), (ts, ts))
-        schema = spark.read.parquet(f"{src}/b0").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(src)
+        stream = _stage_ordered_stream(
+            spark,
+            [events.filter(F.col("event_id") % 3 == k) for k in range(3)],
+            f"{base}/src",
         )
         q = streaming_rollup_maintenance(
             stream, table_path=f"{base}/rollup", checkpoint=f"{base}/ckpt"
@@ -928,10 +928,8 @@ def streaming_semdedup_ingest_gate(spark, sf_dir):
     attested against the SAME unrolled-Lloyd's + keep-rule SQL oracle,
     covering the epoch protocol, the member-index growth, and the
     replay cutoff, not just the cosine arithmetic."""
-    import os
     import shutil
     import tempfile
-    import time
 
     from pyspark.sql import Window
 
@@ -950,22 +948,10 @@ def streaming_semdedup_ingest_gate(spark, sf_dir):
     )
     base = tempfile.mkdtemp(prefix="stream_semdedup_")
     try:
-        src = f"{base}/src"
-        for k in range(3):
-            part = f"{src}/b{k}"
-            ranked.filter(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(
-                part
-            )
-            ts = time.time() + k * 2
-            for root, _, files in os.walk(part):
-                for fname in files:
-                    os.utime(os.path.join(root, fname), (ts, ts))
-        schema = spark.read.parquet(f"{src}/b0").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(src)
+        stream = _stage_ordered_stream(
+            spark,
+            [ranked.filter(F.col("__b") == k).drop("__b") for k in range(3)],
+            f"{base}/src",
         )
         q = streaming_semdedup_ingest(
             stream,

@@ -9,10 +9,15 @@ Why ``foreachBatch`` and not a stateful streaming aggregation: the
 KL needs the FULL running histogram joined against the reference on
 every emission (a vocabulary-sized full-outer merge), which append/
 update-mode sinks cannot express; the micro-batch boundary is exactly
-the "one monitoring epoch" unit. State is a parquet count table
-updated by the atomic stage-and-swap writer — distributed, no driver
-state, readable by any other job between epochs — and the per-epoch
-KL rows append to a results log a dashboard tails.
+the "one monitoring epoch" unit. State is per-epoch DELTA
+count partials under ``epoch=K`` partitions (dynamic partition
+overwrite — the rollup pattern): a replayed epoch REWRITES its own
+partition instead of re-merging into a running table, which is what
+makes crash replay exact (the original read-merge-overwrite design
+double-counted a replayed batch's tokens — review finding). The
+served histogram is the fold of partials (`read_drift_state`),
+readable by any job between epochs; per-epoch KL rows land in
+epoch partitions of the results table the same replay-safe way.
 
 Scale posture per epoch: batch token-count (map-side combined), one
 vocabulary-sized merge into the state table, one vocabulary-sized
@@ -26,16 +31,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
-
 from data_warehouse_migration_spark.operators.drift import (
     kl_between_counts,
-    merge_token_counts,
     token_counts,
 )
 from data_warehouse_migration_spark.sources.writers import (
-    atomic_overwrite_parquet,
+    overwrite_partitions_dynamic,
 )
+
+
+def read_drift_state(spark, state_path: str) -> "DataFrame":
+    """The served running histogram: fold the per-epoch count
+    partials — vocabulary-sized, exact integer sums, identical to the
+    one-shot count of everything streamed (merge_token_counts of the
+    epochs, expressed as one groupBy)."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("t")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
 
 
 def streaming_corpus_drift(
@@ -53,10 +67,11 @@ def streaming_corpus_drift(
     kl_ab, kl_ba)`` where side *a* is the fixed ``reference_counts``
     ``(t, c)`` table and side *b* is everything streamed so far.
 
-    Replay-safe: an epoch re-run re-derives the same next-state (merge
-    is idempotent per epoch under the checkpoint's exactly-once
-    contract), and the results log carries the epoch id so a replayed
-    row is distinguishable. Returns the started streaming query.
+    Replay-safe BY CONSTRUCTION: the batch's token counts land as an
+    ``epoch=K`` partition (replay rewrites it), and the KL row for the
+    epoch does the same — no read-merge-rewrite anywhere, so a crash
+    between the state write and the checkpoint commit cannot
+    double-count. Returns the started streaming query.
     """
     ref = reference_counts.select("t", F.col("c").cast("long").alias("c"))
 
@@ -64,18 +79,17 @@ def streaming_corpus_drift(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:
-            state = None
-        next_state = merge_token_counts(
-            state, token_counts(batch_df, text_col=text_col)
+        overwrite_partitions_dynamic(
+            token_counts(batch_df, text_col=text_col).withColumn(
+                "epoch", F.lit(int(epoch_id)).cast("long")
+            ),
+            state_path,
+            partition_by=["epoch"],
         )
-        atomic_overwrite_parquet(next_state, state_path)
-        kl = kl_between_counts(ref, spark.read.parquet(state_path)).withColumn(
+        kl = kl_between_counts(ref, read_drift_state(spark, state_path)).withColumn(
             "epoch", F.lit(int(epoch_id)).cast("long")
         )
-        kl.write.mode("append").parquet(results_path)
+        overwrite_partitions_dynamic(kl, results_path, partition_by=["epoch"])
 
     writer = doc_stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

@@ -38,16 +38,28 @@ _KEYS = ("granularity", "bucket", "event_type")
 
 def rollup_partials(events: DataFrame) -> DataFrame:
     """One batch's partial lattice: ``(granularity, bucket,
-    event_type, n_events, cents)`` via GROUPING SETS — one pass."""
+    event_type, n_events, cents)`` via GROUPING SETS — one pass.
+
+    The temp view is UNIQUELY NAMED per call and dropped after plan
+    construction: a fixed session-global name races when two
+    maintenance streams share one SparkSession (foreachBatch callbacks
+    run on separate threads — one stream's createOrReplaceTempView
+    could swap the base under the other's aggregation, committing the
+    wrong batch's partials; review finding)."""
+    import uuid
+
+    view = f"__rollup_partials_{uuid.uuid4().hex[:12]}"
+    spark = events.sparkSession
     events.select(
         F.date_trunc("hour", F.col("ts")).alias("hour_b"),
         F.date_trunc("day", F.col("ts")).alias("day_b"),
         F.date_trunc("month", F.col("ts")).alias("month_b"),
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).createOrReplaceTempView("__rollup_partials_base")
-    return events.sparkSession.sql(
-        """
+    ).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
 SELECT CASE WHEN grouping(hour_b) = 0 THEN 'hour'
             WHEN grouping(day_b) = 0 THEN 'day'
             ELSE 'month' END AS granularity,
@@ -55,11 +67,13 @@ SELECT CASE WHEN grouping(hour_b) = 0 THEN 'hour'
        event_type,
        count(*) AS n_events,
        sum(cents) AS cents
-FROM __rollup_partials_base
+FROM {view}
 GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
                         (month_b, event_type))
 """
-    )
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def streaming_rollup_maintenance(

@@ -67,3 +67,28 @@ def test_streaming_drift_converges_to_batch(spark, tmp_path):
     final = rows[-1]
     for c in ("n_tokens_a", "n_tokens_b", "vocab_union", "kl_ab", "kl_ba"):
         assert final[c] == batch[c], c
+
+
+def test_drift_state_replay_does_not_double_count(spark, tmp_path):
+    """A replayed epoch rewrites its state partition — the folded
+    histogram (and therefore every later KL) is unchanged. The
+    original read-merge-overwrite design double-counted here."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.drift import token_counts
+    from data_warehouse_migration_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+    )
+    from data_warehouse_migration_spark.streaming.drift import read_drift_state
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    part = token_counts(docs).withColumn("epoch", F.lit(0).cast("long"))
+    path = str(tmp_path / "state")
+    overwrite_partitions_dynamic(part, path, partition_by=["epoch"])
+    before = sorted(read_drift_state(spark, path).collect())
+    overwrite_partitions_dynamic(part, path, partition_by=["epoch"])  # replay
+    after = sorted(read_drift_state(spark, path).collect())
+    assert before == after
+    assert dict((r.t, r.c) for r in after) == {"alpha": 2, "beta": 2, "gamma": 1}

@@ -68,7 +68,8 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
-    # --window: only the first 50 registry entries — exactly the set
+    # --window: only the first DRIVER_WINDOW registry entries —
+    # exactly the set
     # the driver's correctness gate attests (ROTATION.md), for a fast
     # local replica of that run.
     window_only = "--window" in args
@@ -80,7 +81,9 @@ def main() -> int:
     from data_warehouse_migration_spark.session import get_spark
 
     if window_only:
-        only = set(list(REGISTRY)[:50]) & (only or set(REGISTRY))
+        from tools.plan_audit import DRIVER_WINDOW  # single source of truth
+
+        only = set(list(REGISTRY)[:DRIVER_WINDOW]) & (only or set(REGISTRY))
 
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
