@@ -1136,3 +1136,69 @@ def _attach_bitmap_oracle() -> None:
 
 
 _attach_bitmap_oracle()
+
+
+@query(
+    "streaming_hdr_quantiles",
+    tags=("streaming", "sketch", "quantiles", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch sketch's oracle
+)
+def streaming_hdr_quantiles(spark, sf_dir):
+    """HDR quantile maintenance on the real streaming engine
+    (streaming/sketches.streaming_hdr_maintenance): events arrive as a
+    4-file stream, each epoch writes its own partial histogram cells,
+    and the served per-type quantiles fold the partials — the
+    histogram merge is an exact integer cell sum (zero accuracy loss,
+    the property GK/t-digest merges lack), so the stream-built readout
+    is bit-identical to the one-shot batch `hdr_quantile_sketch` and
+    attests against the SAME oracle."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.streaming.sketches import (
+        read_hdr_quantiles,
+        streaming_hdr_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_hdr_")
+    try:
+        stream = _stage_ordered_stream(
+            spark,
+            [
+                t(spark, sf_dir, "events").filter(F.col("event_id") % 4 == k)
+                for k in range(4)
+            ],
+            f"{base}/src",
+        )
+        q = streaming_hdr_maintenance(
+            stream, table_path=f"{base}/hist", checkpoint=f"{base}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_hdr_quantiles did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        partials = spark.read.parquet(f"{base}/hist")
+        n_epochs = partials.select("epoch").distinct().count()
+        if n_epochs != 4:
+            raise AssertionError(f"expected 4 epochs, saw {n_epochs}")
+        out = read_hdr_quantiles(spark, f"{base}/hist")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_hdr_oracle() -> None:
+    """The streaming twin attests against the SAME SQL as the batch
+    sketch — integer cell folds are batch-boundary-invariant."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+
+    REGISTRY["streaming_hdr_quantiles"].oracle = REGISTRY[
+        "hdr_quantile_sketch"
+    ].oracle
+
+
+_attach_hdr_oracle()

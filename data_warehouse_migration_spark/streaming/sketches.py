@@ -103,3 +103,63 @@ def compact_cms(spark: SparkSession, table_path: str) -> None:
     stage = os.path.join(parent, f".{base}.__v_compact_{uuid.uuid4().hex[:8]}")
     compacted.write.mode("overwrite").partitionBy("epoch").parquet(stage)
     atomic_publish_dir(stage, table_path)
+
+
+def hdr_batch_partial(events: DataFrame) -> DataFrame:
+    """One batch's partial HDR histogram ``(event_type, e, sub, cnt)``
+    over exact value cents (operators/histogram_sketch.py)."""
+    from data_warehouse_migration_spark.operators.histogram_sketch import (
+        hdr_histogram,
+    )
+
+    ev = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return hdr_histogram(ev, ["event_type"], "cents")
+
+
+def streaming_hdr_maintenance(
+    event_stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Maintain per-epoch HDR histogram partials from an event stream
+    — the quantile member of the mergeable-maintenance family (rollup
+    counts, count-min cells, anomaly moments, distinct bitmaps): the
+    histogram merge is an exact integer cell sum, so the served
+    quantiles are bit-identical to the one-shot batch sketch whatever
+    the batch boundaries. Same epoch=K dynamic-overwrite replay
+    contract as every sibling. Returns the started query."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        overwrite_partitions_dynamic(
+            hdr_batch_partial(batch_df).withColumn(
+                "epoch", F.lit(int(epoch_id)).cast("long")
+            ),
+            table_path,
+            partition_by=["epoch"],
+        )
+
+    writer = event_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hdr_quantiles(
+    spark: SparkSession, table_path: str, qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Served quantiles from the folded partials — identical output
+    (and oracle) to the batch `hdr_quantile_sketch`."""
+    from data_warehouse_migration_spark.operators.histogram_sketch import (
+        hdr_quantiles,
+        merge_histograms,
+    )
+
+    partials = spark.read.parquet(table_path).drop("epoch")
+    return hdr_quantiles(merge_histograms(partials), ["event_type"], qs=qs)
