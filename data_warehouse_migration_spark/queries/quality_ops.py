@@ -1803,3 +1803,119 @@ def curation_pipeline_v4(spark, sf_dir):
     return mix.join(n_docs, "lang").select(
         "lang", "n_docs", "n_size", "weight", "boost"
     )
+
+
+@query(
+    "dedup_exact_best_copy",
+    tags=("dedup", "canonical-selection", "quality"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, md5(txt) AS dg,
+           length(txt) AS n_chars
+    FROM n
+), ranked AS (
+    SELECT doc_id, lang, dg, n_chars,
+           row_number() OVER (PARTITION BY dg
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY dg) AS n_copies
+    FROM scored
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_exact_best_copy(spark, sf_dir):
+    """Exact dedup with CANONICAL-COPY selection: instead of the
+    min-id survivor every other dedup gate uses, keep the
+    highest-quality copy per content digest (here: longest normalized
+    text, doc_id tie-break — production swaps in any quality score).
+    The distinction matters in real crawls where near-identical copies
+    differ in truncation/boilerplate: min-id keeps whichever arrived
+    first, best-copy keeps the most complete. One digest-keyed window
+    — same single shuffle as `dedup_exact`; survivors carry their
+    duplicate-group size for audit."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    txt = normalized_text(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(txt).alias("dg"),
+        F.length(txt).cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy("dg").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("dg"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "n_copies")
+    )
+
+
+@query(
+    "doc_novelty_scores",
+    tags=("dedup", "novelty", "quality"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), words AS (
+    SELECT doc_id, string_split(txt, ' ') AS w FROM n
+), sh AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM words, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+), own AS (
+    SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1
+), per AS (
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+    FROM sh s JOIN own o USING (sh) GROUP BY 1
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       round(n_novel / CAST(n_shingles AS DOUBLE), 6) AS novelty
+FROM per
+""",
+)
+def doc_novelty_scores(spark, sf_dir):
+    """Per-document n-gram NOVELTY under corpus order: the fraction of
+    a doc's distinct 3-gram shingles whose FIRST corpus occurrence
+    (min doc_id) is the doc itself — 1.0 = entirely fresh content,
+    → 0 = everything seen earlier (the curation signal behind
+    "deduplicate then sort by novelty" data-ordering recipes, and a
+    graded complement to span removal's binary ownership). Two
+    shingle-digest-keyed shuffles (ownership min + per-doc counts);
+    text never shuffles; never any pairwise join."""
+    from data_warehouse_migration_spark.operators.dedup import shingle_index
+
+    docs = t(spark, sf_dir, "documents")
+    sh = shingle_index(docs, n=3, fast_hash=True)
+    own = sh.groupBy("sh").agg(F.min("doc").alias("first_doc"))
+    per = (
+        sh.join(own, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+        ).alias("novelty"),
+    )

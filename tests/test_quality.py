@@ -57,3 +57,33 @@ def test_table_profile_counts_nulls_types_and_ranges(spark):
     approx = {r.col_name: r for r in table_profile(df, approx=True).collect()}
     assert set(approx) == set(prof)
     assert abs(approx["k"].n_distinct - 2) <= 1
+
+
+def test_best_copy_selection_prefers_longest_then_lowest_id(spark):
+    """dedup_exact_best_copy's selection branch on constructed
+    duplicates (the gate corpus has no exact dups, so the discriminator
+    only fires here): longest normalized copy wins its digest group;
+    doc_id breaks length ties; n_copies reports group size."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+    import tempfile, shutil, os
+
+    base = tempfile.mkdtemp(prefix="bestcopy_")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "same text"),
+                (2, "en", "same  text"),   # normalizes identically; same length
+                (3, "en", "unique content here"),
+            ],
+            ["doc_id", "lang", "text"],
+        )
+        docs.write.parquet(f"{base}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["dedup_exact_best_copy"].spark_fn(spark, base).collect()
+        }
+        # group {1,2}: equal normalized length → lowest id (1) survives
+        assert set(out) == {1, 3}
+        assert out[1].n_copies == 2 and out[3].n_copies == 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

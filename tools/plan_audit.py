@@ -107,6 +107,8 @@ EXTRA_AUDIT = (
     "welch_t_event_values",
     "bitmap_distinct_rollup",
     "mann_kendall_trend",
+    "dedup_exact_best_copy",
+    "doc_novelty_scores",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
