@@ -1919,3 +1919,104 @@ def doc_novelty_scores(spark, sf_dir):
             F.col("n_novel") / F.col("n_shingles").cast("double"), 6
         ).alias("novelty"),
     )
+
+
+@query(
+    "spearman_length_vs_novelty",
+    tags=("stats", "correlation", "quality"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), words AS (
+    SELECT doc_id, lang, string_split(txt, ' ') AS w FROM n
+), sh AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM words, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+), own AS (
+    SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1
+), nov AS (
+    SELECT s.doc_id,
+           sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           count(*) AS n_sh
+    FROM sh s JOIN own o USING (sh) GROUP BY 1
+), sig AS (
+    SELECT w.doc_id, w.lang, len(w.w) AS n_tokens,
+           round(nov.n_novel / CAST(nov.n_sh AS DOUBLE), 6) AS novelty
+    FROM words w JOIN nov ON w.doc_id = nov.doc_id
+), ranked AS (
+    SELECT lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_tokens, doc_id) AS r_len,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY novelty, doc_id) AS r_nov
+    FROM sig
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum((r_len - r_nov) * (r_len - r_nov)) AS BIGINT) AS sum_d2,
+       round(1.0 - 6.0 * sum((r_len - r_nov) * (r_len - r_nov))
+             / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1)), 6)
+           AS spearman_rho
+FROM ranked GROUP BY 1
+""",
+)
+def spearman_length_vs_novelty(spark, sf_dir):
+    """Spearman rank correlation between document LENGTH and n-gram
+    NOVELTY per language — the curation diagnostic behind "are our
+    long documents actually fresh content or duplicated boilerplate?"
+    (a strongly negative ρ flags length-inflating duplication).
+    Ranks are made total with a doc_id tie-break, so ρ is the
+    deterministic tie-broken variant — exact integer Σd² (the only
+    float is the final normalized division, rounded 6; same IEEE on
+    both engines). Per-lang rank windows run on the per-doc SIGNAL
+    table (docs-per-lang rows); novelty reuses the shingle-ownership
+    shuffles of `doc_novelty_scores`."""
+    from pyspark.sql import Window
+
+    from data_warehouse_migration_spark.operators.dedup import shingle_index
+
+    docs = t(spark, sf_dir, "documents")
+    txt = normalized_text(F.col("text"))
+    base = docs.select(
+        "doc_id", "lang", F.size(F.split(txt, " ")).alias("n_tokens")
+    )
+    sh = shingle_index(docs, n=3, fast_hash=True)
+    own = sh.groupBy("sh").agg(F.min("doc").alias("first_doc"))
+    nov = (
+        sh.join(own, "sh")
+        .groupBy("doc")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty")
+        )
+    )
+    sig = base.join(nov, base.doc_id == nov.doc, "inner").select(
+        "doc_id", "lang", "n_tokens", "novelty"
+    )
+    r_len = F.row_number().over(
+        Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    )
+    r_nov = F.row_number().over(
+        Window.partitionBy("lang").orderBy("novelty", "doc_id")
+    )
+    ranked = sig.select(
+        "lang", (r_len - r_nov).alias("d")
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+        F.round(
+            1.0
+            - 6.0 * F.sum(F.col("d") * F.col("d"))
+            / (n * (n.cast("double") * n - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -109,6 +109,7 @@ EXTRA_AUDIT = (
     "mann_kendall_trend",
     "dedup_exact_best_copy",
     "doc_novelty_scores",
+    "spearman_length_vs_novelty",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
