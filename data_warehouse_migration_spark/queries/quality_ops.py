@@ -2020,3 +2020,106 @@ def spearman_length_vs_novelty(spark, sf_dir):
             6,
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "quantile_normalize_lengths",
+    tags=("stats", "normalization", "calibration"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id, lang,
+           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS n_tokens
+    FROM documents
+), lr AS (
+    SELECT doc_id, lang, n_tokens,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_tokens, doc_id) AS r,
+           count(*) OVER (PARTITION BY lang) AS n_lang,
+           count(*) OVER () AS n_total
+    FROM n
+), vc AS (
+    SELECT n_tokens AS v, count(*) AS c FROM n GROUP BY 1
+), cdf AS (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM vc
+), tgt AS (
+    SELECT doc_id, lang, n_tokens,
+           ((2 * r - 1) * n_total + n_lang) // (2 * n_lang) AS target_rank
+    FROM lr
+)
+SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(min(CASE WHEN cdf.cum >= t.target_rank THEN cdf.v END) AS BIGINT)
+           AS norm_tokens
+FROM tgt t CROSS JOIN cdf
+GROUP BY 1, 2, 3
+""",
+)
+def quantile_normalize_lengths(spark, sf_dir):
+    """Quantile normalization of per-language document lengths onto
+    the POOLED length distribution — the batch-effect correction
+    (classic quantile normalization) a multilingual corpus needs
+    before cross-language length thresholds mean the same thing: each
+    doc's within-language rank maps to the pooled value at the same
+    relative position (midpoint rank map — all integer arithmetic,
+    ``((2r−1)·N + n_l) div (2·n_l)``; the normalized value is the
+    smallest pooled value whose cumulative count reaches the target).
+
+    Scale: per-language rank windows partition on lang (the
+    sessionize posture); the pooled CDF lives on the DISTINCT-value
+    table (domain-bounded, the bucketizer posture) and broadcasts
+    into the ceiling-lookup join — whitelisted O(n·|domain|), with
+    |domain| = distinct lengths, not row count."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    txt = normalized_text(F.col("text"))
+    base = docs.select(
+        "doc_id", "lang", F.size(F.split(txt, " ")).alias("n_tokens")
+    )
+    n_total = base.count()  # driver scalar (tfidf precedent) — a
+    # row-bound global count WINDOW here was the audit's catch: every
+    # doc through one task for one number.
+    lr = (
+        base.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+            ),
+        )
+        .withColumn(
+            "n_lang", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+        .withColumn("n_total", F.lit(int(n_total)))
+    )
+    tgt = lr.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("((2 * r - 1) * n_total + n_lang) div (2 * n_lang)").alias(
+            "target_rank"
+        ),
+    )
+    vc = base.groupBy(F.col("n_tokens").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cdf = vc.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select("v", "cum")
+    return (
+        tgt.crossJoin(F.broadcast(cdf))
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("target_rank"), F.col("v"))
+            )
+            .cast("long")
+            .alias("norm_tokens")
+        )
+        .select(
+            "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"),
+            "norm_tokens",
+        )
+    )

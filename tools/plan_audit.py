@@ -70,6 +70,9 @@ BNLJ_WHITELIST = {
                               #   temperature_weights tail stage)
     "equidepth_bucketizer",   # 1-row trained-edges broadcast applied
                               #   as a Column CASE (O(n·1))
+    "quantile_normalize_lengths",  # broadcast domain-bounded pooled-CDF
+                              #   table into the ceiling-lookup join
+                              #   (O(n·|distinct lengths|))
     "rag_retrieval_pipeline", # exact brute-force retrieval baseline
                               #   (sanctioned similarity_topk shape —
                               #   queries broadcast, corpus streamed);
@@ -110,6 +113,7 @@ EXTRA_AUDIT = (
     "dedup_exact_best_copy",
     "doc_novelty_scores",
     "spearman_length_vs_novelty",
+    "quantile_normalize_lengths",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
@@ -130,6 +134,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "equidepth_bucketizer",   # cumulative count over the aggregated
                               #   DISTINCT-value table (domain-bounded,
                               #   not row-bounded)
+    "quantile_normalize_lengths",  # same domain-bounded CDF cumulative
 }
 
 
