@@ -2242,3 +2242,125 @@ def mann_kendall_trend(spark, sf_dir):
             F.round(F.col("s_stat").cast("double") / F.col("n_pairs"), 6),
         )
     )
+
+
+@query(
+    "benford_first_digit_audit",
+    tags=("quality", "forensics", "distribution"),
+    oracle="""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                1, 1) AS INT) AS digit
+    FROM orders WHERE o_totalprice > 0
+), c AS (
+    SELECT digit, count(*) AS n FROM d GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+       round(c.n / CAST(tot.total AS DOUBLE), 6) AS observed_freq,
+       round(log10(1.0 + 1.0 / c.digit), 6) AS benford_freq,
+       round(c.n / CAST(tot.total AS DOUBLE)
+             - log10(1.0 + 1.0 / c.digit), 6) AS deviation
+FROM c CROSS JOIN tot
+""",
+)
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the
+    data-forensics screen for fabricated or truncated monetary data
+    (naturally occurring multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); synthetic uniform generators — like this
+    fixture's — visibly don't, which the deviation column shows).
+    First digit extracted from the EXACT cents integer's decimal
+    string (no float log shortcuts); one 9-group aggregation + a
+    1-row total broadcast; frequencies and the Benford reference are
+    identical IEEE on both engines, rounded 6."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(cents("o_totalprice").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n") / F.col("total").cast("double")
+    ref = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_freq"),
+        F.round(ref, 6).alias("benford_freq"),
+        F.round(obs - ref, 6).alias("deviation"),
+    )
+
+
+@query(
+    "gini_revenue_concentration",
+    tags=("stats", "inequality", "distribution"),
+    oracle="""
+WITH r AS (
+    SELECT c_nationkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey, c_nationkey
+), ranked AS (
+    SELECT c_nationkey, cents,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY cents, c_nationkey) AS i,
+           count(*) OVER (PARTITION BY c_nationkey) AS n,
+           sum(cents) OVER (PARTITION BY c_nationkey) AS s
+    FROM r
+)
+SELECT c_nationkey,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(max(s) AS BIGINT) AS total_cents,
+       round(2.0 * sum(CAST(i AS BIGINT) * cents)
+             / (CAST(max(n) AS DOUBLE) * max(s))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked GROUP BY 1
+""",
+)
+def gini_revenue_concentration(spark, sf_dir):
+    """Gini coefficient of per-customer revenue within each nation —
+    the concentration/inequality measure a marketplace-health or
+    data-balance report carries (0 = equal spend, →1 = one whale).
+    Computed from the exact rank formula G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n over ascending-sorted integer cents — Σ(i·xᵢ) is an exact
+    integer sum, the only floats are the final identical divisions.
+    Per-nation rank windows run on the AGGREGATED per-customer table
+    (customers-per-nation rows, not order rows)."""
+    from pyspark.sql import Window
+
+    r = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    ranked = (
+        r.withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("c_nationkey").orderBy("cents", "c_nationkey")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("cents").over(w))
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("s").cast("long").alias("total_cents"),
+        F.round(
+            2.0
+            * F.sum(F.col("i").cast("long") * F.col("cents"))
+            / (F.max("n").cast("double") * F.max("s"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -70,6 +70,7 @@ BNLJ_WHITELIST = {
                               #   temperature_weights tail stage)
     "equidepth_bucketizer",   # 1-row trained-edges broadcast applied
                               #   as a Column CASE (O(n·1))
+    "benford_first_digit_audit",  # 1-row digit-total broadcast (O(9·1))
     "quantile_normalize_lengths",  # broadcast domain-bounded pooled-CDF
                               #   table into the ceiling-lookup join
                               #   (O(n·|distinct lengths|))
@@ -114,6 +115,8 @@ EXTRA_AUDIT = (
     "doc_novelty_scores",
     "spearman_length_vs_novelty",
     "quantile_normalize_lengths",
+    "benford_first_digit_audit",
+    "gini_revenue_concentration",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
