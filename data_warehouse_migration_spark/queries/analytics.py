@@ -2364,3 +2364,60 @@ def gini_revenue_concentration(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "rolling_weekly_active_users",
+    tags=("bitmap", "distinct", "rolling", "timeseries"),
+    oracle="""
+WITH e AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM e),
+win AS (
+    SELECT d.day, e.user_id
+    FROM days d JOIN e
+      ON e.day <= d.day AND e.day >= d.day - INTERVAL 6 DAY
+)
+SELECT day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM win GROUP BY 1
+""",
+)
+def rolling_weekly_active_users(spark, sf_dir):
+    """Rolling 7-day distinct users (WAU) — THE query that forces
+    either approximate sketches or bitmap sets at scale, because
+    COUNT(DISTINCT) does not decompose over sliding windows: here the
+    per-day bitmaps (operators/bitmaps.py) are built ONCE from events,
+    each day's words are replicated to the ≤7 window-end days they
+    serve (explode of a 7-element day sequence — constant fan-out),
+    and every window is a bit_or fold + popcount — EXACT, no rescan of
+    events per window, no approximation. The oracle recomputes each
+    window's COUNT(DISTINCT) naively, attesting the fold-over-window
+    algebra end to end.
+
+    Scale: events are scanned once into per-day word tables (≤
+    keyspace/64 rows/day); the rolling union shuffles (day, word)
+    pairs with a 7× constant fan-out — independent of event count."""
+    from data_warehouse_migration_spark.operators.bitmaps import (
+        bitmap_cardinality,
+        key_bitmap,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = key_bitmap(ev, ["day"], "user_id")
+    days = ev.select("day").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("win_day"),
+        "word_idx",
+        "word",
+    ).join(days.withColumnRenamed("day", "win_day"), "win_day")
+    rolled = contrib.groupBy("win_day", "word_idx").agg(
+        F.expr("cast(bit_or(word) as long)").alias("word")
+    )
+    return bitmap_cardinality(rolled, ["win_day"]).select(
+        F.col("win_day").alias("day"), F.col("n_distinct").alias("wau")
+    )

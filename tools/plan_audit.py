@@ -117,6 +117,7 @@ EXTRA_AUDIT = (
     "quantile_normalize_lengths",
     "benford_first_digit_audit",
     "gini_revenue_concentration",
+    "rolling_weekly_active_users",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
