@@ -24,8 +24,15 @@ digits" contract.
 Scale: the sketch build is one map-side-combined shuffle to ≤
 (octaves × subbuckets) rows per group (~1k rows for the full int64
 range); the readout windows run on that bounded table. Values must be
-positive integers (scale money/durations to cents/micros first — the
-repo's standard exact-integer representation).
+NON-NEGATIVE integers (scale money/durations to cents/micros first —
+the repo's standard exact-integer representation). Zero gets a
+dedicated bucket (e=0, sub=−subbuckets, representative exactly 0 —
+both engines compute it identically from the 1-char binary string),
+matching HdrHistogram's own explicit zero-count cell. Negative
+values RAISE at scan time: Spark's ``div`` truncates toward zero
+while DuckDB's ``//`` floors, so a negative input would silently
+desynchronize the two engines' buckets (ADVICE r6) — out-of-domain
+input fails loudly instead of mis-bucketing.
 """
 
 from __future__ import annotations
@@ -40,15 +47,35 @@ def hdr_histogram(
     cents_col: str,
     subbuckets: int = 16,
 ) -> DataFrame:
-    """Bucket counts ``(group..., e, sub, cnt)`` over positive integer
-    values: ``e = floor(log2 v)`` (binary-string length — exact),
-    ``sub = (v·subbuckets div 2^e) − subbuckets`` ∈ [0, subbuckets).
+    """Bucket counts ``(group..., e, sub, cnt)`` over non-negative
+    integer values: ``e = floor(log2 v)`` (binary-string length —
+    exact), ``sub = (v·subbuckets div 2^e) − subbuckets`` ∈
+    [0, subbuckets); v=0 lands in the dedicated zero bucket
+    (e=0, sub=−subbuckets). Negative values raise (see module doc).
     """
     sb = subbuckets
     log_sb = sb.bit_length() - 1
     if 1 << log_sb != sb:
         raise ValueError("subbuckets must be a power of two")
-    e = (F.length(F.conv(F.col(cents_col), 10, 2)) - 1).cast("int")
+    # Domain guard: negatives diverge between engines (Spark div
+    # truncates, DuckDB // floors) — raise per-row rather than emit a
+    # silently-desynchronized bucket. CASE evaluates only the taken
+    # branch, so valid rows never touch raise_error.
+    e = F.when(
+        F.col(cents_col) >= 0,
+        (F.length(F.conv(F.col(cents_col), 10, 2)) - 1).cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "hdr_histogram: negative value in column "
+                    f"'{cents_col}' — domain is non-negative integer "
+                    "cents/micros, got "
+                ),
+                F.col(cents_col).cast("string"),
+            )
+        ).cast("int")
+    )
     # v·sb div 2^e, computed WITHOUT the multiply for e ≥ log2(sb):
     # v·sb overflows long at v ≥ 2^(63−log2 sb), well inside the
     # advertised int64 domain; v div 2^(e−log2 sb) is the identical

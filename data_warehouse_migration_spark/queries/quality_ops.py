@@ -2006,13 +2006,17 @@ def spearman_length_vs_novelty(spark, sf_dir):
     r_nov = F.row_number().over(
         Window.partitionBy("lang").orderBy("novelty", "doc_id")
     )
+    # Rank difference as int64 BEFORE squaring: row_number is int32,
+    # and d² wraps past ~46k docs per language while the oracle's
+    # BIGINT ranks stay exact (ADVICE r6) — the old .cast("long")
+    # landed after the already-wrapped sum.
     ranked = sig.select(
-        "lang", (r_len - r_nov).alias("d")
+        "lang", (r_len.cast("long") - r_nov).alias("d")
     )
     n = F.count(F.lit(1))
     return ranked.groupBy("lang").agg(
         n.alias("n_docs"),
-        F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+        F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
         F.round(
             1.0
             - 6.0 * F.sum(F.col("d") * F.col("d"))
@@ -2089,15 +2093,20 @@ def quantile_normalize_lengths(spark, sf_dir):
         .withColumn(
             "n_lang", F.count(F.lit(1)).over(Window.partitionBy("lang"))
         )
-        .withColumn("n_total", F.lit(int(n_total)))
+        .withColumn("n_total", F.lit(int(n_total)).cast("long"))
     )
+    # 64-bit from the first multiply: row_number is int32 and
+    # 2·n_lang·n_total passes 2^31 around ~33k docs in one language
+    # (ADVICE r6) — the DuckDB oracle runs the same formula in BIGINT,
+    # so a wrapped int32 here would diverge silently at scale.
     tgt = lr.select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.expr("((2 * r - 1) * n_total + n_lang) div (2 * n_lang)").alias(
-            "target_rank"
-        ),
+        F.expr(
+            "((2 * cast(r as bigint) - 1) * n_total + n_lang)"
+            " div (2 * n_lang)"
+        ).alias("target_rank"),
     )
     vc = base.groupBy(F.col("n_tokens").alias("v")).agg(
         F.count(F.lit(1)).alias("c")

@@ -48,15 +48,17 @@ def _bloom_oracle() -> str:
         f"SELECT doc_id, {_h_sql('digest', i, _BLOOM_M)} AS bit_pos FROM batch"
         for i in range(_BLOOM_K)
     )
+    # The canonical 16-bit md5 bucket split lives in llm_ops (the
+    # single source quality_ops' curation pipelines also import) —
+    # re-inlining the nibble arithmetic here was exactly the
+    # desynchronization risk that comment warns about (ADVICE r6).
+    from data_warehouse_migration_spark.queries.llm_ops import _MD5_BUCKET_SQL
+
     return f"""
 WITH split AS (
     SELECT doc_id, {_NORM_SQL} AS txt,
-           CASE WHEN (
-                 (strpos('{_NIBBLES}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-               + (strpos('{_NIBBLES}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-               + (strpos('{_NIBBLES}', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-               + (strpos('{_NIBBLES}', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
-             ) < CAST(0.9 * 65536 AS INT) THEN 'corpus' ELSE 'batch' END AS s
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'corpus' ELSE 'batch' END AS s
     FROM documents
 ), alldig AS (SELECT doc_id, s, md5(txt) AS digest FROM split),
 dig AS (SELECT DISTINCT digest FROM alldig WHERE s = 'corpus'),

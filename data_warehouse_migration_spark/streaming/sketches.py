@@ -107,7 +107,11 @@ def compact_cms(spark: SparkSession, table_path: str) -> None:
 
 def hdr_batch_partial(events: DataFrame) -> DataFrame:
     """One batch's partial HDR histogram ``(event_type, e, sub, cnt)``
-    over exact value cents (operators/histogram_sketch.py)."""
+    over exact value cents (operators/histogram_sketch.py). Domain
+    enforcement rides on hdr_histogram itself: a negative cents value
+    in any micro-batch raises inside that epoch (failing the stream
+    loudly) rather than folding a mis-bucketed cell into the at-rest
+    sketch — zero is in-domain (dedicated zero bucket)."""
     from data_warehouse_migration_spark.operators.histogram_sketch import (
         hdr_histogram,
     )

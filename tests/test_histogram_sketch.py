@@ -66,6 +66,26 @@ def test_bucket_math_powers_of_two_and_small_values(spark):
     assert all(0 <= s < 16 for (_, s) in rows.values())
 
 
+def test_zero_gets_dedicated_bucket_and_negative_raises(spark):
+    """Domain contract (ADVICE r6): v=0 is in-domain — dedicated
+    (e=0, sub=-16) bucket whose readout representative is exactly 0
+    on both engines — while negatives raise loudly instead of
+    mis-bucketing (Spark div truncates, DuckDB // floors: they would
+    silently diverge)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    hist = hdr_histogram(_cents(spark, [0, 0, 1, 4]), ["g"], "cents")
+    cells = {(r.e, r.sub): r.cnt for r in hist.collect()}
+    assert cells[(0, -16)] == 2  # the zero bucket
+    # readout: with 2 of 4 values equal to 0, p50 cut hits the zero
+    # bucket, whose lower-bound representative is (16 + -16)·2^0 = 0.
+    out = hdr_quantiles(hist, ["g"], qs=(0.5,), scale=1).collect()[0]
+    assert out.p50_est == 0.0
+    with pytest.raises((Py4JJavaError, Exception), match="negative value"):
+        hdr_histogram(_cents(spark, [5, -3]), ["g"], "cents").collect()
+
+
 def test_sketch_size_is_bounded(spark):
     import random
 
