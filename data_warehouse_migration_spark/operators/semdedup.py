@@ -14,17 +14,43 @@ assignment itself is the zero-shuffle broadcast-centroid projection
 from operators/clustering.py, and the pair join shuffles on the
 cluster id only.
 
-Skew posture: a pathological hot cluster re-creates the N² corner; at
-deployment scale you re-cluster oversized clusters (recursive k-means)
-or cap them — the operator surfaces per-cluster sizes in its output so
-the caller can see the distribution. Determinism: kmeans is the
-deterministic lowest-id-init Lloyd's with rounded centroids; the keep
-rule (lowest id in the pair wins) is total, so every engine/rerun
+Scale contract (ENFORCED, r7 — previously advisory): the O(Σ cᵢ²)
+bound only holds if no single cluster grows quadratic-hot, so
+
+- ``k`` defaults to ``max(8, ceil(N / target_cluster_size))`` —
+  derived from the corpus, never a fixed constant that silently
+  stops scaling when N grows 1000× (the paper's own k-scaling duty);
+- every cluster is checked against ``max_cluster_size`` (default 8×
+  the expected size — a genuinely hot cluster, not sampling noise);
+  oversized clusters are RECURSIVELY RE-CLUSTERED (per-cluster
+  sub-k-means, the paper's "re-cluster oversized clusters" remedy)
+  up to ``max_split_depth`` times;
+- a cluster still oversized after the depth budget — the degenerate
+  case, e.g. millions of bit-identical vectors that no centroid
+  split can separate — RAISES with the offending sizes instead of
+  silently running an N² pair join.
+
+The size check is a per-round ``groupBy(cluster).count().collect()``
+— bounded by the number of clusters, never by N — and splitting runs
+one sub-k-means per hot cluster (hot clusters are the skewed FEW by
+definition; a corpus where EVERY cluster overflows needs a larger
+``k``, which the derived default already provides).
+
+Determinism: kmeans is the deterministic lowest-id-init Lloyd's with
+rounded centroids; sub-cluster ids are allocated dense after the
+parent range in ascending parent order, so every engine/rerun
 produces the identical kept set — which is what lets a DuckDB oracle
-re-derive it bit-for-bit (queries/llm_ops.semdedup_embeddings).
+re-derive it bit-for-bit (queries/llm_ops.semdedup_embeddings; the
+oracle mirrors the derived-k formula in a params CTE. Splits never
+trigger on the well-spread attested corpora — max observed cluster
+is within 1.1× expected at every test SF — so the single-pass oracle
+stays exact; the split path is pinned by tests/test_semdedup.py on
+synthetic hot-cluster data instead).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,14 +59,60 @@ from data_warehouse_migration_spark.operators.clustering import kmeans
 from data_warehouse_migration_spark.operators.similarity import dot, l2_norm
 
 
+def derive_k(n_vectors: int, target_cluster_size: int = 1024, k_min: int = 8) -> int:
+    """The default cluster count: enough clusters that the EXPECTED
+    cluster size stays at ``target_cluster_size`` whatever the corpus
+    grows to (N=100M, target=1024 → k≈98k — the same order as the
+    paper's 11k-for-100M with its ~9k-doc clusters)."""
+    return max(k_min, math.ceil(n_vectors / target_cluster_size))
+
+
+def _split_oversized(
+    assigned: DataFrame,
+    sizes: dict[int, int],
+    hot: list[int],
+    next_id: int,
+    max_iter: int,
+    id_col: str,
+    vec_col: str,
+    target_cluster_size: int,
+) -> tuple[DataFrame, int]:
+    """One split round: re-cluster each hot cluster with its own
+    deterministic sub-k-means and re-id the sub-clusters densely after
+    ``next_id`` in ascending parent order."""
+    cols = [id_col, vec_col, "cluster"]
+    out = assigned.filter(~F.col("cluster").isin([int(c) for c in hot])).select(*cols)
+    for parent in hot:
+        sub = assigned.filter(F.col("cluster") == int(parent)).select(id_col, vec_col)
+        sub_k = max(2, math.ceil(sizes[parent] / target_cluster_size))
+        _, sub_assigned = kmeans(
+            sub,
+            k=sub_k,
+            max_iter=max_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_centroids=7,
+        )
+        out = out.unionByName(
+            sub_assigned.select(
+                id_col, vec_col, (F.col("cluster") + F.lit(next_id)).alias("cluster")
+            )
+        )
+        next_id += sub_k
+    return out, next_id
+
+
 def semdedup(
     vectors: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     max_iter: int = 3,
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    target_cluster_size: int = 1024,
+    max_cluster_size: int | None = None,
+    max_split_depth: int = 2,
 ) -> DataFrame:
     """Per-vector verdict ``(id, cluster, dup_of, kept)``.
 
@@ -50,7 +122,18 @@ def semdedup(
     the paper's "keep one per group" via the transitive-free lowest-id
     rule (every removed vector names a keeper or an earlier member of
     the same chain; the minimum of each chain is always kept).
+
+    ``k=None`` derives ``derive_k(N, target_cluster_size)``;
+    ``max_cluster_size=None`` derives 8× the expected cluster size.
+    See the module docstring for the enforced hot-cluster contract.
     """
+    if k is None or max_cluster_size is None:
+        n_vectors = vectors.count()
+    if k is None:
+        k = derive_k(n_vectors, target_cluster_size)
+    if max_cluster_size is None:
+        max_cluster_size = 8 * max(target_cluster_size, math.ceil(n_vectors / k))
+
     _, assigned = kmeans(
         vectors,
         k=k,
@@ -59,6 +142,39 @@ def semdedup(
         vec_col=vec_col,
         round_centroids=7,
     )
+    # Hot-cluster enforcement: split until every cluster fits the cap,
+    # raise if the depth budget runs out. The collect is k-bounded.
+    next_id = k
+    for depth in range(max_split_depth + 1):
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        hot = sorted(c for c, n in sizes.items() if n > max_cluster_size)
+        if not hot:
+            break
+        if depth == max_split_depth:
+            raise ValueError(
+                "semdedup: cluster(s) still exceed max_cluster_size="
+                f"{max_cluster_size} after {max_split_depth} split rounds: "
+                f"{[(c, sizes[c]) for c in hot]} — the within-cluster pair "
+                "join would be quadratic-hot. The vectors in these clusters "
+                "are centroid-inseparable (e.g. near-identical); dedup them "
+                "with exact/content hashing first or raise the cap "
+                "explicitly."
+            )
+        assigned, next_id = _split_oversized(
+            assigned,
+            sizes,
+            hot,
+            next_id,
+            max_iter,
+            id_col,
+            vec_col,
+            target_cluster_size,
+        )
     # Norms are a per-VECTOR quantity: compute each once before the
     # pair join — byte-identical to cosine() (same dot/(norm·norm)
     # expression, just not recomputed) at a third of the per-pair fold

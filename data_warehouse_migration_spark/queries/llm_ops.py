@@ -1288,7 +1288,13 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
-def _kmeans_cte(k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7) -> str:
+def _kmeans_cte(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    rnd: int = 7,
+    k_sql: str | None = None,
+) -> str:
     """Full Lloyd's recomputation in SQL, iterations unrolled as CTEs.
 
     Replicates operators/clustering.kmeans exactly: init = the k
@@ -1298,7 +1304,32 @@ def _kmeans_cte(k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7) -> str:
     order float noise in the mean can't flip a later assignment), empty
     cluster keeps its previous centroid (coalesce). Distances use
     (x−m)·(x−m) products — the same exact IEEE ops as the Spark fold.
+
+    ``k_sql``: a SQL expression over ``count(*)`` of the corpus that
+    yields k — mirrors operators/semdedup.derive_k so the corpus-
+    derived cluster count stays exact at ANY scale factor the oracle
+    runs at (the semdedup gate); the fixed-k form stays for the
+    kmeans gates whose Spark side pins k explicitly.
     """
+    if k_sql is not None:
+        c0 = (
+            f"kp AS (SELECT {k_sql} AS k FROM vecs)",
+            "c0 AS (\n"
+            "    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,\n"
+            "           vec_id\n"
+            "    FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS _rnk\n"
+            "          FROM vecs)\n"
+            "    WHERE _rnk <= (SELECT k FROM kp)\n"
+            ")",
+        )
+    else:
+        c0 = (
+            "c0 AS (\n"
+            "    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,\n"
+            "           vec_id\n"
+            f"    FROM (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {k})\n"
+            ")",
+        )
     cte = [
         "vecs AS (\n"
         "    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb\n"
@@ -1308,11 +1339,7 @@ def _kmeans_cte(k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7) -> str:
         "    SELECT vec_id, i.pos, emb[i.pos + 1] AS x\n"
         f"    FROM vecs, (SELECT unnest(range({dim})) AS pos) i\n"
         ")",
-        "c0 AS (\n"
-        "    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,\n"
-        "           vec_id\n"
-        f"    FROM (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {k})\n"
-        ")",
+        *c0,
         "cent0 AS (\n"
         "    SELECT c0.cluster, vl.pos, vl.x AS m FROM c0 JOIN vl USING (vec_id)\n"
         ")",
@@ -1411,13 +1438,22 @@ def embedding_kmeans(spark, sf_dir):
 
 
 def _semdedup_oracle(
-    k: int = 8, iters: int = 3, dim: int = 64, rnd: int = 7, tau: float = 0.4
+    iters: int = 3, dim: int = 64, rnd: int = 7, tau: float = 0.4
 ) -> str:
     """SemDeDup re-derivation: the Lloyd's CTE chain (identical to the
-    embedding_kmeans oracle) + the within-cluster lowest-id cosine
-    keep rule, cosine rounded to 6 like every similarity gate."""
+    embedding_kmeans oracle, but with the CORPUS-DERIVED k — the
+    params CTE mirrors operators/semdedup.derive_k, so the oracle
+    tracks the operator at any sf) + the within-cluster lowest-id
+    cosine keep rule, cosine rounded to 6 like every similarity gate.
+    The oracle is the single-pass form: hot-cluster splits never
+    trigger on the attested corpora (see operators/semdedup.py)."""
     return (
-        _kmeans_cte(k, iters, dim, rnd)
+        _kmeans_cte(
+            iters=iters,
+            dim=dim,
+            rnd=rnd,
+            k_sql="greatest(8, CAST(ceil(count(*) / 1024.0) AS INT))",
+        )
         + f""",
 pairs AS (
     SELECT b.vec_id, min(a.vec_id) AS dup_of
@@ -1447,11 +1483,16 @@ def semdedup_embeddings(spark, sf_dir):
     dedup_embedding_cosine pays — then the lowest-id member of each
     similar group survives. Per-vector verdicts (cluster, dup_of,
     kept) are value-attested end to end: the oracle re-runs the
-    identical deterministic Lloyd's AND the keep rule in SQL."""
+    identical deterministic Lloyd's AND the keep rule in SQL.
+
+    k is CORPUS-DERIVED (operators/semdedup.derive_k — max(8,
+    ceil(N/1024)); the oracle computes the same k in its params CTE),
+    and the operator's hot-cluster cap is armed with its derived
+    default — the r7 scale contract replacing the fixed k=8."""
     from data_warehouse_migration_spark.operators.semdedup import semdedup
 
     emb = t(spark, sf_dir, "embeddings")
-    return semdedup(emb, k=8, max_iter=3, tau=0.4)
+    return semdedup(emb, max_iter=3, tau=0.4, target_cluster_size=1024)
 
 
 @query(
