@@ -188,6 +188,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     prefix_filter: bool = True,
+    storage_level=None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold — EXACT.
 
@@ -209,8 +210,22 @@ def ngram_jaccard_pairs(
     broadcasts candidates into, so the arrays never shuffle.
     Internally keyed on xxhash64 longs: the output (pairs + exact
     Jaccard) is hash-scheme-independent.
+
+    ``storage_level``: optional StorageLevel for the per-doc array
+    table, which the plan consumes up to four times. Default None =
+    NO persist: the arrays are row-local codegen over the doc scan
+    (cheap to recompute, and the identical self-join legs dedupe via
+    ReusedExchange), and a long-lived session composing many
+    operators must not accumulate CacheManager blocks nobody releases
+    (VERDICT r6 #3). A caller who passes a level opts into a cached
+    index for the duration of the session and owns the release
+    (``spark.catalog.clearCache()`` or re-building via
+    :func:`shingle_hash_arrays` + persisting/unpersisting their own
+    handle around the pair search).
     """
-    grams = shingle_hash_arrays(docs, id_col, text_col, n).persist()
+    grams = shingle_hash_arrays(docs, id_col, text_col, n)
+    if storage_level is not None:
+        grams = grams.persist(storage_level)
     # n_sh rides along from the array size — the per-doc set size needs
     # no window/groupBy pass of its own.
     idx = grams.select(
