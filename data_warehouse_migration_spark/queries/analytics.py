@@ -2181,6 +2181,86 @@ def bitmap_distinct_rollup(spark, sf_dir):
 
 
 @query(
+    "bitmap_distinct_roaring",
+    tags=("bitmap", "roaring", "distinct", "sparse", "exact"),
+    oracle="""
+WITH u AS (
+    SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS user_id FROM events
+), keyed AS (
+    SELECT event_type, 'dense' AS keyspace, user_id AS k FROM u
+    UNION ALL
+    SELECT event_type, 'sparse', user_id * 100003 + 17 FROM u
+), c AS (
+    SELECT event_type, keyspace, k // 65536 AS container,
+           count(DISTINCT k) AS card
+    FROM keyed GROUP BY 1, 2, 3
+)
+SELECT event_type, keyspace,
+       CAST(sum(card) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n_containers,
+       CAST(sum(CASE WHEN card <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_array_containers,
+       CAST(sum(CASE WHEN card > 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bitmap_containers
+FROM c GROUP BY 1, 2
+""",
+)
+def bitmap_distinct_roaring(spark, sf_dir):
+    """Roaring-container exact distinct (operators/bitmaps.py; Chambi
+    et al. 2016) — the packing that keeps bitmap rollups cheap when
+    ids are NOT dense surrogates (VERDICT r6 #6): the same user set is
+    counted through TWO key spaces, the dense surrogate ids and a
+    sparse injective spread (``user_id·100003 + 17`` — distinct counts
+    are invariant under an injective map, which is exactly what the
+    gate attests). Dense keys pack into few high-occupancy BITMAP
+    containers; the sparse spread (key spacing > the 2^16 container
+    width) lands one value per container and packs into 2-byte ARRAY
+    slots — the output exposes the per-keyspace container census
+    (count, kind split) next to the exact distinct total, all
+    value-attested against a SQL re-derivation of the container
+    structure.
+
+    The gate runs with ``array_cutoff=8`` so BOTH container kinds
+    materialize at test scale (per-type dense cardinality is 15 at
+    sf0.001); production uses the format's published 4096 break-even
+    (``ROARING_ARRAY_CUTOFF``) — the cutoff only moves the
+    array/bitmap boundary, never the counts, which the
+    pack↔unpack↔merge equivalence property tests pin separately.
+
+    Scale: one map-side-combined (group, word) shuffle over events +
+    one container-keyed aggregation over the WORD table; every
+    container payload is bounded (≤ cutoff array slots / 1024 words),
+    so no per-group state grows with the corpus."""
+    from data_warehouse_migration_spark.operators.bitmaps import (
+        roaring_bitmap,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("long").alias("user_id")
+    )
+    keyed = ev.select(
+        "event_type", F.lit("dense").alias("keyspace"), F.col("user_id").alias("k")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            F.lit("sparse").alias("keyspace"),
+            (F.col("user_id") * 100003 + 17).alias("k"),
+        )
+    )
+    bm = roaring_bitmap(keyed, ["event_type", "keyspace"], "k", array_cutoff=8)
+    return bm.groupBy("event_type", "keyspace").agg(
+        F.sum("card").cast("long").alias("n_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_containers"),
+        F.sum(F.when(F.col("kind") == "array", 1).otherwise(0))
+        .cast("long")
+        .alias("n_array_containers"),
+        F.sum(F.when(F.col("kind") == "bitmap", 1).otherwise(0))
+        .cast("long")
+        .alias("n_bitmap_containers"),
+    )
+
+
+@query(
     "mann_kendall_trend",
     tags=("stats", "trend", "monitoring"),
     oracle="""

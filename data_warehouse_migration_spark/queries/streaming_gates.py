@@ -1139,6 +1139,79 @@ _attach_bitmap_oracle()
 
 
 @query(
+    "streaming_rolling_wau",
+    tags=("streaming", "bitmap", "distinct", "rolling", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch WAU's oracle
+)
+def streaming_rolling_wau(spark, sf_dir):
+    """Rolling 7-day distinct users served from STREAM-maintained
+    bitmap state (streaming/bitmaps.read_rolling_wau — VERDICT r6 #7):
+    the same per-epoch day-word partials `streaming_bitmap_distinct`
+    maintains are folded to per-day bitmaps and pushed through the
+    batch query's constant-7× window replication, so the sliding
+    COUNT(DISTINCT) — the aggregate that does NOT decompose over
+    windows — updates with zero event rescans as epochs land.
+    Attested against the batch `rolling_weekly_active_users` oracle:
+    bit_or folds are batch-boundary-, replay- and order-invariant, so
+    the stream-built WAU series is bit-identical to the one-shot
+    batch computation."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.streaming.bitmaps import (
+        read_rolling_wau,
+        streaming_bitmap_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_wau_")
+    try:
+        src = f"{base}/src"
+        t(spark, sf_dir, "events").repartitionByRange(4, "event_id").write.parquet(
+            src
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_bitmap_maintenance(
+            stream, table_path=f"{base}/words", checkpoint=f"{base}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_rolling_wau did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        partials = spark.read.parquet(f"{base}/words")
+        n_epochs = partials.select("epoch").distinct().count()
+        if n_epochs < 2:
+            raise AssertionError(
+                f"expected a multi-epoch run, got {n_epochs} epoch partitions"
+            )
+        out = read_rolling_wau(spark, f"{base}/words")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_wau_oracle() -> None:
+    """The rolling twin attests against the batch WAU's SQL — the
+    served series must be bit-identical whatever the epoch split."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+
+    REGISTRY["streaming_rolling_wau"].oracle = REGISTRY[
+        "rolling_weekly_active_users"
+    ].oracle
+
+
+_attach_wau_oracle()
+
+
+@query(
     "streaming_hdr_quantiles",
     tags=("streaming", "sketch", "quantiles", "foreachBatch", "2.10"),
     oracle=None,  # replaced below — shares the batch sketch's oracle

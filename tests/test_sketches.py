@@ -209,3 +209,70 @@ def test_bitmap_exact_distinct_and_union(spark):
     ).collect()[0]
     # union: {1, 63, 64, 65, 200, 300} — 1 and 64 shared between groups
     assert merged.n_distinct == 6
+
+
+def _roaring_keys(seed: int, n: int) -> list[int]:
+    """Mixed-density key sample: a dense block (bitmap containers at
+    small cutoffs), a sparse spread (array containers), container-
+    boundary values, and duplicates."""
+    import random
+
+    rng = random.Random(seed)
+    dense = [rng.randrange(0, 300) for _ in range(n)]
+    sparse = [rng.randrange(0, 2**40) for _ in range(n // 4)]
+    edges = [0, 63, 64, 65535, 65536, 65537, 1024 * 64 - 1, 1024 * 64]
+    return dense + sparse + edges + dense[: n // 10]
+
+
+def test_roaring_equals_flat_bitmap(spark):
+    """Equivalence property (VERDICT r6 #6): roaring cardinality ==
+    flat-word cardinality == true COUNT(DISTINCT), at both the
+    production cutoff and a tiny cutoff that forces bitmap containers;
+    pack → unpack round-trips to the identical word table."""
+    from data_warehouse_migration_spark.operators.bitmaps import (
+        bitmap_cardinality,
+        key_bitmap,
+        roaring_bitmap,
+        roaring_cardinality,
+        roaring_pack,
+        roaring_words,
+    )
+
+    keys = _roaring_keys(3, 400)
+    truth = len(set(keys))
+    df = spark.createDataFrame([("g", k) for k in keys], ["g", "k"])
+    words = key_bitmap(df, ["g"], "k")
+    assert bitmap_cardinality(words, ["g"]).collect()[0].n_distinct == truth
+    for cutoff in (4096, 4):
+        bm = roaring_bitmap(df, ["g"], "k", array_cutoff=cutoff)
+        assert (
+            roaring_cardinality(bm, ["g"]).collect()[0].n_distinct == truth
+        ), cutoff
+        # pack → unpack is lossless: identical flat word table
+        back = roaring_words(bm, ["g"])
+        assert back.exceptAll(words).count() == 0, cutoff
+        assert words.exceptAll(back).count() == 0, cutoff
+    # the tiny cutoff actually produced bitmap containers (dense block)
+    tiny = roaring_bitmap(df, ["g"], "k", array_cutoff=4)
+    kinds = {r.kind for r in tiny.collect()}
+    assert kinds == {"array", "bitmap"}
+
+
+def test_roaring_merge_equals_direct_build(spark):
+    """Union algebra: merging per-day roaring bitmaps (mixed container
+    kinds, overlapping keys) equals the roaring bitmap of the pooled
+    keys — container-by-container, not just in cardinality."""
+    from data_warehouse_migration_spark.operators.bitmaps import (
+        roaring_bitmap,
+        roaring_merge,
+    )
+
+    k1 = _roaring_keys(7, 300)
+    k2 = _roaring_keys(8, 300)  # overlaps k1's dense range
+    rows = [("g", "d1", k) for k in k1] + [("g", "d2", k) for k in k2]
+    df = spark.createDataFrame(rows, ["g", "day", "k"])
+    per_day = roaring_bitmap(df, ["g", "day"], "k", array_cutoff=6)
+    merged = roaring_merge(per_day.drop("day"), ["g"], array_cutoff=6)
+    direct = roaring_bitmap(df.drop("day"), ["g"], "k", array_cutoff=6)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0

@@ -141,3 +141,42 @@ def test_bitmap_partials_replay_and_fold(spark, tmpdir):
     r = out["click"]
     # day0 users {1,2}, day1 users {1,3}: daily sum 4, total distinct 3
     assert (r.n_days, r.sum_daily_distinct, r.distinct_users_total) == (2, 4, 3)
+
+
+def test_rolling_wau_from_replayed_partials(spark, tmpdir):
+    """streaming/bitmaps.read_rolling_wau: the WAU series served from
+    replayed/overlapping epoch partials (multiple event types) equals
+    the hand-computed sliding 7-day distinct union — the fold-equals-
+    batch property for the one aggregate that doesn't decompose."""
+    import datetime
+
+    from data_warehouse_migration_spark.streaming.bitmaps import (
+        bitmap_partials,
+        read_rolling_wau,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [
+                (i, datetime.datetime(2024, 1, 1 + d, 9), typ, u, 1.0)
+                for i, (d, typ, u) in enumerate(rows)
+            ],
+            ["event_id", "ts", "event_type", "user_id", "value"],
+        )
+
+    # day 0: users {1,2}; day 1: {2,3}; day 8: {1} — day 8 is outside
+    # day 1's 7-day window, so its WAU must NOT see days 0-1.
+    a = ev([(0, "click", 1), (0, "view", 2), (1, "click", 2)])
+    b = ev([(1, "view", 3), (8, "click", 1)])
+    _write_epoch(bitmap_partials(a), tmpdir, 0)
+    _write_epoch(bitmap_partials(b), tmpdir, 1)
+    _write_epoch(bitmap_partials(b), tmpdir, 1)  # replay
+    wau = {
+        r.day.isoformat(): r.wau
+        for r in read_rolling_wau(spark, tmpdir).collect()
+    }
+    assert wau == {
+        "2024-01-01": 2,  # {1,2}
+        "2024-01-02": 3,  # {1,2} ∪ {2,3}
+        "2024-01-09": 1,  # {1} — window [Jan 3, Jan 9]
+    }

@@ -118,6 +118,7 @@ EXTRA_AUDIT = (
     "benford_first_digit_audit",
     "gini_revenue_concentration",
     "rolling_weekly_active_users",
+    "bitmap_distinct_roaring",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
