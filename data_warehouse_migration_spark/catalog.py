@@ -114,23 +114,27 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 6 window (ROTATION.md has the full ledger):
-# (a) parity core (warehouse module) + bench headliners stay pinned.
-# (b) the 11 round-5 registrations that landed outside the full r5
-#     window and have never had a driver row (VERDICT r5 action #1) —
-#     two of them (corpus_drift_kl: order-independent KL sum +
-#     drift-operator extraction; zorder_locality_manifest: all-integer
-#     quantize division) also changed code this round, so their rows
-#     are first-AND-fresh.
-# (c) the two NEW round-6 queries register straight into the window
-#     (chunk-chained shard checksum; streaming corpus-drift monitor).
-# (d) changed-code re-attests: the r6 Jaccard-verification refactor
-#     (`_jaccard_for_candidates` → per-doc hash arrays) voids the r4
-#     rows of dedup_minhash_lsh, dedup_incremental_batch and
-#     dedup_clusters (dedup_ngram_jaccard is pinned via (a)).
-# (e) the oldest of the r4-green entries displaced in r5: q12, the
-#     seven scalar-function-surface queries, window_analytics_suite.
-_WINDOW_R6 = (
+# Round 7 window (ROTATION.md has the full ledger):
+# (a) parity core (warehouse module) + ALL 19 bench headliners stay
+#     pinned — this finally puts driver rows on semdedup_embeddings
+#     and containment_quote_pairs, the two headliners promoted after
+#     the r6 window was sealed (VERDICT r6 "What's wrong" #1).
+#     semdedup_embeddings is ALSO a changed-code attest this round
+#     (derived-k + enforced hot-cluster cap), as are dedup_ngram_
+#     jaccard / duplicate_span_pairs / curation_pipeline_v2/v3 (the
+#     cache-hygiene persist removals).
+# (b) queries whose code changed THIS round (ADVICE r6 fixes): 64-bit
+#     rank arithmetic (quantile_normalize_lengths, spearman_length_
+#     vs_novelty), the HDR domain guard (hdr_quantile_sketch +
+#     streaming twin), the bloom oracle's shared md5-bucket SQL.
+# (c) the r6-review changed-code re-attests whose prior rows are void
+#     (VERDICT r6 action #1): whole-row salts, persisted IVF probes,
+#     unique rollup views, shared stream staging.
+# (d) the two NEW round-7 queries register straight into the window
+#     (roaring containers; stream-served rolling WAU).
+# (e) first tranche of the 39-query r6 attestation backlog, headliner-
+#     adjacent composites and the sketch/stats batch first.
+_WINDOW_R7 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -147,48 +151,46 @@ _WINDOW_R6 = (
     "duplicate_span_pairs",
     "curation_pipeline_v2",
     "curation_pipeline_v3",
-    # (b) the never-driver-attested r5 tail.
-    "dynamic_gap_sessions",
-    "hll_sketch_rollup",
-    "similarity_filtered_topk",
-    "weighted_doc_sample",
-    "vector_ops_surface",
-    "corpus_drift_kl",
-    "zorder_locality_manifest",
-    "incremental_span_removal",
-    "streaming_dynamic_gap_sessions",
-    "streaming_sliding_halfhour",
-    "streaming_ewma_final",
-    # (c) new in round 6.
-    "shard_manifest_chunked",
-    "streaming_corpus_drift_kl",
-    # (d) changed-code re-attests (r6 dedup verification refactor).
-    "dedup_minhash_lsh",
-    "dedup_incremental_batch",
-    "dedup_clusters",
-    # (e) oldest displaced r4-green entries.
-    "q12_late_line_priorities",
-    "string_functions",
-    "date_functions",
-    "json_extract_events",
-    "math_functions",
-    "map_functions_surface",
-    "unpivot_order_measures",
-    "histogram_order_values",
-    "window_analytics_suite",
+    "semdedup_embeddings",
+    "containment_quote_pairs",
+    # (b) changed this round (ADVICE r6 fixes).
+    "quantile_normalize_lengths",
+    "spearman_length_vs_novelty",
+    "hdr_quantile_sketch",
+    "streaming_hdr_quantiles",
+    "bloom_prefilter_dedup",
+    # (c) r6-review changed-code re-attests.
+    "salted_event_totals",
+    "similarity_ivf_topk",
+    "streaming_rollup_maintenance",
+    "streaming_ingest_dedup",
+    "streaming_semdedup_ingest",
+    # (d) new in round 7.
+    "bitmap_distinct_roaring",
+    "streaming_rolling_wau",
+    # (e) r6 backlog, first tranche.
+    "curation_pipeline_v4",
+    "rag_retrieval_pipeline",
+    "contamination_overlap_scores",
+    "temperature_mix_weights",
+    "bitmap_distinct_rollup",
+    "rolling_weekly_active_users",
+    "heavy_hitters_cms",
+    "media_resize_real",
+    "ohlc_hourly_candlesticks",
+    "cohort_weekly_retention",
+    "dataset_card_summary",
 )
-# Displaced to make room — every one hash-green in CORRECTNESS_r05.json
-# with code unchanged since (the r4 backlog set, the r5 new queries,
-# the r2-stale set rotated back in r5, dedup_exact). The four ANN
-# recall gates (similarity_{lsh,ivf,pq,ivf_pq}_topk, r4-green,
-# operators untouched this round) are the first r7 rotation
-# candidates. All remain gated every round by tools/check_oracle.py +
-# pytest.
+# Displaced to make room — the r5-tail/r4-green set attested fresh in
+# CORRECTNESS_r06.json with code unchanged since. The remaining r6
+# backlog (18 entries, list in ROTATION.md) plus the r4-green "still
+# waiting" set drain over r8; all stay gated every round by
+# tools/check_oracle.py + pytest.
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R6,
+    *_WINDOW_R7,
 )
 
 

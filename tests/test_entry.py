@@ -23,11 +23,16 @@ def test_oracle_keys_subset_of_queries():
 def test_attestation_window_membership():
     """The driver attests the first 50 registry entries (ROTATION.md).
 
-    Pin the parity core, bench headliners, and this round's rotation
-    targets inside that window so a future registration can't silently
-    displace them.
+    The first-50 slice must BE catalog._FIRST in order (the strong
+    form, ADVICE r5), and the r7 rotation targets — all 19 bench
+    headliners (VERDICT r6 action #1), the changed-code re-attests,
+    the two new r7 queries, and the backlog tranche — must sit inside
+    it so a future registration can't silently displace them.
     """
+    from data_warehouse_migration_spark.catalog import _FIRST
+
     names = list(entry_mod.queries())
+    assert names[:50] == list(_FIRST)
     pinned = [
         # parity core
         "jde_silver_clean",
@@ -35,43 +40,49 @@ def test_attestation_window_membership():
         "scd2_customer_versions",
         "pit_fact_attribution",
         "star_topk_orders",
-        # bench headliners
+        # all 19 bench headliners (incl. the two late-r6 promotions)
         "q1_pricing_summary",
         "star_revenue_by_nation",
         "q3_shipping_priority",
-        # round-6 rotation targets (ROTATION.md r6): the 11-query
-        # never-driver-attested r5 tail, the two new round-6 queries,
-        # the changed-code re-attests voided by the r6 Jaccard
-        # verification refactor, and the oldest displaced r4 greens.
+        "dedup_ngram_jaccard",
+        "text_quality",
+        "similarity_topk",
+        "sessionize_events",
+        "dedup_embedding_cosine",
+        "continuous_aggregate_rollup",
+        "training_data_pipeline",
         "doc_perplexity_filter",
         "duplicate_span_pairs",
         "curation_pipeline_v2",
         "curation_pipeline_v3",
-        "dynamic_gap_sessions",
-        "hll_sketch_rollup",
-        "similarity_filtered_topk",
-        "weighted_doc_sample",
-        "vector_ops_surface",
-        "corpus_drift_kl",
-        "zorder_locality_manifest",
-        "incremental_span_removal",
-        "streaming_dynamic_gap_sessions",
-        "streaming_sliding_halfhour",
-        "streaming_ewma_final",
-        "shard_manifest_chunked",
-        "streaming_corpus_drift_kl",
-        "dedup_minhash_lsh",
-        "dedup_incremental_batch",
-        "dedup_clusters",
-        "q12_late_line_priorities",
-        "string_functions",
-        "date_functions",
-        "json_extract_events",
-        "math_functions",
-        "map_functions_surface",
-        "unpivot_order_measures",
-        "histogram_order_values",
-        "window_analytics_suite",
+        "semdedup_embeddings",
+        "containment_quote_pairs",
+        # r7 changed-code attests (ADVICE fixes + r6-review re-attests)
+        "quantile_normalize_lengths",
+        "spearman_length_vs_novelty",
+        "hdr_quantile_sketch",
+        "streaming_hdr_quantiles",
+        "bloom_prefilter_dedup",
+        "salted_event_totals",
+        "similarity_ivf_topk",
+        "streaming_rollup_maintenance",
+        "streaming_ingest_dedup",
+        "streaming_semdedup_ingest",
+        # new round-7 queries
+        "bitmap_distinct_roaring",
+        "streaming_rolling_wau",
+        # r6 backlog, first tranche
+        "curation_pipeline_v4",
+        "rag_retrieval_pipeline",
+        "contamination_overlap_scores",
+        "temperature_mix_weights",
+        "bitmap_distinct_rollup",
+        "rolling_weekly_active_users",
+        "heavy_hitters_cms",
+        "media_resize_real",
+        "ohlc_hourly_candlesticks",
+        "cohort_weekly_retention",
+        "dataset_card_summary",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"

@@ -75,6 +75,24 @@ def test_zero_shuffle_queries_have_no_exchange(spark, sf_dir):
         assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan}"
 
 
+def test_rotation_ledger_registry_count_matches(spark):
+    """ROTATION.md's current-round registry count must equal
+    len(REGISTRY) — the r6 ledger drifted by one when a query landed
+    after the note was written (VERDICT r6 wrong #4)."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "ROTATION.md"
+    ).read_text()
+    m = re.search(r"ledger entry stands: \*\*(\d+) entries\*\*", text)
+    assert m, "ROTATION.md lost its registry-count line"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"ROTATION.md says {m.group(1)} entries, registry has "
+        f"{len(REGISTRY)} — update the ledger note"
+    )
+
+
 def test_window_is_exactly_fifty_unique(spark):
     """The intended rotation set — catalog._FIRST, the parity core plus
     this round's window — must BE the first 50 registry entries, in
