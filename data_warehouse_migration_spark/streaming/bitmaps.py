@@ -67,6 +67,35 @@ def streaming_bitmap_maintenance(
     return writer.start()
 
 
+def compact_bitmap_partials(spark: SparkSession, table_path: str) -> None:
+    """Fold every epoch's partial words into a single ``epoch = -1``
+    partition (staged to a fresh versioned directory, then the atomic
+    pointer flip — run between streaming runs; the
+    `streaming/rollup.compact_rollup` pattern). Serving results are
+    unchanged — the fold is the same ``bit_or`` the readers perform,
+    and bit_or idempotence means even a compaction racing a replayed
+    epoch can only re-assert bits, never double-count. The layout
+    stays uniform so a resumed stream keeps appending ``epoch=K``
+    partitions next to the compacted base."""
+    import os
+    import uuid
+
+    from data_warehouse_migration_spark.sources.writers import (
+        atomic_publish_dir,
+    )
+
+    partials = spark.read.parquet(table_path)
+    compacted = (
+        partials.groupBy("event_type", "day", "word_idx")
+        .agg(F.expr("cast(bit_or(word) as long)").alias("word"))
+        .withColumn("epoch", F.lit(-1).cast("long"))
+    )
+    parent, base = os.path.split(os.path.abspath(table_path))
+    stage = os.path.join(parent, f".{base}.__v_compact_{uuid.uuid4().hex[:8]}")
+    compacted.write.mode("overwrite").partitionBy("epoch").parquet(stage)
+    atomic_publish_dir(stage, table_path)
+
+
 def read_bitmap_rollup(spark: SparkSession, table_path: str) -> DataFrame:
     """Serve the per-type summary — bit-identical to the one-shot
     batch `bitmap_distinct_rollup` output: daily exact distincts from
@@ -106,8 +135,7 @@ def read_rolling_wau(spark: SparkSession, table_path: str) -> DataFrame:
 
     Scale: serving shuffles (day, word) pairs with a 7× constant
     fan-out — independent of event count AND of epoch count after
-    compaction (compact_bitmap_partials-style folding applies to this
-    table unchanged)."""
+    compaction (:func:`compact_bitmap_partials`)."""
     from data_warehouse_migration_spark.operators.bitmaps import (
         bitmap_cardinality,
         bitmap_merge,

@@ -180,3 +180,28 @@ def test_rolling_wau_from_replayed_partials(spark, tmpdir):
         "2024-01-02": 3,  # {1,2} ∪ {2,3}
         "2024-01-09": 1,  # {1} — window [Jan 3, Jan 9]
     }
+    # Compaction folds epochs to one partition; every served result —
+    # the rollup AND the WAU series — is unchanged (bit_or algebra).
+    from data_warehouse_migration_spark.streaming.bitmaps import (
+        compact_bitmap_partials,
+        read_bitmap_rollup,
+    )
+
+    before = sorted(
+        map(tuple, read_bitmap_rollup(spark, tmpdir).collect())
+    )
+    compact_bitmap_partials(spark, tmpdir)
+    epochs = {
+        r.epoch
+        for r in spark.read.parquet(tmpdir).select("epoch").distinct().collect()
+    }
+    assert epochs == {-1}
+    assert (
+        sorted(map(tuple, read_bitmap_rollup(spark, tmpdir).collect()))
+        == before
+    )
+    wau2 = {
+        r.day.isoformat(): r.wau
+        for r in read_rolling_wau(spark, tmpdir).collect()
+    }
+    assert wau2 == wau
