@@ -94,6 +94,7 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
     llm_ops,
     quality_ops,
     sketch_ops,
+    source_ops,
     streaming_gates,
     warehouse,
 )

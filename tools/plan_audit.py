@@ -119,6 +119,9 @@ EXTRA_AUDIT = (
     "gini_revenue_concentration",
     "rolling_weekly_active_users",
     "bitmap_distinct_roaring",
+    "source_mix_census",
+    "source_cap_sample",
+    "cross_source_span_overlap",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
