@@ -2145,3 +2145,129 @@ def quantile_normalize_lengths(spark, sf_dir):
             "norm_tokens",
         )
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "gopher_quality_rules",
+    tags=("quality", "rules", "gopher", "curation"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+), m AS (
+    SELECT doc_id, lang, txt,
+           string_split(txt, ' ') AS w,
+           len(string_split(txt, ' ')) AS nw,
+           length(txt) - len(string_split(txt, ' ')) + 1 AS sum_len,
+           length(txt) - length(replace(txt, '#', '')) AS n_hash,
+           (length(txt) - length(replace(txt, '...', ''))) // 3 AS n_ell
+    FROM n
+), f AS (
+    SELECT lang,
+           CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_count,
+           CASE WHEN 3 * nw > sum_len OR sum_len > 10 * nw THEN 1 ELSE 0 END
+               AS f_len,
+           CASE WHEN 10 * (n_hash + n_ell) > nw THEN 1 ELSE 0 END AS f_sym,
+           CASE WHEN 5 * len(list_filter(w,
+                     x -> regexp_full_match(x, '[a-z]+'))) < 4 * nw
+                THEN 1 ELSE 0 END AS f_alpha,
+           CASE WHEN len(list_intersect(list_distinct(w),
+                     ['the','be','to','of','and','that','have','with'])) < 2
+                THEN 1 ELSE 0 END AS f_stop
+    FROM m
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_count) AS BIGINT) AS fail_word_count,
+       CAST(sum(f_len) AS BIGINT) AS fail_word_length,
+       CAST(sum(f_sym) AS BIGINT) AS fail_symbol_ratio,
+       CAST(sum(f_alpha) AS BIGINT) AS fail_alpha_words,
+       CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+       CAST(sum(CASE WHEN f_count + f_len + f_sym + f_alpha + f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(CAST(sum(CASE WHEN f_count + f_len + f_sym + f_alpha + f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT), 6) AS pass_frac
+FROM f GROUP BY lang
+""",
+)
+def gopher_quality_rules(spark, sf_dir):
+    """The published Gopher rule chain (Rae et al. 2021, table A1 —
+    the rule family C4/MassiveText-style pipelines apply verbatim) as
+    a per-language census: word-count bounds [50, 100k], mean word
+    length [3, 10], symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥80%
+    alphabetic words, ≥2 distinct stop words — per-rule fail counts
+    plus the all-rules pass fraction, so a curation run sees WHICH
+    rule is doing the cutting per language before anything is dropped.
+
+    Exactness: every rule is evaluated in integers — mean-word-length
+    bounds as ``3·n ≤ Σlen ≤ 10·n`` (Σlen = chars − spaces, exact on
+    the single-spaced normalized text), the symbol ratio as
+    ``10·(n#+n…) > n`` — so no float threshold can round differently
+    across engines; the one output ratio divides once and rounds to 6.
+
+    Scale: zero-shuffle per-doc Column work (split/filter/intersect
+    on the word array) + ONE language-keyed map-side-combined
+    aggregation; output is language-cardinality sized. The word-count
+    and stop-word rules bind on this corpus (synthetic docs are short
+    and carry only 'the' from the stop list); the symbol/alpha rules
+    pass trivially here but are attested end-to-end all the same."""
+    docs = t(spark, sf_dir, "documents")
+    txt = normalized_text(F.col("text"))
+    m = docs.select(
+        "lang",
+        F.split(txt, " ").alias("w"),
+        F.size(F.split(txt, " ")).alias("nw"),
+        (F.length(txt) - F.size(F.split(txt, " ")) + 1).alias("sum_len"),
+        (
+            F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+        ).alias("n_hash"),
+        (
+            (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit(""))))
+            / 3
+        ).cast("long").alias("n_ell"),
+    )
+    f_count = F.when((F.col("nw") < 50) | (F.col("nw") > 100000), 1).otherwise(0)
+    f_len = F.when(
+        (3 * F.col("nw") > F.col("sum_len"))
+        | (F.col("sum_len") > 10 * F.col("nw")),
+        1,
+    ).otherwise(0)
+    f_sym = F.when(10 * (F.col("n_hash") + F.col("n_ell")) > F.col("nw"), 1).otherwise(0)
+    n_alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike("^[a-z]+$")))
+    f_alpha = F.when(5 * n_alpha < 4 * F.col("nw"), 1).otherwise(0)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("w")),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    f_stop = F.when(n_stop < 2, 1).otherwise(0)
+    flags = m.select(
+        "lang",
+        f_count.alias("f_count"),
+        f_len.alias("f_len"),
+        f_sym.alias("f_sym"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+    )
+    total_fail = (
+        F.col("f_count") + F.col("f_len") + F.col("f_sym")
+        + F.col("f_alpha") + F.col("f_stop")
+    )
+    n = F.count(F.lit(1))
+    passed = F.sum(F.when(total_fail == 0, 1).otherwise(0)).cast("long")
+    return flags.groupBy("lang").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("f_count").cast("long").alias("fail_word_count"),
+        F.sum("f_len").cast("long").alias("fail_word_length"),
+        F.sum("f_sym").cast("long").alias("fail_symbol_ratio"),
+        F.sum("f_alpha").cast("long").alias("fail_alpha_words"),
+        F.sum("f_stop").cast("long").alias("fail_stopwords"),
+        passed.alias("n_pass"),
+        F.round(passed / n.cast("long"), 6).alias("pass_frac"),
+    )

@@ -122,6 +122,7 @@ EXTRA_AUDIT = (
     "source_mix_census",
     "source_cap_sample",
     "cross_source_span_overlap",
+    "gopher_quality_rules",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
