@@ -2555,3 +2555,74 @@ def media_resize_real(spark, sf_dir):
 
     ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
     return resize_media(synthesize_assets(ids))
+
+
+@query(
+    "decontaminate_exact_substring",
+    tags=("dedup", "decontamination", "eval", "substring"),
+    oracle=f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'train' ELSE 'eval' END AS s
+    FROM documents
+), norm AS (
+    SELECT doc_id, s, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM split
+), ev AS (
+    SELECT doc_id, array_to_string((string_split(txt, ' '))[1:10], ' ') AS probe
+    FROM norm WHERE s = 'eval' AND len(string_split(txt, ' ')) >= 10
+), tr AS (
+    SELECT doc_id, txt FROM norm WHERE s = 'train'
+)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       CAST(position(ev.probe IN tr.txt) AS INT) AS match_pos
+FROM tr JOIN ev ON position(ev.probe IN tr.txt) > 0
+""",
+)
+def decontaminate_exact_substring(spark, sf_dir):
+    """Exact-substring decontamination — the verification tier of the
+    GPT-2/PaLM-style overlap check that the shingle pass
+    (`decontaminate_against_eval`) prefilters for: a training document
+    is contaminated when an eval example's PROMPT PREFIX (its first 10
+    normalized tokens — the probe real harnesses key on) appears
+    verbatim inside the training text. Output is the (train, eval)
+    match table with the 1-based match position (``instr`` and
+    DuckDB's ``position`` agree on 1-based/0-absent semantics, so the
+    position itself is attested).
+
+    Scale: the eval probe table BROADCASTS (eval suites are small by
+    construction — the decontamination convention) and the training
+    corpus streams through ONCE with a substring scan per (row, probe)
+    — O(|train|·|eval|) row-local work, zero train-text shuffle. The
+    substring condition is a non-equi predicate, so the plan is the
+    sanctioned broadcast nested loop (plan_audit whitelist, same
+    justification as the contamination family); at web-scale |eval|,
+    compose: shingle-prefilter down to candidates, then run THIS exact
+    check on the survivors — same contract, index-pruned input."""
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        t(spark, sf_dir, "documents"), "doc_id", {"train": 0.9, "eval": 0.1}
+    )
+    txt = D.normalized_text(F.col("text"))
+    norm = docs.select("doc_id", "split", txt.alias("txt"))
+    w = F.split(F.col("txt"), " ")
+    ev = (
+        norm.filter((F.col("split") == "eval") & (F.size(w) >= 10))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.concat_ws(" ", F.slice(w, 1, 10)).alias("probe"),
+        )
+    )
+    tr = norm.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "txt"
+    )
+    return (
+        tr.join(F.broadcast(ev), F.expr("instr(txt, probe) > 0"))
+        .select(
+            "train_id",
+            "eval_id",
+            F.expr("cast(instr(txt, probe) as int)").alias("match_pos"),
+        )
+    )

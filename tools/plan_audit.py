@@ -74,6 +74,11 @@ BNLJ_WHITELIST = {
     "quantile_normalize_lengths",  # broadcast domain-bounded pooled-CDF
                               #   table into the ceiling-lookup join
                               #   (O(n·|distinct lengths|))
+    "decontaminate_exact_substring",  # broadcast eval prompt-prefix probes
+                              #   scanned against the streamed train
+                              #   corpus — the substring predicate is
+                              #   non-equi by nature (O(n·|eval|), the
+                              #   decontamination-family justification)
     "rag_retrieval_pipeline", # exact brute-force retrieval baseline
                               #   (sanctioned similarity_topk shape —
                               #   queries broadcast, corpus streamed);
@@ -123,6 +128,7 @@ EXTRA_AUDIT = (
     "source_cap_sample",
     "cross_source_span_overlap",
     "gopher_quality_rules",
+    "decontaminate_exact_substring",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
