@@ -2626,3 +2626,100 @@ def decontaminate_exact_substring(spark, sf_dir):
             F.expr("cast(instr(txt, probe) as int)").alias("match_pos"),
         )
     )
+
+
+def _tau_calibration_oracle(iters: int = 3, dim: int = 64, rnd: int = 7) -> str:
+    """Derived-k Lloyd's CTE + within-cluster pair cosines + the tau
+    grid unrolled via unnest — integer tau_pct keys keep the grid
+    hash-exact (no decimal-literal typing drift)."""
+    return (
+        _kmeans_cte(
+            iters=iters,
+            dim=dim,
+            rnd=rnd,
+            k_sql="greatest(8, CAST(ceil(count(*) / 1024.0) AS INT))",
+        )
+        + """,
+pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(va.emb, vb.emb), 6) AS cos
+    FROM af a
+    JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN vecs va ON va.vec_id = a.vec_id
+    JOIN vecs vb ON vb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(va.emb, vb.emb), 6) >= 0.3
+), grid AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS tau_pct)
+SELECT g.tau_pct,
+       CAST(count(p.b_id) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.b_id) AS BIGINT) AS n_removed
+FROM grid g LEFT JOIN pairs p ON p.cos >= g.tau_pct / 100.0
+GROUP BY g.tau_pct
+"""
+    )
+
+
+@query(
+    "semdedup_tau_calibration",
+    tags=("dedup", "semantic", "calibration", "tuning"),
+    oracle=_tau_calibration_oracle(),
+)
+def semdedup_tau_calibration(spark, sf_dir):
+    """SemDeDup threshold calibration curve: for a grid of cosine
+    thresholds (tau_pct 30…90), how many within-cluster pairs survive
+    and how many documents the lowest-id keep rule would remove — the
+    tuning table Abbas et al. sweep before fixing tau (their fig. 2),
+    computed from ONE pair materialization instead of seven operator
+    runs. Same derived-k clustering as `semdedup_embeddings`, so the
+    curve describes the production operator, not a twin.
+
+    Exactness: integer tau_pct keys (decimal literals type differently
+    across engines); the comparison divides tau_pct by 100.0 in
+    identical IEEE ops on both sides; cosines round to 6 (similarity
+    convention). The grid LEFT JOIN keeps zero-survivor thresholds
+    visible as explicit (tau, 0, 0) rows.
+
+    Scale: the pair table is the same O(Σ cᵢ²) cluster-restricted join
+    the operator pays (hot-cluster cap enforced upstream); the grid
+    fan-out is a constant 7× on the PAIR table, never the corpus."""
+    from data_warehouse_migration_spark.operators.clustering import kmeans
+    from data_warehouse_migration_spark.operators.semdedup import derive_k
+    from data_warehouse_migration_spark.operators.similarity import dot, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    k = derive_k(emb.count(), target_cluster_size=1024)
+    _, assigned = kmeans(emb, k=k, max_iter=3, round_centroids=7)
+    sized = assigned.withColumn("_nrm", l2_norm(F.col("embedding")))
+    a = sized.select(
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("_a_vec"),
+        F.col("_nrm").alias("_a_nrm"),
+    )
+    b = sized.select(
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("_b_vec"),
+        F.col("_nrm").alias("_b_nrm"),
+    )
+    den = F.col("_a_nrm") * F.col("_b_nrm")
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(
+        dot(F.col("_a_vec"), F.col("_b_vec")) / den
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= 0.3)
+        .select("a_id", "b_id", "cos")
+    )
+    grid = spark.range(3, 10).select((F.col("id") * 10).cast("int").alias("tau_pct"))
+    return (
+        grid.join(
+            pairs, pairs["cos"] >= grid["tau_pct"] / F.lit(100.0), "left"
+        )
+        .groupBy("tau_pct")
+        .agg(
+            F.count(F.col("cos")).alias("n_pairs"),
+            F.countDistinct("b_id").alias("n_removed"),
+        )
+    )

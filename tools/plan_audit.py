@@ -129,6 +129,7 @@ EXTRA_AUDIT = (
     "cross_source_span_overlap",
     "gopher_quality_rules",
     "decontaminate_exact_substring",
+    "semdedup_tau_calibration",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
