@@ -37,14 +37,31 @@ def assign_clusters(
 ) -> DataFrame:
     """(id, cluster, sq_dist) — nearest centroid per vector, computed
     against broadcast literals inside codegen; lowest cluster index
-    wins exact-distance ties."""
-    dist_structs = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c")
-            )
-            for i, c in enumerate(centroids)
-        ]
+    wins exact-distance ties.
+
+    The k distances come from ONE ``transform`` lambda over a literal
+    array-of-centroids rather than k unrolled per-centroid folds: the
+    distance body is compiled once instead of k times, shrinking the
+    generated code ~k× (the unrolled form recompiled a ~k·dim-term
+    expression every Lloyd's iteration, the dominant LOCAL cost of
+    the kmeans family — r7 A/B; per-element arithmetic and its order
+    are unchanged, so distances are bit-identical). Ties: array_min
+    over struct(d, c) — lexicographic, lowest cluster on equal d,
+    exactly as before."""
+    lit_cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    vec = F.col(vec_col)
+    dist_structs = F.transform(
+        lit_cents,
+        lambda cent, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, cent, lambda a, b: a.cast("double") - b),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ).alias("d"),
+            i.cast("int").alias("c"),
+        ),
     )
     best = F.array_min(dist_structs)
     return vectors.select(
