@@ -74,6 +74,9 @@ BNLJ_WHITELIST = {
     "quantile_normalize_lengths",  # broadcast domain-bounded pooled-CDF
                               #   table into the ceiling-lookup join
                               #   (O(n·|distinct lengths|))
+    "semdedup_tau_calibration",  # 7-row broadcast tau grid joined to the
+                              #   pair table on a >= residual — constant
+                              #   fan-out O(pairs·|grid|), never corpus²
     "decontaminate_exact_substring",  # broadcast eval prompt-prefix probes
                               #   scanned against the streamed train
                               #   corpus — the substring predicate is
