@@ -2723,3 +2723,119 @@ def semdedup_tau_calibration(spark, sf_dir):
             F.countDistinct("b_id").alias("n_removed"),
         )
     )
+
+
+@query(
+    "embedding_drift_labels",
+    tags=("monitoring", "drift", "embeddings", "centroids"),
+    oracle=f"""
+WITH split AS (
+    SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb,
+           CASE WHEN (
+                 (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)
+             ) < CAST(0.5 * 65536 AS INT) THEN 'reference' ELSE 'current' END AS s
+    FROM embeddings
+), vl AS (
+    SELECT s, label, i.pos, emb[i.pos + 1] AS x
+    FROM split, (SELECT unnest(range(64)) AS pos) i
+), cent AS (
+    SELECT s, label, pos, round(avg(x), 7) AS m
+    FROM vl GROUP BY 1, 2, 3
+), j AS (
+    SELECT r.label, r.pos, r.m AS mr, c.m AS mc
+    FROM (SELECT label, pos, m FROM cent WHERE s = 'reference') r
+    JOIN (SELECT label, pos, m FROM cent WHERE s = 'current') c
+      USING (label, pos)
+), sums AS (
+    SELECT label,
+           sum(CAST(round(mr * mc * 1e12) AS BIGINT)) AS s_ab,
+           sum(CAST(round(mr * mr * 1e12) AS BIGINT)) AS s_aa,
+           sum(CAST(round(mc * mc * 1e12) AS BIGINT)) AS s_bb
+    FROM j GROUP BY 1
+), counts AS (
+    SELECT label,
+           sum(CASE WHEN s = 'reference' THEN 1 ELSE 0 END) AS n_ref,
+           sum(CASE WHEN s = 'current' THEN 1 ELSE 0 END) AS n_cur
+    FROM split GROUP BY 1
+)
+SELECT c.label,
+       CAST(c.n_ref AS BIGINT) AS n_ref,
+       CAST(c.n_cur AS BIGINT) AS n_cur,
+       round(c.n_cur / CAST(c.n_ref AS DOUBLE), 6) AS count_ratio,
+       round(s.s_ab / sqrt(CAST(s.s_aa AS DOUBLE) * s.s_bb), 6)
+           AS centroid_cosine
+FROM counts c JOIN sums s USING (label)
+""",
+)
+def embedding_drift_labels(spark, sf_dir):
+    """Embedding-space drift monitor — the vector-side twin of the
+    token-KL corpus monitor (`corpus_drift_kl`): per label, compare
+    the CURRENT half of the corpus against the REFERENCE half
+    (content-addressed md5 split, the repo's reference/current
+    convention) by (a) the count ratio and (b) the cosine between the
+    two per-label centroids — the signal that catches an embedding
+    model regression or an upstream distribution shift that token
+    statistics cannot see (the text can look identical while the
+    vectors move).
+
+    Exactness: centroids are per-component means rounded to 7 (the
+    kmeans convention — absorbs partition-order noise), and every
+    cross-engine SUM over components is a scaled-1e-12 INTEGER sum of
+    the rounded products (the KL-monitor convention) so the cosine is
+    bit-stable; the two output ratios divide once and round to 6.
+
+    Scale: one (split, label, pos) mean shuffle over the corpus —
+    map-side combined, dim-bounded output (labels × 64 rows); the
+    cosine runs on the centroid table only. Streaming form: per-epoch
+    component sums are algebraic partials (the rollup pattern),
+    folding without rescans."""
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+
+    emb = hash_split(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        {"reference": 0.5, "current": 0.5},
+        split_col="s",
+    )
+    vl = emb.select(
+        "s", "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = vl.groupBy("s", "label", "pos").agg(
+        F.round(F.avg("x"), 7).alias("m")
+    )
+    r = cent.filter(F.col("s") == "reference").select(
+        "label", "pos", F.col("m").alias("mr")
+    )
+    c = cent.filter(F.col("s") == "current").select(
+        "label", "pos", F.col("m").alias("mc")
+    )
+    j = r.join(c, ["label", "pos"])
+    sums = j.groupBy("label").agg(
+        F.sum(F.round(F.col("mr") * F.col("mc") * 1e12).cast("long")).alias("s_ab"),
+        F.sum(F.round(F.col("mr") * F.col("mr") * 1e12).cast("long")).alias("s_aa"),
+        F.sum(F.round(F.col("mc") * F.col("mc") * 1e12).cast("long")).alias("s_bb"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("s") == "reference", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("s") == "current", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    return counts.join(sums, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("n_cur") / F.col("n_ref").cast("double"), 6).alias(
+            "count_ratio"
+        ),
+        F.round(
+            F.col("s_ab")
+            / F.sqrt(F.col("s_aa").cast("double") * F.col("s_bb")),
+            6,
+        ).alias("centroid_cosine"),
+    )

@@ -133,6 +133,7 @@ EXTRA_AUDIT = (
     "gopher_quality_rules",
     "decontaminate_exact_substring",
     "semdedup_tau_calibration",
+    "embedding_drift_labels",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
