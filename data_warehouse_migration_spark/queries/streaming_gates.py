@@ -1275,3 +1275,72 @@ def _attach_hdr_oracle() -> None:
 
 
 _attach_hdr_oracle()
+
+
+@query(
+    "streaming_source_census",
+    tags=("streaming", "source", "census", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch census oracle
+)
+def streaming_source_census(spark, sf_dir):
+    """Per-source corpus census maintained on the real streaming
+    engine (streaming/source_census.py): documents arrive as a 4-file
+    stream, each epoch writes its (source, lang) partial sums, and the
+    served census — totals, distinct languages, ratios, keep/review
+    verdict — folds from those algebraic partials, bit-identical to
+    the one-shot batch `source_mix_census` whatever the batch
+    boundaries. Attested against the SAME oracle."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.streaming.source_census import (
+        read_source_census,
+        streaming_census_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_census_")
+    try:
+        src = f"{base}/src"
+        t(spark, sf_dir, "documents").repartitionByRange(4, "doc_id").write.parquet(
+            src
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_census_maintenance(
+            stream, table_path=f"{base}/census", checkpoint=f"{base}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_source_census did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        partials = spark.read.parquet(f"{base}/census")
+        n_epochs = partials.select("epoch").distinct().count()
+        if n_epochs < 2:
+            raise AssertionError(
+                f"expected a multi-epoch run, got {n_epochs} epoch partitions"
+            )
+        out = read_source_census(spark, f"{base}/census")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_census_oracle() -> None:
+    """The census twin attests against the batch query's SQL — every
+    served component is algebraic over the epoch partials."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+
+    REGISTRY["streaming_source_census"].oracle = REGISTRY[
+        "source_mix_census"
+    ].oracle
+
+
+_attach_census_oracle()
