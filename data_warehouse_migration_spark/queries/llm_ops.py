@@ -2839,3 +2839,68 @@ def embedding_drift_labels(spark, sf_dir):
             6,
         ).alias("centroid_cosine"),
     )
+
+
+@query(
+    "hard_negative_mining",
+    tags=("similarity", "contrastive", "training-data"),
+    oracle="""
+WITH v AS (
+    SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+    FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < 8)
+SELECT q_id, n_id, neg_label, cosine, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS neg_label,
+           round(list_cosine_similarity(q.emb, c.emb), 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                        c.vec_id) AS rnk
+    FROM q JOIN v c ON c.vec_id != q.vec_id AND c.label != q.label
+)
+WHERE rnk <= 3
+""",
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive/retrieval training (the
+    DPR/SimCSE data-prep step): for each anchor, the top-3 most
+    similar vectors with a DIFFERENT label — the negatives that sit
+    closest to the decision boundary and carry the training signal
+    random negatives lack. The label-inequality predicate joins into
+    candidate generation (the filtered-search pre-filter posture:
+    post-filtering would silently return < k). Ranking on the rounded
+    cosine with id tie-break — total and engine-stable.
+
+    Scale: anchors broadcast over one corpus stream (the sanctioned
+    `similarity_topk` exact-baseline shape, whitelisted); at corpus
+    scale the same contract runs over ANN candidates (LSH/IVF buckets
+    from `operators/similarity.py`) with the label predicate applied
+    at bucket-probe time — identical output contract."""
+    from data_warehouse_migration_spark.operators.similarity import cosine
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("n_vec"),
+    )
+    scored = q.join(
+        c,
+        (F.col("n_id") != F.col("q_id"))
+        & (F.col("neg_label") != F.col("q_label")),
+    ).withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "n_id", "neg_label", "cosine", "rank")
+    )

@@ -2022,7 +2022,9 @@ def spearman_length_vs_novelty(spark, sf_dir):
     # Rank difference as int64 BEFORE squaring: row_number is int32,
     # and d² wraps past ~46k docs per language while the oracle's
     # BIGINT ranks stay exact (ADVICE r6) — the old .cast("long")
-    # landed after the already-wrapped sum.
+    # landed after the already-wrapped sum. Residual bound: Σd² < 2^63
+    # holds to ~2×10⁶ docs PER LANGUAGE (n³ growth); a stratum past
+    # that needs decimal(38) accumulation — documented, not silent.
     ranked = sig.select(
         "lang", (r_len.cast("long") - r_nov).alias("d")
     )

@@ -47,6 +47,10 @@ BNLJ_WHITELIST = {
     "similarity_pq_topk",     #   top-k baseline (sanctioned similarity_topk
                               #   shape) to attest ANN recall; the ANN legs
                               #   themselves stay equi-join/bucketed
+    "hard_negative_mining",   # anchors broadcast over one corpus stream —
+                              #   the sanctioned similarity_topk exact-
+                              #   baseline shape with a label-inequality
+                              #   residual (pre-filtered hard negatives)
     "similarity_sq8_topk",    # same recall-gate shape; additionally the SQ8
                               #   scoring leg IS a broadcast-|Q| exact scan
                               #   over decoded codes (brute force with 4×
@@ -134,6 +138,7 @@ EXTRA_AUDIT = (
     "decontaminate_exact_substring",
     "semdedup_tau_calibration",
     "embedding_drift_labels",
+    "hard_negative_mining",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
