@@ -14,19 +14,8 @@ resizes agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    # Squared diff via self-multiplication, not `** 2`: Spark's power
-    # lowers to Math.pow, which is only ~1-ulp accurate; a product is
-    # exact IEEE and matches what SQL engines (the DuckDB oracle)
-    # compute for (x-m)*(x-m), keeping cross-engine distances bitwise
-    # comparable before rounding.
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    diff = F.zip_with(vec, lit_c, lambda a, b: a.cast("double") - b)
-    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
 def assign_clusters(
@@ -48,6 +37,10 @@ def assign_clusters(
     are unchanged, so distances are bit-identical). Ties: array_min
     over struct(d, c) — lexicographic, lowest cluster on equal d,
     exactly as before."""
+    # Squared diff via self-multiplication, not ``** 2``: Spark's power
+    # lowers to Math.pow (~1-ulp); the product is exact IEEE and matches
+    # the DuckDB oracle's (x-m)*(x-m), keeping distances bitwise
+    # comparable before rounding.
     lit_cents = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
