@@ -874,6 +874,7 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 20,
     require_convergence: bool = True,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     step that turns pairwise near-dup EDGES into duplicate GROUPS (one
@@ -890,10 +891,18 @@ def connected_components(
     doubles per iteration), and convergence is detected with a
     driver-side scalar count of changed labels.
 
-    For 100 TB graphs with high-diameter components, swap the
-    propagation body for the large-star/small-star alternation
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    same labels contract, fewer rounds; the call sites don't change.
+    ``algorithm="star"`` swaps the propagation body for the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014) — the 100 TB form for
+    HIGH-DIAMETER graphs: each round contracts every node toward its
+    neighborhood minimum, so the number of rounds is O(log n) in the
+    component size rather than O(diameter). Same ``(id_col,
+    cluster_id)`` contract, same min-id labels, so call sites don't
+    change; per round it runs two grouped-min shuffles (one per star
+    phase) instead of label propagation's join+aggregate. Near-dup
+    graphs are dense/shallow, so the default stays ``"label"`` (fewer
+    shuffles per round wins when 2-3 rounds suffice); chain-shaped
+    graphs (e.g. contiguous-span overlap chains) want ``"star"``.
 
     A component whose diameter exceeds ``max_iter`` would come back
     SPLIT into several cluster ids — silently wrong groups — so the
@@ -911,6 +920,12 @@ def connected_components(
         node_df = e.select(F.col("__s").alias(id_col)).distinct()
     else:
         node_df = nodes.select(id_col)
+    if algorithm == "star":
+        return _alternating_star_components(
+            e, node_df, id_col, max_iter, require_convergence
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
     labels = node_df.select(id_col, F.col(id_col).alias("cluster_id"))
     labels = labels.localCheckpoint()
 
@@ -950,6 +965,77 @@ def connected_components(
             raise RuntimeError(msg)
         warnings.warn(msg, stacklevel=2)
     return labels
+
+
+def _alternating_star_components(
+    e: DataFrame,
+    node_df: DataFrame,
+    id_col: str,
+    max_iter: int,
+    require_convergence: bool,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014, Alg. 2):
+
+    - large-star at node u connects every LARGER neighbor to
+      m = min(N(u) ∪ {u}); since m ≤ u < v, every emitted edge (v, m)
+      already points big→small.
+    - small-star at node u (neighbors now all smaller) re-points every
+      non-min neighbor, and u itself, at m = min(N(u)).
+
+    Both phases only ever lower a node's parent toward the component
+    minimum and provably preserve connectivity; the fixpoint is one
+    depth-1 star per component rooted at its min id. Convergence is
+    detected as edge-set stability (count + one-sided exceptAll on the
+    deduped sets); per round the edge count never grows, and lineage is
+    truncated with localCheckpoint exactly like the label-prop body.
+    """
+    star = e.filter(F.col("__d") < F.col("__s")).distinct().localCheckpoint()
+    converged = star.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        sym = star.union(
+            star.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+        large_min = (
+            sym.groupBy("__s")
+            .agg(F.min("__d").alias("__mn"))
+            .select("__s", F.least(F.col("__mn"), F.col("__s")).alias("__m"))
+        )
+        large = (
+            sym.join(large_min, "__s")
+            .filter(F.col("__d") > F.col("__s"))
+            .select(F.col("__d").alias("__s"), F.col("__m").alias("__d"))
+            .distinct()
+        )
+        small_min = large.groupBy("__s").agg(F.min("__d").alias("__m"))
+        new_star = (
+            large.join(small_min, "__s")
+            .filter(F.col("__d") != F.col("__m"))
+            .select(F.col("__d").alias("__s"), F.col("__m").alias("__d"))
+            .union(small_min.select("__s", F.col("__m").alias("__d")))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            new_star.count() == star.count()
+            and new_star.exceptAll(star).isEmpty()
+        )
+        star = new_star
+    if not converged:
+        msg = (
+            f"connected_components(algorithm='star') did not reach a stable "
+            f"star forest in max_iter={max_iter} rounds; components would "
+            "come back split into multiple cluster ids"
+        )
+        if require_convergence:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
+    labels = star.select(
+        F.col("__s").alias(id_col), F.col("__d").alias("cluster_id")
+    ).join(node_df, id_col, "left_semi")
+    roots = node_df.join(star.select(F.col("__s").alias(id_col)), id_col, "left_anti")
+    return labels.union(roots.select(id_col, F.col(id_col).alias("cluster_id")))
 
 
 def simhash_near_pairs(

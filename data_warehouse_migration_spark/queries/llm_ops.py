@@ -1731,6 +1731,62 @@ def dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "dedup_clusters_star",
+    tags=("dedup", "clustering", "graph"),
+    oracle="WITH RECURSIVE "
+    + _JACCARD_CTE
+    + """
+, edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM jac WHERE j >= 0.8
+    UNION ALL
+    SELECT doc_b, doc_a FROM jac WHERE j >= 0.8
+)
+, reach(doc, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc
+)
+, clusters AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+SELECT doc AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc = cluster_id AS INT) AS is_canonical
+FROM clusters
+""",
+)
+def dedup_clusters_star(spark, sf_dir):
+    """`dedup_clusters` on the large-star/small-star body (Kiveris et
+    al. 2014, `connected_components(algorithm="star")`) — the
+    high-diameter 100 TB form: rounds scale O(log n) in component size
+    instead of O(diameter), so chain-shaped duplicate graphs (doc A
+    overlaps B overlaps C…) cannot outrun the iteration budget the way
+    min-label propagation lets them. Same edges, same min-id labels,
+    same recursive-CTE transitive-closure oracle — attesting the two
+    propagation bodies agree bit-for-bit on real near-dup structure."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    labels = connected_components(
+        pairs,
+        src="doc_a",
+        dst="doc_b",
+        nodes=docs.select("doc_id"),
+        id_col="doc_id",
+        algorithm="star",
+    )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+@query(
     "doc_perplexity_filter",
     headline=True,
     tags=("text", "quality", "perplexity"),

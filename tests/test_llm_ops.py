@@ -212,6 +212,32 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_star_components_beat_diameter_bound(spark):
+    """The Kiveris et al. large-star/small-star alternation must
+    collapse a diameter-60 path in O(log n) rounds — max_iter=10 here —
+    where min-label propagation needs 60 (and must raise); this is the
+    scale contract that makes algorithm='star' the high-diameter form."""
+    import pytest
+
+    from data_warehouse_migration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src int, dst int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(61)], "id int")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            edges, nodes=nodes, id_col="id", max_iter=10, algorithm="star"
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes=nodes, id_col="id", max_iter=10)
+
+
 def test_connected_components_refuses_unconverged_labels(spark):
     """With max_iter below the chain diameter the labels would come
     back split — the operator must raise rather than return silently

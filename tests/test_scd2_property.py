@@ -130,11 +130,14 @@ def test_connected_components_matches_union_find(n, edges):
         e = spark.createDataFrame(edges, "src int, dst int")
     else:
         e = spark.createDataFrame([], "src int, dst int")
-    got = {
-        r.id: r.cluster_id
-        for r in connected_components(e, nodes=nodes, id_col="id").collect()
-    }
     # union-find reference: component label = root after path compression,
     # with merges always toward the smaller id → min id per component
     expected = _union_find_components(n, edges)
-    assert got == expected
+    for algorithm in ("label", "star"):
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(
+                e, nodes=nodes, id_col="id", algorithm=algorithm
+            ).collect()
+        }
+        assert got == expected, algorithm

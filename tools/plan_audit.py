@@ -139,6 +139,7 @@ EXTRA_AUDIT = (
     "semdedup_tau_calibration",
     "embedding_drift_labels",
     "hard_negative_mining",
+    "dedup_clusters_star",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
