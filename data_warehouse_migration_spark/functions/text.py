@@ -97,6 +97,67 @@ def predicted_lang(text: Column) -> Column:
     return expr
 
 
+# --- fastText-style hashed linear classifier (model INFERENCE) -------------
+
+
+def hashed_ngram_features(text: Column) -> Column:
+    """fastText's feature stream (Joulin et al. 2016, wordNgrams=2):
+    unigrams + '_'-joined word bigrams of the normalized text as ONE
+    array — the input both to hashing-trick training and to the
+    inference pass below. Empty docs yield an empty array (the
+    `slice(toks, 1, 0)` keeps the branch typed array<string>)."""
+    toks = F.filter(tokens(text), lambda t: t != "")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                "_", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.slice(toks, 1, 0))
+    return F.concat(toks, bigrams)
+
+
+def hashed_linear_score_mili(
+    text: Column, n_features: int = 4096, weight_seed: int = 9
+) -> Column:
+    """Linear-classifier inference over hashed n-gram features — the
+    fastText/Gopher-era quality-classifier SHAPE as a pure Column
+    expression: bucket = md5-hash(feature) mod ``n_features`` (the
+    Weinberger hashing trick — no vocabulary state), weight = a fixed
+    per-bucket integer in [-1000, 1000] milli-units, score = Σ weights
+    over the document's feature occurrences (fastText's mean-of-rows
+    numerator). All-integer, so the score is bit-exact cross-engine;
+    divide by 1000·n_features_doc for the logit.
+
+    The weight table here is a deterministic md5 PSEUDO-model (weight
+    = hash(bucket)): the container has no trained checkpoint, so the
+    weights are fake but fixed while every piece of real plumbing —
+    feature extraction, bucketing, signed integer accumulation — is
+    the production path. Swapping in a trained model is a broadcast
+    join of a ``(bucket, weight_mili)`` table (n_features rows) in
+    place of the hash, or a literal array lookup for small models;
+    the score expression is unchanged.
+
+    Scale: ZERO shuffle — inference is a row-local projection that
+    runs inside whole-stage codegen at scan speed, which is exactly
+    why linear-over-hashed-features is the corpus-scale quality
+    filter (a transformer scorer pays Arrow+Python per batch)."""
+    from data_warehouse_migration_spark.operators.sketches import hash_mod
+
+    def weight_mili(tok: Column) -> Column:
+        bucket = hash_mod(tok, 0, n_features)
+        return hash_mod(bucket.cast("string"), weight_seed, 2001) - 1000
+
+    return F.aggregate(
+        F.transform(hashed_ngram_features(text), weight_mili),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 # --- PII redaction (training-data scrubbing) -------------------------------
 # Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
 # interpret identically, so redacted text is byte-identical cross-engine

@@ -2273,3 +2273,111 @@ def gopher_quality_rules(spark, sf_dir):
         passed.alias("n_pass"),
         F.round(passed / n.cast("long"), 6).alias("pass_frac"),
     )
+
+
+_QC_N_FEATURES = 4096
+_QC_WEIGHT_SEED = 9
+
+
+def _qc_oracle() -> str:
+    """DuckDB twin of functions/text.hashed_linear_score_mili: same
+    normalized unigram+bigram feature stream, same two-level md5
+    bucket→weight arithmetic (via sketch_ops._h_sql, the canonical
+    hash_mod mirror — not re-inlined, per the ADVICE r6 rule)."""
+    from data_warehouse_migration_spark.queries.sketch_ops import _h_sql
+
+    bucket = _h_sql("t", 0, _QC_N_FEATURES)
+    weight = f"({_h_sql(f'CAST({bucket} AS VARCHAR)', _QC_WEIGHT_SEED, 2001)} - 1000)"
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           list_filter(string_split({norm}, ' '), t -> t != '') AS u
+    FROM documents
+), feats AS (
+    SELECT doc_id, lang,
+           list_concat(
+               u,
+               list_transform(range(1, len(u)), i -> u[i] || '_' || u[i + 1])
+           ) AS f
+    FROM tok
+), scored AS (
+    SELECT doc_id, lang, CAST(len(f) AS BIGINT) AS n_feats,
+           COALESCE(CAST(list_sum(list_transform(f, t -> {weight})) AS BIGINT),
+                    0) AS score_mili
+    FROM feats
+)
+SELECT doc_id, lang, n_feats, score_mili,
+       round(CASE WHEN n_feats = 0 THEN 0.5
+                  ELSE 1.0 / (1.0 + exp(-(score_mili /
+                                          (1000.0 * n_feats)))) END,
+             6) AS prob,
+       CAST(score_mili >= 0 AS INT) AS keep
+FROM scored
+"""
+
+
+@query(
+    "quality_classifier_scores",
+    tags=("text", "quality", "classifier", "inference"),
+    oracle=_qc_oracle(),
+)
+def quality_classifier_scores(spark, sf_dir):
+    """fastText-shaped quality-classifier INFERENCE (Joulin et al.
+    2016 — the model family behind the GPT-3/Gopher/LLaMA "quality
+    filter" stage): per document, hashed unigram+bigram features →
+    per-bucket integer milli-weights → summed score, sigmoid
+    probability, and a keep verdict. Weights are a deterministic md5
+    pseudo-model (no trained checkpoint ships in this container —
+    functions/text.hashed_linear_score_mili documents the
+    trained-table swap); the feature extraction, bucketing, and
+    integer accumulation are the production path.
+
+    Exactness: score_mili is an all-integer sum (bit-exact
+    cross-engine); the keep flag compares the INTEGER score against 0
+    (sigmoid is monotone, prob ≥ 0.5 ⟺ score ≥ 0) so the verdict
+    never rides on a float; prob itself rounds to 6 after identical
+    IEEE exp/divide.
+
+    Scale: ZERO shuffle — one row-local projection inside whole-stage
+    codegen; the classifier runs at scan speed over 100 TB, which is
+    why linear-over-hashed-features is the corpus-scale filter (a
+    transformer scorer pays Arrow+Python per batch)."""
+    from data_warehouse_migration_spark.functions.text import (
+        hashed_linear_score_mili,
+        hashed_ngram_features,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    score = hashed_linear_score_mili(
+        F.col("text"), _QC_N_FEATURES, _QC_WEIGHT_SEED
+    )
+    n_feats = F.size(hashed_ngram_features(F.col("text"))).cast("long")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_feats.alias("n_feats"),
+        score.alias("score_mili"),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "score_mili",
+        F.round(
+            F.when(F.col("n_feats") == 0, F.lit(0.5)).otherwise(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.col("score_mili")
+                            / (F.lit(1000.0) * F.col("n_feats"))
+                        )
+                    )
+                )
+            ),
+            6,
+        ).alias("prob"),
+        (F.col("score_mili") >= 0).cast("int").alias("keep"),
+    )

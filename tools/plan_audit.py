@@ -140,6 +140,7 @@ EXTRA_AUDIT = (
     "embedding_drift_labels",
     "hard_negative_mining",
     "dedup_clusters_star",
+    "quality_classifier_scores",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
