@@ -52,11 +52,31 @@ def key_bitmap(
 ) -> DataFrame:
     """Bitmap words ``(group..., word_idx, word)`` over a non-negative
     integer key column. Duplicate keys collapse in the bit_or — the
-    bitmap IS the distinct set."""
+    bitmap IS the distinct set.
+
+    Negative keys RAISE per-row (the hdr_histogram domain-guard
+    convention): Spark's ``div``/``%`` truncate toward zero while
+    DuckDB's ``//`` floors, so an out-of-domain key would silently
+    desynchronize word/bit assignment between engines instead of
+    failing loudly."""
+    guarded = F.when(F.col(key_col) >= 0, F.col(key_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"key_bitmap: negative key in column '{key_col}' — "
+                    "domain is non-negative integer ids, got "
+                ),
+                F.col(key_col).cast("string"),
+            )
+        )
+    )
     rows = df.select(
         *group_cols,
-        F.expr(f"{key_col} div 64").alias("word_idx"),
-        F.expr(f"shiftleft(1L, cast({key_col} % 64 as int))").alias("w"),
+        guarded.alias("_k"),
+    ).select(
+        *group_cols,
+        F.expr("_k div 64").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(_k % 64 as int))").alias("w"),
     )
     return rows.groupBy(*group_cols, "word_idx").agg(
         F.expr("cast(bit_or(w) as long)").alias("word")

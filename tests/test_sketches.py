@@ -211,6 +211,19 @@ def test_bitmap_exact_distinct_and_union(spark):
     assert merged.n_distinct == 6
 
 
+def test_key_bitmap_raises_on_negative_key(spark):
+    """A negative key would silently desynchronize word/bit assignment
+    between engines (Spark div truncates, DuckDB // floors) — the
+    operator must fail loudly instead (hdr_histogram convention)."""
+    import pytest
+
+    from data_warehouse_migration_spark.operators.bitmaps import key_bitmap
+
+    df = spark.createDataFrame([("a", 1), ("a", -2)], ["g", "uid"])
+    with pytest.raises(Exception, match="negative key"):
+        key_bitmap(df, ["g"], "uid").collect()
+
+
 def _roaring_keys(seed: int, n: int) -> list[int]:
     """Mixed-density key sample: a dense block (bitmap containers at
     small cutoffs), a sparse spread (array containers), container-
