@@ -2381,3 +2381,145 @@ def quality_classifier_scores(spark, sf_dir):
         ).alias("prob"),
         (F.col("score_mili") >= 0).cast("int").alias("keep"),
     )
+
+
+def _v5_oracle() -> str:
+    """v5 = the v4 composition with the hashed-linear quality
+    classifier inserted between exact dedup and decontamination. The
+    md5 split bucket (_BUCKET4) and the classifier hash (_h_sql via
+    the _QC_* constants) are the canonical imports — never re-inlined
+    (ADVICE r6 rule)."""
+    from data_warehouse_migration_spark.queries.sketch_ops import _h_sql
+
+    bucket = _h_sql("t", 0, _QC_N_FEATURES)
+    weight = f"({_h_sql(f'CAST({bucket} AS VARCHAR)', _QC_WEIGHT_SEED, 2001)} - 1000)"
+    return f"""
+WITH split AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt,
+           CASE WHEN {_BUCKET4} < CAST(0.9 * 65536 AS INT)
+                THEN 'train' ELSE 'eval' END AS s
+    FROM documents
+), surv AS (
+    SELECT min(doc_id) AS doc_id FROM split WHERE s = 'train' GROUP BY md5(txt)
+), tr AS (
+    SELECT sp.doc_id, sp.lang, string_split(sp.txt, ' ') AS w
+    FROM split sp JOIN surv USING (doc_id)
+), qk AS (
+    SELECT doc_id,
+           COALESCE(CAST(list_sum(list_transform(
+               list_concat(u, list_transform(range(1, len(u)),
+                                             i -> u[i] || '_' || u[i + 1])),
+               t -> {weight})) AS BIGINT), 0) AS score
+    FROM (SELECT doc_id, list_filter(w, t -> t != '') AS u FROM tr) z
+), trq AS (
+    SELECT tr.doc_id, tr.lang, tr.w
+    FROM tr JOIN qk USING (doc_id) WHERE qk.score >= 0
+), we AS (
+    SELECT doc_id, string_split(txt, ' ') AS w FROM split WHERE s = 'eval'
+), sh_t AS (
+    SELECT DISTINCT trq.doc_id, md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM trq, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+), sh_e AS (
+    SELECT DISTINCT md5(array_to_string(w[i+1:i+3], ' ')) AS sh
+    FROM we, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= greatest(len(w) - 3, 0)
+), tn AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh_t GROUP BY 1
+), hits AS (
+    SELECT st.doc_id, count(*) AS n_hit
+    FROM sh_t st JOIN sh_e USING (sh) GROUP BY 1
+), clean AS (
+    SELECT tn.doc_id FROM tn LEFT JOIN hits USING (doc_id)
+    WHERE round(coalesce(hits.n_hit, 0) / CAST(tn.n_sh AS DOUBLE), 6) < 0.25
+), kept AS (
+    SELECT trq.lang, len(trq.w) AS nt FROM trq JOIN clean USING (doc_id)
+), agg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_size
+    FROM kept GROUP BY lang
+), wgt AS (
+    SELECT lang, n_docs, n_size,
+           CAST(round(pow(CAST(n_size AS DOUBLE), 0.3) * 1000000) AS BIGINT)
+               AS w_int
+    FROM agg
+), tot AS (
+    SELECT CAST(sum(w_int) AS BIGINT) AS tot_w,
+           CAST(sum(n_size) AS BIGINT) AS tot_n
+    FROM wgt
+)
+SELECT lang, n_docs, n_size,
+       round(CAST(w_int AS DOUBLE) / tot_w, 6) AS weight,
+       round((CAST(w_int AS DOUBLE) / tot_w)
+             / (CAST(n_size AS DOUBLE) / tot_n), 6) AS boost
+FROM wgt CROSS JOIN tot
+"""
+
+
+@query(
+    "curation_pipeline_v5",
+    tags=("pipeline", "composed", "classifier", "decontamination", "mixing"),
+    oracle=_v5_oracle(),
+)
+def curation_pipeline_v5(spark, sf_dir):
+    """v4's release pipeline with the MODEL-QUALITY stage every
+    production recipe actually runs (GPT-3/LLaMA/RefinedWeb): split →
+    exact dedup → hashed-linear classifier keep (score_mili ≥ 0, the
+    integer verdict of `quality_classifier_scores`) → graded
+    decontamination at 0.25 → temperature mix (α=0.3). The oracle
+    re-derives all five stages, so the gate attests the classifier
+    CONTRACT surviving composition — docs the classifier drops must
+    never reach the shingle stages, and the mix totals must reflect
+    the post-classifier corpus.
+
+    Shape at 100 TB: the classifier stage is a zero-shuffle row-local
+    filter (functions/text.hashed_linear_score_mili), so it PRUNES
+    before the decontamination shuffles — stage order is the cost
+    order; everything downstream inherits v4's posture (broadcast
+    eval shingles, strata-sized mix)."""
+    from data_warehouse_migration_spark.functions.text import (
+        hashed_linear_score_mili,
+    )
+    from data_warehouse_migration_spark.operators.dedup import (
+        contamination_scores,
+    )
+    from data_warehouse_migration_spark.operators.sampling import (
+        hash_split,
+        temperature_weights,
+    )
+
+    docs = hash_split(
+        t(spark, sf_dir, "documents"), "doc_id", {"train": 0.9, "eval": 0.1}
+    )
+    base = docs.select(
+        "doc_id", "lang", "split", normalized_text(F.col("text")).alias("txt")
+    )
+    train = base.filter(F.col("split") == "train")
+    surv = (
+        train.groupBy(F.md5(F.col("txt")).alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    tr = train.join(surv, "doc_id").select(
+        "doc_id", "lang", F.col("txt").alias("text")
+    )
+    trq = tr.filter(
+        hashed_linear_score_mili(
+            F.col("text"), _QC_N_FEATURES, _QC_WEIGHT_SEED
+        )
+        >= 0
+    )
+    ev = base.filter(F.col("split") == "eval").select(
+        "doc_id", F.col("txt").alias("text")
+    )
+    scored = contamination_scores(trq, ev, n=3)
+    clean = scored.filter(F.col("contaminated_frac") < 0.25).select("doc_id")
+    kept = trq.join(clean, "doc_id").select(
+        "lang", F.size(F.split(F.col("text"), " ")).alias("nt")
+    )
+    mix = temperature_weights(kept, "lang", "nt", alpha=0.3)
+    n_docs = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return mix.join(n_docs, "lang").select(
+        "lang", "n_docs", "n_size", "weight", "boost"
+    )

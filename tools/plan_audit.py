@@ -72,6 +72,9 @@ BNLJ_WHITELIST = {
                               #   aggregated per-key count table
     "curation_pipeline_v4",   # 1-row mix totals broadcast (the
                               #   temperature_weights tail stage)
+    "curation_pipeline_v5",   # same 1-row mix-totals broadcast tail;
+                              #   the added classifier stage is a
+                              #   zero-shuffle row-local filter
     "equidepth_bucketizer",   # 1-row trained-edges broadcast applied
                               #   as a Column CASE (O(n·1))
     "benford_first_digit_audit",  # 1-row digit-total broadcast (O(9·1))
@@ -141,6 +144,7 @@ EXTRA_AUDIT = (
     "hard_negative_mining",
     "dedup_clusters_star",
     "quality_classifier_scores",
+    "curation_pipeline_v5",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
