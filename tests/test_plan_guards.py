@@ -20,6 +20,7 @@ ZERO_SHUFFLE = [
     "doc_fingerprint_winnow",
     "vector_ops_surface",
     "media_feature_extract_real",
+    "quality_classifier_scores",
 ]
 
 
@@ -37,6 +38,12 @@ ZERO_SHUFFLE = [
 EXCHANGE_BUDGET = {
     "curation_pipeline_v3": 13,
     "curation_pipeline_v2": 5,
+    # v5 must cost exactly v4's shuffles: the classifier stage it adds
+    # is a row-local filter (both materialize 13 today) — a shuffle
+    # appearing in the classifier stage would break the "model
+    # inference at scan speed" contract before the bench notices.
+    "curation_pipeline_v4": 13,
+    "curation_pipeline_v5": 13,
 }
 
 
