@@ -936,23 +936,25 @@ def connected_components(
             .groupBy("__d")
             .agg(F.min("cluster_id").alias("__nl"))
         )
-        new_labels = (
+        # Labels are monotone non-increasing (least of own + neighbor
+        # min), so "changed" is simply new < old — computed as a flag
+        # DURING the update and summed off the checkpointed result.
+        # The previous form re-joined new labels against old for the
+        # convergence count: one whole extra N-row join per round.
+        new_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("__nl"), F.col("cluster_id"))
+        )
+        stepped = (
             labels.join(neighbor_min, labels[id_col] == neighbor_min["__d"], "left")
             .select(
                 id_col,
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("__nl"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                new_label.alias("__new"),
+                (new_label < F.col("cluster_id")).cast("long").alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = stepped.select(id_col, F.col("__new").alias("cluster_id"))
         if changed == 0:
             break
     if changed != 0:
