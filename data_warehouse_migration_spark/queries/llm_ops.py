@@ -2798,7 +2798,9 @@ WITH split AS (
     SELECT s, label, i.pos, emb[i.pos + 1] AS x
     FROM split, (SELECT unnest(range(64)) AS pos) i
 ), cent AS (
-    SELECT s, label, pos, round(avg(x), 7) AS m
+    SELECT s, label, pos,
+           round(CAST(sum(CAST(round(x * 1000000000) AS BIGINT)) AS DOUBLE)
+                 / (1000000000.0 * count(*)), 7) AS m
     FROM vl GROUP BY 1, 2, 3
 ), j AS (
     SELECT r.label, r.pos, r.m AS mr, c.m AS mc
@@ -2837,18 +2839,26 @@ def embedding_drift_labels(spark, sf_dir):
     statistics cannot see (the text can look identical while the
     vectors move).
 
-    Exactness: centroids are per-component means rounded to 7 (the
-    kmeans convention — absorbs partition-order noise), and every
-    cross-engine SUM over components is a scaled-1e-12 INTEGER sum of
-    the rounded products (the KL-monitor convention) so the cosine is
-    bit-stable; the two output ratios divide once and round to 6.
+    Exactness: centroid components are scaled-1e9 INTEGER sums of the
+    double-cast vector components divided once and rounded to 7 —
+    order-independent, engine-exact, and epoch-fold-invariant (the
+    KL-monitor convention applied to means; this is what makes the
+    streaming twin bit-equal); the cross-centroid cosine sums are the
+    scaled-1e-12 integer products of the rounded components, and the
+    two output ratios divide once and round to 6.
 
-    Scale: one (split, label, pos) mean shuffle over the corpus —
+    Scale: one (split, label, pos) sum shuffle over the corpus —
     map-side combined, dim-bounded output (labels × 64 rows); the
-    cosine runs on the centroid table only. Streaming form: per-epoch
-    component sums are algebraic partials (the rollup pattern),
-    folding without rescans."""
+    cosine runs on the centroid table only. The streaming twin
+    (`streaming/embedding_drift.py`, `streaming_embedding_drift`)
+    maintains the same integer partials per epoch against a PINNED
+    reference centroid table."""
     from data_warehouse_migration_spark.operators.sampling import hash_split
+    from data_warehouse_migration_spark.streaming.embedding_drift import (
+        centroid_partials,
+        centroids_from_partials,
+        compare_centroids,
+    )
 
     emb = hash_split(
         t(spark, sf_dir, "embeddings"),
@@ -2856,45 +2866,13 @@ def embedding_drift_labels(spark, sf_dir):
         {"reference": 0.5, "current": 0.5},
         split_col="s",
     )
-    vl = emb.select(
-        "s", "label", F.posexplode(F.col("embedding")).alias("pos", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    cent = vl.groupBy("s", "label", "pos").agg(
-        F.round(F.avg("x"), 7).alias("m")
-    )
-    r = cent.filter(F.col("s") == "reference").select(
-        "label", "pos", F.col("m").alias("mr")
-    )
-    c = cent.filter(F.col("s") == "current").select(
-        "label", "pos", F.col("m").alias("mc")
-    )
-    j = r.join(c, ["label", "pos"])
-    sums = j.groupBy("label").agg(
-        F.sum(F.round(F.col("mr") * F.col("mc") * 1e12).cast("long")).alias("s_ab"),
-        F.sum(F.round(F.col("mr") * F.col("mr") * 1e12).cast("long")).alias("s_aa"),
-        F.sum(F.round(F.col("mc") * F.col("mc") * 1e12).cast("long")).alias("s_bb"),
-    )
-    counts = emb.groupBy("label").agg(
-        F.sum(F.when(F.col("s") == "reference", 1).otherwise(0))
-        .cast("long")
-        .alias("n_ref"),
-        F.sum(F.when(F.col("s") == "current", 1).otherwise(0))
-        .cast("long")
-        .alias("n_cur"),
-    )
-    return counts.join(sums, "label").select(
-        "label",
-        "n_ref",
-        "n_cur",
-        F.round(F.col("n_cur") / F.col("n_ref").cast("double"), 6).alias(
-            "count_ratio"
-        ),
-        F.round(
-            F.col("s_ab")
-            / F.sqrt(F.col("s_aa").cast("double") * F.col("s_bb")),
-            6,
-        ).alias("centroid_cosine"),
-    )
+    halves = {
+        name: centroids_from_partials(
+            centroid_partials(emb.filter(F.col("s") == name))
+        )
+        for name in ("reference", "current")
+    }
+    return compare_centroids(halves["reference"], halves["current"])
 
 
 @query(

@@ -1344,3 +1344,88 @@ def _attach_census_oracle() -> None:
 
 
 _attach_census_oracle()
+
+
+@query(
+    "streaming_embedding_drift",
+    tags=("streaming", "drift", "embeddings", "foreachBatch", "2.10"),
+    oracle=None,  # replaced below — shares the batch monitor's oracle
+)
+def streaming_embedding_drift(spark, sf_dir):
+    """Embedding-space drift monitor maintained on the real streaming
+    engine (streaming/embedding_drift.py): the current half of the
+    corpus arrives as a 4-file stream, each epoch writes its
+    (label, pos) scaled-integer centroid partials, and the served
+    monitor — counts, ratio, centroid cosine vs the PINNED reference
+    centroid table — folds from those integer partials, bit-identical
+    to the one-shot batch `embedding_drift_labels` whatever the batch
+    boundaries. Attested against the SAME oracle."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+    from data_warehouse_migration_spark.streaming.embedding_drift import (
+        centroid_partials,
+        centroids_from_partials,
+        read_embedding_drift,
+        streaming_drift_maintenance,
+    )
+
+    emb = hash_split(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        {"reference": 0.5, "current": 0.5},
+        split_col="s",
+    )
+    # Reference side: pinned offline centroid table (the streaming-
+    # SemDeDup pinned-quantizer convention) — same shared code path
+    # the batch query's halves use.
+    ref = centroids_from_partials(
+        centroid_partials(emb.filter(F.col("s") == "reference"))
+    )
+    base = tempfile.mkdtemp(prefix="stream_embdrift_")
+    try:
+        src = f"{base}/src"
+        emb.filter(F.col("s") == "current").drop("s").repartitionByRange(
+            4, "vec_id"
+        ).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_drift_maintenance(
+            stream, table_path=f"{base}/cent", checkpoint=f"{base}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_embedding_drift did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        partials = spark.read.parquet(f"{base}/cent")
+        n_epochs = partials.select("epoch").distinct().count()
+        if n_epochs < 2:
+            raise AssertionError(
+                f"expected a multi-epoch run, got {n_epochs} epoch partitions"
+            )
+        out = read_embedding_drift(spark, f"{base}/cent", ref)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _attach_embedding_drift_oracle() -> None:
+    """The vector-drift twin attests against the batch monitor's SQL —
+    the scaled-integer centroid sums are epoch-fold-invariant."""
+    from data_warehouse_migration_spark.catalog import REGISTRY
+
+    REGISTRY["streaming_embedding_drift"].oracle = REGISTRY[
+        "embedding_drift_labels"
+    ].oracle
+
+
+_attach_embedding_drift_oracle()

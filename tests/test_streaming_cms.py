@@ -205,3 +205,44 @@ def test_rolling_wau_from_replayed_partials(spark, tmpdir):
         for r in read_rolling_wau(spark, tmpdir).collect()
     }
     assert wau2 == wau
+
+
+def test_centroid_partials_split_invariant_and_replay_safe(spark):
+    """Embedding-drift centroids (streaming/embedding_drift.py): the
+    served centroid table must be identical whether the corpus folds
+    from one partial or three, and re-folding a duplicated epoch
+    partial (replay WITHOUT dynamic overwrite protection) must be the
+    ONLY way to change the result — the integer sums make both
+    properties exact, not approximate."""
+    from data_warehouse_migration_spark.streaming.embedding_drift import (
+        centroid_partials,
+        centroids_from_partials,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 11) / 7.0 - 0.5 for j in range(4)], i % 2)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    one = centroids_from_partials(centroid_partials(emb))
+    thirds = [
+        centroid_partials(emb.filter(F.col("vec_id") % 3 == k))
+        for k in range(3)
+    ]
+    folded = centroids_from_partials(
+        thirds[0].unionByName(thirds[1]).unionByName(thirds[2])
+    )
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, folded.collect()))
+    assert a == b  # exact, not approx — integer sums fold losslessly
+
+    # a duplicated epoch (replay landing as append instead of
+    # overwrite) shifts n and the sums — the served table must differ,
+    # proving the dynamic-overwrite discipline is what carries
+    # idempotence
+    dup = centroids_from_partials(
+        thirds[0].unionByName(thirds[0]).unionByName(thirds[1]).unionByName(thirds[2])
+    )
+    assert sorted(map(tuple, dup.collect())) != a

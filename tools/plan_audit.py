@@ -145,6 +145,7 @@ EXTRA_AUDIT = (
     "dedup_clusters_star",
     "quality_classifier_scores",
     "curation_pipeline_v5",
+    "streaming_embedding_drift",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
