@@ -2523,3 +2523,91 @@ def curation_pipeline_v5(spark, sf_dir):
     return mix.join(n_docs, "lang").select(
         "lang", "n_docs", "n_size", "weight", "boost"
     )
+
+
+@query(
+    "corpus_diversity_profile",
+    tags=("text", "diversity", "reporting", "dataset-card"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ') AS w
+    FROM documents
+),
+grams AS (
+    SELECT lang, 1 AS n,
+           md5(array_to_string(w[i+1:i+1], ' ')) AS g
+    FROM n, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= len(w) - 1
+    UNION ALL
+    SELECT lang, 2, md5(array_to_string(w[i+1:i+2], ' '))
+    FROM n, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= len(w) - 2
+    UNION ALL
+    SELECT lang, 3, md5(array_to_string(w[i+1:i+3], ' '))
+    FROM n, (SELECT unnest(range(0, 100000)) AS i) ii
+    WHERE i <= len(w) - 3
+)
+SELECT lang, n,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6)
+           AS distinct_ratio
+FROM grams GROUP BY lang, n
+""",
+)
+def corpus_diversity_profile(spark, sf_dir):
+    """Corpus-level n-gram diversity — the distinct-n profile
+    (Li et al. 2016's distinct-1/2 generalized to the corpus release
+    card): per language and n ∈ {1,2,3}, total n-gram OCCURRENCES,
+    DISTINCT n-grams, and their ratio. Low distinct-3 with normal
+    distinct-1 is the template/boilerplate signature Self-BLEU pays
+    O(N²) to detect; this reads it from counting. Complements
+    `dataset_card_summary` (whole-document duplication) and
+    `doc_token_entropy` (per-document TTR) at the corpus×order level.
+
+    Exactness: counts are integers; distinct counts are
+    hash-scheme-independent (distinct xxhash64 grams == distinct gram
+    strings — the `cross_source_span_overlap` convention, md5-keyed on
+    the oracle side); the ratio divides once and rounds to 6.
+
+    Scale: per order, one map-side-combined (lang, gram-hash) shuffle
+    whose volume is the corpus token count in 8-byte hashes — text
+    never shuffles; output is languages × 3 rows. At 100 TB swap the
+    exact distinct for the HLL/bitmap cell per (lang, n) — the sketch
+    rollup pattern, same plan shape (documented, exact form attested)."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+
+    def gram_at(order):
+        # factory closure: pyspark lambdas must be unary (a default
+        # arg would read as a second lambda parameter)
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k) for k in range(order)]
+        )
+
+    frames = []
+    for n in (1, 2, 3):
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                gram_at(n),
+            ),
+        ).otherwise(F.slice(words, 1, 0))
+        frames.append(
+            docs.select(
+                "lang",
+                F.lit(n).alias("n"),
+                F.explode(grams).alias("gram"),
+            ).select("lang", "n", F.xxhash64(F.col("gram")).alias("g"))
+        )
+    allg = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return allg.groupBy("lang", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+        F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+        F.round(
+            F.countDistinct("g") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("distinct_ratio"),
+    )

@@ -146,6 +146,7 @@ EXTRA_AUDIT = (
     "quality_classifier_scores",
     "curation_pipeline_v5",
     "streaming_embedding_drift",
+    "corpus_diversity_profile",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
