@@ -89,3 +89,64 @@ def test_classifier_plan_is_zero_shuffle(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange", plan)) == 0
+
+
+# --- Hypothesis properties -------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_token = st.text(alphabet="abcz019", min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(toks=st.lists(_token, min_size=0, max_size=8))
+def test_feature_stream_matches_enumeration(spark, toks):
+    """hashed_ngram_features == the by-hand unigram+bigram enumeration
+    for arbitrary token lists (fastText wordNgrams=2 contract):
+    2n−1 features for n ≥ 1 tokens, empty stream for empty docs."""
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(hashed_ngram_features(F.col("text")).alias("f")).collect()[0].f
+    expected = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    assert got == expected
+    assert len(got) == (2 * len(toks) - 1 if toks else 0)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(toks=st.lists(_token, min_size=1, max_size=6))
+def test_score_matches_per_feature_weight_sum(spark, toks):
+    """The document score equals the independent per-feature weight
+    sum — additivity over occurrences, the linear-model contract the
+    trained-weight swap relies on."""
+    from data_warehouse_migration_spark.operators.sketches import hash_mod
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        hashed_linear_score_mili(F.col("text")).alias("s")
+    ).collect()[0].s
+    feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    per = (
+        spark.createDataFrame([(f,) for f in feats], "tok string")
+        .select(
+            (
+                hash_mod(
+                    hash_mod(F.col("tok"), 0, 4096).cast("string"), 9, 2001
+                )
+                - 1000
+            ).alias("w")
+        )
+        .groupBy()
+        .sum("w")
+        .collect()[0][0]
+    )
+    assert got == per
