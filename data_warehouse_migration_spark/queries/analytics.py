@@ -1903,7 +1903,7 @@ WITH h AS (
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_buckets,
            CAST(sum(cents) AS BIGINT) AS s1,
-           CAST(sum(cents * cents) AS BIGINT) AS s2
+           sum(CAST(cents AS HUGEINT) * cents) AS s2
     FROM h GROUP BY 1
 ), z AS (
     SELECT h.event_type, h.bucket, h.cents, s.n_buckets,
@@ -1942,7 +1942,15 @@ def hourly_anomaly_zscores(spark, sf_dir):
     stats = h.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        # Σcents² squares bucket AGGREGATES, so int64 wraps at
+        # H·B² ≈ 2^63 (a $10M-revenue hour over a decade of buckets)
+        # — and DuckDB's BIGINT multiply RAISES where Spark silently
+        # wraps. decimal(38,0)/HUGEINT accumulation keeps both engines
+        # exact to 10^38; the variance division casts to double below
+        # exactly as before.
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "s2"
+        ),
     )
     mean = F.col("s1").cast("double") / F.col("n_buckets")
     var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
@@ -2048,8 +2056,8 @@ WITH m AS (
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)
-                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+           sum(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS BIGINT)) AS s2
     FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
 ), w AS (
     SELECT max(CASE WHEN event_type = 'click' THEN n END) AS na,
@@ -2091,7 +2099,10 @@ def welch_t_event_values(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("c").alias("s1"),
-            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            # Σc² in decimal(38,0)/HUGEINT: int64 wraps past ~10⁹
+            # high-value events per arm (c² ≈ 10¹⁰ each) — and the
+            # engines disagree on wrap (Spark wraps, DuckDB raises)
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
         )
     )
     pick = lambda et, col: F.max(F.when(F.col("event_type") == et, F.col(col)))

@@ -86,7 +86,11 @@ def read_anomalies(
     stats = h.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        # decimal(38,0) accumulation — the batch query's overflow-safe
+        # Σcents² (squared bucket aggregates wrap int64 at scale)
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "s2"
+        ),
     )
     mean = F.col("s1").cast("double") / F.col("n_buckets")
     var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
