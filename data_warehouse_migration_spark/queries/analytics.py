@@ -2407,7 +2407,7 @@ WITH r AS (
 SELECT c_nationkey,
        CAST(max(n) AS BIGINT) AS n_customers,
        CAST(max(s) AS BIGINT) AS total_cents,
-       round(2.0 * sum(CAST(i AS BIGINT) * cents)
+       round(2.0 * sum(CAST(i AS HUGEINT) * cents)
              / (CAST(max(n) AS DOUBLE) * max(s))
              - (max(n) + 1.0) / max(n), 6) AS gini
 FROM ranked GROUP BY 1
@@ -2449,7 +2449,10 @@ def gini_revenue_concentration(spark, sf_dir):
         F.max("s").cast("long").alias("total_cents"),
         F.round(
             2.0
-            * F.sum(F.col("i").cast("long") * F.col("cents"))
+            # Σ(i·xᵢ) in decimal(38,0)/HUGEINT: the rank-weighted sum
+            # grows ~n²·x̄/2 per nation and wraps int64 around 10⁷
+            # customers — the second-moment overflow rule
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
             / (F.max("n").cast("double") * F.max("s"))
             - (F.max("n") + 1.0) / F.max("n"),
             6,

@@ -2063,7 +2063,8 @@ WITH n AS (
     SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM vc
 ), tgt AS (
     SELECT doc_id, lang, n_tokens,
-           ((2 * r - 1) * n_total + n_lang) // (2 * n_lang) AS target_rank
+           ((2 * CAST(r AS HUGEINT) - 1) * n_total + n_lang)
+               // (2 * n_lang) AS target_rank
     FROM lr
 )
 SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
@@ -2110,16 +2111,17 @@ def quantile_normalize_lengths(spark, sf_dir):
         )
         .withColumn("n_total", F.lit(int(n_total)).cast("long"))
     )
-    # 64-bit from the first multiply: row_number is int32 and
-    # 2·n_lang·n_total passes 2^31 around ~33k docs in one language
-    # (ADVICE r6) — the DuckDB oracle runs the same formula in BIGINT,
-    # so a wrapped int32 here would diverge silently at scale.
+    # decimal(38,0) from the first multiply: row_number is int32, and
+    # even the r6 bigint form wraps once r·n_total nears 4.6e18 (a
+    # 10⁹-doc language in a 10¹⁰-doc pool) — with the engines
+    # DISAGREEING on wrap (Spark wraps, DuckDB HUGEINT stays exact).
+    # The quotient is ≤ n_total, so `div` returning bigint is exact.
     tgt = lr.select(
         "doc_id",
         "lang",
         "n_tokens",
         F.expr(
-            "((2 * cast(r as bigint) - 1) * n_total + n_lang)"
+            "((2 * cast(r as decimal(38,0)) - 1) * n_total + n_lang)"
             " div (2 * n_lang)"
         ).alias("target_rank"),
     )
