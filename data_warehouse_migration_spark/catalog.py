@@ -115,27 +115,31 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 7 window (ROTATION.md has the full ledger):
+# Round 8 window (ROTATION.md has the full ledger) — the VERDICT r7
+# consolidation round: freeze registration growth, drain the
+# attestation debt.
 # (a) parity core (warehouse module) + ALL 19 bench headliners stay
-#     pinned — this finally puts driver rows on semdedup_embeddings
-#     and containment_quote_pairs, the two headliners promoted after
-#     the r6 window was sealed (VERDICT r6 "What's wrong" #1).
-#     semdedup_embeddings is ALSO a changed-code attest this round
-#     (derived-k + enforced hot-cluster cap), as are dedup_ngram_
-#     jaccard / duplicate_span_pairs / curation_pipeline_v2/v3 (the
-#     cache-hygiene persist removals).
-# (b) queries whose code changed THIS round (ADVICE r6 fixes): 64-bit
-#     rank arithmetic (quantile_normalize_lengths, spearman_length_
-#     vs_novelty), the HDR domain guard (hdr_quantile_sketch +
-#     streaming twin), the bloom oracle's shared md5-bucket SQL.
-# (c) the r6-review changed-code re-attests whose prior rows are void
-#     (VERDICT r6 action #1): whole-row salts, persisted IVF probes,
-#     unique rollup views, shared stream staging.
-# (d) the two NEW round-7 queries register straight into the window
-#     (roaring containers; stream-served rolling WAU).
-# (e) first tranche of the 39-query r6 attestation backlog, headliner-
-#     adjacent composites and the sketch/stats batch first.
-_WINDOW_R7 = (
+#     pinned. dedup_ngram_jaccard and curation_pipeline_v3 are ALSO
+#     changed-code attests this round (benched deployment shape:
+#     durable parquet stage boundary — VERDICT r7 action #2).
+# (b) the FULL 18-query r6 attestation backlog remainder (VERDICT r7
+#     action #1) — includes the five late-r7 changed-code re-attests
+#     (streaming_bitmap_distinct negative-key guard;
+#     hourly_anomaly_zscores / welch_t_event_values /
+#     streaming_anomaly_zscores / gini_revenue_concentration
+#     decimal(38,0) overflow hardening — VERDICT r7 action #3).
+# (c) dedup_clusters — late-r7 label-propagation convergence-check
+#     rewrite voided its r6 row (the sixth action-#3 re-attest).
+# (d) the three r4-stale ANN recall gates (their rows are the oldest
+#     hard signal in the ledger), with floors re-derived from current
+#     sf0.01 measurements this round (VERDICT r7 action #5) — a
+#     changed-code attest. similarity_ivf_topk is NOT rotated: its r7
+#     row is fresh and its floor (70 vs 85-97 measured) is already the
+#     tightest of the family, so rotation would buy nothing.
+# (e) quality_classifier_scores — late-r7 registration whose code
+#     changes this round (trained-weight swap seam, VERDICT r7 action
+#     #4), so it takes the newest-code slot of the late-r7 set.
+_WINDOW_R8 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -154,44 +158,46 @@ _WINDOW_R7 = (
     "curation_pipeline_v3",
     "semdedup_embeddings",
     "containment_quote_pairs",
-    # (b) changed this round (ADVICE r6 fixes).
-    "quantile_normalize_lengths",
-    "spearman_length_vs_novelty",
-    "hdr_quantile_sketch",
-    "streaming_hdr_quantiles",
-    "bloom_prefilter_dedup",
-    # (c) r6-review changed-code re-attests.
-    "salted_event_totals",
-    "similarity_ivf_topk",
-    "streaming_rollup_maintenance",
-    "streaming_ingest_dedup",
-    "streaming_semdedup_ingest",
-    # (d) new in round 7.
-    "bitmap_distinct_roaring",
-    "streaming_rolling_wau",
-    # (e) r6 backlog, first tranche.
-    "curation_pipeline_v4",
-    "rag_retrieval_pipeline",
-    "contamination_overlap_scores",
-    "temperature_mix_weights",
-    "bitmap_distinct_rollup",
-    "rolling_weekly_active_users",
-    "heavy_hitters_cms",
-    "media_resize_real",
-    "ohlc_hourly_candlesticks",
-    "cohort_weekly_retention",
-    "dataset_card_summary",
+    # (b) r6 backlog remainder — never driver-attested until now.
+    "asof_merge_scan_attribution",
+    "similarity_sq8_topk",
+    "range_join_bucketed_activity",
+    "doc_token_entropy",
+    "simhash_near_pairs",
+    "key_skew_profile",
+    "streaming_heavy_hitters_cms",
+    "streaming_bitmap_distinct",
+    "streaming_anomaly_zscores",
+    "hourly_anomaly_zscores",
+    "feature_hash_vectors",
+    "equidepth_bucketizer",
+    "welch_t_event_values",
+    "mann_kendall_trend",
+    "dedup_exact_best_copy",
+    "doc_novelty_scores",
+    "benford_first_digit_audit",
+    "gini_revenue_concentration",
+    # (c) changed-code re-attest (late-r7 convergence-check rewrite).
+    "dedup_clusters",
+    # (d) r4-stale ANN recall gates, floors re-derived this round.
+    "similarity_lsh_topk",
+    "similarity_pq_topk",
+    "similarity_ivf_pq_topk",
+    # (e) late-r7 registration with round-8 code changes (weight seam).
+    "quality_classifier_scores",
 )
-# Displaced to make room — the r5-tail/r4-green set attested fresh in
-# CORRECTNESS_r06.json with code unchanged since. The remaining r6
-# backlog (18 entries, list in ROTATION.md) plus the r4-green "still
-# waiting" set drain over r8; all stay gated every round by
-# tools/check_oracle.py + pytest.
+# Displaced to make room — the r7 ADVICE-fix set, the r6-review
+# re-attests, the two r7 newcomers, and the r6-backlog first tranche:
+# all attested fresh in CORRECTNESS_r07.json with code unchanged
+# since. The 13 remaining late-r7 registrations and the 10 remaining
+# r4-green "still waiting" entries drain over r9 (plan in
+# ROTATION.md); all stay gated every round by tools/check_oracle.py +
+# pytest.
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R7,
+    *_WINDOW_R8,
 )
 
 

@@ -100,6 +100,17 @@ def test_rotation_ledger_registry_count_matches(spark):
     )
 
 
+def test_bench_headliners_are_in_the_attestation_window(spark):
+    """Every bench headliner must sit inside the first-50 driver
+    window (VERDICT r7 action #7): headliners are re-timed every
+    round, so their correctness rows must stay driver-fresh — the r6
+    gap (semdedup_embeddings / containment_quote_pairs promoted after
+    the window was sealed) was convention-only and slipped."""
+    names = list(REGISTRY)[:50]
+    out = [n for n, q in REGISTRY.items() if q.headline and n not in names]
+    assert not out, f"headliners outside the driver window: {out}"
+
+
 def test_window_is_exactly_fifty_unique(spark):
     """The intended rotation set — catalog._FIRST, the parity core plus
     this round's window — must BE the first 50 registry entries, in
