@@ -79,9 +79,25 @@ FROM jac WHERE j >= 0.8
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    """Exact ppjoin near-dup pairs, benched in DEPLOYMENT SHAPE: the
+    per-doc shingle-hash index is built once and staged to durable
+    parquet, and the pair search's four consumers read the stored
+    index instead of re-deriving arrays from raw text per consumer
+    (VERDICT r7 action #2 — the r7 cache-hygiene change made the
+    recompute per-consumer, handing back the r6 win; a persist would
+    leak CacheManager blocks; the stored index is the 100 TB form —
+    it is also what incremental refreshes join against). The timed
+    number INCLUDES the index write, every run."""
+    from data_warehouse_migration_spark.sources.writers import (
+        stage_to_parquet,
     )
+
+    docs = t(spark, sf_dir, "documents")
+    grams = stage_to_parquet(
+        D.shingle_hash_arrays(docs, "doc_id", "text", 3),
+        "dedup_ngram_jaccard__shingle_index",
+    )
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.8, grams=grams)
 
 
 @query(
