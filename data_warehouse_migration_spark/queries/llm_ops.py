@@ -867,12 +867,15 @@ FROM ex
 @query(
     "similarity_lsh_topk",
     tags=("similarity", "lsh"),
-    oracle=_ann_recall_oracle(k=5, floor_pct=5),
+    oracle=_ann_recall_oracle(k=5, floor_pct=7),
 )
 def similarity_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH top-k, attested as a recall summary (see
     :func:`_ann_recall_summary`). Measured recall on this near-random
-    corpus: 10-15% across SFs (4 planes, k=5) — floor 5%."""
+    corpus: 10/10/15% at sf0.001/0.01/0.1 (4 planes, k=5) — floor 7%
+    (re-derived r8, VERDICT r7 action #5: ~0.7× the worst observed
+    SF; the pipeline is seeded-deterministic, so the margin covers
+    fixture variance across SFs, not run-to-run noise)."""
     from data_warehouse_migration_spark.operators.similarity import (
         hyperplane_lsh_topk,
     )
@@ -881,7 +884,7 @@ def similarity_lsh_topk(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 8)
     ann = hyperplane_lsh_topk(emb, queries_df, k=5, n_planes=4, dim=64)
     exact = brute_force_topk(emb, queries_df, k=5)
-    return _ann_recall_summary(ann, exact, k=5, floor_pct=5)
+    return _ann_recall_summary(ann, exact, k=5, floor_pct=7)
 
 
 @query(
@@ -1877,7 +1880,7 @@ def doc_perplexity_filter(spark, sf_dir):
 @query(
     "similarity_pq_topk",
     tags=("similarity", "pq", "compression"),
-    oracle=_ann_recall_oracle(k=5, floor_pct=10),
+    oracle=_ann_recall_oracle(k=5, floor_pct=12),
 )
 def similarity_pq_topk(spark, sf_dir):
     """ADC top-k over a product-quantized corpus
@@ -1898,15 +1901,17 @@ def similarity_pq_topk(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 8)
     ann = pq_topk(codes, queries_df, books, k=5)
     # Recall-summary attestation (see _ann_recall_summary): measured
-    # 17.5-27.5% across SFs (m=4 on near-random vectors) — floor 10%.
+    # 17.5/27.5/22.5% at sf0.001/0.01/0.1 (m=4 on near-random
+    # vectors) — floor 12%, re-derived r8 (VERDICT r7 action #5:
+    # ~0.7× the worst observed SF; seeded-deterministic pipeline).
     exact = brute_force_topk(emb, queries_df, k=5)
-    return _ann_recall_summary(ann, exact, k=5, floor_pct=10)
+    return _ann_recall_summary(ann, exact, k=5, floor_pct=12)
 
 
 @query(
     "similarity_ivf_pq_topk",
     tags=("similarity", "ivf", "pq"),
-    oracle=_ann_recall_oracle(k=5, floor_pct=10),
+    oracle=_ann_recall_oracle(k=5, floor_pct=12),
 )
 def similarity_ivf_pq_topk(spark, sf_dir):
     """IVF-PQ (operators/quantization.ivf_pq_topk): coarse k-means
@@ -1918,14 +1923,16 @@ def similarity_ivf_pq_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     # One training epoch keeps the gate fast; retrieval quality is
-    # attested by the recall-summary floor (measured 15-30% across SFs
-    # — floor 10%) plus the clustered-fixture tests.
+    # attested by the recall-summary floor (measured 27.5/30/15% at
+    # sf0.001/0.01/0.1 — floor 12%, re-derived r8 per VERDICT r7
+    # action #5 at ~0.8× the worst observed SF) plus the
+    # clustered-fixture tests.
     ann = ivf_pq_topk(
         emb, queries_df, dim=64, k=5, n_centroids=8, n_probe=2, m=4, pq_k=8,
         train_iters=1,
     )
     exact = brute_force_topk(emb, queries_df, k=5)
-    return _ann_recall_summary(ann, exact, k=5, floor_pct=10)
+    return _ann_recall_summary(ann, exact, k=5, floor_pct=12)
 
 
 @query(
