@@ -8,6 +8,8 @@ between "works" and "works on 100 TB of text".
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -121,7 +123,10 @@ def hashed_ngram_features(text: Column) -> Column:
 
 
 def hashed_linear_score_mili(
-    text: Column, n_features: int = 4096, weight_seed: int = 9
+    text: Column,
+    n_features: int = 4096,
+    weight_seed: int = 9,
+    weights: list[int] | None = None,
 ) -> Column:
     """Linear-classifier inference over hashed n-gram features — the
     fastText/Gopher-era quality-classifier SHAPE as a pure Column
@@ -132,14 +137,23 @@ def hashed_linear_score_mili(
     numerator). All-integer, so the score is bit-exact cross-engine;
     divide by 1000·n_features_doc for the logit.
 
-    The weight table here is a deterministic md5 PSEUDO-model (weight
-    = hash(bucket)): the container has no trained checkpoint, so the
-    weights are fake but fixed while every piece of real plumbing —
-    feature extraction, bucketing, signed integer accumulation — is
-    the production path. Swapping in a trained model is a broadcast
-    join of a ``(bucket, weight_mili)`` table (n_features rows) in
-    place of the hash, or a literal array lookup for small models;
-    the score expression is unchanged.
+    The DEFAULT weight table is a deterministic md5 PSEUDO-model
+    (weight = hash(bucket)): fixed but fake, while every piece of real
+    plumbing — feature extraction, bucketing, signed integer
+    accumulation — is the production path.
+
+    ``weights`` is the TRAINED-MODEL SWAP SEAM: pass a length-
+    ``n_features`` list of integer milli-weights (bucket-indexed) and
+    the per-bucket weight becomes a literal-array lookup instead of
+    the hash — still a row-local Column expression, still zero
+    shuffle. The repo ships a frozen fixture fit at
+    ``resources/quality_weights_v1.parquet`` (a seeded logistic
+    distillation of the Gopher stopword-density rule; see
+    ``tools/train_quality_classifier.py``), loadable via
+    :func:`load_trained_weights`. For models too large for a plan
+    literal (fastText's default is 2M buckets), broadcast-join a
+    ``(bucket, weight_mili)`` table instead; the score expression is
+    unchanged either way.
 
     Scale: ZERO shuffle — inference is a row-local projection that
     runs inside whole-stage codegen at scan speed, which is exactly
@@ -147,8 +161,17 @@ def hashed_linear_score_mili(
     filter (a transformer scorer pays Arrow+Python per batch)."""
     from data_warehouse_migration_spark.operators.sketches import hash_mod
 
+    if weights is not None and len(weights) != n_features:
+        raise ValueError(
+            f"weights has {len(weights)} entries, expected {n_features}"
+        )
+
     def weight_mili(tok: Column) -> Column:
         bucket = hash_mod(tok, 0, n_features)
+        if weights is not None:
+            return F.element_at(
+                F.lit(list(map(int, weights))), (bucket + 1).cast("int")
+            ).cast("long")
         return hash_mod(bucket.cast("string"), weight_seed, 2001) - 1000
 
     return F.aggregate(
@@ -156,6 +179,29 @@ def hashed_linear_score_mili(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def load_trained_weights(path: str | None = None) -> list[int]:
+    """Load a frozen ``(bucket, weight_mili)`` parquet weight table as
+    the bucket-indexed list :func:`hashed_linear_score_mili` consumes.
+    Defaults to the shipped fixture fit
+    (``resources/quality_weights_v1.parquet``). Driver-side pyarrow
+    read — the table is n_features rows, not data-scale."""
+    import pyarrow.parquet as pq
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "quality_weights_v1.parquet",
+        )
+    tbl = pq.read_table(path, columns=["bucket", "weight_mili"])
+    pairs = sorted(
+        zip(tbl.column("bucket").to_pylist(), tbl.column("weight_mili").to_pylist())
+    )
+    if [b for b, _ in pairs] != list(range(len(pairs))):
+        raise ValueError(f"weight table {path} has gaps in bucket ids")
+    return [int(w) for _, w in pairs]
 
 
 # --- PII redaction (training-data scrubbing) -------------------------------

@@ -2373,6 +2373,21 @@ def quality_classifier_scores(spark, sf_dir):
     codegen; the classifier runs at scan speed over 100 TB, which is
     why linear-over-hashed-features is the corpus-scale filter (a
     transformer scorer pays Arrow+Python per batch)."""
+    return classifier_frame(spark, sf_dir)
+
+
+def classifier_frame(spark, sf_dir, weights: list[int] | None = None):
+    """The classifier-inference frame behind
+    ``quality_classifier_scores``, parameterized on the weight table
+    (VERDICT r7 action #4): ``weights=None`` runs the oracle-attested
+    md5 pseudo-model; passing a bucket-indexed milli-weight list (e.g.
+    ``functions/text.load_trained_weights()`` — the shipped seeded
+    logistic distillation of the Gopher stopword rule, trained by
+    ``tools/train_quality_classifier.py``) swaps the trained model
+    into the SAME zero-shuffle expression. The swap seam and the
+    trained fit's behavior (keep-rate ≈ 36%, not the pseudo-model's
+    structural ~50%; held-out rule accuracy ≥ 0.9) are pinned by
+    ``tests/test_quality_classifier_weights.py``."""
     from data_warehouse_migration_spark.functions.text import (
         hashed_linear_score_mili,
         hashed_ngram_features,
@@ -2380,7 +2395,7 @@ def quality_classifier_scores(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     score = hashed_linear_score_mili(
-        F.col("text"), _QC_N_FEATURES, _QC_WEIGHT_SEED
+        F.col("text"), _QC_N_FEATURES, _QC_WEIGHT_SEED, weights=weights
     )
     n_feats = F.size(hashed_ngram_features(F.col("text"))).cast("long")
     base = docs.select(
