@@ -147,6 +147,7 @@ EXTRA_AUDIT = (
     "curation_pipeline_v5",
     "streaming_embedding_drift",
     "corpus_diversity_profile",
+    "duplicate_span_islands_exact",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
