@@ -57,32 +57,34 @@ def test_attestation_window_membership():
         "curation_pipeline_v3",
         "semdedup_embeddings",
         "containment_quote_pairs",
-        # r7 changed-code attests (ADVICE fixes + r6-review re-attests)
-        "quantile_normalize_lengths",
-        "spearman_length_vs_novelty",
-        "hdr_quantile_sketch",
-        "streaming_hdr_quantiles",
-        "bloom_prefilter_dedup",
-        "salted_event_totals",
-        "similarity_ivf_topk",
-        "streaming_rollup_maintenance",
-        "streaming_ingest_dedup",
-        "streaming_semdedup_ingest",
-        # new round-7 queries
-        "bitmap_distinct_roaring",
-        "streaming_rolling_wau",
-        # r6 backlog, first tranche
-        "curation_pipeline_v4",
-        "rag_retrieval_pipeline",
-        "contamination_overlap_scores",
-        "temperature_mix_weights",
-        "bitmap_distinct_rollup",
-        "rolling_weekly_active_users",
-        "heavy_hitters_cms",
-        "media_resize_real",
-        "ohlc_hourly_candlesticks",
-        "cohort_weekly_retention",
-        "dataset_card_summary",
+        # r8: the full r6-backlog remainder (VERDICT r7 action #1),
+        # incl. the five late-r7 changed-code re-attests (action #3)
+        "asof_merge_scan_attribution",
+        "similarity_sq8_topk",
+        "range_join_bucketed_activity",
+        "doc_token_entropy",
+        "simhash_near_pairs",
+        "key_skew_profile",
+        "streaming_heavy_hitters_cms",
+        "streaming_bitmap_distinct",
+        "streaming_anomaly_zscores",
+        "hourly_anomaly_zscores",
+        "feature_hash_vectors",
+        "equidepth_bucketizer",
+        "welch_t_event_values",
+        "mann_kendall_trend",
+        "dedup_exact_best_copy",
+        "doc_novelty_scores",
+        "benford_first_digit_audit",
+        "gini_revenue_concentration",
+        # r8: sixth changed-code re-attest (convergence-check rewrite)
+        "dedup_clusters",
+        # r8: r4-stale ANN recall gates, floors re-derived (action #5)
+        "similarity_lsh_topk",
+        "similarity_pq_topk",
+        "similarity_ivf_pq_topk",
+        # r8: trained-weight swap seam landed this round (action #4)
+        "quality_classifier_scores",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
