@@ -1531,6 +1531,7 @@ def curation_pipeline_v3(spark, sf_dir):
     removal_lists = stage_to_parquet(
         duplicate_span_removal_lists(kept_docs, text_col="txt", n=10),
         "curation_pipeline_v3__span_removals",
+        scope=sf_dir,
     )
     cleaned = apply_span_removals(
         kept_docs, removal_lists, text_col="txt", n=10,

@@ -214,7 +214,15 @@ def write_sorted(
     ).parquet(path)
 
 
-def stage_to_parquet(df: DataFrame, name: str) -> DataFrame:
+# Pre-stage logical plans captured for tools/plan_audit.py: staging
+# truncates the returned frame's plan at a parquet scan, which would
+# otherwise hide the expensive staged subtree from the audit's
+# CartesianProduct/BNLJ/Window hard-fail gate. plan_audit clears this,
+# builds a query, then audits any frames staged during the build.
+STAGED_FRAMES: list[tuple[str, DataFrame]] = []
+
+
+def stage_to_parquet(df: DataFrame, name: str, scope: str | None = None) -> DataFrame:
     """Materialize ``df`` at a durable parquet STAGE BOUNDARY and
     return the read-back frame — the production form of intermediate
     reuse in a multi-consumer pipeline (the medallion plans in
@@ -232,20 +240,53 @@ def stage_to_parquet(df: DataFrame, name: str) -> DataFrame:
     20-stage pipeline restartable; the write cost is one linear pass
     that replaces N re-expansions of the upstream plan.
 
-    ``name`` keys a deterministic directory under
-    ``$SPARK_GRAFT_STAGE_DIR`` (default ``<repo>/spark-warehouse/
-    _stages``); re-running a query overwrites its own stage, so
-    repeated runs are idempotent and the bench measures write + read
-    every time — the true deployment cost, not a warm-cache artifact.
+    ``name`` (+ an optional ``scope``, e.g. the sf_dir — callers
+    serving multiple datasets MUST pass it) keys a deterministic
+    directory under ``$SPARK_GRAFT_STAGE_DIR`` (default
+    ``<repo>/spark-warehouse/_stages``), namespaced per PROCESS:
+    this harness runs pytest (sf0.001), check_oracle (sf0.01) and
+    bench (sf0.1) concurrently, and a shared path would let one
+    process's delete-then-write land between another's write and
+    read-back — a FileNotFoundException at best, a silently
+    wrong-dataset result at worst. Within one process, re-running a
+    query overwrites its own stage, so repeated runs are idempotent
+    and the bench measures write + read every time — the true
+    deployment cost, not a warm-cache artifact. The per-process root
+    is scratch (removed on interpreter exit, best-effort; safe to
+    delete wholesale at any time nothing is running).
     """
-    root = os.environ.get(
-        "SPARK_GRAFT_STAGE_DIR",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "spark-warehouse",
-            "_stages",
-        ),
-    )
-    path = os.path.join(root, name)
+    STAGED_FRAMES.append((name, df))
+    root = _process_stage_root()
+    slug = ""
+    if scope is not None:
+        import hashlib
+
+        slug = "__" + hashlib.md5(scope.encode()).hexdigest()[:8]
+    path = os.path.join(root, f"{name}{slug}")
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def _process_stage_root() -> str:
+    root = os.path.join(
+        os.environ.get(
+            "SPARK_GRAFT_STAGE_DIR",
+            os.path.join(
+                os.path.dirname(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                ),
+                "spark-warehouse",
+                "_stages",
+            ),
+        ),
+        f"pid{os.getpid()}",
+    )
+    if root not in _CLEANUP_REGISTERED:
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _CLEANUP_REGISTERED.add(root)
+    return root
+
+
+_CLEANUP_REGISTERED: set[str] = set()

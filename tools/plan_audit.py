@@ -259,14 +259,35 @@ def main() -> None:
         "BroadcastNestedLoopJoin, and non-whitelisted unpartitioned Window.",
         "",
     ]
+    from data_warehouse_migration_spark.sources import writers
+
     violations: list[str] = []
     for name in audited:
         q = REGISTRY[name]
+        # Queries that stage an intermediate to parquet (deployment
+        # shape, r8) return a frame whose plan STARTS at the staged
+        # scan — the expensive pre-stage subtree would escape this
+        # audit. stage_to_parquet records each pre-stage frame in
+        # STAGED_FRAMES; audit those plans under the same query name.
+        writers.STAGED_FRAMES.clear()
         df = q.spark_fn(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        facts = audit_plan(buf.getvalue())
+        plan_texts = []
+        for frame_label, frame in [(name, df)] + [
+            (f"{name}::stage:{sname}", sdf)
+            for sname, sdf in writers.STAGED_FRAMES
+        ]:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                frame.explain("formatted")
+            plan_texts.append((frame_label, buf.getvalue()))
+        writers.STAGED_FRAMES.clear()
+        facts = audit_plan("\n".join(p for _, p in plan_texts))
+        if len(plan_texts) > 1:
+            facts["scans"].append(
+                f"(+ {len(plan_texts) - 1} staged-subtree plan(s) audited: "
+                + ", ".join(lbl for lbl, _ in plan_texts[1:])
+                + ")"
+            )
 
         if facts["cartesian"]:
             violations.append(f"{name}: CartesianProduct")
