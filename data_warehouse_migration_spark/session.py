@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer merges post-shuffle partitions smaller than
+        # minPartitionSize (default 1m) regardless of parallelismFirst
+        # — on sub-MB shuffles (small corpora; the test fixtures) that
+        # folds CPU-bound stages (within-cluster pair joins, rewrite
+        # lambdas) onto ONE core: measured 0.5-1.0 s off semdedup /
+        # dedup_embedding_cosine at sf0.1 from this alone. 64k keeps
+        # tiny-data stages parallel; at production shuffle sizes
+        # partitions are orders of magnitude above either bound, so
+        # the conf is inert there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
