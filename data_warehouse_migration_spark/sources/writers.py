@@ -217,8 +217,13 @@ def write_sorted(
 # Pre-stage logical plans captured for tools/plan_audit.py: staging
 # truncates the returned frame's plan at a parquet scan, which would
 # otherwise hide the expensive staged subtree from the audit's
-# CartesianProduct/BNLJ/Window hard-fail gate. plan_audit clears this,
-# builds a query, then audits any frames staged during the build.
+# CartesianProduct/BNLJ/Window hard-fail gate. plan_audit flips
+# RECORD_STAGED_FRAMES on, clears this, builds a query, then audits
+# any frames staged during the build. Off by default so a long-lived
+# session composing staged pipelines doesn't accumulate plan handles
+# nobody releases (the same ownership rule as VERDICT r6 #3's cache
+# hygiene).
+RECORD_STAGED_FRAMES = False
 STAGED_FRAMES: list[tuple[str, DataFrame]] = []
 
 
@@ -255,7 +260,8 @@ def stage_to_parquet(df: DataFrame, name: str, scope: str | None = None) -> Data
     is scratch (removed on interpreter exit, best-effort; safe to
     delete wholesale at any time nothing is running).
     """
-    STAGED_FRAMES.append((name, df))
+    if RECORD_STAGED_FRAMES:
+        STAGED_FRAMES.append((name, df))
     root = _process_stage_root()
     slug = ""
     if scope is not None:

@@ -261,6 +261,7 @@ def main() -> None:
     ]
     from data_warehouse_migration_spark.sources import writers
 
+    writers.RECORD_STAGED_FRAMES = True
     violations: list[str] = []
     for name in audited:
         q = REGISTRY[name]
