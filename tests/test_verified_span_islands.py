@@ -1,10 +1,12 @@
 """verified_duplicate_span_islands — the byte-verified ExactSubstr
 tier (VERDICT r7 action #6): island merging, ownership, and agreement
 with the digest-keyed removal operator's coverage on collision-free
-data."""
+data, plus a Hypothesis property against a brute-force reference."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from data_warehouse_migration_spark.catalog import t
@@ -71,3 +73,77 @@ def test_islands_equal_digest_operator_coverage_on_fixture(spark, sf_dir):
     a = {r["doc_id"]: r["covered"] for r in islands.collect()}
     b = {r["doc_id"]: r["covered"] for r in removed.collect()}
     assert a == b
+
+
+def _brute_force_islands(corpus: list[list[str]], n: int):
+    """Reference semantics, computed with no hashing and no Spark:
+    a length-``n`` word span is removable in doc d iff the SAME
+    verbatim span occurs in some doc with a lower id (lowest-id doc
+    owns every occurrence of its spans); removable window starts
+    merge into maximal [start, end] islands, 1-based inclusive."""
+    occurrences: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    for doc_id, words in enumerate(corpus, start=1):
+        for i in range(len(words) - n + 1):
+            occurrences.setdefault(tuple(words[i : i + n]), []).append(
+                (doc_id, i + 1)
+            )
+    removable: dict[int, set[int]] = {}
+    for span_occ in occurrences.values():
+        owner = min(d for d, _ in span_occ)
+        if max(d for d, _ in span_occ) != owner:
+            for d, start in span_occ:
+                if d > owner:
+                    removable.setdefault(d, set()).add(start)
+    out = []
+    for d, starts in removable.items():
+        run_start = run_end = None
+        for s in sorted(starts):
+            if run_start is None:
+                run_start, run_end = s, s + n - 1
+            elif s <= run_end + 1:
+                run_end = max(run_end, s + n - 1)
+            else:
+                out.append((d, run_start, run_end, run_end - run_start + 1))
+                run_start, run_end = s, s + n - 1
+        if run_start is not None:
+            out.append((d, run_start, run_end, run_end - run_start + 1))
+    return sorted(out)
+
+
+# 3-token vocabulary so random corpora collide CONSTANTLY: shared
+# trigrams across docs, within-doc repeats, overlapping and adjacent
+# islands, docs shorter than n — the full case space, not happy paths.
+_doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=st.lists(_doc, min_size=1, max_size=4))
+def test_islands_match_brute_force_reference(corpus):
+    """For ANY corpus, the operator's islands equal the brute-force
+    definition exactly — every (doc, start, end, words) tuple. Tokens
+    are lowercase single-spaced so normalized_text is the identity
+    and the comparison is purely about span/ownership/merge logic."""
+    spark = _get_spark()
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus, start=1)]
+    got = sorted(
+        (r["doc_id"], r["island_start"], r["island_end"], r["island_words"])
+        for r in verified_duplicate_span_islands(_docs(spark, rows), n=3).collect()
+    )
+    assert got == _brute_force_islands(corpus, n=3)
+
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from data_warehouse_migration_spark.session import get_spark
+
+        _spark = get_spark("span-islands-prop")
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
