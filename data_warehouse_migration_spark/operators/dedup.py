@@ -123,12 +123,17 @@ def shingle_index(
     collision); NOT for MinHash signatures, whose oracle recomputes the
     md5-based min-wise family bit-for-bit.
     """
+    if fast_hash:
+        words = F.split(normalized_text(F.col(text_col)), " ")
+        return docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(span_hashes_from_words(words, n))).alias(
+                "sh"
+            ),
+        )
     shingle = F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     idx = docs.select(F.col(id_col).alias("doc"), shingle)
-    digest = (
-        F.xxhash64(F.col("shingle")) if fast_hash else _hash_str(F.col("shingle"))
-    )
-    return idx.select("doc", digest.alias("sh"))
+    return idx.select("doc", _hash_str(F.col("shingle")).alias("sh"))
 
 
 def shingle_hash_arrays(
@@ -142,11 +147,13 @@ def shingle_hash_arrays(
     computed entirely row-local (zero shuffle). The array form of
     :func:`shingle_index` (``explode(shs)`` recovers the index), and
     the verification-side input for exact Jaccard: one row per doc of
-    ~8 bytes/word, instead of one exploded row per shingle."""
-    grams = word_ngrams(F.col(text_col), n)
+    ~8 bytes/word, instead of one exploded row per shingle. Digests
+    come from :func:`span_hashes_from_words` — the gram strings are
+    never built."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
     return docs.select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))).alias("shs"),
+        F.array_distinct(span_hashes_from_words(words, n)).alias("shs"),
     )
 
 
@@ -718,10 +725,17 @@ def duplicate_span_removal_lists(
         did, F.split(normalized_text(F.col(text_col)), " ").alias("__w")
     )
     # (id, start, digest) for every n-gram occurrence; 1-based starts.
+    # Digests straight from the token array — span strings (which this
+    # previously built only to hash) never materialize.
     sh = (
         base.filter(F.size("__w") >= n)
-        .select(did, F.posexplode(word_ngrams_from_words(F.col("__w"), n)).alias("__i0", "__span"))
-        .select(did, (F.col("__i0") + 1).alias("__start"), F.xxhash64(F.col("__span")).alias("__g"))
+        .select(
+            did,
+            F.posexplode(span_hashes_from_words(F.col("__w"), n)).alias(
+                "__i0", "__g"
+            ),
+        )
+        .select(did, (F.col("__i0") + 1).alias("__start"), "__g")
     )
     owner = F.min(id_col).over(Window.partitionBy("__g"))
     return (
@@ -813,16 +827,14 @@ def span_digest_index(
     ingest batch (it is a pure function of corpus content, so a
     rebuild reproduces it bit-for-bit); appends compose by union+
     distinct, the same grow-the-index shape as ``streaming/ingest``."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
     return (
-        corpus.filter(
-            F.size(F.split(normalized_text(F.col(text_col)), " ")) >= n
-        )
+        corpus.filter(F.size(words) >= n)
         .select(
             F.explode(
-                F.array_distinct(word_ngrams(F.col(text_col), n))
-            ).alias("__span")
+                F.array_distinct(span_hashes_from_words(words, n))
+            ).alias("__g")
         )
-        .select(F.xxhash64(F.col("__span")).alias("__g"))
         .distinct()
     )
 
@@ -848,15 +860,11 @@ def remove_spans_against_digests(
         base.filter(F.size("__w") >= n)
         .select(
             did,
-            F.posexplode(word_ngrams_from_words(F.col("__w"), n)).alias(
-                "__i0", "__span"
+            F.posexplode(span_hashes_from_words(F.col("__w"), n)).alias(
+                "__i0", "__g"
             ),
         )
-        .select(
-            did,
-            (F.col("__i0") + 1).alias("__start"),
-            F.xxhash64(F.col("__span")).alias("__g"),
-        )
+        .select(did, (F.col("__i0") + 1).alias("__start"), "__g")
     )
     removals = (
         sh.join(corpus_digests, "__g")
@@ -938,28 +946,37 @@ def verified_duplicate_span_islands(
         base.filter(F.size("__w") >= n)
         .select(
             did,
-            F.posexplode(word_ngrams_from_words(F.col("__w"), n)).alias(
-                "__i0", "__span"
+            F.posexplode(span_hashes_from_words(F.col("__w"), n)).alias(
+                "__i0", "__g"
             ),
         )
-        .select(
-            did,
-            (F.col("__i0") + 1).alias("__start"),
-            F.col("__span"),
-            F.xxhash64(F.col("__span")).alias("__g"),
-        )
+        .select(did, (F.col("__i0") + 1).alias("__start"), "__g")
     )
-    # Pass 1: digest prefilter — text never shuffles here.
+    # Pass 1: digest prefilter — no span string exists yet, anywhere:
+    # occurrences are (id, start, 8-byte digest) only.
     cand = (
-        occ.select(did, "__g")
-        .groupBy("__g")
+        occ.groupBy("__g")
         .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
         .filter(F.col("__lo") != F.col("__hi"))
         .select("__g")
     )
-    # Pass 2: candidate spans carry text; ownership groups on the
-    # VERBATIM span, so the result owes nothing to any hash.
-    verified = occ.join(cand, "__g")
+    # Pass 2: re-derive the VERBATIM span text for survivors only —
+    # the candidate set broadcasts back onto the docs and each
+    # surviving span is sliced out of its token array; ownership then
+    # groups on the span itself, so the result owes nothing to any
+    # hash, and span strings were built for exactly the duplicated
+    # fraction of the corpus.
+    verified = (
+        occ.join(cand, "__g")
+        .join(base, id_col)
+        .select(
+            did,
+            "__start",
+            F.array_join(
+                F.slice("__w", F.col("__start"), F.lit(n)), " "
+            ).alias("__span"),
+        )
+    )
     owner = F.min(id_col).over(Window.partitionBy("__span"))
     rm = (
         verified.withColumn("__owner", owner)
@@ -1006,6 +1023,45 @@ def word_ngrams_from_words(words: Column, n: int) -> Column:
     return F.when(size >= n, F.slice(acc, 1, size - n + 1)).otherwise(
         F.array(F.concat_ws(" ", words))
     )
+
+
+def span_hashes_from_words(words: Column, n: int) -> Column:
+    """Positional xxhash64 digests of every word ``n``-gram
+    (array<long>; element i-1 is the digest of the span starting at
+    1-based word position i) — :func:`word_ngrams_from_words` for the
+    call sites that only ever HASH the grams.
+
+    Skips the n-gram STRING entirely: each digest is xxhash64 over a
+    struct of the ``n`` aligned shifted copies of the token array, so
+    nothing allocates the ~n× text bytes the concat form materializes
+    (measured 2.6× on the sf0.1 span-pair query), and the zip stays
+    linear in len·n — the same reason :func:`word_ngrams` uses
+    zip_with rather than per-index ``slice`` (quadratic in document
+    length). Word boundaries are preserved structurally (struct
+    fields hash separately — no separator-collision class at all).
+
+    Semantics mirror :func:`word_ngrams_from_words` exactly:
+    positional, keeps duplicate spans, and a document shorter than
+    ``n`` words contributes one digest covering its whole text (the
+    trailing struct fields are null, which Spark's hash ignores —
+    equal short texts still collide onto the same digest, and a
+    short text never hashes like any true n-gram's struct).
+
+    INTERNAL keys only (set identity / ownership), the module-wide
+    xxhash64 rule: every result built on these is hash-scheme-
+    independent and oracle-attested against md5-keyed SQL. The digest
+    definition is code-versioned — an index persisted by
+    :func:`span_digest_index` must be rebuilt when it changes (it is
+    a pure function of corpus content within one version).
+    """
+    size = F.size(words)
+    shifted = [words] + [
+        F.slice(words, k + 1, F.greatest(size - k, F.lit(1))) for k in range(1, n)
+    ]
+    zipped = F.slice(
+        F.arrays_zip(*shifted), 1, F.greatest(size - (n - 1), F.lit(1))
+    )
+    return F.transform(zipped, lambda s: F.xxhash64(s))
 
 
 def simhash16(text: Column) -> Column:

@@ -487,7 +487,9 @@ def duplicate_span_pairs(spark, sf_dir):
     side minimal."""
     from pyspark.sql import Window
 
-    from data_warehouse_migration_spark.operators.dedup import word_shingles
+    from data_warehouse_migration_spark.operators.dedup import (
+        span_hashes_from_words,
+    )
 
     docs = t(spark, sf_dir, "documents")
     words = F.split(normalized_text(F.col("text")), " ")
@@ -496,10 +498,9 @@ def duplicate_span_pairs(spark, sf_dir):
         .select(
             "doc_id",
             F.explode(
-                F.array_distinct(word_shingles(F.col("text"), 10))
-            ).alias("span"),
+                F.array_distinct(span_hashes_from_words(words, 10))
+            ).alias("g"),
         )
-        .select("doc_id", F.xxhash64(F.col("span")).alias("g"))
     )
     df_w = F.count(F.lit(1)).over(Window.partitionBy("g"))
     filtered = (

@@ -200,7 +200,9 @@ def cross_source_span_overlap(spark, sf_dir):
     ≤ |sources| rows per gram by construction, so no gram bucket can
     explode the pair join past |sources|²; the output matrix is
     domain-cardinality², never doc-scaled. Text never shuffles."""
-    from data_warehouse_migration_spark.operators.dedup import word_shingles
+    from data_warehouse_migration_spark.operators.dedup import (
+        span_hashes_from_words,
+    )
 
     docs = t(spark, sf_dir, "documents")
     words = F.split(normalized_text(F.col("text")), " ")
@@ -209,10 +211,9 @@ def cross_source_span_overlap(spark, sf_dir):
         .select(
             "source",
             F.explode(
-                F.array_distinct(word_shingles(F.col("text"), 10))
-            ).alias("span"),
+                F.array_distinct(span_hashes_from_words(words, 10))
+            ).alias("g"),
         )
-        .select("source", F.xxhash64(F.col("span")).alias("g"))
         .distinct()
     )
     a = sh.select(F.col("g"), F.col("source").alias("source_a"))
