@@ -2699,31 +2699,30 @@ def corpus_diversity_profile(spark, sf_dir):
     never shuffles; output is languages × 3 rows. At 100 TB swap the
     exact distinct for the HLL/bitmap cell per (lang, n) — the sketch
     rollup pattern, same plan shape (documented, exact form attested)."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        span_hashes_from_words,
+    )
+
     docs = t(spark, sf_dir, "documents")
     words = F.split(normalized_text(F.col("text")), " ")
 
-    def gram_at(order):
-        # factory closure: pyspark lambdas must be unary (a default
-        # arg would read as a second lambda parameter)
-        return lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + k) for k in range(order)]
-        )
-
     frames = []
     for n in (1, 2, 3):
-        grams = F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                gram_at(n),
-            ),
-        ).otherwise(F.slice(words, 1, 0))
+        # Digests straight from the token array (no gram strings,
+        # longs explode instead of strings). Guard keeps this query's
+        # short-doc rule — docs under n words contribute NOTHING at
+        # order n (span_hashes_from_words alone would add their
+        # whole-text gram).
+        hashes = span_hashes_from_words(words, n)
+        grams = F.when(F.size(words) >= n, hashes).otherwise(
+            F.slice(hashes, 1, 0)
+        )
         frames.append(
             docs.select(
                 "lang",
                 F.lit(n).alias("n"),
-                F.explode(grams).alias("gram"),
-            ).select("lang", "n", F.xxhash64(F.col("gram")).alias("g"))
+                F.explode(grams).alias("g"),
+            )
         )
     allg = frames[0].unionByName(frames[1]).unionByName(frames[2])
     return allg.groupBy("lang", "n").agg(
