@@ -124,12 +124,11 @@ def shingle_index(
     md5-based min-wise family bit-for-bit.
     """
     if fast_hash:
-        words = F.split(normalized_text(F.col(text_col)), " ")
-        return docs.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array_distinct(span_hashes_from_words(words, n))).alias(
-                "sh"
-            ),
+        # explode(shs) recovers the index from the array form — ONE
+        # definition of the fast digest recipe (shingle_hash_arrays),
+        # not a second copy to keep bit-identical.
+        return shingle_hash_arrays(docs, id_col, text_col, n).select(
+            "doc", F.explode("shs").alias("sh")
         )
     shingle = F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     idx = docs.select(F.col(id_col).alias("doc"), shingle)
@@ -1054,6 +1053,13 @@ def span_hashes_from_words(words: Column, n: int) -> Column:
     :func:`span_digest_index` must be rebuilt when it changes (it is
     a pure function of corpus content within one version).
     """
+    # NULL-text parity with the string path: split(normalized(NULL))
+    # is NULL, and a NULL array would drop the document entirely —
+    # whereas word_ngrams gives NULL text the same whole-text ''
+    # gram an empty text gets (concat_ws swallows the null). Coalesce
+    # to [''] so a NULL-text doc hashes exactly like an empty-text
+    # doc here too.
+    words = F.coalesce(words, F.array(F.lit("")))
     size = F.size(words)
     shifted = [words] + [
         F.slice(words, k + 1, F.greatest(size - k, F.lit(1))) for k in range(1, n)

@@ -52,6 +52,38 @@ def test_short_docs_hash_whole_text(spark):
     assert a[0] != d[0] and c[0] != d[0]
 
 
+def test_null_text_hashes_like_empty_text(spark):
+    """NULL text must behave exactly like the string-gram path: the
+    whole-text '' gram, so a NULL-text doc stays visible to every
+    digest consumer and dedups against empty-text docs (review
+    finding: split(NULL) is NULL, and an uncoalesced NULL array would
+    silently drop the document)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b c")],
+        "doc_id int, text string",
+    )
+    w = F.split(normalized_text(F.col("text")), " ")
+    rows = (
+        df.select("doc_id", span_hashes_from_words(w, 3).alias("h"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    hs = [list(r["h"]) for r in rows]
+    assert len(hs[0]) == 1  # NULL text -> one whole-text digest
+    assert hs[0] == hs[1] == hs[2]  # == empty and whitespace-only text
+    assert hs[0][0] not in hs[3]  # and never a real n-gram's digest
+
+    # The array-form index keeps the doc too (the consumer-facing
+    # contract the old string path had).
+    from data_warehouse_migration_spark.operators.dedup import (
+        shingle_hash_arrays,
+    )
+
+    idx = shingle_hash_arrays(df, "doc_id", "text", 3).collect()
+    assert sorted(r["doc"] for r in idx) == [1, 2, 3, 4]
+    assert all(r["shs"] is not None and len(r["shs"]) >= 1 for r in idx)
+
+
 def test_word_boundaries_are_structural(spark):
     a, b = _hashes(spark, ["ab c d e", "a bc d e"], 3)
     # Same character stream, different tokenization: no shared digest.

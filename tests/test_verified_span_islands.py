@@ -119,31 +119,21 @@ _doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12)
 @settings(
     max_examples=15,
     deadline=None,
-    suppress_health_check=[HealthCheck.too_slow],
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(corpus=st.lists(_doc, min_size=1, max_size=4))
-def test_islands_match_brute_force_reference(corpus):
+def test_islands_match_brute_force_reference(spark, corpus):
     """For ANY corpus, the operator's islands equal the brute-force
     definition exactly — every (doc, start, end, words) tuple. Tokens
     are lowercase single-spaced so normalized_text is the identity
-    and the comparison is purely about span/ownership/merge logic."""
-    spark = _get_spark()
+    and the comparison is purely about span/ownership/merge logic.
+
+    (``spark`` is the session-scoped conftest fixture — safe under
+    @given because nothing about it is per-example; the health-check
+    suppression mirrors the repo's other Hypothesis-on-Spark tests.)"""
     rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus, start=1)]
     got = sorted(
         (r["doc_id"], r["island_start"], r["island_end"], r["island_words"])
         for r in verified_duplicate_span_islands(_docs(spark, rows), n=3).collect()
     )
     assert got == _brute_force_islands(corpus, n=3)
-
-
-_spark = None
-
-
-def _get_spark():
-    global _spark
-    if _spark is None:
-        from data_warehouse_migration_spark.session import get_spark
-
-        _spark = get_spark("span-islands-prop")
-        _spark.sparkContext.setLogLevel("ERROR")
-    return _spark

@@ -97,10 +97,14 @@ def main() -> None:
         out[name] = {
             "sec": per_sf,
             "out_rows": out_rows,
+            # Positional: step_ratios[0] is always sf0.001->sf0.01 and
+            # [1] is sf0.01->sf0.1; a zero denominator yields null in
+            # place rather than silently shifting the list.
             "step_ratios": [
                 round(per_sf[sfs[i + 1]] / per_sf[sfs[i]], 2)
-                for i in range(len(sfs) - 1)
                 if per_sf[sfs[i]] > 0
+                else None
+                for i in range(len(sfs) - 1)
             ],
             "raw": raw,
         }
