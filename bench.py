@@ -31,6 +31,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REGRESSION_RATIO = 1.5
 
+# Host-contention guard (VERDICT r8 "what's wrong" #1): the committed
+# r8 artifact was recorded inside one of this host's multi-minute
+# interference episodes (load_1m 9.12 at end vs 0.5-1.3 in calm
+# windows) and needed prose in ROTATION.md to correct it. The bench
+# now self-corrects: if the 1-minute load average reads above
+# LOAD_CALM_BEFORE when timing starts, or above LOAD_CALM_AFTER when
+# it ends (the bench's own contribution decays to ~1 by then — r7/r8
+# calm windows read 0.5-1.3 after), sleep CONTENTION_SLEEP_S and
+# re-run the whole timing pass once, keep the per-query MIN across
+# both passes (interference only ever inflates), and ship BOTH load
+# readings in meta so the artifact explains itself.
+LOAD_CALM_BEFORE = 3.0
+LOAD_CALM_AFTER = 5.0
+CONTENTION_SLEEP_S = 60
+
 
 def previous_bench(repo_dir: str) -> tuple[str | None, dict[str, float]]:
     """Latest BENCH_r{N}.json per-query mins, if any round ran before."""
@@ -79,28 +94,46 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
-    load_before = os.getloadavg()
-
     # N runs per query, report the min: the first run pays one-time
     # whole-stage-codegen compilation (~1-3s/query of JVM compiler work
     # that a long-lived cluster amortizes to zero) and is exposed to
     # transient host noise; the min reflects steady-state engine cost.
-    timings: dict[str, float] = {}
-    raw_runs: dict[str, list[float]] = {}
-    for name, q in headline.items():
-        runs = []
-        for _ in range(n_runs):
-            # Some queries persist() an intermediate stage (composed
-            # pipelines materialize their silver layer); Spark's cache
-            # is keyed by canonicalized plan, so without this a repeat
-            # run would silently time the cached stage instead of the
-            # full pipeline.
-            spark.catalog.clearCache()
-            t0 = time.time()
-            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
-        raw_runs[name] = runs
-        timings[name] = min(runs)
+    def time_pass() -> tuple[dict[str, list[float]], float, float]:
+        runs_by_query: dict[str, list[float]] = {}
+        before = round(os.getloadavg()[0], 2)
+        for name, q in headline.items():
+            runs = []
+            for _ in range(n_runs):
+                # Some queries persist() an intermediate stage (composed
+                # pipelines materialize their silver layer); Spark's
+                # cache is keyed by canonicalized plan, so without this
+                # a repeat run would silently time the cached stage
+                # instead of the full pipeline.
+                spark.catalog.clearCache()
+                t0 = time.time()
+                q.spark_fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.time() - t0, 3))
+            runs_by_query[name] = runs
+        return runs_by_query, before, round(os.getloadavg()[0], 2)
+
+    raw_runs, load_before_1m, load_after_1m = time_pass()
+    contended_pass: dict | None = None
+    if load_before_1m > LOAD_CALM_BEFORE or load_after_1m > LOAD_CALM_AFTER:
+        # Loaded host: the reading above is suspect. Record it, wait
+        # out the episode, and time everything again — the min across
+        # both passes is the reported number (see LOAD_CALM_* note).
+        contended_pass = {
+            "load_1m_before": load_before_1m,
+            "load_1m_after": load_after_1m,
+            "raw_runs": raw_runs,
+        }
+        time.sleep(CONTENTION_SLEEP_S)
+        raw2, load_before_1m, load_after_1m = time_pass()
+        raw_runs = {n: raw_runs[n] + raw2[n] for n in raw_runs}
+
+    timings: dict[str, float] = {n: min(r) for n, r in raw_runs.items()}
 
     prev_file, prev = previous_bench(os.path.dirname(os.path.abspath(__file__)))
 
@@ -157,10 +190,14 @@ def main() -> None:
                 "meta": {
                     "runs_per_query": n_runs,
                     "raw_runs": raw_runs,
-                    "load_1m_before": round(load_before[0], 2),
-                    "load_1m_after": round(os.getloadavg()[0], 2),
+                    "load_1m_before": load_before_1m,
+                    "load_1m_after": load_after_1m,
                     "cpus": os.cpu_count(),
                     "baseline_file": prev_file,
+                    # Non-null iff the first timing pass ran on a
+                    # loaded host and a second calm pass was taken:
+                    # holds the discarded pass's load readings + runs.
+                    "contended_first_pass": contended_pass,
                 },
                 "regressions": regressions,
             }

@@ -115,31 +115,24 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 8 window (ROTATION.md has the full ledger) — the VERDICT r7
-# consolidation round: freeze registration growth, drain the
-# attestation debt.
+# Round 9 window (ROTATION.md has the full ledger) — the final drain:
+# VERDICT r8 action #1 says run it EXACTLY as ROTATION.md's written
+# r9 plan, and this is that plan.
 # (a) parity core (warehouse module) + ALL 19 bench headliners stay
-#     pinned. dedup_ngram_jaccard and curation_pipeline_v3 are ALSO
-#     changed-code attests this round (benched deployment shape:
-#     durable parquet stage boundary — VERDICT r7 action #2).
-# (b) the FULL 18-query r6 attestation backlog remainder (VERDICT r7
-#     action #1) — includes the five late-r7 changed-code re-attests
-#     (streaming_bitmap_distinct negative-key guard;
-#     hourly_anomaly_zscores / welch_t_event_values /
-#     streaming_anomaly_zscores / gini_revenue_concentration
-#     decimal(38,0) overflow hardening — VERDICT r7 action #3).
-# (c) dedup_clusters — late-r7 label-propagation convergence-check
-#     rewrite voided its r6 row (the sixth action-#3 re-attest).
-# (d) the three r4-stale ANN recall gates (their rows are the oldest
-#     hard signal in the ledger), with floors re-derived from current
-#     sf0.01 measurements this round (VERDICT r7 action #5) — a
-#     changed-code attest. similarity_ivf_topk is NOT rotated: its r7
-#     row is fresh and its floor (70 vs 85-97 measured) is already the
-#     tightest of the family, so rotation would buy nothing.
-# (e) quality_classifier_scores — late-r7 registration whose code
-#     changes this round (trained-weight swap seam, VERDICT r7 action
-#     #4), so it takes the newest-code slot of the late-r7 set.
-_WINDOW_R8 = (
+#     pinned, as every round.
+# (b) the 14 never-attested entries (the 13 late-r7 registrations +
+#     the r8 registration duplicate_span_islands_exact), newest code
+#     first: duplicate_span_islands_exact is ALSO a round-9
+#     changed-code attest (ADVICE r8 #2 — pass 2 now semi-joins the
+#     token arrays down to candidate docs before the text join) and
+#     corpus_diversity_profile changed in r8 (digest switch).
+# (c) nine of the ten r4-green "still waiting" entries. The tenth —
+#     decontaminate_against_eval, the tail of ROTATION.md's written
+#     order — is the single sanctioned spill ("at most one entry
+#     spills to r10"): 27 pins + 24 debt rows = 51 > 50. It stays
+#     gated by tools/check_oracle.py + pytest every round and is r10
+#     head-of-line.
+_WINDOW_R9 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -158,46 +151,43 @@ _WINDOW_R8 = (
     "curation_pipeline_v3",
     "semdedup_embeddings",
     "containment_quote_pairs",
-    # (b) r6 backlog remainder — never driver-attested until now.
-    "asof_merge_scan_attribution",
-    "similarity_sq8_topk",
-    "range_join_bucketed_activity",
-    "doc_token_entropy",
-    "simhash_near_pairs",
-    "key_skew_profile",
-    "streaming_heavy_hitters_cms",
-    "streaming_bitmap_distinct",
-    "streaming_anomaly_zscores",
-    "hourly_anomaly_zscores",
-    "feature_hash_vectors",
-    "equidepth_bucketizer",
-    "welch_t_event_values",
-    "mann_kendall_trend",
-    "dedup_exact_best_copy",
-    "doc_novelty_scores",
-    "benford_first_digit_audit",
-    "gini_revenue_concentration",
-    # (c) changed-code re-attest (late-r7 convergence-check rewrite).
-    "dedup_clusters",
-    # (d) r4-stale ANN recall gates, floors re-derived this round.
-    "similarity_lsh_topk",
-    "similarity_pq_topk",
-    "similarity_ivf_pq_topk",
-    # (e) late-r7 registration with round-8 code changes (weight seam).
-    "quality_classifier_scores",
+    # (b) never-attested drain, newest code first.
+    "duplicate_span_islands_exact",
+    "corpus_diversity_profile",
+    "source_mix_census",
+    "source_cap_sample",
+    "cross_source_span_overlap",
+    "gopher_quality_rules",
+    "decontaminate_exact_substring",
+    "semdedup_tau_calibration",
+    "embedding_drift_labels",
+    "streaming_source_census",
+    "hard_negative_mining",
+    "dedup_clusters_star",
+    "curation_pipeline_v5",
+    "streaming_embedding_drift",
+    # (c) r4-stale drain (CORRECTNESS_r04 rows, code unchanged since).
+    "tumbling_event_windows",
+    "streaming_tumbling_hourly",
+    "asof_click_before_purchase",
+    "interval_click_attribution",
+    "approx_distinct_users",
+    "media_feature_extract",
+    "embedding_kmeans",
+    "pack_documents_into_chunks",
+    "token_budget_sample_per_lang",
 )
-# Displaced to make room — the r7 ADVICE-fix set, the r6-review
-# re-attests, the two r7 newcomers, and the r6-backlog first tranche:
-# all attested fresh in CORRECTNESS_r07.json with code unchanged
-# since. The 13 remaining late-r7 registrations and the 10 remaining
-# r4-green "still waiting" entries drain over r9 (plan in
-# ROTATION.md); all stay gated every round by tools/check_oracle.py +
-# pytest.
+# Displaced to make room — the full r8 drain set (r6 backlog
+# remainder, ANN recall gates, dedup_clusters, quality_classifier_
+# scores): all attested fresh in CORRECTNESS_r08.json with code
+# unchanged since. After this window lands green, the only remaining
+# debt is decontaminate_against_eval (r4 row) plus any round-9
+# registrations — one r10 generation with ~22 slots to spare.
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R8,
+    *_WINDOW_R9,
 )
 
 

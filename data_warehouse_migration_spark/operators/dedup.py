@@ -924,13 +924,17 @@ def verified_duplicate_span_islands(
     Shape at 100 TB: pass 1 shuffles only (id, start, 8-byte digest)
     — never text; the digest aggregate keeps min/max id, and only
     digests with min≠max (cross-doc repeats — the duplicated FRACTION
-    of the corpus, not the corpus) survive. Pass 2 re-derives span
-    text for surviving digests via one semi-join and shuffles those
-    candidate spans by content for the ownership window — shuffle
-    volume is bounded by duplicated bytes, the same bound the
-    suffix-array method's output pays. Island merging is one
-    id-partitioned window (running-max end + island counter), the
-    standard gaps-and-islands segmented scan.
+    of the corpus, not the corpus) survive. Pass 2 collapses the
+    surviving occurrences to one compact starts-array row per
+    candidate doc and joins THAT back onto the token arrays: while
+    the candidate-doc side broadcasts (the common case), corpus text
+    never moves; past the broadcast threshold the cost degrades to
+    one id-shuffle of the corpus (the worst case, not the only case —
+    ADVICE r8 #2). The sliced candidate spans then shuffle by content
+    for the ownership window — that volume is bounded by duplicated
+    bytes, the same bound the suffix-array method's output pays.
+    Island merging is one id-partitioned window (running-max end +
+    island counter), the standard gaps-and-islands segmented scan.
 
     Returns ``(id_col, island_start int, island_end int,
     island_words int)`` — 1-based inclusive word positions of each
@@ -959,15 +963,29 @@ def verified_duplicate_span_islands(
         .filter(F.col("__lo") != F.col("__hi"))
         .select("__g")
     )
-    # Pass 2: re-derive the VERBATIM span text for survivors only —
-    # the candidate set broadcasts back onto the docs and each
-    # surviving span is sliced out of its token array; ownership then
-    # groups on the span itself, so the result owes nothing to any
-    # hash, and span strings were built for exactly the duplicated
-    # fraction of the corpus.
-    verified = (
+    # Pass 2: re-derive the VERBATIM span text for survivors only.
+    # The surviving (id, start) occurrences are first collapsed to one
+    # row per CANDIDATE DOC (an int-array of span starts — duplicated-
+    # fraction-sized, ~4 bytes per surviving span), and that compact
+    # side joins back onto the token arrays: while it broadcasts (the
+    # common case — it is orders of magnitude smaller than the text),
+    # corpus text never moves at all, and non-candidate docs drop at
+    # the join so their arrays are never even sliced. If the candidate
+    # -doc set outgrows the broadcast threshold the planner degrades
+    # to one id-shuffle of the corpus — the pre-r9 cost becomes the
+    # worst case instead of the only case (ADVICE r8 #2). Each
+    # surviving span is then sliced out of its doc's token array;
+    # ownership groups on the span itself, so the result owes nothing
+    # to any hash, and span strings were built for exactly the
+    # duplicated fraction of the corpus.
+    cand_starts = (
         occ.join(cand, "__g")
-        .join(base, id_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__ss"))
+    )
+    verified = (
+        base.join(cand_starts, id_col)
+        .select(did, F.explode("__ss").alias("__start"), "__w")
         .select(
             did,
             "__start",

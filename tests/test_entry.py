@@ -24,10 +24,11 @@ def test_attestation_window_membership():
     """The driver attests the first 50 registry entries (ROTATION.md).
 
     The first-50 slice must BE catalog._FIRST in order (the strong
-    form, ADVICE r5), and the r7 rotation targets — all 19 bench
-    headliners (VERDICT r6 action #1), the changed-code re-attests,
-    the two new r7 queries, and the backlog tranche — must sit inside
-    it so a future registration can't silently displace them.
+    form, ADVICE r5), and the r9 rotation targets — all 19 bench
+    headliners, the 14 never-attested entries, and nine of the ten
+    r4-stale entries (decontaminate_against_eval is the single
+    sanctioned spill to r10) — must sit inside it so a future
+    registration can't silently displace them.
     """
     from data_warehouse_migration_spark.catalog import _FIRST
 
@@ -57,34 +58,34 @@ def test_attestation_window_membership():
         "curation_pipeline_v3",
         "semdedup_embeddings",
         "containment_quote_pairs",
-        # r8: the full r6-backlog remainder (VERDICT r7 action #1),
-        # incl. the five late-r7 changed-code re-attests (action #3)
-        "asof_merge_scan_attribution",
-        "similarity_sq8_topk",
-        "range_join_bucketed_activity",
-        "doc_token_entropy",
-        "simhash_near_pairs",
-        "key_skew_profile",
-        "streaming_heavy_hitters_cms",
-        "streaming_bitmap_distinct",
-        "streaming_anomaly_zscores",
-        "hourly_anomaly_zscores",
-        "feature_hash_vectors",
-        "equidepth_bucketizer",
-        "welch_t_event_values",
-        "mann_kendall_trend",
-        "dedup_exact_best_copy",
-        "doc_novelty_scores",
-        "benford_first_digit_audit",
-        "gini_revenue_concentration",
-        # r8: sixth changed-code re-attest (convergence-check rewrite)
-        "dedup_clusters",
-        # r8: r4-stale ANN recall gates, floors re-derived (action #5)
-        "similarity_lsh_topk",
-        "similarity_pq_topk",
-        "similarity_ivf_pq_topk",
-        # r8: trained-weight swap seam landed this round (action #4)
-        "quality_classifier_scores",
+        # r9: never-attested drain, newest code first — duplicate_span_
+        # islands_exact is also a round-9 changed-code attest (ADVICE
+        # r8 #2 pass-2 semi-join) and corpus_diversity_profile changed
+        # in r8 (digest switch).
+        "duplicate_span_islands_exact",
+        "corpus_diversity_profile",
+        "source_mix_census",
+        "source_cap_sample",
+        "cross_source_span_overlap",
+        "gopher_quality_rules",
+        "decontaminate_exact_substring",
+        "semdedup_tau_calibration",
+        "embedding_drift_labels",
+        "streaming_source_census",
+        "hard_negative_mining",
+        "dedup_clusters_star",
+        "curation_pipeline_v5",
+        "streaming_embedding_drift",
+        # r9: r4-stale drain (rows from CORRECTNESS_r04, code unchanged)
+        "tumbling_event_windows",
+        "streaming_tumbling_hourly",
+        "asof_click_before_purchase",
+        "interval_click_attribution",
+        "approx_distinct_users",
+        "media_feature_extract",
+        "embedding_kmeans",
+        "pack_documents_into_chunks",
+        "token_budget_sample_per_lang",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
