@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -817,15 +817,31 @@ def remove_spans_in_corpus(
     )
 
 
+# Version of the span-digest definition span_hashes_from_words
+# computes (1 = xxhash64 over materialized n-gram STRINGS, pre-r8;
+# 2 = xxhash64 over a struct of n aligned shifted token-array copies,
+# the r8 rewrite). The two schemes assign different digests to the
+# same text, so an index persisted under one scheme matches NOTHING
+# when joined by code running another — zero removals, no error
+# (ADVICE r8 #1). write_span_index/read_span_index stamp and enforce
+# this at the persistence seam; bump it whenever the digest recipe
+# changes.
+SPAN_DIGEST_SCHEME = 2
+
+
 def span_digest_index(
     corpus: DataFrame, text_col: str = "text", n: int = 10
 ) -> DataFrame:
     """The corpus's DISTINCT span-digest set ``(__g long)`` — the
-    stored index :func:`remove_spans_against_digests` consumes. Write
-    it to parquet once per corpus refresh and reuse it across every
-    ingest batch (it is a pure function of corpus content, so a
-    rebuild reproduces it bit-for-bit); appends compose by union+
-    distinct, the same grow-the-index shape as ``streaming/ingest``."""
+    stored index :func:`remove_spans_against_digests` consumes.
+    Persist it with :func:`write_span_index` / :func:`read_span_index`
+    (they stamp and verify :data:`SPAN_DIGEST_SCHEME`, so an index
+    written by an older digest recipe fails the READ instead of
+    silently matching nothing) once per corpus refresh and reuse it
+    across every ingest batch (it is a pure function of corpus
+    content within one scheme version, so a rebuild reproduces it
+    bit-for-bit); appends compose by union+distinct, the same
+    grow-the-index shape as ``streaming/ingest``."""
     words = F.split(normalized_text(F.col(text_col)), " ")
     return (
         corpus.filter(F.size(words) >= n)
@@ -835,6 +851,51 @@ def span_digest_index(
             ).alias("__g")
         )
         .distinct()
+    )
+
+
+def write_span_index(index: DataFrame, path: str) -> None:
+    """Persist a :func:`span_digest_index` under a digest-scheme-
+    versioned subdirectory (``<path>/sv<SPAN_DIGEST_SCHEME>``) so a
+    later code version cannot silently consume it: digests are a
+    pure function of (text, scheme), and a cross-scheme join matches
+    nothing — zero removals, no error (ADVICE r8 #1). The scheme is
+    carried in the PATH, not a data column, so the stored schema
+    stays the operator's ``(__g long)`` and the check costs nothing
+    at read time."""
+    index.write.mode("overwrite").parquet(
+        f"{path.rstrip('/')}/sv{SPAN_DIGEST_SCHEME}"
+    )
+
+
+def read_span_index(spark: SparkSession, path: str) -> DataFrame:
+    """Load a :func:`write_span_index` directory, failing LOUDLY if it
+    was written under a different :data:`SPAN_DIGEST_SCHEME` (or
+    pre-dates stamping) instead of letting a stale index silently
+    remove nothing."""
+    import os
+
+    base = path.rstrip("/")
+    want = f"sv{SPAN_DIGEST_SCHEME}"
+    try:
+        entries = sorted(os.listdir(base))
+    except OSError as e:
+        raise FileNotFoundError(f"no span index at {base!r}") from e
+    if want in entries:
+        return spark.read.parquet(f"{base}/{want}")
+    found = [d for d in entries if d.startswith("sv") and d[2:].isdigit()]
+    if found:
+        raise ValueError(
+            f"span index at {base!r} was written under digest scheme "
+            f"{', '.join(found)} but this code computes "
+            f"sv{SPAN_DIGEST_SCHEME} — rebuild it with "
+            f"span_digest_index + write_span_index (a cross-scheme "
+            f"join would match nothing and remove zero spans)"
+        )
+    raise ValueError(
+        f"directory at {base!r} is not a stamped span index (no sv* "
+        f"subdirectory) — if it pre-dates scheme stamping, rebuild it "
+        f"with span_digest_index + write_span_index"
     )
 
 
@@ -1067,9 +1128,11 @@ def span_hashes_from_words(words: Column, n: int) -> Column:
     INTERNAL keys only (set identity / ownership), the module-wide
     xxhash64 rule: every result built on these is hash-scheme-
     independent and oracle-attested against md5-keyed SQL. The digest
-    definition is code-versioned — an index persisted by
-    :func:`span_digest_index` must be rebuilt when it changes (it is
-    a pure function of corpus content within one version).
+    definition is code-versioned as :data:`SPAN_DIGEST_SCHEME` — an
+    index persisted by :func:`span_digest_index` must be rebuilt when
+    it changes (it is a pure function of corpus content within one
+    version), and the :func:`write_span_index` /
+    :func:`read_span_index` seam enforces that at read time.
     """
     # NULL-text parity with the string path: split(normalized(NULL))
     # is NULL, and a NULL array would drop the document entirely —

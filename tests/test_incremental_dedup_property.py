@@ -142,9 +142,11 @@ def test_span_index_at_rest_matches_direct(tmp_path_factory):
     span_digest_index must equal remove_spans_in_corpus computed
     directly from corpus text — the stored-index production path."""
     from data_warehouse_migration_spark.operators.dedup import (
+        read_span_index,
         remove_spans_against_digests,
         remove_spans_in_corpus,
         span_digest_index,
+        write_span_index,
     )
 
     spark = _get_spark()
@@ -159,8 +161,8 @@ def test_span_index_at_rest_matches_direct(tmp_path_factory):
         ["doc_id", "text"],
     )
     idx_path = str(tmp_path_factory.mktemp("spanidx") / "digests")
-    span_digest_index(corpus, n=10).write.parquet(idx_path)
-    stored = spark.read.parquet(idx_path)
+    write_span_index(span_digest_index(corpus, n=10), idx_path)
+    stored = read_span_index(spark, idx_path)
 
     direct = remove_spans_in_corpus(batch, corpus, n=10)
     from_idx = remove_spans_against_digests(batch, stored, n=10)
@@ -169,3 +171,37 @@ def test_span_index_at_rest_matches_direct(tmp_path_factory):
     # the overlapping doc actually lost words; the clean one did not
     got = {r["doc_id"]: r["n_removed"] for r in from_idx.collect()}
     assert got[10] > 0 and got[11] == 0
+
+
+def test_span_index_scheme_stamp_enforced(tmp_path_factory):
+    """ADVICE r8 #1: an index persisted under a different digest
+    scheme (or never stamped) must fail the READ loudly — a
+    cross-scheme join silently removes zero spans."""
+    import pytest
+
+    from data_warehouse_migration_spark.operators import dedup as D
+
+    spark = _get_spark()
+    corpus = spark.createDataFrame(
+        [(0, " ".join(_W[i % 8] for i in range(30)))], ["doc_id", "text"]
+    )
+    root = tmp_path_factory.mktemp("spanidx_stamp")
+
+    # stale scheme: written as sv1, code computes sv{current}
+    idx = D.span_digest_index(corpus, n=10)
+    idx.write.parquet(str(root / "old" / "sv1"))
+    with pytest.raises(ValueError, match="sv1"):
+        D.read_span_index(spark, str(root / "old"))
+
+    # unstamped legacy layout: bare parquet dir, no sv* subdir
+    idx.write.parquet(str(root / "legacy"))
+    with pytest.raises(ValueError, match="not a stamped span index"):
+        D.read_span_index(spark, str(root / "legacy"))
+
+    # missing entirely
+    with pytest.raises(FileNotFoundError):
+        D.read_span_index(spark, str(root / "nowhere"))
+
+    # current scheme round-trips
+    D.write_span_index(idx, str(root / "ok"))
+    assert D.read_span_index(spark, str(root / "ok")).columns == ["__g"]

