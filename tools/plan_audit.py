@@ -148,6 +148,7 @@ EXTRA_AUDIT = (
     "streaming_embedding_drift",
     "corpus_diversity_profile",
     "duplicate_span_islands_exact",
+    "quality_classifier_trained",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
