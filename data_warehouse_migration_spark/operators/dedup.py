@@ -1062,7 +1062,20 @@ def verified_duplicate_span_islands(
         .select(did, "__start")
         .distinct()
     )
-    # Gaps-and-islands: merge overlapping [start, start+n-1] windows.
+    return span_start_islands(rm, id_col=id_col, n=n)
+
+
+def span_start_islands(
+    rm: DataFrame, id_col: str = "doc_id", n: int = 10
+) -> DataFrame:
+    """Gaps-and-islands merge of removable span STARTS: given
+    ``(id_col, __start)`` rows (1-based word positions of length-``n``
+    spans), merge overlapping/adjacent ``[start, start+n-1]`` windows
+    per doc into maximal ranges ``(id_col, island_start, island_end,
+    island_words)`` — the standard segmented scan (running-max end +
+    island counter), one id-partitioned window. Shared by
+    :func:`verified_duplicate_span_islands` and the incremental twin
+    in ``streaming/span_islands``."""
     w_doc = Window.partitionBy(id_col).orderBy("__start")
     prev_max_end = F.max(F.col("__start") + (n - 1)).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
@@ -1080,7 +1093,7 @@ def verified_duplicate_span_islands(
             (F.max("__start") + (n - 1)).cast("int").alias("island_end"),
         )
         .select(
-            did,
+            F.col(id_col),
             "island_start",
             "island_end",
             (F.col("island_end") - F.col("island_start") + 1)

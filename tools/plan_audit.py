@@ -149,6 +149,7 @@ EXTRA_AUDIT = (
     "corpus_diversity_profile",
     "duplicate_span_islands_exact",
     "quality_classifier_trained",
+    "streaming_span_islands",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by

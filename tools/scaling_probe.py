@@ -14,9 +14,12 @@ number per query is the wall-time ratio for each 10x data step:
                   output rows alongside), or a scale bug.
 
 Usage:
-    python tools/scaling_probe.py [query ...]
+    python tools/scaling_probe.py [--pairs] [query ...]
 
-Defaults to every bench headliner. Prints ONE JSON line:
+Defaults to every bench headliner; ``--pairs`` selects the
+NON-headliner candidate-pair operators instead (VERDICT r8 action #6b
+— every operator whose output grows with pair volume should have a
+measured curve, not just the benched ones). Prints ONE JSON line:
   {"sfs": {...row counts...},
    "queries": {q: {sf: min_sec, ..., "out_rows": {sf: n},
                    "step_ratios": [r01, r1]}},
@@ -47,6 +50,19 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+#: Candidate-pair operators OUTSIDE the bench headliner set: their
+#: output (and so their marginal cost) is designed to track
+#: duplicated/overlapping-pair volume, which is exactly the claim a
+#: measured curve falsifies. The headliner probe already covers
+#: duplicate_span_pairs / containment_quote_pairs / dedup_ngram_
+#: jaccard / dedup_embedding_cosine; this set completes the family.
+PAIR_HEAVY_NON_HEADLINERS = (
+    "simhash_near_pairs",          # Manku block-pigeonhole equi-joins
+    "cross_source_span_overlap",   # mirror detection on the span index
+    "duplicate_span_islands_exact",  # byte-verified ExactSubstr (r9 pass-2 shape)
+    "decontaminate_exact_substring",  # verification tier on survivors
+)
+
 
 def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -54,7 +70,10 @@ def main() -> None:
     from data_warehouse_migration_spark.catalog import REGISTRY
     from data_warehouse_migration_spark.session import get_spark
 
-    wanted = sys.argv[1:]
+    args = sys.argv[1:]
+    wanted = [a for a in args if a != "--pairs"]
+    if "--pairs" in args and not wanted:
+        wanted = list(PAIR_HEAVY_NON_HEADLINERS)
     if wanted:
         missing = [q for q in wanted if q not in REGISTRY]
         if missing:
