@@ -1,0 +1,122 @@
+"""functions/jpeg — baseline grayscale JPEG codec, tested without any
+third-party codec: (1) a HAND-DERIVED entropy bitstream for the
+trivial block (the encoder's bits are checked against T.81 arithmetic
+done on paper, not against the decoder); (2) decode(encode(x)) must
+equal an INDEPENDENT quantized-reconstruction reference computed with
+a test-local DCT — both sides share no bitstream code, so Huffman/
+marker/zigzag/DC-prediction bugs cannot cancel; (3) exact round-trips
+for the DC-only even-value family the registry oracle's closed form
+relies on; (4) honest-absence guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_warehouse_migration_spark.functions.jpeg import (
+    QUANT_LUMA,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    zigzag_order,
+)
+
+
+def _entropy_segment(data: bytes) -> bytes:
+    i = data.index(b"\xff\xda")
+    seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+    return data[i + 2 + seg_len : data.rfind(b"\xff\xd9")]
+
+
+def _reference_reconstruction(img: np.ndarray) -> np.ndarray:
+    """Quantize+reconstruct with a TEST-LOCAL DCT (no imports from the
+    codec beyond the public quantization table)."""
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+    h, w = img.shape
+    out = np.zeros((h, w))
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            blk = img[by : by + 8, bx : bx + 8].astype(np.int32) - 128
+            q = np.round((m @ blk @ m.T) / QUANT_LUMA)
+            out[by : by + 8, bx : bx + 8] = m.T @ (q * QUANT_LUMA) @ m
+    return np.clip(np.round(out + 128), 0, 255).astype(np.uint8)
+
+
+def test_solid_block_entropy_bits_hand_derived():
+    """Solid 128: level shift → all-zero block → DC category 0 + EOB.
+    With the declared uniform-length tables, DC cat 0 is the 4-bit
+    canonical code 0000 and EOB is HUFFVAL[0] → the 8-bit code
+    00000000; 12 bits padded with 1s gives exactly 00 0F."""
+    data = encode_jpeg_gray(np.full((8, 8), 128, dtype=np.uint8))
+    assert _entropy_segment(data) == b"\x00\x0f"
+
+
+def test_even_tile_roundtrip_is_bit_exact():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for k, v in enumerate([40, 200, 128, 2]):
+        i, j = divmod(k, 2)
+        img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = v
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+def test_random_images_match_independent_reference():
+    rng = np.random.default_rng(42)
+    for shape in [(8, 8), (16, 24), (40, 8)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert np.array_equal(got, _reference_reconstruction(img)), shape
+
+
+def test_dc_prediction_chain_many_blocks():
+    """A long strip of solid even-valued blocks with rising and
+    falling values exercises positive AND negative DC diffs across
+    a 16-block prediction chain — exact by the DC-only argument."""
+    vals = [0, 254, 2, 200, 100, 100, 0, 64, 128, 130, 126, 4, 250, 6, 8, 244]
+    img = np.zeros((8, 8 * len(vals)), dtype=np.uint8)
+    for k, v in enumerate(vals):
+        img[:, k * 8 : (k + 1) * 8] = v
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+def test_non_multiple_of_8_dimensions_crop():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 22), dtype=np.uint8)
+    got = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert got.shape == (13, 22)
+    assert np.array_equal(got, _reference_reconstruction(
+        np.pad(img, ((0, 3), (0, 2)), mode="edge")
+    )[:13, :22])
+
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    zz = zigzag_order()
+    assert len(set(zz)) == 64
+    assert zz[0] == (0, 0) and zz[1] == (0, 1) and zz[2] == (1, 0)
+    assert zz[63] == (7, 7)
+
+
+def test_progressive_and_color_raise():
+    data = bytearray(encode_jpeg_gray(np.full((8, 8), 128, dtype=np.uint8)))
+    sof = bytes(data).index(b"\xff\xc0")
+    prog = data.copy()
+    prog[sof + 1] = 0xC2  # rewrite SOF0 → SOF2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(bytes(prog))
+    color = data.copy()
+    color[sof + 2 + 2 + 5 + 2] = 3  # component count byte in SOF
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        decode_jpeg_gray(bytes(color))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x00\x01\x02")
+
+
+def test_decode_real_asset_jpeg_branch():
+    from data_warehouse_migration_spark.operators.multimodal import (
+        _decode_real_asset,
+    )
+
+    img = np.full((16, 8), 64, dtype=np.uint8)  # even value → exact
+    w, h, norm = _decode_real_asset("image/jpeg", encode_jpeg_gray(img))
+    assert (w, h) == (8, 16)
+    assert norm == pytest.approx(64 / 255.0)

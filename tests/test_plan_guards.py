@@ -22,6 +22,7 @@ ZERO_SHUFFLE = [
     "media_feature_extract_real",
     "quality_classifier_scores",
     "quality_classifier_trained",
+    "media_jpeg_decode",
 ]
 
 

@@ -150,6 +150,7 @@ EXTRA_AUDIT = (
     "duplicate_span_islands_exact",
     "quality_classifier_trained",
     "streaming_span_islands",
+    "media_jpeg_decode",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
