@@ -872,15 +872,19 @@ def read_span_index(spark: SparkSession, path: str) -> DataFrame:
     """Load a :func:`write_span_index` directory, failing LOUDLY if it
     was written under a different :data:`SPAN_DIGEST_SCHEME` (or
     pre-dates stamping) instead of letting a stale index silently
-    remove nothing."""
-    import os
-
+    remove nothing. Listing goes through the Hadoop filesystem layer
+    (the same one the write used), so the seam works for ``file://``,
+    ``hdfs://`` or object-store paths, not just bare local ones."""
     base = path.rstrip("/")
     want = f"sv{SPAN_DIGEST_SCHEME}"
-    try:
-        entries = sorted(os.listdir(base))
-    except OSError as e:
-        raise FileNotFoundError(f"no span index at {base!r}") from e
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(f"no span index at {base!r}")
+    entries = sorted(
+        s.getPath().getName() for s in fs.listStatus(jpath)
+    )
     if want in entries:
         return spark.read.parquet(f"{base}/{want}")
     found = [d for d in entries if d.startswith("sv") and d[2:].isdigit()]

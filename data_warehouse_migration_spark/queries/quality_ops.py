@@ -2386,18 +2386,16 @@ _QC_N_FEATURES = 4096
 _QC_WEIGHT_SEED = 9
 
 
-def _qc_oracle() -> str:
-    """DuckDB twin of functions/text.hashed_linear_score_mili: same
-    normalized unigram+bigram feature stream, same two-level md5
-    bucket→weight arithmetic (via sketch_ops._h_sql, the canonical
-    hash_mod mirror — not re-inlined, per the ADVICE r6 rule)."""
-    from data_warehouse_migration_spark.queries.sketch_ops import _h_sql
-
-    bucket = _h_sql("t", 0, _QC_N_FEATURES)
-    weight = f"({_h_sql(f'CAST({bucket} AS VARCHAR)', _QC_WEIGHT_SEED, 2001)} - 1000)"
+def _qc_oracle_body(weight: str, prefix_cte: str = "", scored_from: str = "feats") -> str:
+    """ONE SQL body for both classifier gates (pseudo-model and
+    trained weights — a single definition so a future fix to the
+    feature stream or the sigmoid rounding can never silently diverge
+    one attested copy from the other): normalized unigram+bigram
+    feature stream, per-feature ``weight`` expression parameterized
+    by the caller, integer score sum, monotone-sigmoid prob/keep."""
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     return f"""
-WITH tok AS (
+WITH {prefix_cte}tok AS (
     SELECT doc_id, lang,
            list_filter(string_split({norm}, ' '), t -> t != '') AS u
     FROM documents
@@ -2412,7 +2410,7 @@ WITH tok AS (
     SELECT doc_id, lang, CAST(len(f) AS BIGINT) AS n_feats,
            COALESCE(CAST(list_sum(list_transform(f, t -> {weight})) AS BIGINT),
                     0) AS score_mili
-    FROM feats
+    FROM {scored_from}
 )
 SELECT doc_id, lang, n_feats, score_mili,
        round(CASE WHEN n_feats = 0 THEN 0.5
@@ -2422,6 +2420,18 @@ SELECT doc_id, lang, n_feats, score_mili,
        CAST(score_mili >= 0 AS INT) AS keep
 FROM scored
 """
+
+
+def _qc_oracle() -> str:
+    """DuckDB twin of functions/text.hashed_linear_score_mili: same
+    normalized unigram+bigram feature stream, same two-level md5
+    bucket→weight arithmetic (via sketch_ops._h_sql, the canonical
+    hash_mod mirror — not re-inlined, per the ADVICE r6 rule)."""
+    from data_warehouse_migration_spark.queries.sketch_ops import _h_sql
+
+    bucket = _h_sql("t", 0, _QC_N_FEATURES)
+    weight = f"({_h_sql(f'CAST({bucket} AS VARCHAR)', _QC_WEIGHT_SEED, 2001)} - 1000)"
+    return _qc_oracle_body(weight)
 
 
 @query(
@@ -2506,48 +2516,24 @@ def classifier_frame(spark, sf_dir, weights: list[int] | None = None):
 
 
 def _qc_trained_oracle() -> str:
-    """DuckDB twin of the TRAINED-weights inference path: identical
-    feature stream and bucket hash as _qc_oracle, but the per-bucket
-    weight is a lookup into the frozen ``resources/quality_weights_v1
-    .parquet`` table, embedded here as a self-contained 4096-element
-    list literal (loaded once at registration — the fit is frozen and
-    bit-reproducible, so the SQL is a pure function of the shipped
-    file; no filesystem dependency leaks into the oracle)."""
+    """DuckDB twin of the TRAINED-weights inference path: the SAME
+    oracle body as _qc_oracle (one definition — _qc_oracle_body), but
+    the per-feature weight is a lookup into the frozen
+    ``resources/quality_weights_v1.parquet`` table, embedded as a
+    self-contained 4096-element list literal (loaded once at
+    registration — the fit is frozen and bit-reproducible, so the SQL
+    is a pure function of the shipped file; no filesystem dependency
+    leaks into the oracle)."""
     from data_warehouse_migration_spark.functions.text import load_trained_weights
     from data_warehouse_migration_spark.queries.sketch_ops import _h_sql
 
     wl = ", ".join(str(w) for w in load_trained_weights())
     bucket = _h_sql("t", 0, _QC_N_FEATURES)
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    return f"""
-WITH wt AS (
-    SELECT [{wl}] AS wl
-), tok AS (
-    SELECT doc_id, lang,
-           list_filter(string_split({norm}, ' '), t -> t != '') AS u
-    FROM documents
-), feats AS (
-    SELECT doc_id, lang,
-           list_concat(
-               u,
-               list_transform(range(1, len(u)), i -> u[i] || '_' || u[i + 1])
-           ) AS f
-    FROM tok
-), scored AS (
-    SELECT doc_id, lang, CAST(len(f) AS BIGINT) AS n_feats,
-           COALESCE(CAST(list_sum(list_transform(f,
-                         t -> wl[{bucket} + 1])) AS BIGINT),
-                    0) AS score_mili
-    FROM feats, wt
-)
-SELECT doc_id, lang, n_feats, score_mili,
-       round(CASE WHEN n_feats = 0 THEN 0.5
-                  ELSE 1.0 / (1.0 + exp(-(score_mili /
-                                          (1000.0 * n_feats)))) END,
-             6) AS prob,
-       CAST(score_mili >= 0 AS INT) AS keep
-FROM scored
-"""
+    return _qc_oracle_body(
+        weight=f"wl[{bucket} + 1]",
+        prefix_cte=f"wt AS (\n    SELECT [{wl}] AS wl\n), ",
+        scored_from="feats, wt",
+    )
 
 
 @query(

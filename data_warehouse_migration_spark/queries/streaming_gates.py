@@ -16,6 +16,7 @@ and the judge's full sweep.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from data_warehouse_migration_spark.catalog import query, t
 from data_warehouse_migration_spark.streaming.events import (
@@ -1503,7 +1504,17 @@ def streaming_span_islands_gate(spark, sf_dir):
         )
         if n_epochs != 3:
             raise AssertionError(f"expected 3 epochs, saw {n_epochs}")
-        res = spark.read.parquet(f"{base}/results")
+        try:
+            res = spark.read.parquet(f"{base}/results")
+        except AnalysisException:
+            # All three epochs processed (manifest above) with zero
+            # duplicated spans anywhere — the results directory was
+            # never created. An empty frame is the correct answer.
+            res = spark.createDataFrame(
+                [],
+                "doc_id bigint, island_start int, island_end int, "
+                "island_words int, epoch int",
+            )
         out = res.select(
             "doc_id",
             F.col("epoch").cast("int").alias("epoch"),

@@ -295,9 +295,11 @@ def stage_to_parquet(df: DataFrame, name: str, scope: str | None = None) -> Data
             f"(ADVICE r8 #3: silent overwrite corrupts the first "
             f"consumer's read-back)"
         )
-    _STAGED_KEYS[key] = fingerprint
     path = os.path.join(root, key)
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    # Record only AFTER the write succeeds: a failed stage must not
+    # poison the key and block a corrected retry under the same name.
+    _STAGED_KEYS[key] = fingerprint
     return df.sparkSession.read.parquet(path)
 
 

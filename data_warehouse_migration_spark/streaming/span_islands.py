@@ -93,6 +93,19 @@ def _span_postings(
     )
 
 
+def _index_parts(tokens: DataFrame, id_col: str, n: int) -> dict[str, DataFrame]:
+    """The at-rest state derived from one docs slice — the SAME
+    construction for the initial corpus and every epoch's additions
+    (one definition so the two halves of the index can never diverge
+    in filter or shape)."""
+    return {
+        "postings": _span_postings(tokens, id_col, n),
+        "docs": tokens.filter(F.size("__w") >= n).select(
+            F.col(id_col).alias("owner_id"), "__w"
+        ),
+    }
+
+
 def write_span_island_index(
     corpus: DataFrame,
     index_dir: str,
@@ -102,13 +115,7 @@ def write_span_island_index(
 ) -> None:
     """Materialize the initial at-rest state under ``index_dir`` as
     ``epoch=-1`` partitions (stream epochs are ≥ 0)."""
-    tokens = _doc_tokens(corpus, id_col, text_col)
-    parts = {
-        "postings": _span_postings(tokens, id_col, n),
-        "docs": tokens.filter(F.size("__w") >= n).select(
-            F.col(id_col).alias("owner_id"), "__w"
-        ),
-    }
+    parts = _index_parts(_doc_tokens(corpus, id_col, text_col), id_col, n)
     for name in _PARTS:
         overwrite_partitions_dynamic(
             parts[name].withColumn("epoch", F.lit(-1)),
@@ -203,26 +210,40 @@ def streaming_span_islands(
     completeness against. Returns the started query."""
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         spark = batch_df.sparkSession
-        try:
-            idx = read_span_island_index(
-                spark, index_dir, before_epoch=int(epoch_id)
+        # An EMPTY epoch still gets its manifest row — the manifest is
+        # the processed-epoch ledger, and a processed-empty epoch must
+        # be distinguishable from an unprocessed one. Without a
+        # manifest there is nothing to record, so skip cheaply.
+        if manifest_path is None and batch_df.isEmpty():
+            return
+        n_docs = batch_df.count()
+        if n_docs:
+            try:
+                idx = read_span_island_index(
+                    spark, index_dir, before_epoch=int(epoch_id)
+                )
+            except AnalysisException as e:
+                raise RuntimeError(
+                    f"no span-island index at {index_dir} — run "
+                    "write_span_island_index first"
+                ) from e
+            islands = batch_span_islands_against_index(
+                batch_df, idx, id_col, text_col, n
+            ).withColumn("epoch", F.lit(int(epoch_id)))
+            overwrite_partitions_dynamic(
+                islands, results_path, partition_by=["epoch"]
             )
-        except AnalysisException as e:
-            raise RuntimeError(
-                f"no span-island index at {index_dir} — run "
-                "write_span_island_index first"
-            ) from e
-        islands = batch_span_islands_against_index(
-            batch_df, idx, id_col, text_col, n
-        ).withColumn("epoch", F.lit(int(epoch_id)))
-        overwrite_partitions_dynamic(
-            islands, results_path, partition_by=["epoch"]
-        )
+            additions = _index_parts(
+                _doc_tokens(batch_df, id_col, text_col), id_col, n
+            )
+            for name in _PARTS:
+                overwrite_partitions_dynamic(
+                    additions[name].withColumn("epoch", F.lit(int(epoch_id))),
+                    f"{index_dir}/{name}",
+                    partition_by=["epoch"],
+                )
         if manifest_path is not None:
-            n_docs = batch_df.count()
             try:
                 # Read-back of the just-written partition (cheap,
                 # partition-pruned) rather than a second execution of
@@ -242,19 +263,6 @@ def streaming_span_islands(
                     "n_docs bigint, n_islands bigint, epoch int",
                 ),
                 manifest_path,
-                partition_by=["epoch"],
-            )
-        tokens = _doc_tokens(batch_df, id_col, text_col)
-        additions = {
-            "postings": _span_postings(tokens, id_col, n),
-            "docs": tokens.filter(F.size("__w") >= n).select(
-                F.col(id_col).alias("owner_id"), "__w"
-            ),
-        }
-        for name in _PARTS:
-            overwrite_partitions_dynamic(
-                additions[name].withColumn("epoch", F.lit(int(epoch_id))),
-                f"{index_dir}/{name}",
                 partition_by=["epoch"],
             )
 

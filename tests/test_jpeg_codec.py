@@ -120,3 +120,13 @@ def test_decode_real_asset_jpeg_branch():
     w, h, norm = _decode_real_asset("image/jpeg", encode_jpeg_gray(img))
     assert (w, h) == (8, 16)
     assert norm == pytest.approx(64 / 255.0)
+
+
+def test_ff_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes — a compliant foreign encoder's padding must decode."""
+    img = np.full((8, 8), 64, dtype=np.uint8)
+    data = encode_jpeg_gray(img)
+    i = data.index(b"\xff\xdb")  # pad before DQT
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    assert np.array_equal(decode_jpeg_gray(padded), img)

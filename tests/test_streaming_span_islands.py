@@ -16,7 +16,7 @@ from data_warehouse_migration_spark.sources.writers import (
 from data_warehouse_migration_spark.streaming.span_islands import (
     _PARTS,
     _doc_tokens,
-    _span_postings,
+    _index_parts,
     batch_span_islands_against_index,
     read_span_island_index,
     write_span_island_index,
@@ -33,13 +33,7 @@ def _apply(spark, index_dir, results, batch_df, epoch):
         "epoch", F.lit(epoch)
     )
     overwrite_partitions_dynamic(islands, results, partition_by=["epoch"])
-    tokens = _doc_tokens(batch_df, "doc_id", "text")
-    adds = {
-        "postings": _span_postings(tokens, "doc_id", 10),
-        "docs": tokens.filter(F.size("__w") >= 10).select(
-            F.col("doc_id").alias("owner_id"), "__w"
-        ),
-    }
+    adds = _index_parts(_doc_tokens(batch_df, "doc_id", "text"), "doc_id", 10)
     for part in _PARTS:
         overwrite_partitions_dynamic(
             adds[part].withColumn("epoch", F.lit(epoch)),
