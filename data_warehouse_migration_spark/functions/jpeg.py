@@ -55,6 +55,53 @@ QUANT_LUMA = np.array(
 )
 
 
+#: Annex K table K.2 — chrominance quantization.
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB→YCbCr (floats rounded to uint8). For gray
+    pixels (R=G=B=v) this is EXACT: the Y coefficients sum to 1 and
+    the Cb/Cr coefficients sum to 0, so Y=v and Cb=Cr=128 with no
+    rounding — the property the color gate's closed-form oracle
+    relies on."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF inverse transform (floats rounded to uint8); exact for
+    Cb=Cr=128."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
 def zigzag_order() -> list[tuple[int, int]]:
     """The 64 (row, col) positions in JPEG zigzag order, derived (not
     hardcoded): diagonals of constant row+col, direction alternating —
@@ -140,6 +187,40 @@ def _magnitude_bits(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
+def _encode_block(bw: _BitWriter, block: np.ndarray, quant: np.ndarray,
+                  dc_prev: int) -> int:
+    """DCT + quantize + entropy-code one level-shifted 8×8 block;
+    returns the new DC predictor value."""
+    coef = np.round((_M @ block @ _M.T) / quant).astype(np.int64)
+    zz = [int(coef[r, c]) for r, c in _ZIGZAG]
+    diff = zz[0] - dc_prev
+    s = _category(diff)
+    length, code = _DC_CODES[s]
+    bw.put(code, length)
+    if s:
+        bw.put(_magnitude_bits(diff, s), s)
+    run = 0
+    for ac in zz[1:]:
+        if ac == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = _AC_CODES[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        s = _category(ac)
+        if s > 10:
+            raise ValueError(f"AC coefficient {ac} out of baseline range")
+        length, code = _AC_CODES[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(_magnitude_bits(ac, s), s)
+        run = 0
+    if run:
+        length, code = _AC_CODES[0x00]  # EOB
+        bw.put(code, length)
+    return zz[0]
+
+
 def encode_jpeg_gray(img: np.ndarray) -> bytes:
     """Encode a 2-D uint8 array as a baseline sequential grayscale
     JFIF stream (one component, no subsampling). Dimensions need not
@@ -158,35 +239,9 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     dc_prev = 0
     for by in range(0, padded.shape[0], 8):
         for bx in range(0, padded.shape[1], 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128
-            coef = np.round((_M @ block @ _M.T) / QUANT_LUMA).astype(np.int64)
-            zz = [int(coef[r, c]) for r, c in _ZIGZAG]
-            diff = zz[0] - dc_prev
-            dc_prev = zz[0]
-            s = _category(diff)
-            length, code = _DC_CODES[s]
-            bw.put(code, length)
-            if s:
-                bw.put(_magnitude_bits(diff, s), s)
-            run = 0
-            for ac in zz[1:]:
-                if ac == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = _AC_CODES[0xF0]  # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                s = _category(ac)
-                if s > 10:
-                    raise ValueError(f"AC coefficient {ac} out of baseline range")
-                length, code = _AC_CODES[(run << 4) | s]
-                bw.put(code, length)
-                bw.put(_magnitude_bits(ac, s), s)
-                run = 0
-            if run:
-                length, code = _AC_CODES[0x00]  # EOB
-                bw.put(code, length)
+            dc_prev = _encode_block(
+                bw, padded[by : by + 8, bx : bx + 8] - 128, QUANT_LUMA, dc_prev
+            )
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -208,6 +263,63 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
     out += bw.tobytes()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(rgb: np.ndarray) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as baseline sequential JFIF
+    color, 4:4:4 (no chroma subsampling): RGB→YCbCr, luminance /
+    chrominance quantization tables (Annex K K.1/K.2), interleaved
+    Y-Cb-Cr MCUs with per-component DC prediction, the same declared
+    uniform-length Huffman tables under ids 0 (luma) and 1 (chroma)."""
+    rgb = np.asarray(rgb)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("color encoder takes an HxWx3 array")
+    h, w = rgb.shape[:2]
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError(f"bad dimensions {rgb.shape}")
+    ycc = rgb_to_ycbcr(rgb).astype(np.int32)
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+
+    bw = _BitWriter()
+    dc_prev = [0, 0, 0]
+    quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
+            for c in range(3):  # interleaved 4:4:4 MCU = Y, Cb, Cr
+                dc_prev[c] = _encode_block(
+                    bw,
+                    padded[by : by + 8, bx : bx + 8, c] - 128,
+                    quants[c],
+                    dc_prev[c],
+                )
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
+    out += (1).to_bytes(2, "big") + (1).to_bytes(2, "big") + b"\x00\x00"
+    for tid, q in ((0, QUANT_LUMA), (1, QUANT_CHROMA)):
+        qz = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid]) + qz
+    # SOF0: 3 components (Y q-table 0; Cb/Cr q-table 1), all 1x1
+    out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+    out += b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    # DHT: the uniform-length tables declared under both table ids
+    for cls_tid, bits, vals in (
+        (0x00, _DC_BITS, _DC_VALS),
+        (0x10, _AC_BITS, _AC_VALS),
+        (0x01, _DC_BITS, _DC_VALS),
+        (0x11, _AC_BITS, _AC_VALS),
+    ):
+        out += b"\xff\xc4" + (2 + 1 + 16 + len(vals)).to_bytes(2, "big")
+        out += bytes([cls_tid]) + bytes(bits[:16]) + bytes(vals)
+    # SOS: Y → DC0/AC0, Cb/Cr → DC1/AC1
+    out += b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
+    out += b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
+    out += bw.tobytes()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -261,17 +373,56 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
     """Decode a baseline sequential GRAYSCALE JPEG to a 2-D uint8
-    array. General within that envelope: tables are read from the
-    stream, APPn/COM segments are skipped, dimensions are cropped to
-    the SOF values. Color, progressive, arithmetic coding, and
-    restart intervals raise — honest absence, not silent garbage."""
+    array; raises on a color stream (use :func:`decode_jpeg`)."""
+    out = decode_jpeg(data)
+    if out.ndim != 2:
+        raise ValueError("color JPEG — decode_jpeg returns the RGB array")
+    return out
+
+
+def _decode_block(br, dc_tab, ac_tab, quant, dc_prev: int):
+    """Entropy-decode + dequantize + IDCT one block; returns the
+    spatial float block and the new DC predictor."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _decode_huffman_symbol(br, dc_tab)
+    diff = _extend(br.read_bits(s), s) if s else 0
+    dc = dc_prev + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _decode_huffman_symbol(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, s = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.int64)
+    for k, (r, c) in enumerate(_ZIGZAG):
+        coef[r, c] = zz[k]
+    return _M.T @ (coef * quant).astype(np.float64) @ _M, dc
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG: grayscale → 2-D uint8,
+    4:4:4 YCbCr color → H×W×3 uint8 RGB. General within that
+    envelope: quantization and Huffman tables are read from the
+    stream (any encoder's), APPn/COM segments and T.81 fill bytes are
+    skipped, dimensions are cropped to the SOF values. Chroma
+    subsampling, progressive (SOF2), arithmetic coding, and restart
+    intervals raise — honest absence, not silent garbage."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    components: list[dict] = []  # SOF order: {id, qid, dc, ac}
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -325,19 +476,31 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             n_comp = seg[5]
-            if n_comp != 1:
+            if n_comp not in (1, 3):
                 raise NotImplementedError(
-                    f"{n_comp}-component JPEG: only grayscale is decoded"
+                    f"{n_comp}-component JPEG: grayscale or 3-component "
+                    "YCbCr only"
                 )
-            if seg[7] != 0x11:
-                raise NotImplementedError("subsampled grayscale")
-            comp_q = seg[8]
+            for c in range(n_comp):
+                cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling (only 4:4:4 / 1x1 sampling "
+                        "is decoded)"
+                    )
+                components.append({"id": cid, "qid": qid})
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:  # SOS
-            if seg[0] != 1:
-                raise NotImplementedError("multi-component scan")
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            if seg[0] != len(components):
+                raise NotImplementedError(
+                    "scan component count differs from SOF (multi-scan)"
+                )
+            by_id = {c["id"]: c for c in components}
+            for c in range(seg[0]):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                by_id[cid]["dc"] = tabs >> 4
+                by_id[cid]["ac"] = tabs & 0x0F
             scan_start = pos + seg_len
             break
         # APPn / COM / anything else: skip
@@ -351,37 +514,28 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     if end < 0:
         raise ValueError("missing EOI")
     br = _BitReader(data[scan_start:end])
-    dc_tab = htables[(0, comp_dc)]
-    ac_tab = htables[(1, comp_ac)]
-    quant = qtables[comp_q]
+    tabs = [
+        (
+            htables[(0, c["dc"])],
+            htables[(1, c["ac"])],
+            qtables[c["qid"]],
+        )
+        for c in components
+    ]
 
     bh, bw_ = -(-h // 8), -(-w // 8)
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
-    dc_prev = 0
+    n_comp = len(components)
+    planes = np.zeros((bh * 8, bw_ * 8, n_comp), dtype=np.float64)
+    dc_prev = [0] * n_comp
     for by in range(bh):
         for bx in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _decode_huffman_symbol(br, dc_tab)
-            diff = _extend(br.read_bits(s), s) if s else 0
-            dc_prev += diff
-            zz[0] = dc_prev
-            k = 1
-            while k < 64:
-                sym = _decode_huffman_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, s = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _extend(br.read_bits(s), s)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.int64)
-            for k, (r, c) in enumerate(_ZIGZAG):
-                coef[r, c] = zz[k]
-            block = _M.T @ (coef * quant).astype(np.float64) @ _M
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return np.clip(np.round(out + 128), 0, 255).astype(np.uint8)[:h, :w]
+            for c in range(n_comp):  # interleaved MCU (1x1 sampling)
+                dc_tab, ac_tab, quant = tabs[c]
+                block, dc_prev[c] = _decode_block(
+                    br, dc_tab, ac_tab, quant, dc_prev[c]
+                )
+                planes[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c] = block
+    out = np.clip(np.round(planes + 128), 0, 255).astype(np.uint8)[:h, :w]
+    if n_comp == 1:
+        return out[:, :, 0]
+    return ycbcr_to_rgb(out)

@@ -81,14 +81,14 @@ def _decode_real_asset(mime: str, payload: bytes) -> tuple[int, int, float]:
         mean_norm = float(pixels.mean()) / 255.0 if pixels.size else 0.0
         return width_px, abs(height_px), mean_norm
     if mime == "image/jpeg":
-        # Baseline sequential grayscale, pure numpy (functions/jpeg —
-        # r9): real DQT/DHT/SOF0 parse, Huffman entropy decode, IDCT.
-        # Color/progressive raise inside the codec with the reason.
-        from data_warehouse_migration_spark.functions.jpeg import (
-            decode_jpeg_gray,
-        )
+        # Baseline sequential, pure numpy (functions/jpeg — r9): real
+        # DQT/DHT/SOF0 parse, Huffman entropy decode, IDCT; grayscale
+        # and 4:4:4 YCbCr color. Subsampled/progressive raise inside
+        # the codec with the reason. feature_norm = mean over all
+        # decoded channels / 255.
+        from data_warehouse_migration_spark.functions.jpeg import decode_jpeg
 
-        px = decode_jpeg_gray(payload)
+        px = decode_jpeg(payload)
         mean_norm = float(px.mean()) / 255.0 if px.size else 0.0
         return int(px.shape[1]), int(px.shape[0]), mean_norm
     raise NotImplementedError(
@@ -339,7 +339,7 @@ def resize_media(assets: DataFrame) -> DataFrame:
 
 
 def jpeg_roundtrip_features(
-    ids_df: DataFrame, id_col: str = "asset_id"
+    ids_df: DataFrame, id_col: str = "asset_id", color: bool = False
 ) -> DataFrame:
     """REAL JPEG encode→bytes→decode, value-attestable end to end
     (VERDICT r8 action #6c): per id, a deterministic 16×16 grayscale
@@ -360,13 +360,24 @@ def jpeg_roundtrip_features(
     independent quantized-reconstruction reference —
     ``tests/test_jpeg_codec.py``.)
 
+    ``color=True`` runs the 3-COMPONENT pipeline instead (4:4:4
+    YCbCr, tile value = ``2·((id·11 + i·3 + j·9) mod 128)`` on all
+    three channels): gray pixels convert to Y=v, Cb=Cr=128 with zero
+    rounding (the RGB↔YCbCr coefficients sum to 1/0), so the
+    interleaved MCUs, chroma quantization table, three DC prediction
+    chains, and both color transforms are all under the same
+    closed-form gate — decoded pixel sum = ``3·64·Σ v_ij``. (True
+    color content cannot round-trip exactly through quantization; it
+    is pinned against the independent reference in the unit tests.)
+
     Scale: per-asset parallel, zero shuffle — the same mapInPandas
     posture as every codec here; entropy coding is serial per image
     by format design, so assets ARE the parallelism unit."""
     import numpy as np
 
     from data_warehouse_migration_spark.functions.jpeg import (
-        decode_jpeg_gray,
+        decode_jpeg,
+        encode_jpeg_color,
         encode_jpeg_gray,
     )
 
@@ -378,10 +389,19 @@ def jpeg_roundtrip_features(
                 img = np.zeros((16, 16), dtype=np.uint8)
                 for i in range(2):
                     for j in range(2):
-                        img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = 2 * (
-                            (aid * 7 + i * 5 + j * 3) % 128
+                        v = (
+                            2 * ((aid * 11 + i * 3 + j * 9) % 128)
+                            if color
+                            else 2 * ((aid * 7 + i * 5 + j * 3) % 128)
                         )
-                dec = decode_jpeg_gray(encode_jpeg_gray(img))
+                        img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = v
+                if color:
+                    payload = encode_jpeg_color(
+                        np.repeat(img[:, :, None], 3, axis=2)
+                    )
+                else:
+                    payload = encode_jpeg_gray(img)
+                dec = decode_jpeg(payload)
                 rows.append(
                     (
                         aid,

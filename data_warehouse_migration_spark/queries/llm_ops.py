@@ -1157,6 +1157,60 @@ def media_jpeg_decode(spark, sf_dir):
 
 
 @query(
+    "media_jpeg_color_decode",
+    tags=("multimodal", "image", "jpeg", "color", "codec", "mapInPandas"),
+    oracle="""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+tiles AS (
+    SELECT asset_id, 2 * ((asset_id * 11 + i * 3 + j * 9) % 128) AS v
+    FROM ids,
+         (SELECT unnest(range(0, 2)) AS i) ii,
+         (SELECT unnest(range(0, 2)) AS j) jj
+), s AS (
+    SELECT asset_id, CAST(3 * 64 * sum(v) AS BIGINT) AS pixel_sum
+    FROM tiles GROUP BY asset_id
+)
+SELECT asset_id, 16 AS width, 16 AS height, pixel_sum,
+       round(pixel_sum / 195840.0, 6) AS mean_norm
+FROM s
+""",
+)
+def media_jpeg_color_decode(spark, sf_dir):
+    """The 3-COMPONENT JPEG pipeline under the hard gate: per doc_id
+    a gray-content COLOR image (R=G=B even tile values) goes through
+    encode_jpeg_color (RGB->YCbCr, interleaved 4:4:4 MCUs, luma +
+    chroma quantization tables, three DC prediction chains) and back
+    through the general decoder (functions/jpeg.decode_jpeg).
+
+    Exactness: gray pixels convert to Y=v, Cb=Cr=128 with ZERO
+    rounding (the JFIF coefficients sum to exactly 1 / 0). The luma
+    blocks are DC-only with even values, so they quantize exactly on
+    the 16-step luma DC entry; the chroma blocks are all-128, i.e.
+    level-shifted ZERO, so every chroma coefficient is exactly 0
+    regardless of quantizer step. The decoded RGB therefore equals
+    the input by arithmetic and the pixel sum over all three channels
+    is the closed form 3*64*sum(v) that DuckDB recomputes with no
+    codec anywhere. True-color lossy content is pinned against an
+    independent YCbCr+DCT reference in tests/test_jpeg_codec.py.
+
+    Shape at 100 TB: identical to the grayscale gate — per-asset
+    parallel mapInPandas, zero shuffle."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        jpeg_roundtrip_features,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    feats = jpeg_roundtrip_features(ids, color=True)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "pixel_sum",
+        F.round(F.col("pixel_sum") / F.lit(195840.0), 6).alias("mean_norm"),
+    )
+
+
+@query(
     "salted_event_totals",
     tags=("events", "skew"),
     oracle="""

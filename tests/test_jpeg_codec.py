@@ -96,19 +96,80 @@ def test_zigzag_is_a_permutation_with_known_anchors():
     assert zz[63] == (7, 7)
 
 
-def test_progressive_and_color_raise():
+def test_unsupported_shapes_raise():
     data = bytearray(encode_jpeg_gray(np.full((8, 8), 128, dtype=np.uint8)))
     sof = bytes(data).index(b"\xff\xc0")
     prog = data.copy()
     prog[sof + 1] = 0xC2  # rewrite SOF0 → SOF2
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg_gray(bytes(prog))
-    color = data.copy()
-    color[sof + 2 + 2 + 5 + 2] = 3  # component count byte in SOF
-    with pytest.raises(NotImplementedError, match="grayscale"):
-        decode_jpeg_gray(bytes(color))
+    sub = data.copy()
+    # FF C0 | len(2) | prec | h(2) | w(2) | ncomp | cid | sampling
+    sub[sof + 11] = 0x22  # sampling byte → 2x2
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg_gray(bytes(sub))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"\x00\x01\x02")
+
+
+def test_gray_wrapper_rejects_color_stream():
+    from data_warehouse_migration_spark.functions.jpeg import (
+        encode_jpeg_color,
+    )
+
+    rgb = np.full((8, 8, 3), 128, dtype=np.uint8)
+    with pytest.raises(ValueError, match="decode_jpeg"):
+        decode_jpeg_gray(encode_jpeg_color(rgb))
+
+
+def test_color_gray_content_roundtrip_is_bit_exact():
+    """Gray pixels map to Y=v, Cb=Cr=128 EXACTLY (coefficients sum to
+    1 / 0), and even tile values keep every component block DC-only
+    and quantization-exact — so the full 3-component pipeline
+    (interleaved MCUs, chroma tables, three DC prediction chains,
+    both color transforms) must reproduce the input bit-for-bit."""
+    from data_warehouse_migration_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    for k, v in enumerate([40, 200, 128, 2]):
+        i, j = divmod(k, 2)
+        rgb[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8, :] = v
+    assert np.array_equal(decode_jpeg(encode_jpeg_color(rgb)), rgb)
+
+
+def test_color_random_matches_independent_reference():
+    """True color content: decode(encode(rgb)) must equal a test-local
+    YCbCr → per-channel quantized reconstruction → RGB pipeline that
+    shares no bitstream code with the codec."""
+    from data_warehouse_migration_spark.functions.jpeg import (
+        QUANT_CHROMA,
+        decode_jpeg,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    ycc = rgb_to_ycbcr(rgb).astype(np.int32)
+    qs = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    ref = np.zeros(ycc.shape, np.float64)
+    for c in range(3):
+        for by in range(0, 16, 8):
+            for bx in range(0, 24, 8):
+                blk = ycc[by : by + 8, bx : bx + 8, c] - 128
+                q = np.round((m @ blk @ m.T) / qs[c])
+                ref[by : by + 8, bx : bx + 8, c] = m.T @ (q * qs[c]) @ m
+    ref_rgb = ycbcr_to_rgb(
+        np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
+    )
+    assert np.array_equal(decode_jpeg(encode_jpeg_color(rgb)), ref_rgb)
 
 
 def test_decode_real_asset_jpeg_branch():

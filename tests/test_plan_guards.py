@@ -23,6 +23,7 @@ ZERO_SHUFFLE = [
     "quality_classifier_scores",
     "quality_classifier_trained",
     "media_jpeg_decode",
+    "media_jpeg_color_decode",
 ]
 
 

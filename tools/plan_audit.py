@@ -151,6 +151,7 @@ EXTRA_AUDIT = (
     "quality_classifier_trained",
     "streaming_span_islands",
     "media_jpeg_decode",
+    "media_jpeg_color_decode",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
