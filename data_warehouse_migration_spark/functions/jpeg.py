@@ -266,34 +266,75 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_color(rgb: np.ndarray) -> bytes:
+def encode_jpeg_color(rgb: np.ndarray, subsample: str = "444") -> bytes:
     """Encode an H×W×3 uint8 RGB array as baseline sequential JFIF
-    color, 4:4:4 (no chroma subsampling): RGB→YCbCr, luminance /
-    chrominance quantization tables (Annex K K.1/K.2), interleaved
-    Y-Cb-Cr MCUs with per-component DC prediction, the same declared
-    uniform-length Huffman tables under ids 0 (luma) and 1 (chroma)."""
+    color: RGB→YCbCr, luminance / chrominance quantization tables
+    (Annex K K.1/K.2), interleaved MCUs with per-component DC
+    prediction, the same declared uniform-length Huffman tables under
+    ids 0 (luma) and 1 (chroma). ``subsample``: ``"444"`` (one block
+    per component per MCU) or ``"420"`` (Y at 2×2 sampling, chroma
+    box-averaged 2×2 — the layout most real-world JPEGs use)."""
     rgb = np.asarray(rgb)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("color encoder takes an HxWx3 array")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
     h, w = rgb.shape[:2]
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError(f"bad dimensions {rgb.shape}")
     ycc = rgb_to_ycbcr(rgb).astype(np.int32)
-    ph, pw = -h % 8, -w % 8
+    mcu = 8 if subsample == "444" else 16
+    ph, pw = -h % mcu, -w % mcu
     padded = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
 
     bw = _BitWriter()
     dc_prev = [0, 0, 0]
-    quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
-    for by in range(0, padded.shape[0], 8):
-        for bx in range(0, padded.shape[1], 8):
-            for c in range(3):  # interleaved 4:4:4 MCU = Y, Cb, Cr
-                dc_prev[c] = _encode_block(
-                    bw,
-                    padded[by : by + 8, bx : bx + 8, c] - 128,
-                    quants[c],
-                    dc_prev[c],
-                )
+    if subsample == "444":
+        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+        for by in range(0, padded.shape[0], 8):
+            for bx in range(0, padded.shape[1], 8):
+                for c in range(3):  # interleaved 4:4:4 MCU = Y, Cb, Cr
+                    dc_prev[c] = _encode_block(
+                        bw,
+                        padded[by : by + 8, bx : bx + 8, c] - 128,
+                        quants[c],
+                        dc_prev[c],
+                    )
+        samplings = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    else:
+        yp = padded[:, :, 0]
+        # 2×2 box average, rounded — exact for constant chroma (the
+        # closed-form gate's case) and the conventional downsample.
+        sub = np.round(
+            padded[:, :, 1:]
+            .reshape(padded.shape[0] // 2, 2, padded.shape[1] // 2, 2, 2)
+            .mean(axis=(1, 3))
+        ).astype(np.int32)
+        for my in range(0, padded.shape[0], 16):
+            for mx in range(0, padded.shape[1], 16):
+                for v in range(2):  # 4 Y blocks, raster order
+                    for u in range(2):
+                        dc_prev[0] = _encode_block(
+                            bw,
+                            yp[
+                                my + v * 8 : my + v * 8 + 8,
+                                mx + u * 8 : mx + u * 8 + 8,
+                            ]
+                            - 128,
+                            QUANT_LUMA,
+                            dc_prev[0],
+                        )
+                for c in (0, 1):  # one Cb then one Cr block
+                    dc_prev[c + 1] = _encode_block(
+                        bw,
+                        sub[
+                            my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8, c
+                        ]
+                        - 128,
+                        QUANT_CHROMA,
+                        dc_prev[c + 1],
+                    )
+        samplings = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
 
     out = bytearray()
     out += b"\xff\xd8"
@@ -302,10 +343,10 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
     for tid, q in ((0, QUANT_LUMA), (1, QUANT_CHROMA)):
         qz = bytes(int(q[r, c]) for r, c in _ZIGZAG)
         out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid]) + qz
-    # SOF0: 3 components (Y q-table 0; Cb/Cr q-table 1), all 1x1
+    # SOF0: 3 components (Y q-table 0; Cb/Cr q-table 1)
     out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
-    out += b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    out += samplings
     # DHT: the uniform-length tables declared under both table ids
     for cls_tid, bits, vals in (
         (0x00, _DC_BITS, _DC_VALS),
@@ -410,12 +451,15 @@ def _decode_block(br, dc_tab, ac_tab, quant, dc_prev: int):
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG: grayscale → 2-D uint8,
-    4:4:4 YCbCr color → H×W×3 uint8 RGB. General within that
-    envelope: quantization and Huffman tables are read from the
-    stream (any encoder's), APPn/COM segments and T.81 fill bytes are
-    skipped, dimensions are cropped to the SOF values. Chroma
-    subsampling, progressive (SOF2), arithmetic coding, and restart
-    intervals raise — honest absence, not silent garbage."""
+    YCbCr color → H×W×3 uint8 RGB, with sampling factors 1 and 2 in
+    either axis (4:4:4, 4:2:2, 4:2:0 — the layouts covering the vast
+    majority of real-world baseline files; subsampled chroma is
+    pixel-replicated back up). General within that envelope:
+    quantization and Huffman tables are read from the stream (any
+    encoder's), APPn/COM segments and T.81 fill bytes are skipped,
+    dimensions are cropped to the SOF values. Sampling factors > 2,
+    progressive (SOF2), arithmetic coding, and restart intervals
+    raise — honest absence, not silent garbage."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -483,12 +527,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             for c in range(n_comp):
                 cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling (only 4:4:4 / 1x1 sampling "
-                        "is decoded)"
+                        f"sampling factors {hi}x{vi}: only 1 and 2 are "
+                        "decoded (covers 4:4:4, 4:2:2, 4:2:0)"
                     )
-                components.append({"id": cid, "qid": qid})
+                components.append({"id": cid, "qid": qid, "h": hi, "v": vi})
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:  # SOS
@@ -523,19 +568,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for c in components
     ]
 
-    bh, bw_ = -(-h // 8), -(-w // 8)
+    # T.81 A.2: a single-component scan is NON-interleaved — its MCU
+    # is one block and the declared sampling factors play no role in
+    # the scan geometry (some encoders write 2x2 factors on grayscale).
+    if len(components) == 1:
+        components[0]["h"] = components[0]["v"] = 1
+    # Generic interleaved-MCU geometry (T.81 A.2.3): the MCU spans
+    # 8·hmax × 8·vmax pixels; component c contributes v×h blocks per
+    # MCU in raster order into its OWN-resolution plane, which is
+    # pixel-replicated up to full size afterwards (the standard
+    # box/nearest upsampling — the unit-test reference uses the same).
     n_comp = len(components)
-    planes = np.zeros((bh * 8, bw_ * 8, n_comp), dtype=np.float64)
+    hmax = max(c["h"] for c in components)
+    vmax = max(c["v"] for c in components)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in components
+    ]
     dc_prev = [0] * n_comp
-    for by in range(bh):
-        for bx in range(bw_):
-            for c in range(n_comp):  # interleaved MCU (1x1 sampling)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, comp in enumerate(components):
                 dc_tab, ac_tab, quant = tabs[c]
-                block, dc_prev[c] = _decode_block(
-                    br, dc_tab, ac_tab, quant, dc_prev[c]
-                )
-                planes[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c] = block
-    out = np.clip(np.round(planes + 128), 0, 255).astype(np.uint8)[:h, :w]
+                for v in range(comp["v"]):
+                    for u in range(comp["h"]):
+                        block, dc_prev[c] = _decode_block(
+                            br, dc_tab, ac_tab, quant, dc_prev[c]
+                        )
+                        y0 = (my * comp["v"] + v) * 8
+                        x0 = (mx * comp["h"] + u) * 8
+                        planes[c][y0 : y0 + 8, x0 : x0 + 8] = block
+    full = np.zeros((mcuy * 8 * vmax, mcux * 8 * hmax, n_comp), np.float64)
+    for c, comp in enumerate(components):
+        p = planes[c]
+        if comp["v"] < vmax:
+            p = np.repeat(p, vmax // comp["v"], axis=0)
+        if comp["h"] < hmax:
+            p = np.repeat(p, hmax // comp["h"], axis=1)
+        full[:, :, c] = p
+    out = np.clip(np.round(full + 128), 0, 255).astype(np.uint8)[:h, :w]
     if n_comp == 1:
         return out[:, :, 0]
     return ycbcr_to_rgb(out)

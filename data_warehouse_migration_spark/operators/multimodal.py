@@ -339,7 +339,7 @@ def resize_media(assets: DataFrame) -> DataFrame:
 
 
 def jpeg_roundtrip_features(
-    ids_df: DataFrame, id_col: str = "asset_id", color: bool = False
+    ids_df: DataFrame, id_col: str = "asset_id", mode: str = "gray"
 ) -> DataFrame:
     """REAL JPEG encode→bytes→decode, value-attestable end to end
     (VERDICT r8 action #6c): per id, a deterministic 16×16 grayscale
@@ -360,15 +360,25 @@ def jpeg_roundtrip_features(
     independent quantized-reconstruction reference —
     ``tests/test_jpeg_codec.py``.)
 
-    ``color=True`` runs the 3-COMPONENT pipeline instead (4:4:4
-    YCbCr, tile value = ``2·((id·11 + i·3 + j·9) mod 128)`` on all
-    three channels): gray pixels convert to Y=v, Cb=Cr=128 with zero
-    rounding (the RGB↔YCbCr coefficients sum to 1/0), so the
-    interleaved MCUs, chroma quantization table, three DC prediction
-    chains, and both color transforms are all under the same
-    closed-form gate — decoded pixel sum = ``3·64·Σ v_ij``. (True
-    color content cannot round-trip exactly through quantization; it
-    is pinned against the independent reference in the unit tests.)
+    ``mode`` selects which pipeline tier sits under the gate (each a
+    registry query with its own closed-form oracle):
+
+    - ``"gray"`` — 16×16 single-component, tile value
+      ``2·((id·7 + i·5 + j·3) mod 128)``.
+    - ``"color"`` — 16×16 4:4:4 YCbCr, gray-content tiles
+      ``2·((id·11 + i·3 + j·9) mod 128)``: gray pixels convert to
+      Y=v, Cb=Cr=128 with zero rounding (the RGB↔YCbCr coefficients
+      sum to 1/0), so the interleaved MCUs, chroma quantization
+      table, three DC prediction chains, and both color transforms
+      are closed-form-attestable — decoded pixel sum = ``3·64·Σ v``.
+    - ``"420"`` — 32×32 (a 2×2 grid of MCUs, 16 tiles) 4:2:0: the
+      subsampled geometry — four Y blocks per MCU on one DC chain,
+      box-averaged chroma (exact for the constant-128 chroma of gray
+      content), replication upsampling — under the same closed form.
+
+    True color content cannot round-trip exactly through
+    quantization; it is pinned against the independent references in
+    the unit tests.
 
     Scale: per-asset parallel, zero shuffle — the same mapInPandas
     posture as every codec here; entropy coding is serial per image
@@ -381,26 +391,35 @@ def jpeg_roundtrip_features(
         encode_jpeg_gray,
     )
 
+    if mode not in ("gray", "color", "420"):
+        raise ValueError(f"unknown mode {mode!r}")
+    tiles = 4 if mode == "420" else 2
+
+    def tile_value(aid: int, i: int, j: int) -> int:
+        if mode == "gray":
+            return 2 * ((aid * 7 + i * 5 + j * 3) % 128)
+        if mode == "color":
+            return 2 * ((aid * 11 + i * 3 + j * 9) % 128)
+        return 2 * ((aid * 13 + i * 7 + j * 5) % 128)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid in pdf[id_col]:
                 aid = int(aid)
-                img = np.zeros((16, 16), dtype=np.uint8)
-                for i in range(2):
-                    for j in range(2):
-                        v = (
-                            2 * ((aid * 11 + i * 3 + j * 9) % 128)
-                            if color
-                            else 2 * ((aid * 7 + i * 5 + j * 3) % 128)
+                img = np.zeros((8 * tiles, 8 * tiles), dtype=np.uint8)
+                for i in range(tiles):
+                    for j in range(tiles):
+                        img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = (
+                            tile_value(aid, i, j)
                         )
-                        img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = v
-                if color:
-                    payload = encode_jpeg_color(
-                        np.repeat(img[:, :, None], 3, axis=2)
-                    )
-                else:
+                if mode == "gray":
                     payload = encode_jpeg_gray(img)
+                else:
+                    payload = encode_jpeg_color(
+                        np.repeat(img[:, :, None], 3, axis=2),
+                        subsample="420" if mode == "420" else "444",
+                    )
                 dec = decode_jpeg(payload)
                 rows.append(
                     (

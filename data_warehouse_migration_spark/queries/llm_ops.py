@@ -1200,13 +1200,70 @@ def media_jpeg_color_decode(spark, sf_dir):
     )
 
     ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
-    feats = jpeg_roundtrip_features(ids, color=True)
+    feats = jpeg_roundtrip_features(ids, mode="color")
     return feats.select(
         "asset_id",
         "width",
         "height",
         "pixel_sum",
         F.round(F.col("pixel_sum") / F.lit(195840.0), 6).alias("mean_norm"),
+    )
+
+
+@query(
+    "media_jpeg_420_decode",
+    tags=("multimodal", "image", "jpeg", "subsampling", "codec",
+          "mapInPandas"),
+    oracle="""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+tiles AS (
+    SELECT asset_id, 2 * ((asset_id * 13 + i * 7 + j * 5) % 128) AS v
+    FROM ids,
+         (SELECT unnest(range(0, 4)) AS i) ii,
+         (SELECT unnest(range(0, 4)) AS j) jj
+), s AS (
+    SELECT asset_id, CAST(3 * 64 * sum(v) AS BIGINT) AS pixel_sum
+    FROM tiles GROUP BY asset_id
+)
+SELECT asset_id, 32 AS width, 32 AS height, pixel_sum,
+       round(pixel_sum / 783360.0, 6) AS mean_norm
+FROM s
+""",
+)
+def media_jpeg_420_decode(spark, sf_dir):
+    """The 4:2:0 SUBSAMPLED JPEG pipeline under the hard gate — the
+    chroma layout most real-world baseline files use: per doc_id a
+    32x32 gray-content color image (a 2x2 grid of MCUs, 16 solid
+    tiles) goes through encode_jpeg_color(subsample='420') — four Y
+    blocks per MCU on a single DC prediction chain, 2x2 box-averaged
+    chroma — and back through the general decoder's sampling-factor
+    geometry and replication upsampling.
+
+    Exactness: gray pixels give constant Cb=Cr=128, so the box
+    average is exact and every chroma block is level-shifted zero;
+    the Y tiles are even-valued DC-only blocks that quantize exactly.
+    Decoded RGB therefore equals the input by arithmetic across MCU
+    boundaries and the 3-channel pixel sum is the closed form
+    3*64*sum(v) DuckDB recomputes with no codec anywhere. Any defect
+    in the MCU block traversal order, the shared-Y DC chain, the
+    subsampled plane geometry, or the upsampler breaks the equality.
+    True-color 4:2:0 content is pinned against an independent
+    downsample+DCT reference in tests/test_jpeg_codec.py.
+
+    Shape at 100 TB: identical to the other codec gates — per-asset
+    parallel mapInPandas, zero shuffle."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        jpeg_roundtrip_features,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    feats = jpeg_roundtrip_features(ids, mode="420")
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "pixel_sum",
+        F.round(F.col("pixel_sum") / F.lit(783360.0), 6).alias("mean_norm"),
     )
 
 

@@ -105,11 +105,22 @@ def test_unsupported_shapes_raise():
         decode_jpeg_gray(bytes(prog))
     sub = data.copy()
     # FF C0 | len(2) | prec | h(2) | w(2) | ncomp | cid | sampling
-    sub[sof + 11] = 0x22  # sampling byte → 2x2
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    sub[sof + 11] = 0x33  # sampling factors 3x3: beyond baseline-common
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg_gray(bytes(sub))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"\x00\x01\x02")
+
+
+def test_grayscale_with_nonunit_sampling_factors_decodes():
+    """T.81 A.2: a single-component scan is non-interleaved — its
+    declared sampling factors play no role (some real encoders write
+    2x2 factors on grayscale), so the stream must decode normally."""
+    img = np.full((8, 8), 64, dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(img))
+    sof = bytes(data).index(b"\xff\xc0")
+    data[sof + 11] = 0x22
+    assert np.array_equal(decode_jpeg_gray(bytes(data)), img)
 
 
 def test_gray_wrapper_rejects_color_stream():
@@ -191,3 +202,68 @@ def test_ff_fill_bytes_before_markers_are_skipped():
     i = data.index(b"\xff\xdb")  # pad before DQT
     padded = data[:i] + b"\xff\xff\xff" + data[i:]
     assert np.array_equal(decode_jpeg_gray(padded), img)
+
+
+def test_420_gray_content_multi_mcu_roundtrip_is_bit_exact():
+    """32×32 (four MCUs) gray-content 4:2:0: constant-128 chroma box-
+    averages exactly and every even Y tile is DC-only — the MCU block
+    traversal, the shared 4-Y DC chain, the subsampled geometry, and
+    the replication upsampler must all reproduce the input."""
+    from data_warehouse_migration_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng_vals = [(2 * ((13 * i + 7 * j) % 128)) for i in range(4) for j in range(4)]
+    rgb = np.zeros((32, 32, 3), dtype=np.uint8)
+    for k, v in enumerate(rng_vals):
+        i, j = divmod(k, 4)
+        rgb[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8, :] = v
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_color(rgb, subsample="420")), rgb
+    )
+
+
+def test_420_random_matches_independent_reference():
+    """True-color 4:2:0: decode(encode(rgb)) must equal a test-local
+    pipeline — YCbCr, 2×2 box-averaged chroma, per-plane quantized
+    reconstruction, replication upsample — sharing no bitstream code
+    with the codec."""
+    from data_warehouse_migration_spark.functions.jpeg import (
+        QUANT_CHROMA,
+        decode_jpeg,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+
+    def recon(plane, quant):
+        out = np.zeros(plane.shape, np.float64)
+        for by in range(0, plane.shape[0], 8):
+            for bx in range(0, plane.shape[1], 8):
+                blk = plane[by : by + 8, bx : bx + 8].astype(np.int32) - 128
+                q = np.round((m @ blk @ m.T) / quant)
+                out[by : by + 8, bx : bx + 8] = m.T @ (q * quant) @ m
+        return out
+
+    rng = np.random.default_rng(19)
+    rgb = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    ycc = rgb_to_ycbcr(rgb).astype(np.int32)
+    y_rec = recon(ycc[:, :, 0], QUANT_LUMA)
+    planes = [y_rec]
+    for c in (1, 2):
+        sub = np.round(
+            ycc[:, :, c].reshape(16, 2, 24, 2).mean(axis=(1, 3))
+        ).astype(np.int32)
+        planes.append(np.repeat(np.repeat(recon(sub, QUANT_CHROMA), 2, 0), 2, 1))
+    ref = ycbcr_to_rgb(
+        np.clip(np.round(np.stack(planes, axis=-1) + 128), 0, 255).astype(
+            np.uint8
+        )
+    )
+    got = decode_jpeg(encode_jpeg_color(rgb, subsample="420"))
+    assert np.array_equal(got, ref)

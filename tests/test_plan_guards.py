@@ -24,6 +24,7 @@ ZERO_SHUFFLE = [
     "quality_classifier_trained",
     "media_jpeg_decode",
     "media_jpeg_color_decode",
+    "media_jpeg_420_decode",
 ]
 
 

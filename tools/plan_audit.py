@@ -152,6 +152,7 @@ EXTRA_AUDIT = (
     "streaming_span_islands",
     "media_jpeg_decode",
     "media_jpeg_color_decode",
+    "media_jpeg_420_decode",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
