@@ -2881,6 +2881,102 @@ def decontaminate_exact_substring(spark, sf_dir):
     )
 
 
+@query(
+    "decontaminate_substring_indexed",
+    tags=("dedup", "decontamination", "eval", "substring", "indexed"),
+    oracle=f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'train' ELSE 'eval' END AS s
+    FROM documents
+), norm AS (
+    SELECT doc_id, s,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ') AS w
+    FROM split
+), ev AS (
+    SELECT doc_id AS eval_id, array_to_string(w[1:10], ' ') AS probe
+    FROM norm WHERE s = 'eval' AND len(w) >= 10
+), occ AS (
+    SELECT doc_id AS train_id, i + 1 AS pos,
+           array_to_string(w[i+1:i+10], ' ') AS span
+    FROM (SELECT doc_id, w, unnest(range(0, len(w) - 9)) AS i
+          FROM norm WHERE s = 'train' AND len(w) >= 10)
+)
+SELECT occ.train_id, ev.eval_id,
+       CAST(min(occ.pos) AS INT) AS match_word_pos
+FROM occ JOIN ev ON occ.span = ev.probe
+GROUP BY occ.train_id, ev.eval_id
+""",
+)
+def decontaminate_substring_indexed(spark, sf_dir):
+    """The SCALE PATH for exact-substring decontamination — the
+    composition `decontaminate_exact_substring`'s docstring promises
+    ("shingle-prefilter down to candidates, then the exact check"),
+    materialized as one operator instead of prose: the eval probe
+    (first 10 normalized tokens, word-aligned — the tokenized form
+    Lee et al.-style decontamination actually keys on) joins the
+    training corpus's span-digest INDEX (`span_hashes_from_words`
+    posexplode — (id, pos, 8-byte digest), text never shuffles), and
+    survivors are BYTE-VERIFIED by slicing the verbatim train span
+    and comparing strings, so the digest never decides anything.
+    Output: one row per contaminated (train, eval) pair with the
+    earliest 1-based word position of the match.
+
+    vs the BNLJ verification tier: same detection contract on
+    word-aligned matches, but the work term drops from
+    O(|train_chars|·|eval|) to one digest equi-join (shuffle ∝
+    corpus positions × 16 bytes + matched pairs) — this is the form
+    whose curve stays flat when BOTH sides grow 10×
+    (SCALING_r9_pairs.json measures the difference directly). The
+    probe table is eval-suite-sized and broadcasts; the character-
+    level BNLJ twin stays registered for the (rare) non-aligned
+    match class.
+
+    Exactness: the oracle recomputes pairs with NO hashing anywhere
+    (string-equality join on the verbatim spans) — same hash-free
+    discipline as the islands family."""
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        t(spark, sf_dir, "documents"), "doc_id", {"train": 0.9, "eval": 0.1}
+    )
+    w = F.split(D.normalized_text(F.col("text")), " ")
+    base = docs.select("doc_id", "split", w.alias("w"))
+    ev = (
+        base.filter((F.col("split") == "eval") & (F.size("w") >= 10))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            # The probe digest comes from the SAME code path the train
+            # index uses (a 10-word array yields exactly one span
+            # digest) — no second digest definition to drift.
+            F.element_at(
+                D.span_hashes_from_words(F.slice("w", 1, 10), 10), 1
+            ).alias("__g"),
+            F.concat_ws(" ", F.slice("w", 1, 10)).alias("probe"),
+        )
+    )
+    tr = base.filter((F.col("split") == "train") & (F.size("w") >= 10))
+    occ = tr.select(
+        F.col("doc_id").alias("train_id"),
+        "w",
+        F.posexplode(D.span_hashes_from_words(F.col("w"), 10)).alias(
+            "__i0", "__g"
+        ),
+    ).select("train_id", "w", (F.col("__i0") + 1).alias("pos"), "__g")
+    verified = (
+        occ.join(F.broadcast(ev), "__g")
+        .filter(
+            F.concat_ws(" ", F.slice("w", F.col("pos"), F.lit(10)))
+            == F.col("probe")
+        )
+        .groupBy("train_id", "eval_id")
+        .agg(F.min("pos").cast("int").alias("match_word_pos"))
+    )
+    return verified
+
+
 def _tau_calibration_oracle(iters: int = 3, dim: int = 64, rnd: int = 7) -> str:
     """Derived-k Lloyd's CTE + within-cluster pair cosines + the tau
     grid unrolled via unnest — integer tau_pct keys keep the grid

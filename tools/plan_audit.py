@@ -153,6 +153,7 @@ EXTRA_AUDIT = (
     "media_jpeg_decode",
     "media_jpeg_color_decode",
     "media_jpeg_420_decode",
+    "decontaminate_substring_indexed",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by

@@ -61,6 +61,7 @@ PAIR_HEAVY_NON_HEADLINERS = (
     "cross_source_span_overlap",   # mirror detection on the span index
     "duplicate_span_islands_exact",  # byte-verified ExactSubstr (r9 pass-2 shape)
     "decontaminate_exact_substring",  # verification tier on survivors
+    "decontaminate_substring_indexed",  # the r9 digest-equi-join scale path
 )
 
 
