@@ -3,16 +3,20 @@ in-container tier of the multimodal codec slot (VERDICT r8 action
 #6c: "a JPEG decode if a pure-Python baseline is feasible").
 
 What is REAL here: the full ITU T.81 baseline pipeline — 8×8 block
-DCT, Annex-K luminance quantization, zigzag, DC prediction,
-category/magnitude coding, canonical Huffman entropy coding with
-byte stuffing, and the marker-segment grammar (SOI/APP0/DQT/SOF0/
-DHT/SOS/EOI). The DECODER is general baseline-grayscale: it reads
-whatever DQT/DHT tables the stream declares (not just this encoder's),
-handles non-multiple-of-8 dimensions via padded MCUs + crop, and
-byte-unstuffing. What is honestly absent: color components, chroma
-subsampling, progressive (SOF2), arithmetic coding, and restart
-intervals — each raises ``NotImplementedError``/``ValueError`` with
-the reason rather than guessing.
+DCT, Annex-K luminance + chrominance quantization, zigzag, DC
+prediction, category/magnitude coding, canonical Huffman entropy
+coding with byte stuffing, restart intervals (DRI/RSTn), JFIF YCbCr
+color transforms, and the marker-segment grammar (SOI/APP0/DQT/SOF0/
+DHT/DRI/SOS/EOI). The DECODER is general within baseline: it reads
+whatever DQT/DHT tables the stream declares (not just this
+encoder's), handles grayscale and 3-component YCbCr at sampling
+factors 1-2 (4:4:4 / 4:2:2 / 4:2:0 — the layouts covering the vast
+majority of real-world files), honors DRI restart boundaries, skips
+fill bytes and APPn/COM, and crops padded MCUs back to the SOF
+dimensions. What is honestly absent: progressive (SOF2) and the
+other non-baseline SOF processes, arithmetic coding, and sampling
+factors above 2 — each raises ``NotImplementedError``/``ValueError``
+with the reason rather than guessing.
 
 Huffman tables: the encoder DECLARES its tables in DHT like every
 JPEG, and uses uniform-length canonical tables (all 12 DC categories
@@ -178,6 +182,42 @@ class _BitWriter:
         return bytes(out)
 
 
+class _RestartWriter:
+    """Entropy writer with optional restart intervals (T.81 B.2.4.4 /
+    E.1.4): every ``interval`` MCUs the bitstream is 1-padded to a
+    byte boundary, an RSTn marker (n cycling 0-7) is emitted, and DC
+    predictors reset. ``interval=0`` means no restarts."""
+
+    def __init__(self, interval: int) -> None:
+        self.interval = interval
+        self._chunks: list[_BitWriter] = [_BitWriter()]
+        self._mcus = 0
+
+    @property
+    def bw(self) -> _BitWriter:
+        return self._chunks[-1]
+
+    def end_mcu(self) -> bool:
+        """Call after each MCU; returns True when a restart boundary
+        was emitted (caller must reset its DC predictors)."""
+        self._mcus += 1
+        if self.interval and self._mcus % self.interval == 0:
+            self._chunks.append(_BitWriter())
+            return True
+        return False
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for k, chunk in enumerate(self._chunks):
+            data = chunk.tobytes()
+            if not data and k == len(self._chunks) - 1:
+                continue  # boundary fell exactly on the last MCU
+            if k:
+                out += bytes([0xFF, 0xD0 + ((k - 1) % 8)])
+            out += data
+        return bytes(out)
+
+
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
@@ -221,11 +261,13 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, quant: np.ndarray,
     return zz[0]
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
+def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode a 2-D uint8 array as a baseline sequential grayscale
     JFIF stream (one component, no subsampling). Dimensions need not
     be multiples of 8 — MCUs are edge-replicated and the decoder
-    crops back via the SOF dimensions."""
+    crops back via the SOF dimensions. ``restart_interval`` > 0 emits
+    a DRI segment and RSTn markers every that many MCUs (the
+    error-resilience feature camera encoders commonly use)."""
     img = np.asarray(img)
     if img.ndim != 2:
         raise ValueError("grayscale encoder takes a 2-D array")
@@ -235,13 +277,15 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     ph, pw = -h % 8, -w % 8
     padded = np.pad(img.astype(np.int32), ((0, ph), (0, pw)), mode="edge")
 
-    bw = _BitWriter()
+    rw = _RestartWriter(restart_interval)
     dc_prev = 0
     for by in range(0, padded.shape[0], 8):
         for bx in range(0, padded.shape[1], 8):
             dc_prev = _encode_block(
-                bw, padded[by : by + 8, bx : bx + 8] - 128, QUANT_LUMA, dc_prev
+                rw.bw, padded[by : by + 8, bx : bx + 8] - 128, QUANT_LUMA, dc_prev
             )
+            if rw.end_mcu():
+                dc_prev = 0
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -259,14 +303,19 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     out += b"\x00" + bytes(_DC_BITS[:16]) + bytes(_DC_VALS)
     out += b"\xff\xc4" + (2 + 1 + 16 + len(_AC_VALS)).to_bytes(2, "big")
     out += b"\x10" + bytes(_AC_BITS[:16]) + bytes(_AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big")
+        out += restart_interval.to_bytes(2, "big")
     # SOS: 1 component, DC table 0 / AC table 0, full spectral range
     out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
-    out += bw.tobytes()
+    out += rw.tobytes()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def encode_jpeg_color(rgb: np.ndarray, subsample: str = "444") -> bytes:
+def encode_jpeg_color(
+    rgb: np.ndarray, subsample: str = "444", restart_interval: int = 0
+) -> bytes:
     """Encode an H×W×3 uint8 RGB array as baseline sequential JFIF
     color: RGB→YCbCr, luminance / chrominance quantization tables
     (Annex K K.1/K.2), interleaved MCUs with per-component DC
@@ -287,7 +336,7 @@ def encode_jpeg_color(rgb: np.ndarray, subsample: str = "444") -> bytes:
     ph, pw = -h % mcu, -w % mcu
     padded = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
 
-    bw = _BitWriter()
+    rw = _RestartWriter(restart_interval)
     dc_prev = [0, 0, 0]
     if subsample == "444":
         quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
@@ -295,11 +344,13 @@ def encode_jpeg_color(rgb: np.ndarray, subsample: str = "444") -> bytes:
             for bx in range(0, padded.shape[1], 8):
                 for c in range(3):  # interleaved 4:4:4 MCU = Y, Cb, Cr
                     dc_prev[c] = _encode_block(
-                        bw,
+                        rw.bw,
                         padded[by : by + 8, bx : bx + 8, c] - 128,
                         quants[c],
                         dc_prev[c],
                     )
+                if rw.end_mcu():
+                    dc_prev = [0, 0, 0]
         samplings = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
     else:
         yp = padded[:, :, 0]
@@ -315,7 +366,7 @@ def encode_jpeg_color(rgb: np.ndarray, subsample: str = "444") -> bytes:
                 for v in range(2):  # 4 Y blocks, raster order
                     for u in range(2):
                         dc_prev[0] = _encode_block(
-                            bw,
+                            rw.bw,
                             yp[
                                 my + v * 8 : my + v * 8 + 8,
                                 mx + u * 8 : mx + u * 8 + 8,
@@ -326,7 +377,7 @@ def encode_jpeg_color(rgb: np.ndarray, subsample: str = "444") -> bytes:
                         )
                 for c in (0, 1):  # one Cb then one Cr block
                     dc_prev[c + 1] = _encode_block(
-                        bw,
+                        rw.bw,
                         sub[
                             my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8, c
                         ]
@@ -334,6 +385,8 @@ def encode_jpeg_color(rgb: np.ndarray, subsample: str = "444") -> bytes:
                         QUANT_CHROMA,
                         dc_prev[c + 1],
                     )
+                if rw.end_mcu():
+                    dc_prev = [0, 0, 0]
         samplings = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
 
     out = bytearray()
@@ -356,10 +409,13 @@ def encode_jpeg_color(rgb: np.ndarray, subsample: str = "444") -> bytes:
     ):
         out += b"\xff\xc4" + (2 + 1 + 16 + len(vals)).to_bytes(2, "big")
         out += bytes([cls_tid]) + bytes(bits[:16]) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big")
+        out += restart_interval.to_bytes(2, "big")
     # SOS: Y → DC0/AC0, Cb/Cr → DC1/AC1
     out += b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
     out += b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
-    out += bw.tobytes()
+    out += rw.tobytes()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -394,6 +450,32 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, idx: int) -> None:
+        """Consume the padding bits of the current byte plus the RSTn
+        marker (n = idx mod 8) that a DRI-declared boundary places
+        here (T.81 E.2.4)."""
+        if self._bit:
+            byte = self._data[self._pos]
+            self._bit = 0
+            self._pos += 1
+            if byte == 0xFF:
+                if (
+                    self._pos >= len(self._data)
+                    or self._data[self._pos] != 0x00
+                ):
+                    raise ValueError("bad byte stuffing before restart")
+                self._pos += 1
+        want = 0xD0 + (idx % 8)
+        if (
+            self._pos + 1 >= len(self._data) + 1
+            or self._data[self._pos] != 0xFF
+            or self._data[self._pos + 1] != want
+        ):
+            raise ValueError(
+                f"expected RST{idx % 8} marker at byte {self._pos}"
+            )
+        self._pos += 2
 
 
 def _decode_huffman_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -457,9 +539,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     pixel-replicated back up). General within that envelope:
     quantization and Huffman tables are read from the stream (any
     encoder's), APPn/COM segments and T.81 fill bytes are skipped,
-    dimensions are cropped to the SOF values. Sampling factors > 2,
-    progressive (SOF2), arithmetic coding, and restart intervals
-    raise — honest absence, not silent garbage."""
+    dimensions are cropped to the SOF values, DRI restart boundaries
+    are honored. Sampling factors > 2, progressive (SOF2), and
+    arithmetic coding raise — honest absence, not silent garbage."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -468,6 +550,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     components: list[dict] = []  # SOF order: {id, qid, dc, ac}
     scan_start = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -534,8 +617,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         "decoded (covers 4:4:4, 4:2:2, 4:2:0)"
                     )
                 components.append({"id": cid, "qid": qid, "h": hi, "v": vi})
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             if seg[0] != len(components):
                 raise NotImplementedError(
@@ -588,8 +671,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for c in components
     ]
     dc_prev = [0] * n_comp
+    mcu_index = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                br.expect_restart(mcu_index // restart_interval - 1)
+                dc_prev = [0] * n_comp
+            mcu_index += 1
             for c, comp in enumerate(components):
                 dc_tab, ac_tab, quant = tabs[c]
                 for v in range(comp["v"]):

@@ -1107,6 +1107,59 @@ def span_start_islands(
     )
 
 
+def scrub_span_islands(
+    docs: DataFrame,
+    islands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`verified_duplicate_span_islands` output as the
+    rewrite it describes — the end deliverable of the Lee et al.
+    ExactSubstr pipeline (arXiv:2107.06499 §4.1): every word position
+    inside a reported ``[island_start, island_end]`` range is dropped
+    from the (normalized) document, producing the byte-verified
+    cleaned corpus. Same output shape as
+    :func:`remove_duplicate_spans` / :func:`remove_spans_against_
+    digests` — ``(id_col, n_words, n_removed, cleaned_len,
+    cleaned_text)`` — but ownership here came from verbatim span
+    grouping, so the scrub owes nothing to any hash.
+
+    Shape at 100 TB: the islands table is duplicated-RANGE-sized (one
+    row per maximal range — strictly smaller than per-span lists),
+    collected to one array per affected doc; docs join it by id
+    (AQE picks broadcast while the affected-doc set is small) and the
+    rewrite is a row-local array filter inside codegen — no text
+    shuffle beyond that join's requirement."""
+    did = F.col(id_col)
+    base = docs.select(
+        did, F.split(normalized_text(F.col(text_col)), " ").alias("__w")
+    )
+    rm = islands.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("island_start").alias("s"),
+                F.col("island_end").alias("e"),
+            )
+        ).alias("__rm")
+    )
+    joined = base.join(rm, id_col, "left")
+    ranges = F.coalesce(
+        F.col("__rm"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+    )
+    covered = lambda idx: F.exists(  # noqa: E731 — tiny plan-side helper
+        ranges, lambda r: (idx + 1 >= r["s"]) & (idx + 1 <= r["e"])
+    )
+    kept = F.filter(F.col("__w"), lambda w, idx: ~covered(idx))
+    return joined.select(
+        did,
+        F.size("__w").cast("int").alias("n_words"),
+        (F.size("__w") - F.size(kept)).cast("int").alias("n_removed"),
+        F.size(kept).cast("int").alias("cleaned_len"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def word_ngrams_from_words(words: Column, n: int) -> Column:
     """:func:`word_ngrams` on an already-split token array (callers
     that pre-normalize once and reuse the array)."""

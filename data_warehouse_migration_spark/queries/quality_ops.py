@@ -593,6 +593,88 @@ def duplicate_span_islands_exact(spark, sf_dir):
 
 
 @query(
+    "span_islands_scrub",
+    tags=("dedup", "spans", "substring", "exact", "rewrite"),
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+    FROM documents
+), e AS (
+    SELECT doc_id, w FROM norm WHERE len(w) >= 10
+), occ AS (
+    SELECT doc_id, i + 1 AS start, array_to_string(w[i+1:i+10], ' ') AS span
+    FROM (SELECT doc_id, w, unnest(range(0, len(w) - 9)) AS i FROM e)
+), own AS (
+    SELECT span, min(doc_id) AS owner FROM occ GROUP BY span
+), rm AS (
+    SELECT DISTINCT o.doc_id, o.start
+    FROM occ o JOIN own USING (span)
+    WHERE o.doc_id > own.owner
+), cov AS (
+    SELECT DISTINCT doc_id, start + k AS pos
+    FROM rm, (SELECT unnest(range(0, 10)) AS k) kk
+), wpos AS (
+    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM norm
+), keptw AS (
+    SELECT wpos.doc_id, wpos.pos, wpos.w[wpos.pos] AS word
+    FROM wpos LEFT JOIN cov
+      ON cov.doc_id = wpos.doc_id AND cov.pos = wpos.pos
+    WHERE cov.pos IS NULL
+), rebuilt AS (
+    SELECT doc_id, count(*) AS kept,
+           string_agg(word, ' ' ORDER BY pos) AS cleaned
+    FROM keptw GROUP BY doc_id
+)
+SELECT norm.doc_id,
+       CAST(len(norm.w) AS INT) AS n_words,
+       CAST(len(norm.w) - coalesce(r.kept, 0) AS INT) AS n_removed,
+       CAST(coalesce(r.kept, 0) AS INT) AS cleaned_len,
+       md5(coalesce(r.cleaned, '')) AS cleaned_hash
+FROM norm LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def span_islands_scrub(spark, sf_dir):
+    """The BYTE-VERIFIED rewrite — ``duplicate_span_islands_exact``'s
+    ranges applied as the scrub they describe
+    (``operators/dedup.scrub_span_islands``), completing the Lee et
+    al. ExactSubstr pipeline end to end with zero hash trust in the
+    ownership decision: unlike ``duplicate_span_removal`` (digest-
+    keyed ownership), the positions removed here were grouped on the
+    verbatim span text, and the oracle recomputes coverage from pure
+    string ownership with no hashing anywhere before the final
+    cleaned-text md5 compare (the rewrite family's standard
+    byte-exact attestation).
+
+    Union equivalence: the merged islands cover exactly the union of
+    repeated-window positions, so the oracle expands raw removable
+    starts to [start, start+9] coverage directly — the same set the
+    Spark side reaches via the islands ranges, attesting the merge
+    arithmetic too.
+
+    Scale: islands are duplicated-RANGE-sized (one row per maximal
+    range); the scrub joins them by id and rewrites with a row-local
+    array filter in codegen — see the operator docstring."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        scrub_span_islands,
+        verified_duplicate_span_islands,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    out = scrub_span_islands(
+        docs, verified_duplicate_span_islands(docs, n=10)
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_removed",
+        "cleaned_len",
+        F.md5(F.col("cleaned_text")).alias("cleaned_hash"),
+    )
+
+
+@query(
     "dynamic_gap_sessions",
     tags=("events", "session", "dynamic-gap"),
     oracle="""

@@ -267,3 +267,56 @@ def test_420_random_matches_independent_reference():
     )
     got = decode_jpeg(encode_jpeg_color(rgb, subsample="420"))
     assert np.array_equal(got, ref)
+
+
+def test_restart_intervals_roundtrip_all_modes():
+    """DRI/RSTn (T.81 E.1.4/E.2.4): restart-interval streams must
+    decode identically to their no-restart twins — padding to the
+    byte boundary, the cycling RSTn markers, and the DC predictor
+    resets all exercised, including a boundary landing exactly on
+    the final MCU."""
+    from data_warehouse_migration_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (20, 45), dtype=np.uint8)
+    base = decode_jpeg_gray(encode_jpeg_gray(img))
+    for ri in (1, 2, 3, 7):
+        data = encode_jpeg_gray(img, restart_interval=ri)
+        assert np.array_equal(decode_jpeg_gray(data), base), ri
+    assert b"\xff\xd0" in encode_jpeg_gray(img, restart_interval=1)
+
+    rgb = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        base_c = decode_jpeg(encode_jpeg_color(rgb, sub))
+        for ri in (1, 2, 5):
+            got = decode_jpeg(
+                encode_jpeg_color(rgb, sub, restart_interval=ri)
+            )
+            assert np.array_equal(got, base_c), (sub, ri)
+
+    # boundary exactly on the last MCU: no trailing RST emitted
+    img2 = np.full((8, 16), 64, dtype=np.uint8)
+    for ri in (1, 2):
+        assert np.array_equal(
+            decode_jpeg_gray(encode_jpeg_gray(img2, restart_interval=ri)),
+            img2,
+        )
+
+
+def test_restart_marker_sequence_cycles_mod_8():
+    """A 10-MCU strip at interval 1 emits RST0..RST7 then RST0 again
+    — the n-mod-8 cycle a real decoder resynchronizes on."""
+    img = np.full((8, 80), 64, dtype=np.uint8)  # 10 MCUs
+    data = encode_jpeg_gray(img, restart_interval=1)
+    i = data.index(b"\xff\xda")
+    seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+    entropy = data[i + 2 + seg_len : data.rfind(b"\xff\xd9")]
+    rsts = [
+        entropy[k + 1] - 0xD0
+        for k in range(len(entropy) - 1)
+        if entropy[k] == 0xFF and 0xD0 <= entropy[k + 1] <= 0xD7
+    ]
+    assert rsts == [0, 1, 2, 3, 4, 5, 6, 7, 0]

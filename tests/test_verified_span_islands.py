@@ -137,3 +137,38 @@ def test_islands_match_brute_force_reference(spark, corpus):
         for r in verified_duplicate_span_islands(_docs(spark, rows), n=3).collect()
     )
     assert got == _brute_force_islands(corpus, n=3)
+
+
+def test_scrub_matches_digest_removal_on_collision_free_data(spark):
+    """On data with no digest collisions (any real fixture), the
+    byte-verified islands scrub must remove EXACTLY the positions the
+    digest-keyed remove_duplicate_spans removes — the two ownership
+    definitions coincide whenever no two distinct spans share a
+    digest, so the cleaned texts must be identical."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        remove_duplicate_spans,
+        scrub_span_islands,
+        verified_duplicate_span_islands,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(30))),
+            (1, " ".join(f"t{i}" for i in range(5, 25)) + " u1 u2 u3"),
+            (2, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11"),
+            (3, " ".join(f"t{i}" for i in range(30))),  # full dup of 0
+            (4, "short text"),
+        ],
+        ["doc_id", "text"],
+    )
+    a = {
+        r.doc_id: (r.n_words, r.n_removed, r.cleaned_text)
+        for r in scrub_span_islands(
+            docs, verified_duplicate_span_islands(docs, n=10)
+        ).collect()
+    }
+    b = {
+        r.doc_id: (r.n_words, r.n_removed, r.cleaned_text)
+        for r in remove_duplicate_spans(docs, n=10).collect()
+    }
+    assert a == b

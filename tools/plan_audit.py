@@ -154,6 +154,7 @@ EXTRA_AUDIT = (
     "media_jpeg_color_decode",
     "media_jpeg_420_decode",
     "decontaminate_substring_indexed",
+    "span_islands_scrub",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
