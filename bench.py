@@ -1,11 +1,21 @@
 """Benchmark: headline catalog queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints TWO JSON lines — a bulky detail line first, then the compact
+summary line LAST:
+  {"detail": {"raw_runs": {...}, "contended_first_pass": {...}}}
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"q": sec, ...}, "sf": ...,
-   "meta": {host load, cpu count, per-query raw runs},
+   "meta": {host load, cpu count, ...},
    "regressions": {"q": {"now": s, "prev": s, "ratio": r}, ...}}
+
+The driver records only the LAST ~2000 bytes of stdout and parses the
+final line (BENCH_r09.json shipped `parsed: null` because the
+contended-retry pass doubled raw_runs past that window and the line's
+HEAD — the per-query minima — was cut; VERDICT r9 "what's wrong" #2).
+Keeping raw_runs on their own earlier line means the decision-grade
+summary always survives the tail capture whole; the detail line is
+best-effort evidence for local variance analysis.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect overhead) — the number measures the engine, not
@@ -48,28 +58,33 @@ CONTENTION_SLEEP_S = 60
 
 
 def previous_bench(repo_dir: str) -> tuple[str | None, dict[str, float]]:
-    """Latest BENCH_r{N}.json per-query mins, if any round ran before."""
-    best: tuple[int, str] | None = None
+    """Newest BENCH_r{N}.json that yields per-query mins.
+
+    Walks rounds newest-first and skips artifacts that don't parse to
+    a queries dict (BENCH_r09.json shipped ``parsed: null`` after tail
+    truncation cut the JSON head) — otherwise the regression guard
+    silently compares against nothing.
+    """
+    rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, p)
-    if best is None:
-        return None, {}
-    try:
-        with open(best[1]) as f:
-            data = json.load(f)
-        # The driver records bench output wrapped ({"rc": ..., "tail":
-        # ..., "parsed": {...}}); locally-written files are the bare
-        # JSON line. Accept both, else the regression guard silently
-        # compares against nothing.
-        if "queries" not in data and isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        return os.path.basename(best[1]), dict(data.get("queries", {}))
-    except Exception:
-        return None, {}
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            # The driver records bench output wrapped ({"rc": ..., "tail":
+            # ..., "parsed": {...}}); locally-written files are the bare
+            # JSON line. Accept both.
+            if "queries" not in data and isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            queries = dict(data.get("queries", {}))
+            if queries:
+                return os.path.basename(path), queries
+        except Exception:
+            continue
+    return None, {}
 
 
 def main() -> None:
@@ -179,27 +194,45 @@ def main() -> None:
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Bulky evidence first (sacrificed to the driver's tail capture),
+    # compact decision-grade summary as the FINAL line (always survives
+    # whole — see module docstring).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "meta": {
-                    "runs_per_query": n_runs,
+                "detail": {
                     "raw_runs": raw_runs,
-                    "load_1m_before": load_before_1m,
-                    "load_1m_after": load_after_1m,
-                    "cpus": os.cpu_count(),
-                    "baseline_file": prev_file,
                     # Non-null iff the first timing pass ran on a
                     # loaded host and a second calm pass was taken:
                     # holds the discarded pass's load readings + runs.
                     "contended_first_pass": contended_pass,
+                }
+            }
+        )
+    )
+    # Key order is load-bearing: the tail capture keeps the END of the
+    # line, so the decision-grade fields (queries, value) go LAST —
+    # they survive even if an unusually long regressions map pushes
+    # the line past the capture window.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "meta": {
+                    "runs_per_query": n_runs,
+                    "load_1m_before": load_before_1m,
+                    "load_1m_after": load_after_1m,
+                    "cpus": os.cpu_count(),
+                    "baseline_file": prev_file,
+                    # True iff the first timing pass was discarded for
+                    # host load; its runs live on the detail line.
+                    "contended_first_pass_taken": contended_pass is not None,
                 },
                 "regressions": regressions,
+                "value": round(sum(timings.values()), 3),
+                "queries": timings,
             }
         )
     )

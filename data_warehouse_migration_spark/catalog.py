@@ -115,24 +115,25 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 9 window (ROTATION.md has the full ledger) — the final drain:
-# VERDICT r8 action #1 says run it EXACTLY as ROTATION.md's written
-# r9 plan, and this is that plan.
+# Round 10 window (ROTATION.md has the full ledger) — drain the nine
+# r10 debt rows (VERDICT r9 action #1), then fill the free slots with
+# the oldest standing rows:
 # (a) parity core (warehouse module) + ALL 19 bench headliners stay
 #     pinned, as every round.
-# (b) the 14 never-attested entries (the 13 late-r7 registrations +
-#     the r8 registration duplicate_span_islands_exact), newest code
-#     first: duplicate_span_islands_exact is ALSO a round-9
-#     changed-code attest (ADVICE r8 #2 — pass 2 now semi-joins the
-#     token arrays down to candidate docs before the text join) and
-#     corpus_diversity_profile changed in r8 (digest switch).
-# (c) nine of the ten r4-green "still waiting" entries. The tenth —
-#     decontaminate_against_eval, the tail of ROTATION.md's written
-#     order — is the single sanctioned spill ("at most one entry
-#     spills to r10"): 27 pins + 24 debt rows = 51 > 50. It stays
-#     gated by tools/check_oracle.py + pytest every round and is r10
-#     head-of-line.
-_WINDOW_R9 = (
+# (b) the nine debt rows, head-of-line: the sanctioned r9 spill
+#     decontaminate_against_eval (r4 row), the changed-code re-attest
+#     media_feature_extract_real (r5 row voided — _decode_real_asset
+#     gained the jpeg branch in r9), and the 7 never-attested r9
+#     registrations (quality_classifier_trained, streaming_span_islands,
+#     media_jpeg_decode, media_jpeg_color_decode, media_jpeg_420_decode,
+#     decontaminate_substring_indexed, span_islands_scrub).
+# (c) 14 of the 23 r7-stale entries (last attested CORRECTNESS_r07,
+#     code unchanged since — the oldest rows anywhere in the ledger
+#     after the r9 drain). New round-10 registrations displace these
+#     fillers newest-code-first as they land (never-attested new code
+#     outranks an unchanged r7-green re-attest); displaced fillers
+#     rejoin the r11 head-of-line with the 9 not rotated in.
+_WINDOW_R10 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -151,43 +152,44 @@ _WINDOW_R9 = (
     "curation_pipeline_v3",
     "semdedup_embeddings",
     "containment_quote_pairs",
-    # (b) never-attested drain, newest code first.
-    "duplicate_span_islands_exact",
-    "corpus_diversity_profile",
-    "source_mix_census",
-    "source_cap_sample",
-    "cross_source_span_overlap",
-    "gopher_quality_rules",
-    "decontaminate_exact_substring",
-    "semdedup_tau_calibration",
-    "embedding_drift_labels",
-    "streaming_source_census",
-    "hard_negative_mining",
-    "dedup_clusters_star",
-    "curation_pipeline_v5",
-    "streaming_embedding_drift",
-    # (c) r4-stale drain (CORRECTNESS_r04 rows, code unchanged since).
-    "tumbling_event_windows",
-    "streaming_tumbling_hourly",
-    "asof_click_before_purchase",
-    "interval_click_attribution",
-    "approx_distinct_users",
-    "media_feature_extract",
-    "embedding_kmeans",
-    "pack_documents_into_chunks",
-    "token_budget_sample_per_lang",
+    # (b) the nine debt rows.
+    "decontaminate_against_eval",
+    "media_feature_extract_real",
+    "quality_classifier_trained",
+    "streaming_span_islands",
+    "media_jpeg_decode",
+    "media_jpeg_color_decode",
+    "media_jpeg_420_decode",
+    "decontaminate_substring_indexed",
+    "span_islands_scrub",
+    # (c) r7-stale fillers (CORRECTNESS_r07 rows, code unchanged).
+    "quantile_normalize_lengths",
+    "spearman_length_vs_novelty",
+    "hdr_quantile_sketch",
+    "streaming_hdr_quantiles",
+    "bloom_prefilter_dedup",
+    "salted_event_totals",
+    "similarity_ivf_topk",
+    "streaming_rollup_maintenance",
+    "streaming_ingest_dedup",
+    "streaming_semdedup_ingest",
+    "bitmap_distinct_roaring",
+    "streaming_rolling_wau",
+    "curation_pipeline_v4",
+    "rag_retrieval_pipeline",
 )
-# Displaced to make room — the full r8 drain set (r6 backlog
-# remainder, ANN recall gates, dedup_clusters, quality_classifier_
-# scores): all attested fresh in CORRECTNESS_r08.json with code
-# unchanged since. After this window lands green, the only remaining
-# debt is decontaminate_against_eval (r4 row) plus any round-9
-# registrations — one r10 generation with ~22 slots to spare.
+# Displaced to make room — the full r9 drain set (the 14 never-
+# attested late-r7/r8 registrations and nine r4-stale rows): all
+# attested fresh in CORRECTNESS_r09.json with code unchanged since.
+# After this window lands green the attestation-debt backlog is empty
+# for the first time: every row is r7-or-newer and the only r11
+# candidates are the 9 remaining r7-stale entries plus whatever r10
+# registers.
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R9,
+    *_WINDOW_R10,
 )
 
 

@@ -24,11 +24,11 @@ def test_attestation_window_membership():
     """The driver attests the first 50 registry entries (ROTATION.md).
 
     The first-50 slice must BE catalog._FIRST in order (the strong
-    form, ADVICE r5), and the r9 rotation targets — all 19 bench
-    headliners, the 14 never-attested entries, and nine of the ten
-    r4-stale entries (decontaminate_against_eval is the single
-    sanctioned spill to r10) — must sit inside it so a future
-    registration can't silently displace them.
+    form, ADVICE r5), and the r10 rotation targets — all 19 bench
+    headliners and the nine debt rows (the decontaminate_against_eval
+    spill, the media_feature_extract_real changed-code re-attest, and
+    the 7 never-attested r9 registrations) — must sit inside it so a
+    future registration can't silently displace them.
     """
     from data_warehouse_migration_spark.catalog import _FIRST
 
@@ -58,34 +58,18 @@ def test_attestation_window_membership():
         "curation_pipeline_v3",
         "semdedup_embeddings",
         "containment_quote_pairs",
-        # r9: never-attested drain, newest code first — duplicate_span_
-        # islands_exact is also a round-9 changed-code attest (ADVICE
-        # r8 #2 pass-2 semi-join) and corpus_diversity_profile changed
-        # in r8 (digest switch).
-        "duplicate_span_islands_exact",
-        "corpus_diversity_profile",
-        "source_mix_census",
-        "source_cap_sample",
-        "cross_source_span_overlap",
-        "gopher_quality_rules",
-        "decontaminate_exact_substring",
-        "semdedup_tau_calibration",
-        "embedding_drift_labels",
-        "streaming_source_census",
-        "hard_negative_mining",
-        "dedup_clusters_star",
-        "curation_pipeline_v5",
-        "streaming_embedding_drift",
-        # r9: r4-stale drain (rows from CORRECTNESS_r04, code unchanged)
-        "tumbling_event_windows",
-        "streaming_tumbling_hourly",
-        "asof_click_before_purchase",
-        "interval_click_attribution",
-        "approx_distinct_users",
-        "media_feature_extract",
-        "embedding_kmeans",
-        "pack_documents_into_chunks",
-        "token_budget_sample_per_lang",
+        # r10: the nine debt rows — the sanctioned r9 spill, the
+        # changed-code re-attest (jpeg branch in _decode_real_asset),
+        # and the 7 never-attested r9 registrations.
+        "decontaminate_against_eval",
+        "media_feature_extract_real",
+        "quality_classifier_trained",
+        "streaming_span_islands",
+        "media_jpeg_decode",
+        "media_jpeg_color_decode",
+        "media_jpeg_420_decode",
+        "decontaminate_substring_indexed",
+        "span_islands_scrub",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"

