@@ -176,7 +176,9 @@ _WINDOW_R10 = (
     "bitmap_distinct_roaring",
     "streaming_rolling_wau",
     "curation_pipeline_v4",
-    "rag_retrieval_pipeline",
+    # round-10 registrations displace fillers newest-code-first
+    # (rag_retrieval_pipeline displaced first — its r7 row stands).
+    "media_png_decode",
 )
 # Displaced to make room — the full r9 drain set (the 14 never-
 # attested late-r7/r8 registrations and nine r4-stale rows): all

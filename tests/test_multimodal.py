@@ -47,14 +47,28 @@ def test_extract_features_repartitioned(spark, assets):
 
 def test_real_codec_path_raises_cleanly_for_undecodable_assets(spark, assets):
     # The real branch must fail honestly, never fabricate features:
-    # image/png has no stdlib decoder (NotImplementedError) and the
-    # fixture's "audio/wav" payload is not actually RIFF (wave.Error).
-    # Either failure surfaces depending on task completion order.
+    # the fixture's "image/png" payloads are garbage after the first
+    # four signature bytes (since r10 a real PNG decoder exists and
+    # must REJECT them — "bad signature"), and its "audio/wav" payload
+    # is not actually RIFF (wave.Error). Either failure surfaces
+    # depending on task completion order.
     out = extract_media_features(assets, decode_stub=False)
     with pytest.raises(
         Exception,
-        match="NotImplementedError|no stdlib decoder|RIFF|wave",
+        match="bad signature|not a PNG|RIFF|wave",
     ):
+        out.collect()
+
+
+def test_real_codec_path_raises_not_implemented_for_absent_codec(spark):
+    # A mime with genuinely no decoder branch keeps the honest-absence
+    # contract visible end to end.
+    df = spark.createDataFrame(
+        [(9, "image/gif", bytearray(b"GIF89a fake"))],
+        "asset_id bigint, mime string, payload binary",
+    )
+    out = extract_media_features(df, decode_stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
         out.collect()
 
 

@@ -155,6 +155,7 @@ EXTRA_AUDIT = (
     "media_jpeg_420_decode",
     "decontaminate_substring_indexed",
     "span_islands_scrub",
+    "media_png_decode",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
