@@ -175,10 +175,11 @@ _WINDOW_R10 = (
     "streaming_semdedup_ingest",
     "bitmap_distinct_roaring",
     "streaming_rolling_wau",
-    "curation_pipeline_v4",
     # round-10 registrations displace fillers newest-code-first
-    # (rag_retrieval_pipeline displaced first — its r7 row stands).
+    # (rag_retrieval_pipeline, then curation_pipeline_v4 — their r7
+    # rows stand).
     "media_png_decode",
+    "quality_classifier_training",
 )
 # Displaced to make room — the full r9 drain set (the 14 never-
 # attested late-r7/r8 registrations and nine r4-stale rows): all

@@ -2649,6 +2649,114 @@ def quality_classifier_trained(spark, sf_dir):
     return classifier_frame(spark, sf_dir, weights=load_trained_weights())
 
 
+def _qc_training_oracle() -> str:
+    """DuckDB twin of the batch-perceptron TRAINING loop
+    (operators/training.perceptron_distill), 3 epochs UNROLLED as
+    CTEs: same normalized unigram+bigram stream and md5 bucketing as
+    the inference oracles (_h_sql — the canonical hash_mod mirror),
+    integer stopword-rule labels, and the update recurrence
+    ``wₖ = wₖ₋₁ + Σ_{y·score≤0} y·x`` recomputed exactly — every
+    quantity is an integer, so the engines cannot disagree."""
+    from data_warehouse_migration_spark.queries.sketch_ops import _h_sql
+
+    bucket = _h_sql("t", 0, _QC_N_FEATURES)
+    sw = "['the','a','an','of','and','to','in','is','it','for']"
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split({norm}, ' '), t -> t != '') AS u
+    FROM documents
+), lab AS (
+    SELECT doc_id,
+           CASE WHEN len(u) > 0
+                     AND 100 * len(list_filter(u, t -> list_contains({sw}, t)))
+                         >= 7 * len(u)
+                THEN 1 ELSE -1 END AS y
+    FROM tok
+), fz AS (
+    SELECT doc_id,
+           unnest(list_concat(
+               u,
+               list_transform(range(1, len(u)), i -> u[i] || '_' || u[i + 1])
+           )) AS t
+    FROM tok
+), fx AS (
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, {bucket} AS bucket FROM fz) z
+    GROUP BY doc_id, bucket
+), u1 AS (
+    -- epoch 1: w0 = 0 scores every doc 0, y*0 <= 0 -> ALL docs update
+    SELECT bucket, CAST(sum(lab.y * fx.cnt) AS BIGINT) AS w
+    FROM fx JOIN lab USING (doc_id) GROUP BY bucket
+), s2 AS (
+    SELECT fx.doc_id,
+           CAST(sum(COALESCE(u1.w, 0) * fx.cnt) AS BIGINT) AS score
+    FROM fx LEFT JOIN u1 USING (bucket) GROUP BY fx.doc_id
+), m2 AS (
+    SELECT lab.doc_id, lab.y
+    FROM lab JOIN s2 USING (doc_id) WHERE lab.y * s2.score <= 0
+), u2 AS (
+    SELECT bucket, CAST(sum(m2.y * fx.cnt) AS BIGINT) AS w
+    FROM fx JOIN m2 USING (doc_id) GROUP BY bucket
+), w2 AS (
+    SELECT bucket, CAST(COALESCE(u1.w, 0) + COALESCE(u2.w, 0) AS BIGINT) AS w
+    FROM u1 FULL JOIN u2 USING (bucket)
+), s3 AS (
+    SELECT fx.doc_id,
+           CAST(sum(COALESCE(w2.w, 0) * fx.cnt) AS BIGINT) AS score
+    FROM fx LEFT JOIN w2 USING (bucket) GROUP BY fx.doc_id
+), m3 AS (
+    SELECT lab.doc_id, lab.y
+    FROM lab JOIN s3 USING (doc_id) WHERE lab.y * s3.score <= 0
+), u3 AS (
+    SELECT bucket, CAST(sum(m3.y * fx.cnt) AS BIGINT) AS w
+    FROM fx JOIN m3 USING (doc_id) GROUP BY bucket
+), w3 AS (
+    SELECT bucket, CAST(COALESCE(w2.w, 0) + COALESCE(u3.w, 0) AS BIGINT) AS w
+    FROM w2 FULL JOIN u3 USING (bucket)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, w AS weight
+FROM w3 WHERE w != 0
+"""
+
+
+@query(
+    "quality_classifier_training",
+    tags=("text", "quality", "classifier", "training", "iterative"),
+    oracle=_qc_training_oracle(),
+)
+def quality_classifier_training(spark, sf_dir):
+    """Distributed classifier TRAINING under the hard gate (VERDICT
+    r9 action #7a — inference has been attested since r7; this
+    attests the training loop itself): a 3-epoch FULL-BATCH PERCEPTRON
+    distilling the Gopher stopword-density rule over the same hashed
+    unigram+bigram features the inference path scores
+    (operators/training.perceptron_distill). All-integer by
+    construction — integer feature counts, the rule in exact integer
+    form (100·hits ≥ 7·tokens), updates Σ y·x over misclassified docs
+    — so the final weight vector is a pure integer function of the
+    corpus that the oracle recomputes by unrolling the three epochs
+    as CTEs. The float logistic fit (tools/train_quality_classifier)
+    remains the shipped production model; what this gate pins is the
+    distributed training MECHANISM: broadcast-weights scoring,
+    mistake filtering, map-side-combined gradient aggregation, and
+    the driver-side model update.
+
+    Scale: the model broadcasts (4096 ints); each epoch is one
+    doc-keyed aggregation plus one 4096-key aggregation that combines
+    map-side to nothing; the only driver-side collect is the
+    model-sized update vector (the k-means centroid posture). Epoch
+    count is a constant; per-epoch cost is linear in corpus
+    features."""
+    from data_warehouse_migration_spark.operators.training import (
+        perceptron_distill,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return perceptron_distill(spark, docs, n_features=_QC_N_FEATURES, epochs=3)
+
+
 def _v5_oracle() -> str:
     """v5 = the v4 composition with the hashed-linear quality
     classifier inserted between exact dedup and decontamination. The

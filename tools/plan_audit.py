@@ -156,6 +156,7 @@ EXTRA_AUDIT = (
     "decontaminate_substring_indexed",
     "span_islands_scrub",
     "media_png_decode",
+    "quality_classifier_training",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
