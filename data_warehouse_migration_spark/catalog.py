@@ -174,12 +174,12 @@ _WINDOW_R10 = (
     "streaming_ingest_dedup",
     "streaming_semdedup_ingest",
     "bitmap_distinct_roaring",
-    "streaming_rolling_wau",
     # round-10 registrations displace fillers newest-code-first
-    # (rag_retrieval_pipeline, then curation_pipeline_v4 — their r7
-    # rows stand).
+    # (rag_retrieval_pipeline, curation_pipeline_v4, then
+    # streaming_rolling_wau — their r7 rows stand).
     "media_png_decode",
     "quality_classifier_training",
+    "unicode_tokenization_parity",
 )
 # Displaced to make room — the full r9 drain set (the 14 never-
 # attested late-r7/r8 registrations and nine r4-stale rows): all

@@ -19,12 +19,73 @@ from data_warehouse_migration_spark.operators.dedup import normalized_text
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
 
 # BPE-ish token pattern: letter runs, digit runs, single other symbols.
+# ASCII-CENTRIC by design (VERDICT r9 action #7b documented posture):
+# `[a-z]` never matches accented/Cyrillic/Greek/CJK letters, so
+# non-Latin text degrades to per-character symbol tokens, and the
+# ASCII `\s` in normalized_text does not split NBSP/ideographic-space
+# words. This is correct for the seeded ASCII fixture corpus every
+# attested row runs on, and every oracle mirrors the same ASCII
+# semantics — switching the shared path would void every text
+# attestation at once. The Unicode-aware generalization lives below
+# (unicode_* — cross-engine parity attested by the
+# `unicode_tokenization_parity` gate); migrating a pipeline is a
+# per-query swap, not a global flag flip.
 TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+#: Unicode whitespace for cross-engine regexes: the explicit ASCII
+#: controls plus every Unicode separator (Zs/Zl/Zp). Deliberately NOT
+#: `\s`: Java's `\s` includes \x0B but RE2's does not, so `\s` is the
+#: one class the two engines disagree on. `\p{Z}` + the literal
+#: controls mean the same thing in Java regex (Spark) and RE2
+#: (DuckDB) — parity pinned by the unicode_tokenization_parity gate.
+UNICODE_WS = r"[\t\n\x0B\f\r\p{Z}]"
+
+#: Unicode BPE-ish pattern: letter runs (any script), numeric runs
+#: (any script — fullwidth, Arabic-Indic, ...), single other symbols.
+#: `\p{L}`/`\p{N}` carry identical semantics in Java regex and RE2.
+UNICODE_TOKEN_PATTERN = (
+    r"\p{L}+|\p{N}+|[^\p{L}\p{N}\t\n\x0B\f\r\p{Z}]"
+)
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of the normalized text."""
+    """Whitespace tokens of the normalized text (ASCII posture — see
+    TOKEN_PATTERN's note; `unicode_tokens` is the generalization)."""
     return F.split(normalized_text(text), " ")
+
+
+def unicode_normalized_text(text: Column) -> Column:
+    """Unicode twin of operators/dedup.normalized_text: lowercase
+    (both engines case-fold Unicode-aware — Straße, ΣΟΦΙΑ→σοφία),
+    collapse ALL Unicode whitespace (NBSP, ideographic space, thin
+    space, line/paragraph separators), trim."""
+    return F.trim(F.regexp_replace(F.lower(text), UNICODE_WS + "+", " "))
+
+
+def unicode_tokens(text: Column) -> Column:
+    """Whitespace tokens under Unicode normalization, empties dropped
+    (unlike the legacy path, an empty document yields zero tokens,
+    not [''])."""
+    return F.filter(
+        F.split(unicode_normalized_text(text), " "), lambda t: t != ""
+    )
+
+
+def unicode_token_count(text: Column) -> Column:
+    return F.size(unicode_tokens(text))
+
+
+def unicode_bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count under the Unicode pattern: contiguous
+    letter runs count once in ANY script (a CJK sentence without
+    spaces is one run — the shape a byte-level BPE pre-tokenizer
+    hands to the merge table), numeric runs once, every other symbol
+    (punctuation, emoji) individually."""
+    return F.size(
+        F.regexp_extract_all(
+            unicode_normalized_text(text), F.lit(UNICODE_TOKEN_PATTERN), 0
+        )
+    )
 
 
 def token_count(text: Column) -> Column:

@@ -157,6 +157,7 @@ EXTRA_AUDIT = (
     "span_islands_scrub",
     "media_png_decode",
     "quality_classifier_training",
+    "unicode_tokenization_parity",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
