@@ -173,13 +173,14 @@ _WINDOW_R10 = (
     "streaming_rollup_maintenance",
     "streaming_ingest_dedup",
     "streaming_semdedup_ingest",
-    "bitmap_distinct_roaring",
     # round-10 registrations displace fillers newest-code-first
-    # (rag_retrieval_pipeline, curation_pipeline_v4, then
-    # streaming_rolling_wau — their r7 rows stand).
+    # (rag_retrieval_pipeline, curation_pipeline_v4,
+    # streaming_rolling_wau, then bitmap_distinct_roaring — their r7
+    # rows stand).
     "media_png_decode",
     "quality_classifier_training",
     "unicode_tokenization_parity",
+    "dataset_release_chain",
 )
 # Displaced to make room — the full r9 drain set (the 14 never-
 # attested late-r7/r8 registrations and nine r4-stale rows): all

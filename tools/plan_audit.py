@@ -158,6 +158,7 @@ EXTRA_AUDIT = (
     "media_png_decode",
     "quality_classifier_training",
     "unicode_tokenization_parity",
+    "dataset_release_chain",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
