@@ -172,15 +172,15 @@ _WINDOW_R10 = (
     "similarity_ivf_topk",
     "streaming_rollup_maintenance",
     "streaming_ingest_dedup",
-    "streaming_semdedup_ingest",
     # round-10 registrations displace fillers newest-code-first
     # (rag_retrieval_pipeline, curation_pipeline_v4,
-    # streaming_rolling_wau, then bitmap_distinct_roaring — their r7
-    # rows stand).
+    # streaming_rolling_wau, bitmap_distinct_roaring, then
+    # streaming_semdedup_ingest — their r7 rows stand).
     "media_png_decode",
     "quality_classifier_training",
     "unicode_tokenization_parity",
     "dataset_release_chain",
+    "media_gif_decode",
 )
 # Displaced to make room — the full r9 drain set (the 14 never-
 # attested late-r7/r8 registrations and nine r4-stale rows): all

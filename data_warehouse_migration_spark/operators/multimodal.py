@@ -102,6 +102,16 @@ def _decode_real_asset(mime: str, payload: bytes) -> tuple[int, int, float]:
         px = decode_png(bytes(payload))
         mean_norm = float(px.mean()) / 255.0 if px.size else 0.0
         return int(px.shape[1]), int(px.shape[0]), mean_norm
+    if mime == "image/gif":
+        # From-scratch GIF87a/89a tier (functions/gif — r10): real
+        # variable-width LZW, sub-block framing, global/local color
+        # tables, 4-pass deinterlacing. Multi-frame animation raises
+        # inside the codec with the reason.
+        from data_warehouse_migration_spark.functions.gif import decode_gif
+
+        px = decode_gif(bytes(payload))
+        mean_norm = float(px.mean()) / 255.0 if px.size else 0.0
+        return int(px.shape[1]), int(px.shape[0]), mean_norm
     raise NotImplementedError(
         f"no stdlib decoder for mime {mime!r}; install a codec and add a "
         "branch in _decode_real_asset"
@@ -432,6 +442,75 @@ def jpeg_roundtrip_features(
                         subsample="420" if mode == "420" else "444",
                     )
                 dec = decode_jpeg(payload)
+                rows.append(
+                    (
+                        aid,
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(dec.astype("int64").sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "pixel_sum"]
+            )
+
+    return ids_df.mapInPandas(
+        run, schema=f"{id_col} bigint, width int, height int, pixel_sum bigint"
+    )
+
+
+def gif_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """REAL GIF encode→bytes→decode, value-attestable end to end (the
+    LZW rung of the codec ladder): per id, a deterministic 16×16
+    16-color paletted image — index ``(y, x) = (id + 3y + 5x) mod
+    16``, palette channel ``c`` of entry ``i`` =
+    ``(id·(c+2) + i·31 + c·11) mod 256`` — is encoded to a full GIF89a
+    stream (real dictionary-building variable-width LZW, sub-block
+    framing, INTERLACED for odd ids, local color table for ids
+    divisible by 3) and decoded back by the general decoder
+    (functions/gif), all inside one Arrow-batched ``mapInPandas``;
+    the output is the DECODED 3-channel pixel sum.
+
+    Exactness: GIF is LOSSLESS for paletted content, so
+    decode(encode) == palette[indices] for every image and the pixel
+    sum equals the closed form DuckDB recomputes from the two
+    generator formulas. Any defect in the LZW width-bump convention,
+    the sub-block framing, the color-table selection, or the 4-pass
+    deinterlace breaks the equality. The LZW codec's generality
+    beyond this fixture (KwKwK streams, 12-bit cap resets, a
+    hand-derived bitstream) is pinned in tests/test_gif_codec.py.
+
+    Scale: per-asset parallel, zero shuffle — LZW is serial per image
+    by format design, the same posture as the JPEG/PNG gates."""
+    import numpy as np
+
+    from data_warehouse_migration_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    H = W = 16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf[id_col]:
+                aid = int(aid)
+                y = np.arange(H).reshape(H, 1)
+                x = np.arange(W).reshape(1, W)
+                idx = ((aid + 3 * y + 5 * x) % 16).astype(np.uint8)
+                i = np.arange(16).reshape(16, 1)
+                c = np.arange(3).reshape(1, 3)
+                pal = ((aid * (c + 2) + i * 31 + c * 11) % 256).astype(
+                    np.uint8
+                )
+                payload = encode_gif(
+                    idx,
+                    pal,
+                    interlace=(aid % 2 == 1),
+                    local_table=(aid % 3 == 0),
+                )
+                dec = decode_gif(payload)
                 rows.append(
                     (
                         aid,

@@ -1330,6 +1330,66 @@ def media_png_decode(spark, sf_dir):
 
 
 @query(
+    "media_gif_decode",
+    tags=("multimodal", "image", "gif", "lzw", "codec", "mapInPandas"),
+    oracle="""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+px AS (
+    SELECT asset_id,
+           (asset_id * (c + 2) + ((asset_id + 3 * y + 5 * x) % 16) * 31
+            + c * 11) % 256 AS v
+    FROM ids,
+         (SELECT unnest(range(0, 16)) AS y) yy,
+         (SELECT unnest(range(0, 16)) AS x) xx,
+         (SELECT unnest(range(0, 3)) AS c) cc
+), s AS (
+    SELECT asset_id, CAST(sum(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY asset_id
+)
+SELECT asset_id, 16 AS width, 16 AS height, pixel_sum,
+       round(pixel_sum / 195840.0, 6) AS mean_norm
+FROM s
+""",
+)
+def media_gif_decode(spark, sf_dir):
+    """REAL GIF, value-attested end to end — the LZW rung of the
+    codec ladder (JPEG = Huffman/DCT r9, PNG = deflate r10, GIF =
+    LZW): per doc_id a deterministic 16x16 16-color paletted image is
+    ENCODED to a full GIF89a stream (real dictionary-building
+    variable-width LZW with the GIF width-bump convention, sub-block
+    framing, INTERLACED transmission for odd ids, a local color table
+    for ids divisible by 3) and DECODED back by the general decoder
+    in functions/gif (extension skipping, global/local table
+    selection, 4-pass deinterlace, KwKwK + 12-bit-cap-general LZW),
+    inside one Arrow-batched mapInPandas.
+
+    Exactness: GIF is lossless for paletted content, so the decoded
+    3-channel pixel sum equals the closed form DuckDB recomputes from
+    the index and palette generator formulas with no codec anywhere.
+    Any defect in the LZW width convention, framing, table selection,
+    or deinterlace breaks the equality; LZW generality beyond our own
+    encoder (deferred clears, KwKwK, cap resets, a hand-derived
+    bitstream) is pinned in tests/test_gif_codec.py.
+
+    Shape at 100 TB: per-asset parallel, zero shuffle — LZW is serial
+    per image by format design, so assets are the parallelism unit; a
+    giflib swap-in changes nothing about the plan."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        gif_roundtrip_features,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    feats = gif_roundtrip_features(ids)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "pixel_sum",
+        F.round(F.col("pixel_sum") / F.lit(195840.0), 6).alias("mean_norm"),
+    )
+
+
+@query(
     "salted_event_totals",
     tags=("events", "skew"),
     oracle="""

@@ -64,7 +64,7 @@ def test_real_codec_path_raises_not_implemented_for_absent_codec(spark):
     # A mime with genuinely no decoder branch keeps the honest-absence
     # contract visible end to end.
     df = spark.createDataFrame(
-        [(9, "image/gif", bytearray(b"GIF89a fake"))],
+        [(9, "image/webp", bytearray(b"RIFF....WEBP fake"))],
         "asset_id bigint, mime string, payload binary",
     )
     out = extract_media_features(df, decode_stub=False)

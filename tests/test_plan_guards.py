@@ -26,6 +26,7 @@ ZERO_SHUFFLE = [
     "media_jpeg_color_decode",
     "media_jpeg_420_decode",
     "media_png_decode",
+    "media_gif_decode",
 ]
 
 

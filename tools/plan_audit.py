@@ -159,6 +159,7 @@ EXTRA_AUDIT = (
     "quality_classifier_training",
     "unicode_tokenization_parity",
     "dataset_release_chain",
+    "media_gif_decode",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
