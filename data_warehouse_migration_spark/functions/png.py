@@ -26,10 +26,16 @@ What is REAL here — and implemented from the public specs alone
   deflate — compression is irrelevant for fixtures, and declaring no
   back-references removes the only stateful encoder decision).
 
+- paletted images (color type 3): PLTE parse, index unfiltering
+  (bpp = 1, filters act on index bytes per spec), palette lookup on
+  decode; ``encode_png(indices, palette=...)`` on the fixture side.
+
 What is honestly absent (each raises ``NotImplementedError`` with the
-reason rather than guessing): bit depths other than 8, palette
-(color type 3) and alpha (types 4/6) images, Adam7 interlacing, and
-ancillary-chunk semantics (they are skipped, as the spec allows).
+reason rather than guessing): bit depths other than 8, alpha images
+(color types 4/6), Adam7 interlacing, and ancillary-chunk semantics
+(they are skipped, as the spec allows — including tRNS, so a
+transparent palette entry decodes to its palette COLOR, as in the
+GIF tier).
 
 Scale posture: identical to the JPEG tier — deflate streams are
 serial per image by format design, so assets are the parallelism
@@ -436,16 +442,36 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(
-    img: np.ndarray, deflate: str = "stored", filter_mode: int | str = "cycle"
+    img: np.ndarray,
+    deflate: str = "stored",
+    filter_mode: int | str = "cycle",
+    palette: np.ndarray | None = None,
 ) -> bytes:
-    """Encode an 8-bit grayscale (h,w) or RGB (h,w,3) array.
+    """Encode an 8-bit grayscale (h,w) or RGB (h,w,3) array — or,
+    with ``palette`` given, a color-type-3 paletted image where
+    ``img`` is (h,w) palette INDICES and ``palette`` is (n,3) RGB
+    (n ≤ 256; the PLTE chunk).
 
     ``filter_mode``: an int 0-4 applies that filter to every row;
     ``"cycle"`` applies ``y % 5`` so one image exercises all five
-    filter inverses. ``deflate``: ``"stored"`` or ``"fixed"``.
+    filter inverses (filters operate on the index BYTES for paletted
+    images, per spec). ``deflate``: ``"stored"`` or ``"fixed"``.
     """
     img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
+    plte: bytes | None = None
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        if img.ndim != 2:
+            raise ValueError("paletted image must be (h,w) indices")
+        if palette.ndim != 2 or palette.shape[1] != 3 or palette.shape[0] > 256:
+            raise ValueError("palette must be (n<=256, 3) uint8")
+        if int(img.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette index out of range")
+        color_type, channels = 3, 1
+        h, w = img.shape
+        flat = img
+        plte = palette.tobytes()
+    elif img.ndim == 2:
         color_type, channels = 0, 1
         h, w = img.shape
         flat = img
@@ -468,9 +494,11 @@ def encode_png(
         + h.to_bytes(4, "big")
         + bytes([8, color_type, 0, 0, 0])  # depth, color, comp, filter, interlace
     )
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
     return (
-        PNG_SIGNATURE
-        + _chunk(b"IHDR", ihdr)
+        out
         + _chunk(b"IDAT", zlib_compress(bytes(raw), deflate))
         + _chunk(b"IEND", b"")
     )
@@ -484,6 +512,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr: bytes | None = None
+    plte: bytes | None = None
     idat = bytearray()
     while pos < len(data):
         if pos + 8 > len(data):
@@ -499,11 +528,15 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if ctype == b"IHDR":
             ihdr = payload
+        elif ctype == b"PLTE":
+            plte = payload
         elif ctype == b"IDAT":
             idat += payload
         elif ctype == b"IEND":
             break
-        # ancillary chunks: skipped (spec-sanctioned for a baseline viewer)
+        # ancillary chunks: skipped (spec-sanctioned for a baseline
+        # viewer; for paletted images that includes tRNS — the palette
+        # COLOR is returned, transparency ignored, as in the GIF tier)
     if ihdr is None:
         raise ValueError("missing IHDR")
     w = int.from_bytes(ihdr[0:4], "big")
@@ -511,15 +544,15 @@ def decode_png(data: bytes) -> np.ndarray:
     depth, color_type, comp, filt, interlace = ihdr[8:13]
     if depth != 8:
         raise NotImplementedError(f"bit depth {depth} (only 8-bit)")
-    if color_type not in (0, 2):
+    if color_type not in (0, 2, 3):
         raise NotImplementedError(
-            f"color type {color_type} (palette/alpha not implemented)"
+            f"color type {color_type} (alpha not implemented)"
         )
     if comp != 0 or filt != 0:
         raise ValueError("undefined compression/filter method")
     if interlace != 0:
         raise NotImplementedError("Adam7 interlacing")
-    channels = 1 if color_type == 0 else 3
+    channels = 3 if color_type == 2 else 1
     raw = zlib_decompress(bytes(idat))
     stride = w * channels
     if len(raw) != h * (1 + stride):
@@ -532,4 +565,11 @@ def decode_png(data: bytes) -> np.ndarray:
     for y in range(h):
         out[y] = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prior, channels)
         prior = out[y]
+    if color_type == 3:
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise ValueError("paletted image without a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[out]
     return out if channels == 1 else out.reshape(h, w, 3)

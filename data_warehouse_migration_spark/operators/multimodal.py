@@ -545,10 +545,15 @@ def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
     gates), and the decoded pixel sum equals the closed form DuckDB
     recomputes from the generator formula. Any defect in chunk/CRC
     parsing, either deflate block type, the Adler check, or any of
-    the five filter inverses breaks the equality. The inflate's
-    generality beyond this encoder (dynamic Huffman + LZ77
-    back-references) is pinned in tests/test_png_codec.py against
-    real ``zlib.compress`` output as an independent reference.
+    the five filter inverses breaks the equality. Ids divisible by 3
+    additionally route through the COLOR-TYPE-3 path (the generator's
+    pixel color is a function of one byte, so ≤ 256 distinct colors
+    always): indices + PLTE encode, index unfiltering, palette-lookup
+    decode — same closed form, since the lookup reproduces the RGB
+    exactly. The inflate's generality beyond this encoder (dynamic
+    Huffman + LZ77 back-references) is pinned in
+    tests/test_png_codec.py against real ``zlib.compress`` output as
+    an independent reference.
 
     Scale: per-asset parallel, zero shuffle — the same mapInPandas
     posture as the other codec gates."""
@@ -572,11 +577,23 @@ def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
                 img = ((aid * 3 + y * 7 + x * 11 + c * 29) % 256).astype(
                     np.uint8
                 )
-                payload = encode_png(
-                    img,
-                    deflate="stored" if aid % 2 == 0 else "fixed",
-                    filter_mode="cycle",
-                )
+                deflate = "stored" if aid % 2 == 0 else "fixed"
+                if aid % 3 == 0:
+                    # color-type-3 leg: pixel color is a function of
+                    # s = (aid*3 + y*7 + x*11) mod 256, so the palette
+                    # is the ≤256 distinct s values; lookup decode
+                    # reproduces the identical RGB.
+                    s = img[:, :, 0]
+                    uniq = np.unique(s)
+                    idx = np.searchsorted(uniq, s).astype(np.uint8)
+                    pal = np.stack(
+                        [uniq, (uniq + 29) % 256, (uniq + 58) % 256], axis=1
+                    ).astype(np.uint8)
+                    payload = encode_png(
+                        idx, deflate, "cycle", palette=pal
+                    )
+                else:
+                    payload = encode_png(img, deflate, filter_mode="cycle")
                 dec = decode_png(payload)
                 rows.append(
                     (

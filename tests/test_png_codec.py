@@ -111,9 +111,32 @@ def test_honest_absences_raise():
     with pytest.raises(NotImplementedError, match="bit depth"):
         P.decode_png(_patch_ihdr(base, 8, 16))  # 16-bit
     with pytest.raises(NotImplementedError, match="color type"):
-        P.decode_png(_patch_ihdr(base, 9, 3))  # palette
+        P.decode_png(_patch_ihdr(base, 9, 4))  # gray+alpha
     with pytest.raises(NotImplementedError, match="interlac"):
         P.decode_png(_patch_ihdr(base, 12, 1))  # Adam7
+    # color type 3 is IMPLEMENTED — but claiming it without a PLTE
+    # chunk is a hard error, not a silent gray read
+    with pytest.raises(ValueError, match="PLTE"):
+        P.decode_png(_patch_ihdr(base, 9, 3))
+
+
+@pytest.mark.parametrize("filter_mode", [0, 1, 2, 3, 4, "cycle"])
+@pytest.mark.parametrize("deflate", ["stored", "fixed"])
+def test_palette_roundtrip(filter_mode, deflate):
+    rng = _rng()
+    for ncol in (1, 2, 16, 256):
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        idx = rng.randint(0, ncol, (9, 7)).astype(np.uint8)
+        out = P.decode_png(P.encode_png(idx, deflate, filter_mode, palette=pal))
+        assert out.shape == (9, 7, 3)
+        assert (out == pal[idx]).all()
+
+
+def test_palette_index_out_of_range_raises():
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.full((2, 2), 7, dtype=np.uint8)
+    with pytest.raises(ValueError, match="index out of range"):
+        P.encode_png(idx, palette=pal)
 
 
 def test_multiple_idat_and_ancillary_chunks():
