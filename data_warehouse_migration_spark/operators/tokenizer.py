@@ -1,0 +1,120 @@
+"""BPE tokenizer TRAINING on the engine (Sennrich et al. 2016) — the
+second trainable after the perceptron (operators/training.py): learn
+the first K byte-pair merges of a corpus, exactly.
+
+Semantics (what the oracle recomputes): the word vocabulary is the
+whitespace tokens of the normalized text with their corpus counts;
+every word starts as its character sequence; each round counts ALL
+adjacent symbol pairs weighted by word count (overlapping occurrences
+count — 'aaa' contributes (a,a) twice, the Sennrich convention),
+picks the maximum with the total tie-break (count DESC, left ASC,
+right ASC — binary string order), and applies the merge to every word
+GREEDILY LEFT-TO-RIGHT (a left fold that joins the new symbol onto
+the accumulator tail; 'aaaa' under (a,a) becomes [aa, aa]).
+
+Why it's exactly attestable: every quantity is an integer count or a
+string — no floats anywhere — and greedy left-fold application equals
+iterate-leftmost-replace-to-fixpoint on the space-joined symbol
+string (the replacement symbol can never appear inside the pattern,
+so each replace pass only moves the frontier left-to-right; the
+DuckDB oracle exploits this with a recursive fixpoint CTE per merge,
+and the equivalence is pinned against a scalar reference in
+tests/test_tokenizer.py).
+
+Scale shape (per merge round, the same "training loop on the engine"
+family as the perceptron and k-means): one weighted pair aggregation
+over the vocabulary — map-side combined, keyed on symbol pairs whose
+cardinality is vocab-bounded; one driver-side argmax of ONE row (the
+k-means centroid posture); one row-local fold rewriting the symbol
+arrays in codegen. The vocabulary table (distinct words + counts) is
+the working set, not the corpus: at 100 TB the word-count aggregation
+runs once up front and every round after that touches only the
+deduplicated vocabulary — exactly how production BPE trainers scale.
+Merge count K is a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.functions.text import tokens
+
+
+def word_vocabulary(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt): distinct normalized whitespace tokens with corpus
+    counts — the working set every merge round re-reads."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _apply_merge(arr: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-fold merge application, injection-safe (symbols ride
+    as literal Columns, never spliced into SQL text)."""
+    lc, rc, lr = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == lc) & (x == rc),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lr)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges; returns one row per merge:
+    ``(merge_rank, left_sym, right_sym, pair_count)``."""
+    vocab = word_vocabulary(docs, text_col).select(
+        "word",
+        "cnt",
+        F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+        .alias("arr"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(
+                            "arr", F.lit(1), F.greatest(F.size("arr") - 1, F.lit(0))
+                        ),
+                        F.slice(
+                            "arr", F.lit(2), F.greatest(F.size("arr") - 1, F.lit(0))
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                F.col("p.0").alias("l"), F.col("p.1").alias("r"), "cnt"
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.desc("c"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()  # ONE row — the k-means centroid posture
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, left, right, cnt))
+        vocab = vocab.select(
+            "word", "cnt", _apply_merge(F.col("arr"), left, right).alias("arr")
+        )
+    return spark.createDataFrame(
+        merges or [],
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )

@@ -3353,3 +3353,105 @@ def hard_negative_mining(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("q_id", "n_id", "neg_label", "cosine", "rank")
     )
+
+
+def _bpe_step_sql(k: int) -> str:
+    """One unrolled BPE merge round: weighted adjacent-pair counts
+    over the round's vocabulary, the (count DESC, left ASC, right
+    ASC) argmax, and a RECURSIVE fixpoint CTE applying the merge by
+    leftmost replace on the symbol string.
+
+    Separator discipline is what makes leftmost-replace EQUAL the
+    engine's greedy left fold: symbols are joined with DOUBLE spaces
+    and the pattern takes only ONE space from each flanking separator
+    (`' a  b '` → `' ab '`), so consecutive matches in a run are
+    DISJOINT and a single pass pairs leftmost-first exactly like the
+    fold — with single-space separators, adjacent matches share the
+    boundary space and `replace` silently skips every other pair
+    (`aaaaa` → [aa, a, aa] instead of greedy [aa, aa, a]). The merged
+    symbol can never appear inside the pattern, so no new matches are
+    created; equivalence is brute-forced in tests/test_tokenizer.py."""
+    return f"""
+p{k} AS (
+    SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x != '') AS l, cnt
+          FROM w{k - 1}),
+         LATERAL (SELECT unnest(range(1, len(l))) AS i) ii
+    GROUP BY a, b
+), b{k} AS (
+    SELECT a, b, c,
+           ' ' || a || '  ' || b || ' ' AS pat,
+           ' ' || a || b || ' ' AS rep
+    FROM p{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+), r{k} AS (
+    SELECT w.word, w.cnt,
+           replace(w.s, b.pat, b.rep) AS s,
+           replace(replace(w.s, b.pat, b.rep), b.pat, b.rep)
+               = replace(w.s, b.pat, b.rep) AS done
+    FROM w{k - 1} w, b{k} b
+    UNION ALL
+    SELECT r.word, r.cnt,
+           replace(r.s, b.pat, b.rep),
+           replace(replace(r.s, b.pat, b.rep), b.pat, b.rep)
+               = replace(r.s, b.pat, b.rep)
+    FROM r{k} r, b{k} b WHERE NOT r.done
+), w{k} AS (SELECT word, cnt, s FROM r{k} WHERE done)"""
+
+
+def _bpe_oracle(k: int = 4) -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    steps = ",".join(_bpe_step_sql(i) for i in range(1, k + 1))
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"c AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH RECURSIVE wv AS (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM documents)
+    WHERE w != '' GROUP BY w
+), w0 AS (
+    SELECT word, cnt,
+           '  ' || array_to_string(
+               list_transform(range(1, length(word) + 1), i -> word[i]), '  ')
+           || '  ' AS s
+    FROM wv
+),{steps}
+SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym, pair_count
+FROM ({unions})
+"""
+
+
+@query(
+    "bpe_merge_training",
+    tags=("text", "tokenizer", "bpe", "training", "iterative"),
+    oracle=_bpe_oracle(4),
+)
+def bpe_merge_training(spark, sf_dir):
+    """BPE tokenizer TRAINING under the hard gate (Sennrich et al.
+    2016) — the engine learns the first 4 byte-pair merges of the
+    corpus (operators/tokenizer.bpe_train_merges): word vocabulary
+    with counts, weighted adjacent-pair statistics per round
+    (overlapping occurrences count, the Sennrich convention), total
+    tie-break (count DESC, then lexicographic), greedy left-to-right
+    merge application. Everything is integer counts and strings — no
+    floats — so the DuckDB oracle recomputes the FULL training
+    trajectory: four unrolled rounds, each with its own pair census,
+    argmax, and a recursive fixpoint CTE applying the merge by
+    leftmost replace (provably equal to the greedy fold; pinned
+    against a scalar reference in tests/test_tokenizer.py). A wrong
+    pair count, a broken tie-break, or a mis-applied merge in ANY
+    round changes a later round's winner and fails the hash.
+
+    Shape at 100 TB: the corpus collapses to the deduplicated word
+    vocabulary ONCE (one shuffle); each round is one map-side-combined
+    pair aggregation over the vocabulary + a ONE-ROW driver argmax
+    (the k-means centroid posture) + a row-local fold in codegen —
+    exactly how production BPE trainers scale, with K a constant."""
+    from data_warehouse_migration_spark.operators.tokenizer import (
+        bpe_train_merges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_train_merges(spark, docs, k=4)

@@ -1,0 +1,140 @@
+"""BPE merge training (operators/tokenizer) — scalar-reference
+equivalence, the greedy-fold ≡ fixpoint-replace argument, and edge
+shapes."""
+
+from __future__ import annotations
+
+import collections
+
+from data_warehouse_migration_spark.operators.tokenizer import bpe_train_merges
+
+
+def _ref_train(corpus: list[str], k: int):
+    """Scalar Sennrich-style reference: weighted pair census
+    (overlaps count), (count DESC, left ASC, right ASC) argmax,
+    greedy left-to-right apply."""
+    words = collections.Counter()
+    for doc in corpus:
+        for w in " ".join(doc.lower().split()).split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs: collections.Counter = collections.Counter()
+        for w, cnt in words.items():
+            arr = vocab[w]
+            for i in range(len(arr) - 1):
+                pairs[(arr[i], arr[i + 1])] += cnt
+        if not pairs:
+            break
+        top = max(pairs.values())
+        left, right = sorted(p for p, c in pairs.items() if c == top)[0]
+        merges.append((rank, left, right, top))
+        for w in words:
+            out: list[str] = []
+            for x in vocab[w]:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges
+
+
+def _fixpoint_apply(arr: list[str], left: str, right: str) -> list[str]:
+    """The ORACLE's semantics: leftmost replace on the DOUBLE-space-
+    joined string with a pattern that takes one space from each
+    flanking separator (consecutive matches disjoint → one pass pairs
+    leftmost-first), iterated to fixpoint."""
+    s = "  " + "  ".join(arr) + "  "
+    pat, rep = f" {left}  {right} ", f" {left}{right} "
+    while True:
+        ns = s.replace(pat, rep)
+        if ns == s:
+            return [x for x in s.split(" ") if x]
+        s = ns
+
+
+def _greedy_apply(arr: list[str], left: str, right: str) -> list[str]:
+    out: list[str] = []
+    for x in arr:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def test_greedy_fold_equals_fixpoint_replace():
+    """The equivalence the oracle's recursive CTE relies on, brute-
+    forced over every symbol sequence of length ≤ 8 from a 2-symbol
+    alphabet for every merge direction. Same-symbol runs are the
+    crux: the original single-space scheme FAILED here ('aaaaa' →
+    [aa, a, aa]) because adjacent matches shared the boundary space —
+    the double-space discipline makes them disjoint."""
+    import itertools
+
+    for n in range(9):
+        for arr in itertools.product("ab", repeat=n):
+            for left, right in (("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")):
+                assert _greedy_apply(list(arr), left, right) == _fixpoint_apply(
+                    list(arr), left, right
+                ), (arr, left, right)
+    # long odd/even same-symbol runs specifically
+    for n in (9, 10, 11, 16, 17):
+        arr = ["a"] * n
+        assert _greedy_apply(arr, "a", "a") == _fixpoint_apply(arr, "a", "a")
+
+
+def test_second_round_pattern_contains_merged_symbol():
+    """Round-2 patterns like ('aa', 'a') must behave under both
+    semantics too (multi-round coupling)."""
+    import itertools
+
+    for n in range(11):
+        for arr0 in ([list(x) for x in itertools.product("ab", repeat=min(n, 7))]
+                     if n <= 7 else [["a"] * n]):
+            arr = _greedy_apply(list(arr0), "a", "a")
+            for left, right in (("aa", "a"), ("a", "aa"), ("aa", "aa"), ("aa", "b")):
+                assert _greedy_apply(list(arr), left, right) == _fixpoint_apply(
+                    list(arr), left, right
+                ), (arr0, left, right)
+
+
+def test_matches_scalar_reference(spark):
+    corpus = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "a mat on a cat",
+        "tttt aaa the the",
+        "",
+        "x",
+    ]
+    df = spark.createDataFrame([(c,) for c in corpus], "text string")
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges(spark, df, k=4).orderBy("merge_rank").collect()
+    ]
+    assert got == _ref_train(corpus, 4)
+
+
+def test_merged_symbols_feed_later_rounds(spark):
+    """A corpus engineered so round 2's winner CONTAINS round 1's
+    merged symbol — the trajectory coupling the gate relies on."""
+    corpus = ["abab abab abab", "ab ab"]
+    df = spark.createDataFrame([(c,) for c in corpus], "text string")
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(spark, df, k=2).orderBy("merge_rank").collect()
+    ]
+    ref = [(r, l, rr) for r, l, rr, _ in _ref_train(corpus, 2)]
+    assert got == ref
+    assert got[0] == (1, "a", "b")
+    assert got[1][1:] == ("ab", "ab")
+
+
+def test_degenerate_corpus(spark):
+    # single-char words have no pairs: zero merges, empty result
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    assert bpe_train_merges(spark, df, k=3).count() == 0

@@ -160,6 +160,7 @@ EXTRA_AUDIT = (
     "unicode_tokenization_parity",
     "dataset_release_chain",
     "media_gif_decode",
+    "bpe_merge_training",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
