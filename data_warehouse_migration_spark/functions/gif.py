@@ -44,41 +44,64 @@ GIF_MAX_CODE_WIDTH = 12
 def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     """GIF-flavor LZW over palette indices → packed code bytes
     (without sub-block framing). Real dictionary-building encoder —
-    emits CLEAR up front, grows code width at the GIF convention,
-    resets at the 4096-entry cap, ends with END."""
+    emits CLEAR up front, resets at the 4096-entry cap, ends with END.
+
+    Width discipline — the interop-critical part (a round-9-style
+    review caught the self-consistent-but-wrong first cut): the
+    DECODER adds one table entry per data code read EXCEPT the first
+    after a clear, so its table size lags the encoder's dictionary —
+    and flushes (the final pending-prefix emit) trigger a decoder add
+    with NO encoder add, so width cannot be derived from the
+    encoder's own ``next_code``. The encoder therefore models the
+    decoder's table size (``dec_len``) explicitly: +1 per emitted
+    data code after the first, widen when it reaches ``2^width``.
+    Verified against the real-encoder GIFs shipped with CPython
+    (tests/test_gif_codec.py::test_decodes_real_world_gifs) and a
+    hand-derived bitstream."""
     clear = 1 << min_code_size
     end = clear + 1
     bw = _BitWriter()
     width = min_code_size + 1
-
-    def emit(code: int) -> None:
-        bw.write_bits_lsb(code, width)
-
     table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
     next_code = end + 1
-    emit(clear)
+    dec_len = clear + 2  # decoder table size right after a clear
+    first_data = True
+
+    def emit_data(code: int) -> None:
+        nonlocal dec_len, first_data, width
+        bw.write_bits_lsb(code, width)
+        if first_data:
+            first_data = False
+        elif dec_len < (1 << GIF_MAX_CODE_WIDTH):
+            dec_len += 1
+        if dec_len == (1 << width) and width < GIF_MAX_CODE_WIDTH:
+            width += 1
+
+    def emit_clear() -> None:
+        nonlocal table, next_code, dec_len, first_data, width
+        bw.write_bits_lsb(clear, width)
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        dec_len = clear + 2
+        first_data = True
+        width = min_code_size + 1
+
+    emit_clear()
     w = b""
     for px in indices:
         wk = w + bytes([px])
         if wk in table:
             w = wk
             continue
-        emit(table[w])
+        emit_data(table[w])
         table[wk] = next_code
         next_code += 1
-        # width bump AFTER assigning: when the next free code would
-        # not fit the current width, codes widen (GIF convention).
-        if next_code == (1 << width) and width < GIF_MAX_CODE_WIDTH:
-            width += 1
-        if next_code == (1 << GIF_MAX_CODE_WIDTH):
-            emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
-            next_code = end + 1
-            width = min_code_size + 1
         w = bytes([px])
+        if next_code == (1 << GIF_MAX_CODE_WIDTH):
+            emit_clear()
     if w:
-        emit(table[w])
-    emit(end)
+        emit_data(table[w])
+    bw.write_bits_lsb(end, width)
     return bw.getvalue()
 
 
@@ -111,12 +134,11 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytes:
         out += entry
         if prev is not None and len(table) < (1 << GIF_MAX_CODE_WIDTH):
             table.append(prev + entry[:1])
-        # The decoder's table lags the encoder's by ONE entry (the
-        # first code after a clear adds nothing — that's also why the
-        # KwKwK case exists), so where the encoder widens when its
-        # next free code reaches 2^width, the decoder must widen one
-        # entry earlier.
-        if len(table) == (1 << width) - 1 and width < GIF_MAX_CODE_WIDTH:
+        # Real-world convention (verified against the CPython-shipped
+        # GIFs from real encoders): widen when the table size reaches
+        # 2^width — the NEXT read would otherwise be unable to
+        # reference the just-added entry.
+        if len(table) == (1 << width) and width < GIF_MAX_CODE_WIDTH:
             width += 1
         prev = entry
     return bytes(out)

@@ -237,6 +237,10 @@ def inflate(data: bytes) -> bytes:
             if ln ^ 0xFFFF != nlen:
                 raise ValueError("stored block LEN/NLEN mismatch")
             br.pos += 4
+            if br.pos + ln > len(data):
+                # without this, a truncated final stored block would
+                # silently return short output instead of raising
+                raise ValueError("stored block data truncated")
             out += data[br.pos : br.pos + ln]
             br.pos += ln
         elif btype in (1, 2):

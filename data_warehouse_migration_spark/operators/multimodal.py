@@ -359,6 +359,28 @@ def resize_media(assets: DataFrame) -> DataFrame:
     )
 
 
+def _codec_roundtrip_features(
+    ids_df: DataFrame, id_col: str, per_id
+) -> DataFrame:
+    """Shared harness for the codec round-trip gates (JPEG/PNG/GIF):
+    one Arrow-batched ``mapInPandas`` stage mapping each id through
+    ``per_id(aid) -> (width, height, pixel_sum)`` — the
+    generate→encode→decode→sum closure each gate supplies. One
+    definition so the batching loop, row assembly, and schema can
+    never drift apart across the codec family."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(a), *per_id(int(a))) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "pixel_sum"]
+            )
+
+    return ids_df.mapInPandas(
+        run, schema=f"{id_col} bigint, width int, height int, pixel_sum bigint"
+    )
+
+
 def jpeg_roundtrip_features(
     ids_df: DataFrame, id_col: str = "asset_id", mode: str = "gray"
 ) -> DataFrame:
@@ -423,40 +445,24 @@ def jpeg_roundtrip_features(
             return 2 * ((aid * 11 + i * 3 + j * 9) % 128)
         return 2 * ((aid * 13 + i * 7 + j * 5) % 128)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid in pdf[id_col]:
-                aid = int(aid)
-                img = np.zeros((8 * tiles, 8 * tiles), dtype=np.uint8)
-                for i in range(tiles):
-                    for j in range(tiles):
-                        img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = (
-                            tile_value(aid, i, j)
-                        )
-                if mode == "gray":
-                    payload = encode_jpeg_gray(img)
-                else:
-                    payload = encode_jpeg_color(
-                        np.repeat(img[:, :, None], 3, axis=2),
-                        subsample="420" if mode == "420" else "444",
-                    )
-                dec = decode_jpeg(payload)
-                rows.append(
-                    (
-                        aid,
-                        int(dec.shape[1]),
-                        int(dec.shape[0]),
-                        int(dec.astype("int64").sum()),
-                    )
+    def per_id(aid: int) -> tuple[int, int, int]:
+        img = np.zeros((8 * tiles, 8 * tiles), dtype=np.uint8)
+        for i in range(tiles):
+            for j in range(tiles):
+                img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = tile_value(
+                    aid, i, j
                 )
-            yield pd.DataFrame(
-                rows, columns=[id_col, "width", "height", "pixel_sum"]
+        if mode == "gray":
+            payload = encode_jpeg_gray(img)
+        else:
+            payload = encode_jpeg_color(
+                np.repeat(img[:, :, None], 3, axis=2),
+                subsample="420" if mode == "420" else "444",
             )
+        dec = decode_jpeg(payload)
+        return int(dec.shape[1]), int(dec.shape[0]), int(dec.astype("int64").sum())
 
-    return ids_df.mapInPandas(
-        run, schema=f"{id_col} bigint, width int, height int, pixel_sum bigint"
-    )
+    return _codec_roundtrip_features(ids_df, id_col, per_id)
 
 
 def gif_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:
@@ -491,41 +497,20 @@ def gif_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
 
     H = W = 16
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid in pdf[id_col]:
-                aid = int(aid)
-                y = np.arange(H).reshape(H, 1)
-                x = np.arange(W).reshape(1, W)
-                idx = ((aid + 3 * y + 5 * x) % 16).astype(np.uint8)
-                i = np.arange(16).reshape(16, 1)
-                c = np.arange(3).reshape(1, 3)
-                pal = ((aid * (c + 2) + i * 31 + c * 11) % 256).astype(
-                    np.uint8
-                )
-                payload = encode_gif(
-                    idx,
-                    pal,
-                    interlace=(aid % 2 == 1),
-                    local_table=(aid % 3 == 0),
-                )
-                dec = decode_gif(payload)
-                rows.append(
-                    (
-                        aid,
-                        int(dec.shape[1]),
-                        int(dec.shape[0]),
-                        int(dec.astype("int64").sum()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=[id_col, "width", "height", "pixel_sum"]
-            )
+    def per_id(aid: int) -> tuple[int, int, int]:
+        y = np.arange(H).reshape(H, 1)
+        x = np.arange(W).reshape(1, W)
+        idx = ((aid + 3 * y + 5 * x) % 16).astype(np.uint8)
+        i = np.arange(16).reshape(16, 1)
+        c = np.arange(3).reshape(1, 3)
+        pal = ((aid * (c + 2) + i * 31 + c * 11) % 256).astype(np.uint8)
+        payload = encode_gif(
+            idx, pal, interlace=(aid % 2 == 1), local_table=(aid % 3 == 0)
+        )
+        dec = decode_gif(payload)
+        return int(dec.shape[1]), int(dec.shape[0]), int(dec.astype("int64").sum())
 
-    return ids_df.mapInPandas(
-        run, schema=f"{id_col} bigint, width int, height int, pixel_sum bigint"
-    )
+    return _codec_roundtrip_features(ids_df, id_col, per_id)
 
 
 def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:
@@ -566,47 +551,27 @@ def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
 
     H, W = 10, 16
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid in pdf[id_col]:
-                aid = int(aid)
-                y = np.arange(H).reshape(H, 1, 1)
-                x = np.arange(W).reshape(1, W, 1)
-                c = np.arange(3).reshape(1, 1, 3)
-                img = ((aid * 3 + y * 7 + x * 11 + c * 29) % 256).astype(
-                    np.uint8
-                )
-                deflate = "stored" if aid % 2 == 0 else "fixed"
-                if aid % 3 == 0:
-                    # color-type-3 leg: pixel color is a function of
-                    # s = (aid*3 + y*7 + x*11) mod 256, so the palette
-                    # is the ≤256 distinct s values; lookup decode
-                    # reproduces the identical RGB.
-                    s = img[:, :, 0]
-                    uniq = np.unique(s)
-                    idx = np.searchsorted(uniq, s).astype(np.uint8)
-                    pal = np.stack(
-                        [uniq, (uniq + 29) % 256, (uniq + 58) % 256], axis=1
-                    ).astype(np.uint8)
-                    payload = encode_png(
-                        idx, deflate, "cycle", palette=pal
-                    )
-                else:
-                    payload = encode_png(img, deflate, filter_mode="cycle")
-                dec = decode_png(payload)
-                rows.append(
-                    (
-                        aid,
-                        int(dec.shape[1]),
-                        int(dec.shape[0]),
-                        int(dec.astype("int64").sum()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=[id_col, "width", "height", "pixel_sum"]
-            )
+    def per_id(aid: int) -> tuple[int, int, int]:
+        y = np.arange(H).reshape(H, 1, 1)
+        x = np.arange(W).reshape(1, W, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        img = ((aid * 3 + y * 7 + x * 11 + c * 29) % 256).astype(np.uint8)
+        deflate = "stored" if aid % 2 == 0 else "fixed"
+        if aid % 3 == 0:
+            # color-type-3 leg: pixel color is a function of
+            # s = (aid*3 + y*7 + x*11) mod 256, so the palette is the
+            # ≤256 distinct s values; lookup decode reproduces the
+            # identical RGB.
+            s = img[:, :, 0]
+            uniq = np.unique(s)
+            idx = np.searchsorted(uniq, s).astype(np.uint8)
+            pal = np.stack(
+                [uniq, (uniq + 29) % 256, (uniq + 58) % 256], axis=1
+            ).astype(np.uint8)
+            payload = encode_png(idx, deflate, "cycle", palette=pal)
+        else:
+            payload = encode_png(img, deflate, filter_mode="cycle")
+        dec = decode_png(payload)
+        return int(dec.shape[1]), int(dec.shape[0]), int(dec.astype("int64").sum())
 
-    return ids_df.mapInPandas(
-        run, schema=f"{id_col} bigint, width int, height int, pixel_sum bigint"
-    )
+    return _codec_roundtrip_features(ids_df, id_col, per_id)

@@ -76,11 +76,22 @@ def bpe_train_merges(
 ) -> DataFrame:
     """Learn the first ``k`` BPE merges; returns one row per merge:
     ``(merge_rank, left_sym, right_sym, pair_count)``."""
-    vocab = word_vocabulary(docs, text_col).select(
-        "word",
-        "cnt",
-        F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
-        .alias("arr"),
+    # Persist discipline (same reason as perceptron_distill's): each
+    # round's argmax is an action, so without a persisted vocabulary
+    # round r would recompute the corpus scan + word groupBy + r−1
+    # stacked folds. The persist caps every round at one vocab read;
+    # the materializing count() also keeps the lazy plan from growing
+    # one fold deeper per round.
+    vocab = (
+        word_vocabulary(docs, text_col)
+        .select(
+            "word",
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ).alias("arr"),
+        )
+        .persist()
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
@@ -111,9 +122,13 @@ def bpe_train_merges(
             break
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, left, right, cnt))
-        vocab = vocab.select(
+        new_vocab = vocab.select(
             "word", "cnt", _apply_merge(F.col("arr"), left, right).alias("arr")
-        )
+        ).persist()
+        new_vocab.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
     return spark.createDataFrame(
         merges or [],
         "merge_rank int, left_sym string, right_sym string, pair_count bigint",

@@ -1,16 +1,22 @@
 """GIF codec (functions/gif) — from-scratch GIF87a/89a with real
 variable-width LZW.
 
-Independence posture: no third-party GIF library exists in this
-container, so the LZW pin is a HAND-DERIVED bitstream (the same
-technique as the JPEG codec's entropy pin): the code sequence for
-[1,1,1,1] at min-code-size 2 — CLEAR(4)@3b, 1@3b, 6@3b, 1@4b (the
-width bump lands after code 7 is assigned), END(5)@4b — packs
-LSB-first to exactly 0x8C 0xA3 0x00, worked out on paper from the
-spec before the encoder existed to confirm it.
+Independence posture: two pins against something other than our own
+code — (a) the real-encoder GIFs shipped with CPython (idlelib's
+icons) must decode, which nails the real-world width-bump convention
+(a review pass caught the first cut being self-consistent but
+off-by-one against every real encoder), and (b) a HAND-DERIVED
+bitstream (the JPEG codec's technique): the code sequence for
+[1,1,1,1] at min-code-size 2 is CLEAR(4)@3b, 1@3b, 6@3b, 1@3b,
+END(5)@4b — the decoder's table reaches 8 entries on the FOURTH code
+(its adds lag the encoder's, and the flush emit adds decoder-side
+only), so exactly the END code widens — packing LSB-first to
+0x8C 0x53.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pytest
@@ -23,8 +29,25 @@ def _rng():
 
 
 def test_hand_derived_lzw_bitstream():
-    assert G.lzw_encode(b"\x01\x01\x01\x01", 2) == bytes([0x8C, 0xA3, 0x00])
-    assert G.lzw_decode(bytes([0x8C, 0xA3, 0x00]), 2) == b"\x01\x01\x01\x01"
+    assert G.lzw_encode(b"\x01\x01\x01\x01", 2) == bytes([0x8C, 0x53])
+    assert G.lzw_decode(bytes([0x8C, 0x53]), 2) == b"\x01\x01\x01\x01"
+
+
+def test_decodes_real_world_gifs():
+    """Interop with real encoders — the pin that makes the width-bump
+    convention non-negotiable: every GIF shipped with this CPython
+    (produced by real-world tooling, various sizes, some with
+    extensions) must decode to plausible RGB."""
+    import idlelib
+
+    icons = os.path.join(os.path.dirname(idlelib.__file__), "Icons")
+    gifs = sorted(f for f in os.listdir(icons) if f.endswith(".gif"))
+    assert len(gifs) >= 5, "expected CPython's idlelib GIF icons"
+    for name in gifs:
+        with open(os.path.join(icons, name), "rb") as f:
+            img = G.decode_gif(f.read())
+        assert img.ndim == 3 and img.shape[2] == 3, name
+        assert img.shape[0] > 0 and img.shape[1] > 0, name
 
 
 @pytest.mark.parametrize("mcs,n", [(2, 4), (3, 8), (4, 16), (8, 256)])
