@@ -21,10 +21,18 @@ What is REAL here — and implemented from the public specs alone
   directions — exactly-invertible mod-256 integer arithmetic, so a
   PNG round-trip is bit-exact BY CONSTRUCTION (lossless format), no
   submanifold trick needed;
-- two deflate ENCODERS for fixture generation: stored blocks and
-  fixed-Huffman literal blocks (a literals-only fixed block is valid
-  deflate — compression is irrelevant for fixtures, and declaring no
-  back-references removes the only stateful encoder decision).
+- three deflate ENCODERS: stored blocks, fixed-Huffman literal blocks
+  (a literals-only fixed block is valid deflate — zero stateful
+  encoder decisions, fixture-grade), and a REAL dynamic-Huffman
+  encoder — hash-chained greedy LZ77 over the 32 KiB window
+  (overlapping matches included), literal/length and distance codes
+  LEARNED from token frequencies via the two-smallest-merge
+  construction, code lengths transmitted through the 19-symbol
+  code-length alphabet with the 16/17/18 run codes. Its output
+  decodes under ``zlib.decompress`` (the third-party verifier) at
+  compression ratios comparable to zlib level 6 on real text, and a
+  pathological depth-limit overflow falls back to a fixed block
+  rather than emitting an invalid stream.
 
 - paletted images (color type 3): PLTE parse, index unfiltering
   (bpp = 1, filters act on index bytes per spec), palette lookup on
@@ -351,10 +359,209 @@ def _deflate_fixed_literals(raw: bytes) -> bytes:
     return bw.getvalue()
 
 
+# --- dynamic-Huffman deflate ENCODER (real LZ77 + learned codes) -----------
+
+
+def _lz77_tokens(raw: bytes, max_chain: int = 64) -> list:
+    """Greedy LZ77 over a 32 KiB window with hash-chained 3-byte
+    candidates: each token is a literal int or a ``(length, dist)``
+    tuple (3 ≤ length ≤ 258, 1 ≤ dist ≤ 32768). Overlapping matches
+    (dist < length) compare against ``raw`` directly — correct
+    because the decoder's byte-at-a-time copy reproduces exactly the
+    already-emitted prefix."""
+    out: list = []
+    head: dict[bytes, list[int]] = {}
+    n = len(raw)
+    i = 0
+    while i < n:
+        best_len, best_dist = 0, 0
+        if i + 3 <= n:
+            chain = head.get(raw[i : i + 3], ())
+            for j in reversed(chain[-max_chain:]):
+                if i - j > 32768:
+                    break
+                l = 0
+                while i + l < n and l < 258 and raw[j + l] == raw[i + l]:
+                    l += 1
+                if l > best_len:
+                    best_len, best_dist = l, i - j
+                    if l == 258:
+                        break
+        if best_len >= 3:
+            out.append((best_len, best_dist))
+            for k in range(i, min(i + best_len, n - 2)):
+                head.setdefault(raw[k : k + 3], []).append(k)
+            i += best_len
+        else:
+            out.append(raw[i])
+            if i + 3 <= n:
+                head.setdefault(raw[i : i + 3], []).append(i)
+            i += 1
+    return out
+
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int] | None:
+    """Optimal prefix-code lengths by the classic two-smallest merge,
+    deterministic (ties broken by insertion order over sorted
+    symbols). Returns None when the depth limit is exceeded (the
+    caller falls back to a fixed block — rare, pathological skew)."""
+    import heapq
+
+    items = sorted(freqs.items())
+    if not items:
+        return {}
+    if len(items) == 1:
+        return {items[0][0]: 1}
+    heap: list[tuple[int, int, tuple[int, ...]]] = [
+        (f, k, (sym,)) for k, (sym, f) in enumerate(items)
+    ]
+    heapq.heapify(heap)
+    depths = {sym: 0 for sym, _ in items}
+    tick = len(items)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depths[s] += 1
+        tick += 1
+        heapq.heappush(heap, (f1 + f2, tick, s1 + s2))
+    if max(depths.values()) > max_len:
+        return None
+    return depths
+
+
+def _encoder_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """sym → (code, length), canonical (inverts _canonical_codes)."""
+    return {sym: (code, ln) for (ln, code), sym in _canonical_codes(lengths).items()}
+
+
+def _code_for(base: list[int], value: int) -> int:
+    """Index of the length/distance code whose base covers value."""
+    import bisect
+
+    return bisect.bisect_right(base, value) - 1
+
+
+def _deflate_dynamic(raw: bytes) -> bytes | None:
+    """One dynamic-Huffman block: real LZ77 tokens, literal/length and
+    distance codes LEARNED from their frequencies, code lengths
+    transmitted through the 19-symbol code-length alphabet with the
+    16/17/18 run codes. Returns None if any alphabet exceeds its
+    depth limit (caller falls back to fixed)."""
+    tokens = _lz77_tokens(raw)
+    lit_freq: dict[int, int] = {256: 1}
+    dist_freq: dict[int, int] = {}
+    for t in tokens:
+        if isinstance(t, tuple):
+            lit_freq[257 + _code_for(_LENGTH_BASE, t[0])] = (
+                lit_freq.get(257 + _code_for(_LENGTH_BASE, t[0]), 0) + 1
+            )
+            dc = _code_for(_DIST_BASE, t[1])
+            dist_freq[dc] = dist_freq.get(dc, 0) + 1
+        else:
+            lit_freq[t] = lit_freq.get(t, 0) + 1
+    lit_depths = _huffman_lengths(lit_freq, 15)
+    if not dist_freq:
+        # spec: when no distances occur, one distance code of length 1
+        dist_depths: dict[int, int] | None = {0: 1}
+    else:
+        dist_depths = _huffman_lengths(dist_freq, 15)
+    if lit_depths is None or dist_depths is None:
+        return None
+    hlit = max(max(lit_depths), 256) + 1
+    hdist = max(dist_depths) + 1
+    lit_lengths = [lit_depths.get(s, 0) for s in range(hlit)]
+    dist_lengths = [dist_depths.get(s, 0) for s in range(hdist)]
+    lit_codes = _encoder_codes(lit_lengths)
+    dist_codes = _encoder_codes(dist_lengths)
+
+    # RLE the concatenated length list through the code-length alphabet
+    all_lengths = lit_lengths + dist_lengths
+    clen_syms: list[tuple[int, int]] = []  # (symbol, extra-bits payload)
+    i = 0
+    while i < len(all_lengths):
+        v = all_lengths[i]
+        run = 1
+        while i + run < len(all_lengths) and all_lengths[i + run] == v:
+            run += 1
+        consumed = run
+        if v == 0:
+            while run >= 11:
+                take = min(run, 138)
+                clen_syms.append((18, take - 11))
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                clen_syms.append((17, take - 3))
+                run -= take
+            clen_syms.extend((0, 0) for _ in range(run))
+        else:
+            clen_syms.append((v, 0))
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                clen_syms.append((16, take - 3))
+                run -= take
+            clen_syms.extend((v, 0) for _ in range(run))
+        i += consumed
+    clen_freq: dict[int, int] = {}
+    for s, _ in clen_syms:
+        clen_freq[s] = clen_freq.get(s, 0) + 1
+    clen_depths = _huffman_lengths(clen_freq, 7)
+    if clen_depths is None:
+        return None
+    clen_lengths = [clen_depths.get(s, 0) for s in range(19)]
+    clen_codes = _encoder_codes(clen_lengths)
+    ordered = [clen_lengths[s] for s in _CLEN_ORDER]
+    hclen = len(ordered)
+    while hclen > 4 and ordered[hclen - 1] == 0:
+        hclen -= 1
+
+    bw = _BitWriter()
+    bw.write_bits_lsb(1, 1)  # BFINAL
+    bw.write_bits_lsb(2, 2)  # BTYPE=10 dynamic
+    bw.write_bits_lsb(hlit - 257, 5)
+    bw.write_bits_lsb(hdist - 1, 5)
+    bw.write_bits_lsb(hclen - 4, 4)
+    for k in range(hclen):
+        bw.write_bits_lsb(ordered[k], 3)
+    for s, extra in clen_syms:
+        code, ln = clen_codes[s]
+        bw.write_code_msb(code, ln)
+        if s == 16:
+            bw.write_bits_lsb(extra, 2)
+        elif s == 17:
+            bw.write_bits_lsb(extra, 3)
+        elif s == 18:
+            bw.write_bits_lsb(extra, 7)
+    for t in tokens:
+        if isinstance(t, tuple):
+            length, dist = t
+            lc = _code_for(_LENGTH_BASE, length)
+            code, ln = lit_codes[257 + lc]
+            bw.write_code_msb(code, ln)
+            bw.write_bits_lsb(length - _LENGTH_BASE[lc], _LENGTH_EXTRA[lc])
+            dc = _code_for(_DIST_BASE, dist)
+            code, ln = dist_codes[dc]
+            bw.write_code_msb(code, ln)
+            bw.write_bits_lsb(dist - _DIST_BASE[dc], _DIST_EXTRA[dc])
+        else:
+            code, ln = lit_codes[t]
+            bw.write_code_msb(code, ln)
+    code, ln = lit_codes[256]
+    bw.write_code_msb(code, ln)
+    return bw.getvalue()
+
+
 def zlib_compress(raw: bytes, method: str = "stored") -> bytes:
-    body = {"stored": _deflate_stored, "fixed": _deflate_fixed_literals}[
-        method
-    ](raw)
+    if method == "dynamic":
+        body = _deflate_dynamic(raw)
+        if body is None:  # pathological skew exceeded a depth limit
+            body = _deflate_fixed_literals(raw)
+    else:
+        body = {"stored": _deflate_stored, "fixed": _deflate_fixed_literals}[
+            method
+        ](raw)
     # CMF 0x78 (deflate, 32K window), FLG chosen so (CMF·256+FLG)%31==0
     return b"\x78\x01" + body + adler32(raw).to_bytes(4, "big")
 

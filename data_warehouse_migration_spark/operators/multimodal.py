@@ -556,7 +556,12 @@ def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
         x = np.arange(W).reshape(1, W, 1)
         c = np.arange(3).reshape(1, 1, 3)
         img = ((aid * 3 + y * 7 + x * 11 + c * 29) % 256).astype(np.uint8)
-        deflate = "stored" if aid % 2 == 0 else "fixed"
+        # all three deflate encoders rotate through the gate: stored
+        # (even ids), literals-only fixed (ids ≡ 1 mod 4), and the
+        # real LZ77 + learned-codes dynamic encoder (ids ≡ 3 mod 4)
+        deflate = (
+            "stored" if aid % 2 == 0 else ("fixed" if aid % 4 == 1 else "dynamic")
+        )
         if aid % 3 == 0:
             # color-type-3 leg: pixel color is a function of
             # s = (aid*3 + y*7 + x*11) mod 256, so the palette is the

@@ -47,23 +47,36 @@ def test_inflate_decodes_real_zlib_output():
 
 
 def test_own_deflate_encoders_decode_with_zlib():
-    """Our stored/fixed streams must be valid to a third party, not
-    just round-trip through our own inflate."""
+    """Our stored/fixed/dynamic streams must be valid to a third
+    party, not just round-trip through our own inflate."""
     rng = _rng()
-    for meth in ("stored", "fixed"):
+    for meth in ("stored", "fixed", "dynamic"):
         for data in (
             b"",
+            b"a",
             b"hello world" * 500,
             bytes(rng.randint(0, 256, 70000, dtype=np.uint8)),  # >1 stored block
+            b"x" * 100000,  # long runs → overlapping LZ77 matches
+            bytes(rng.randint(0, 4, 30000, dtype=np.uint8)),
         ):
             z = P.zlib_compress(data, meth)
             assert zlib.decompress(z) == data
             assert P.zlib_decompress(z) == data
 
 
+def test_dynamic_encoder_actually_compresses():
+    """The dynamic encoder's LZ77 + learned codes must do real work —
+    within ~15% of zlib level 6 on compressible inputs (a learned-
+    codes encoder that degenerated to literals would be ~4x off)."""
+    text = b"the quick brown fox jumps over the lazy dog " * 2000
+    ours = len(P.zlib_compress(text, "dynamic"))
+    ref = len(zlib.compress(text, 6))
+    assert ours <= ref * 1.15, (ours, ref)
+
+
 @pytest.mark.parametrize("shape", [(7, 5), (16, 10, 3), (1, 1), (3, 260, 3)])
 @pytest.mark.parametrize("filter_mode", [0, 1, 2, 3, 4, "cycle"])
-@pytest.mark.parametrize("deflate", ["stored", "fixed"])
+@pytest.mark.parametrize("deflate", ["stored", "fixed", "dynamic"])
 def test_roundtrip_exact(shape, filter_mode, deflate):
     img = _rng().randint(0, 256, shape).astype(np.uint8)
     out = P.decode_png(P.encode_png(img, deflate, filter_mode))
