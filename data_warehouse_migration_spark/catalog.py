@@ -170,18 +170,18 @@ _WINDOW_R10 = (
     "bloom_prefilter_dedup",
     "salted_event_totals",
     "similarity_ivf_topk",
-    "streaming_rollup_maintenance",
     # round-10 registrations displace fillers newest-code-first
     # (rag_retrieval_pipeline, curation_pipeline_v4,
     # streaming_rolling_wau, bitmap_distinct_roaring,
-    # streaming_semdedup_ingest, then streaming_ingest_dedup — their
-    # r7 rows stand).
+    # streaming_semdedup_ingest, streaming_ingest_dedup, then
+    # streaming_rollup_maintenance — their r7 rows stand).
     "media_png_decode",
     "quality_classifier_training",
     "unicode_tokenization_parity",
     "dataset_release_chain",
     "media_gif_decode",
     "bpe_merge_training",
+    "bpe_apply_token_counts",
 )
 # Displaced to make room — the full r9 drain set (the 14 never-
 # attested late-r7/r8 registrations and nine r4-stale rows): all

@@ -68,14 +68,16 @@ def _apply_merge(arr: F.Column, left: str, right: str) -> F.Column:
     )
 
 
-def bpe_train_merges(
+def _train(
     spark: SparkSession,
     docs: DataFrame,
     text_col: str = "text",
     k: int = 4,
-) -> DataFrame:
-    """Learn the first ``k`` BPE merges; returns one row per merge:
-    ``(merge_rank, left_sym, right_sym, pair_count)``."""
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared training loop behind the two public entry points:
+    returns (merges, final vocabulary — each word with its post-merge
+    symbol array, UNPERSISTED lazy lineage: corpus scan + k narrow
+    folds, recomputable in one pass)."""
     # Persist discipline (same reason as perceptron_distill's): each
     # round's argmax is an action, so without a persisted vocabulary
     # round r would recompute the corpus scan + word groupBy + r−1
@@ -129,7 +131,60 @@ def bpe_train_merges(
         vocab.unpersist()
         vocab = new_vocab
     vocab.unpersist()
+    return merges, vocab
+
+
+def bpe_train_merges(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges; returns one row per merge:
+    ``(merge_rank, left_sym, right_sym, pair_count)``."""
+    merges, _ = _train(spark, docs, text_col, k)
     return spark.createDataFrame(
         merges or [],
         "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_token_counts(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Train the first ``k`` merges, then APPLY the learned tokenizer
+    to the whole corpus: per document, the word count and the BPE
+    symbol count under the final merge table —
+    ``(id, n_words, n_tokens)``. The train→apply composition is the
+    production shape (learn on the vocabulary once, tokenize by
+    joining words to their memoized symbolization — no per-document
+    re-segmentation), and the join is exactly how a corpus-scale
+    tokenizer amortizes: the vocabulary table is tiny next to the
+    corpus and broadcast-joins onto the exploded words."""
+    _, vocab = _train(spark, docs, text_col, k)
+    word_syms = vocab.select("word", F.size("arr").alias("n_sym"))
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        doc_words.join(word_syms, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
     )

@@ -3455,3 +3455,73 @@ def bpe_merge_training(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return bpe_train_merges(spark, docs, k=4)
+
+
+def _bpe_apply_oracle(k: int = 4) -> str:
+    """The train→apply twin of _bpe_oracle: the same unrolled k-round
+    trajectory, then every document's words joined to the final
+    vocabulary's symbolization and counted."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    steps = ",".join(_bpe_step_sql(i) for i in range(1, k + 1))
+    return f"""
+WITH RECURSIVE wv AS (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM documents)
+    WHERE w != '' GROUP BY w
+), w0 AS (
+    SELECT word, cnt,
+           '  ' || array_to_string(
+               list_transform(range(1, length(word) + 1), i -> word[i]), '  ')
+           || '  ' AS s
+    FROM wv
+),{steps}, wn AS (
+    SELECT word,
+           CAST(len(list_filter(string_split(s, ' '), x -> x != ''))
+               AS BIGINT) AS n_sym
+    FROM w{k}
+), dw AS (
+    SELECT doc_id, w AS word
+    FROM (SELECT doc_id, unnest(string_split({norm}, ' ')) AS w
+          FROM documents)
+    WHERE w != ''
+), per_doc AS (
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wn.n_sym) AS BIGINT) AS n_tokens
+    FROM dw JOIN wn USING (word) GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query(
+    "bpe_apply_token_counts",
+    tags=("text", "tokenizer", "bpe", "training", "apply"),
+    oracle=_bpe_apply_oracle(4),
+)
+def bpe_apply_token_counts(spark, sf_dir):
+    """The train→APPLY half of the BPE story (bpe_merge_training
+    attests the learned merges; this attests tokenizing the corpus
+    WITH them): the engine learns the first 4 merges, then joins
+    every document's words to the final vocabulary's memoized
+    symbolization and emits per-doc word and BPE-token counts. The
+    DuckDB oracle re-derives the entire thing — the 4-round training
+    trajectory AND the per-document application — so a defect in
+    either half (or in their composition: applying merges in the
+    wrong order, re-segmenting instead of joining) fails the hash.
+
+    Shape at 100 TB: training touches only the deduplicated
+    vocabulary (see bpe_merge_training); application is ONE
+    broadcast join of the tiny vocabulary onto the exploded corpus
+    words plus a doc-keyed count — the memoized-symbolization shape
+    production tokenizers use, with no per-document re-segmentation
+    anywhere."""
+    from data_warehouse_migration_spark.operators.tokenizer import (
+        bpe_token_counts,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_token_counts(spark, docs, k=4)

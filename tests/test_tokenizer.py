@@ -138,3 +138,38 @@ def test_degenerate_corpus(spark):
     # single-char words have no pairs: zero merges, empty result
     df = spark.createDataFrame([("a b c d",)], "text string")
     assert bpe_train_merges(spark, df, k=3).count() == 0
+
+
+def test_apply_token_counts_matches_scalar(spark):
+    from data_warehouse_migration_spark.operators.tokenizer import (
+        bpe_token_counts,
+    )
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat"),
+        (3, "a mat on a cat"),
+        (4, "tttt aaa the the"),
+        (5, ""),  # zero words → (0, 0) via the left join
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    k = 3
+    # scalar: train, then symbolize each doc's words with the final vocab
+    words = {}
+    for _, text in corpus:
+        for w in " ".join(text.lower().split()).split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    vocab = {w: list(w) for w in words}
+    for _, left, right, _ in _ref_train([t for _, t in corpus], k):
+        for w in vocab:
+            vocab[w] = _greedy_apply(vocab[w], left, right)
+    expect = {}
+    for did, text in corpus:
+        ws = [w for w in " ".join(text.lower().split()).split(" ") if w]
+        expect[did] = (len(ws), sum(len(vocab[w]) for w in ws))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(spark, df, k=k).collect()
+    }
+    assert got == expect

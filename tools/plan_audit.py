@@ -161,6 +161,7 @@ EXTRA_AUDIT = (
     "dataset_release_chain",
     "media_gif_decode",
     "bpe_merge_training",
+    "bpe_apply_token_counts",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
