@@ -34,13 +34,16 @@ What is REAL here — and implemented from the public specs alone
   pathological depth-limit overflow falls back to a fixed block
   rather than emitting an invalid stream.
 
-- paletted images (color type 3): PLTE parse, index unfiltering
-  (bpp = 1, filters act on index bytes per spec), palette lookup on
-  decode; ``encode_png(indices, palette=...)`` on the fixture side.
+- ALL FIVE color types at 8-bit depth: gray, gray+alpha, RGB, RGBA,
+  and paletted (PLTE parse, index unfiltering — bpp = 1, filters act
+  on index bytes per spec — palette lookup on decode;
+  ``encode_png(indices, palette=...)`` on the fixture side);
+- Adam7 interlacing, both directions: the seven passes each filter
+  as an independent image and scatter/gather by the standard
+  (row, col) offset/step grid.
 
-What is honestly absent (each raises ``NotImplementedError`` with the
-reason rather than guessing): bit depths other than 8, alpha images
-(color types 4/6), Adam7 interlacing, and ancillary-chunk semantics
+What is honestly absent (raises with the reason rather than
+guessing): bit depths other than 8, and ancillary-chunk semantics
 (they are skipped, as the spec allows — including tRNS, so a
 transparent palette entry decodes to its palette COLOR, as in the
 GIF tier).
@@ -640,6 +643,65 @@ def _unfilter_row(
     return out.astype(np.uint8)
 
 
+# --- Adam7 interlacing (RFC 2083 §2.6) --------------------------------------
+
+#: (row_start, row_step, col_start, col_step) per pass, in order —
+#: note the column step HALVES on the odd-row passes (3/5/7 sweep
+#: the full width at their row stride; the canonical 8×8 stencil in
+#: the spec is the authority here).
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (0, 8, 4, 8),
+    (4, 8, 0, 4),
+    (0, 4, 2, 4),
+    (2, 4, 0, 2),
+    (0, 2, 1, 2),
+    (1, 2, 0, 1),
+)
+
+
+def _serialize_image(
+    px: np.ndarray, bpp: int, filter_mode: int | str
+) -> bytearray:
+    """(rows, stride) raw pixels of ONE (sub-)image → filter-typed
+    scanline bytes. The prior row resets here, because each Adam7
+    pass filters as an independent image (per spec)."""
+    raw = bytearray()
+    prior = np.zeros(px.shape[1], dtype=np.uint8)
+    for y in range(px.shape[0]):
+        ftype = (y % 5) if filter_mode == "cycle" else int(filter_mode)
+        raw.append(ftype)
+        raw += _filter_row(ftype, px[y], prior, bpp).tobytes()
+        prior = px[y]
+    return raw
+
+
+def _deserialize_image(
+    raw: bytes, pos: int, rows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Inverse of :func:`_serialize_image`: consume ``rows`` scanlines
+    starting at ``pos``; returns ((rows, stride) pixels, new pos)."""
+    need = rows * (1 + stride)
+    if pos + need > len(raw):
+        raise ValueError("decompressed image data truncated")
+    arr = np.frombuffer(raw[pos : pos + need], dtype=np.uint8).reshape(
+        rows, 1 + stride
+    )
+    out = np.zeros((rows, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(rows):
+        out[y] = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prior, bpp)
+        prior = out[y]
+    return out, pos + need
+
+
+def _pass_dims(h: int, w: int, p: tuple[int, int, int, int]) -> tuple[int, int]:
+    r0, rs, c0, cs = p
+    ph = (h - r0 + rs - 1) // rs if h > r0 else 0
+    pw = (w - c0 + cs - 1) // cs if w > c0 else 0
+    return ph, pw
+
+
 # --- container ---------------------------------------------------------------
 
 
@@ -657,16 +719,19 @@ def encode_png(
     deflate: str = "stored",
     filter_mode: int | str = "cycle",
     palette: np.ndarray | None = None,
+    interlace: bool = False,
 ) -> bytes:
-    """Encode an 8-bit grayscale (h,w) or RGB (h,w,3) array — or,
-    with ``palette`` given, a color-type-3 paletted image where
-    ``img`` is (h,w) palette INDICES and ``palette`` is (n,3) RGB
-    (n ≤ 256; the PLTE chunk).
+    """Encode an 8-bit grayscale (h,w), gray+alpha (h,w,2), RGB
+    (h,w,3), or RGBA (h,w,4) array — or, with ``palette`` given, a
+    color-type-3 paletted image where ``img`` is (h,w) palette
+    INDICES and ``palette`` is (n,3) RGB (n ≤ 256; the PLTE chunk).
 
     ``filter_mode``: an int 0-4 applies that filter to every row;
     ``"cycle"`` applies ``y % 5`` so one image exercises all five
     filter inverses (filters operate on the index BYTES for paletted
-    images, per spec). ``deflate``: ``"stored"`` or ``"fixed"``.
+    images, per spec). ``deflate``: ``"stored"``, ``"fixed"`` or
+    ``"dynamic"``. ``interlace=True`` writes the seven Adam7 passes,
+    each filtered as an independent image.
     """
     img = np.asarray(img, dtype=np.uint8)
     plte: bytes | None = None
@@ -679,31 +744,36 @@ def encode_png(
         if int(img.max(initial=0)) >= palette.shape[0]:
             raise ValueError("palette index out of range")
         color_type, channels = 3, 1
-        h, w = img.shape
-        flat = img
         plte = palette.tobytes()
     elif img.ndim == 2:
         color_type, channels = 0, 1
-        h, w = img.shape
-        flat = img
-    elif img.ndim == 3 and img.shape[2] == 3:
-        color_type, channels = 2, 3
-        h, w = img.shape[:2]
-        flat = img.reshape(h, w * 3)
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        color_type = {2: 4, 3: 2, 4: 6}[img.shape[2]]
+        channels = img.shape[2]
     else:
-        raise ValueError("expected (h,w) gray or (h,w,3) RGB uint8")
-    bpp = channels
+        raise ValueError(
+            "expected (h,w) gray/indices, (h,w,2) gray+alpha, (h,w,3) RGB,"
+            " or (h,w,4) RGBA uint8"
+        )
+    h, w = img.shape[:2]
+    pixels = img.reshape(h, w, channels)
     raw = bytearray()
-    prior = np.zeros(w * channels, dtype=np.uint8)
-    for y in range(h):
-        ftype = (y % 5) if filter_mode == "cycle" else int(filter_mode)
-        raw.append(ftype)
-        raw += _filter_row(ftype, flat[y], prior, bpp).tobytes()
-        prior = flat[y]
+    if interlace:
+        for p in _ADAM7:
+            r0, rs, c0, cs = p
+            ph, pw = _pass_dims(h, w, p)
+            if ph == 0 or pw == 0:
+                continue
+            sub = pixels[r0::rs, c0::cs, :].reshape(ph, pw * channels)
+            raw += _serialize_image(sub, channels, filter_mode)
+    else:
+        raw += _serialize_image(
+            pixels.reshape(h, w * channels), channels, filter_mode
+        )
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])  # depth, color, comp, filter, interlace
+        + bytes([8, color_type, 0, 0, 1 if interlace else 0])
     )
     out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
     if plte is not None:
@@ -716,9 +786,11 @@ def encode_png(
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode 8-bit gray/RGB non-interlaced PNG → uint8 array
-    ((h,w) or (h,w,3)). CRC-verified chunk walk; multiple IDATs are
-    concatenated per spec; ancillary chunks are skipped."""
+    """Decode an 8-bit PNG of any color type — gray (h,w), gray+alpha
+    (h,w,2), RGB (h,w,3), RGBA (h,w,4), paletted (returned as the
+    looked-up (h,w,3) RGB) — interlaced or not. CRC-verified chunk
+    walk; multiple IDATs are concatenated per spec; ancillary chunks
+    are skipped."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -755,32 +827,34 @@ def decode_png(data: bytes) -> np.ndarray:
     depth, color_type, comp, filt, interlace = ihdr[8:13]
     if depth != 8:
         raise NotImplementedError(f"bit depth {depth} (only 8-bit)")
-    if color_type not in (0, 2, 3):
-        raise NotImplementedError(
-            f"color type {color_type} (alpha not implemented)"
-        )
+    if color_type not in (0, 2, 3, 4, 6):
+        raise ValueError(f"color type {color_type} is not defined by the spec")
     if comp != 0 or filt != 0:
         raise ValueError("undefined compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing")
-    channels = 3 if color_type == 2 else 1
+    if interlace not in (0, 1):
+        raise ValueError(f"interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib_decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (1 + stride):
+    pixels = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    passes = _ADAM7 if interlace else ((0, 1, 0, 1),)
+    for p in passes:
+        r0, rs, c0, cs = p
+        ph, pw = _pass_dims(h, w, p)
+        if ph == 0 or pw == 0:
+            continue
+        sub, pos = _deserialize_image(raw, pos, ph, pw * channels, channels)
+        pixels[r0::rs, c0::cs, :] = sub.reshape(ph, pw, channels)
+    if pos != len(raw):
         raise ValueError(
-            f"decompressed size {len(raw)} != expected {h * (1 + stride)}"
+            f"decompressed size {len(raw)} != consumed {pos}"
         )
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        out[y] = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prior, channels)
-        prior = out[y]
     if color_type == 3:
         if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
             raise ValueError("paletted image without a valid PLTE chunk")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        if int(out.max(initial=0)) >= pal.shape[0]:
+        idx = pixels[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("palette index out of range")
-        return pal[out]
-    return out if channels == 1 else out.reshape(h, w, 3)
+        return pal[idx]
+    return pixels[:, :, 0] if channels == 1 else pixels

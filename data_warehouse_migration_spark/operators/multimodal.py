@@ -558,10 +558,14 @@ def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
         img = ((aid * 3 + y * 7 + x * 11 + c * 29) % 256).astype(np.uint8)
         # all three deflate encoders rotate through the gate: stored
         # (even ids), literals-only fixed (ids ≡ 1 mod 4), and the
-        # real LZ77 + learned-codes dynamic encoder (ids ≡ 3 mod 4)
+        # real LZ77 + learned-codes dynamic encoder (ids ≡ 3 mod 4);
+        # ids ≡ 0 mod 5 additionally transmit INTERLACED (Adam7, all
+        # seven passes filtered independently) — lossless either way,
+        # so the closed form is unchanged.
         deflate = (
             "stored" if aid % 2 == 0 else ("fixed" if aid % 4 == 1 else "dynamic")
         )
+        interlace = aid % 5 == 0
         if aid % 3 == 0:
             # color-type-3 leg: pixel color is a function of
             # s = (aid*3 + y*7 + x*11) mod 256, so the palette is the
@@ -573,9 +577,13 @@ def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
             pal = np.stack(
                 [uniq, (uniq + 29) % 256, (uniq + 58) % 256], axis=1
             ).astype(np.uint8)
-            payload = encode_png(idx, deflate, "cycle", palette=pal)
+            payload = encode_png(
+                idx, deflate, "cycle", palette=pal, interlace=interlace
+            )
         else:
-            payload = encode_png(img, deflate, filter_mode="cycle")
+            payload = encode_png(
+                img, deflate, filter_mode="cycle", interlace=interlace
+            )
         dec = decode_png(payload)
         return int(dec.shape[1]), int(dec.shape[0]), int(dec.astype("int64").sum())
 

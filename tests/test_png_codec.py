@@ -119,18 +119,90 @@ def _patch_ihdr(data: bytes, offset_in_ihdr: int, value: int) -> bytes:
     return bytes(out)
 
 
-def test_honest_absences_raise():
+def test_honest_absences_and_hard_errors():
     base = P.encode_png(np.zeros((4, 4), dtype=np.uint8))
     with pytest.raises(NotImplementedError, match="bit depth"):
         P.decode_png(_patch_ihdr(base, 8, 16))  # 16-bit
-    with pytest.raises(NotImplementedError, match="color type"):
-        P.decode_png(_patch_ihdr(base, 9, 4))  # gray+alpha
-    with pytest.raises(NotImplementedError, match="interlac"):
-        P.decode_png(_patch_ihdr(base, 12, 1))  # Adam7
+    with pytest.raises(ValueError, match="color type"):
+        P.decode_png(_patch_ihdr(base, 9, 7))  # undefined type
     # color type 3 is IMPLEMENTED — but claiming it without a PLTE
     # chunk is a hard error, not a silent gray read
     with pytest.raises(ValueError, match="PLTE"):
         P.decode_png(_patch_ihdr(base, 9, 3))
+    # claiming alpha (type 4) on gray-sized data is a size error,
+    # not a crash or a short read
+    with pytest.raises(ValueError, match="truncated|consumed"):
+        P.decode_png(_patch_ihdr(base, 9, 4))
+
+
+@pytest.mark.parametrize("channels", [2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_alpha_roundtrip(channels, interlace):
+    img = _rng().randint(0, 256, (9, 7, channels)).astype(np.uint8)
+    out = P.decode_png(P.encode_png(img, "dynamic", "cycle", interlace=interlace))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (2, 3), (7, 5), (8, 8), (9, 10, 3), (33, 17, 3)]
+)
+def test_adam7_roundtrip(shape):
+    """Interlaced round-trips across shapes that exercise empty
+    passes (anything narrower/shorter than the pass offsets)."""
+    img = _rng().randint(0, 256, shape).astype(np.uint8)
+    for fm in (0, 4, "cycle"):
+        out = P.decode_png(P.encode_png(img, "stored", fm, interlace=True))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_adam7_stencil_matches_spec():
+    """Round-trips cannot catch a WRONG-but-symmetric pass table
+    (encoder and decoder would agree on the wrong grid — exactly the
+    first-cut bug on passes 3/5/7), so pin the canonical 8×8 stencil
+    from the PNG spec cell by cell."""
+    spec = [
+        "16462646",
+        "77777777",
+        "56565656",
+        "77777777",
+        "36463646",
+        "77777777",
+        "56565656",
+        "77777777",
+    ]
+    got = np.zeros((8, 8), dtype=int)
+    for k, (r0, rs, c0, cs) in enumerate(P._ADAM7, start=1):
+        got[r0::rs, c0::cs] = k
+    for y in range(8):
+        for x in range(8):
+            assert got[y, x] == int(spec[y][x]), (y, x)
+
+
+def test_adam7_paletted_roundtrip():
+    rng = _rng()
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (11, 6)).astype(np.uint8)
+    out = P.decode_png(P.encode_png(idx, "fixed", "cycle", palette=pal, interlace=True))
+    assert (out == pal[idx]).all()
+
+
+def test_decodes_real_world_pngs():
+    """Interop with real encoders: every PNG shipped with this
+    CPython (RGBA and paletted, produced by real-world tooling) must
+    decode to plausible pixels."""
+    import idlelib
+    import os
+
+    icons = os.path.join(os.path.dirname(idlelib.__file__), "Icons")
+    pngs = sorted(f for f in os.listdir(icons) if f.endswith(".png"))
+    assert len(pngs) >= 3, "expected CPython's idlelib PNG icons"
+    for name in pngs:
+        with open(os.path.join(icons, name), "rb") as f:
+            img = P.decode_png(f.read())
+        assert img.ndim == 3 and img.shape[2] in (3, 4), name
+        assert img.shape[0] > 0 and img.shape[1] > 0, name
 
 
 @pytest.mark.parametrize("filter_mode", [0, 1, 2, 3, 4, "cycle"])
