@@ -42,8 +42,13 @@ What is REAL here — and implemented from the public specs alone
   as an independent image and scatter/gather by the standard
   (row, col) offset/step grid.
 
+- 16-bit samples (big-endian pairs; filters run on the raw bytes
+  with ``bpp = channels·2`` per spec), every non-palette color type,
+  interlaced or not.
+
 What is honestly absent (raises with the reason rather than
-guessing): bit depths other than 8, and ancillary-chunk semantics
+guessing): sub-byte bit depths (1/2/4 packing), and ancillary-chunk
+semantics
 (they are skipped, as the spec allows — including tRNS, so a
 transparent palette entry decodes to its palette COLOR, as in the
 GIF tier).
@@ -733,9 +738,14 @@ def encode_png(
     ``"dynamic"``. ``interlace=True`` writes the seven Adam7 passes,
     each filtered as an independent image.
     """
-    img = np.asarray(img, dtype=np.uint8)
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError("expected uint8 (8-bit) or uint16 (16-bit) samples")
     plte: bytes | None = None
     if palette is not None:
+        if depth != 8:
+            raise ValueError("paletted images are 8-bit indices per spec")
         palette = np.asarray(palette, dtype=np.uint8)
         if img.ndim != 2:
             raise ValueError("paletted image must be (h,w) indices")
@@ -753,10 +763,23 @@ def encode_png(
     else:
         raise ValueError(
             "expected (h,w) gray/indices, (h,w,2) gray+alpha, (h,w,3) RGB,"
-            " or (h,w,4) RGBA uint8"
+            " or (h,w,4) RGBA"
         )
     h, w = img.shape[:2]
-    pixels = img.reshape(h, w, channels)
+    # Filters operate on BYTES with bpp = channels·(depth/8); 16-bit
+    # samples serialize big-endian, so view each pixel row as bytes.
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
+    if depth == 16:
+        rows_bytes = (
+            img.reshape(h, w * channels)
+            .astype(">u2")
+            .view(np.uint8)
+            .reshape(h, w * channels * 2)
+        )
+    else:
+        rows_bytes = img.reshape(h, w * channels)
+    pixels = rows_bytes.reshape(h, w, channels * sample_bytes)
     raw = bytearray()
     if interlace:
         for p in _ADAM7:
@@ -764,16 +787,14 @@ def encode_png(
             ph, pw = _pass_dims(h, w, p)
             if ph == 0 or pw == 0:
                 continue
-            sub = pixels[r0::rs, c0::cs, :].reshape(ph, pw * channels)
-            raw += _serialize_image(sub, channels, filter_mode)
+            sub = pixels[r0::rs, c0::cs, :].reshape(ph, pw * bpp)
+            raw += _serialize_image(sub, bpp, filter_mode)
     else:
-        raw += _serialize_image(
-            pixels.reshape(h, w * channels), channels, filter_mode
-        )
+        raw += _serialize_image(pixels.reshape(h, w * bpp), bpp, filter_mode)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 1 if interlace else 0])
+        + bytes([depth, color_type, 0, 0, 1 if interlace else 0])
     )
     out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
     if plte is not None:
@@ -825,17 +846,23 @@ def decode_png(data: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, comp, filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} (only 8-bit)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"bit depth {depth} (sub-byte sample packing not implemented)"
+        )
     if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"color type {color_type} is not defined by the spec")
+    if depth == 16 and color_type == 3:
+        raise ValueError("paletted images are 8-bit indices per spec")
     if comp != 0 or filt != 0:
         raise ValueError("undefined compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
     raw = zlib_decompress(bytes(idat))
-    pixels = np.zeros((h, w, channels), dtype=np.uint8)
+    pixels = np.zeros((h, w, bpp), dtype=np.uint8)
     pos = 0
     passes = _ADAM7 if interlace else ((0, 1, 0, 1),)
     for p in passes:
@@ -843,11 +870,21 @@ def decode_png(data: bytes) -> np.ndarray:
         ph, pw = _pass_dims(h, w, p)
         if ph == 0 or pw == 0:
             continue
-        sub, pos = _deserialize_image(raw, pos, ph, pw * channels, channels)
-        pixels[r0::rs, c0::cs, :] = sub.reshape(ph, pw, channels)
+        sub, pos = _deserialize_image(raw, pos, ph, pw * bpp, bpp)
+        pixels[r0::rs, c0::cs, :] = sub.reshape(ph, pw, bpp)
     if pos != len(raw):
         raise ValueError(
             f"decompressed size {len(raw)} != consumed {pos}"
+        )
+    if depth == 16:
+        # big-endian byte pairs → native uint16 (filters ran on the
+        # raw bytes, per spec; `pixels` is a fresh contiguous array,
+        # so the 2-byte view is valid)
+        pixels = (
+            pixels.reshape(h, w * channels, 2)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w, channels)
         )
     if color_type == 3:
         if plte is None or len(plte) % 3 != 0 or len(plte) == 0:

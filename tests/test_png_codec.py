@@ -122,7 +122,11 @@ def _patch_ihdr(data: bytes, offset_in_ihdr: int, value: int) -> bytes:
 def test_honest_absences_and_hard_errors():
     base = P.encode_png(np.zeros((4, 4), dtype=np.uint8))
     with pytest.raises(NotImplementedError, match="bit depth"):
-        P.decode_png(_patch_ihdr(base, 8, 16))  # 16-bit
+        P.decode_png(_patch_ihdr(base, 8, 4))  # sub-byte packing
+    # 16-bit is IMPLEMENTED — claiming it over 8-bit-sized data is a
+    # hard size error, not a short read
+    with pytest.raises(ValueError, match="truncated|consumed"):
+        P.decode_png(_patch_ihdr(base, 8, 16))
     with pytest.raises(ValueError, match="color type"):
         P.decode_png(_patch_ihdr(base, 9, 7))  # undefined type
     # color type 3 is IMPLEMENTED — but claiming it without a PLTE
