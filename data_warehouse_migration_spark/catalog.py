@@ -115,25 +115,26 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 10 window (ROTATION.md has the full ledger) — drain the nine
-# r10 debt rows (VERDICT r9 action #1), then fill the free slots with
-# the oldest standing rows:
+# Round 11 window (ROTATION.md has the full ledger) — drain the 16-row
+# r11 head-of-line (VERDICT r10 action #2), then spend the free slots
+# on this round's changed-code re-attests and new gates:
 # (a) parity core (warehouse module) + ALL 19 bench headliners stay
-#     pinned, as every round.
-# (b) the nine debt rows, head-of-line: the sanctioned r9 spill
-#     decontaminate_against_eval (r4 row), the changed-code re-attest
-#     media_feature_extract_real (r5 row voided — _decode_real_asset
-#     gained the jpeg branch in r9), and the 7 never-attested r9
-#     registrations (quality_classifier_trained, streaming_span_islands,
-#     media_jpeg_decode, media_jpeg_color_decode, media_jpeg_420_decode,
-#     decontaminate_substring_indexed, span_islands_scrub).
-# (c) 14 of the 23 r7-stale entries (last attested CORRECTNESS_r07,
-#     code unchanged since — the oldest rows anywhere in the ledger
-#     after the r9 drain). New round-10 registrations displace these
-#     fillers newest-code-first as they land (never-attested new code
-#     outranks an unchanged r7-green re-attest); displaced fillers
-#     rejoin the r11 head-of-line with the 9 not rotated in.
-_WINDOW_R10 = (
+#     pinned, as every round. text_quality's r11 row doubles as the
+#     Unicode-migration re-attest (its tokenization swapped to the
+#     unicode_* family this round).
+# (b) the 16 debt rows, head-of-line: the 9 r7-stale entries never
+#     rotated since CORRECTNESS_r07 plus the 7 fillers the r10
+#     registrations displaced (all have standing green rows, code
+#     unchanged — this is freshness debt, not correctness risk).
+# (c) the round-11 changed-code re-attests (Unicode tokenization
+#     migration: word_frequency_topk, doc_token_entropy; BPE family:
+#     oracle empty-merge fix (ADVICE r10 #1) + Unicode pre-tokenizer;
+#     media_png_decode: sub-byte depths) and the new r11 gates,
+#     appended as they land. Out-of-window voided rows this round
+#     (media_feature_extract_real — umbrella over the codec changes;
+#     gopher_quality_rules if its migration slips to r12) are tracked
+#     as r12 head-of-line in ROTATION.md.
+_WINDOW_R11 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -152,49 +153,41 @@ _WINDOW_R10 = (
     "curation_pipeline_v3",
     "semdedup_embeddings",
     "containment_quote_pairs",
-    # (b) the nine debt rows.
-    "decontaminate_against_eval",
-    "media_feature_extract_real",
-    "quality_classifier_trained",
-    "streaming_span_islands",
-    "media_jpeg_decode",
-    "media_jpeg_color_decode",
-    "media_jpeg_420_decode",
-    "decontaminate_substring_indexed",
-    "span_islands_scrub",
-    # (c) r7-stale fillers (CORRECTNESS_r07 rows, code unchanged).
-    "quantile_normalize_lengths",
-    "spearman_length_vs_novelty",
-    "hdr_quantile_sketch",
-    "streaming_hdr_quantiles",
-    "bloom_prefilter_dedup",
-    "salted_event_totals",
-    "similarity_ivf_topk",
-    # round-10 registrations displace fillers newest-code-first
-    # (rag_retrieval_pipeline, curation_pipeline_v4,
-    # streaming_rolling_wau, bitmap_distinct_roaring,
-    # streaming_semdedup_ingest, streaming_ingest_dedup, then
-    # streaming_rollup_maintenance — their r7 rows stand).
-    "media_png_decode",
-    "quality_classifier_training",
-    "unicode_tokenization_parity",
-    "dataset_release_chain",
-    "media_gif_decode",
+    # (b) the 16-row debt drain: 9 r7-stale entries...
+    "temperature_mix_weights",
+    "contamination_overlap_scores",
+    "bitmap_distinct_rollup",
+    "rolling_weekly_active_users",
+    "heavy_hitters_cms",
+    "media_resize_real",
+    "ohlc_hourly_candlesticks",
+    "cohort_weekly_retention",
+    "dataset_card_summary",
+    # ...plus the 7 r10-displaced fillers (r7 rows standing).
+    "rag_retrieval_pipeline",
+    "curation_pipeline_v4",
+    "streaming_rolling_wau",
+    "bitmap_distinct_roaring",
+    "streaming_semdedup_ingest",
+    "streaming_ingest_dedup",
+    "streaming_rollup_maintenance",
+    # (c) r11 changed-code re-attests + new gates (appended as they
+    # land; final count must bring _FIRST to exactly 50).
     "bpe_merge_training",
     "bpe_apply_token_counts",
+    "word_frequency_topk",
+    "doc_token_entropy",
+    "media_png_decode",
 )
-# Displaced to make room — the full r9 drain set (the 14 never-
-# attested late-r7/r8 registrations and nine r4-stale rows): all
-# attested fresh in CORRECTNESS_r09.json with code unchanged since.
-# After this window lands green the attestation-debt backlog is empty
-# for the first time: every row is r7-or-newer and the only r11
-# candidates are the 9 remaining r7-stale entries plus whatever r10
-# registers.
+# Displaced to make room: the r10 window's debt-drain rows and r10
+# registrations all landed fresh CORRECTNESS_r10 rows; with code
+# unchanged those stand (media_png_decode, the BPE pair, and the text
+# queries above are back BECAUSE their code changes this round).
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R10,
+    *_WINDOW_R11,
 )
 
 

@@ -23,17 +23,21 @@ def test_oracle_keys_subset_of_queries():
 def test_attestation_window_membership():
     """The driver attests the first 50 registry entries (ROTATION.md).
 
-    The first-50 slice must BE catalog._FIRST in order (the strong
-    form, ADVICE r5), and the r10 rotation targets — all 19 bench
-    headliners and the nine debt rows (the decontaminate_against_eval
-    spill, the media_feature_extract_real changed-code re-attest, and
-    the 7 never-attested r9 registrations) — must sit inside it so a
-    future registration can't silently displace them.
+    The window prefix must BE catalog._FIRST in order (the strong
+    form, ADVICE r5), the FULL _WINDOW_R11 tuple must sit inside the
+    first 50 (the containment form, ADVICE r10 #2 — so a future
+    registration can't silently displace a gate), and the r11
+    rotation targets — all 19 bench headliners, the 16-row debt
+    drain, and the changed-code re-attests — are pinned by name.
     """
-    from data_warehouse_migration_spark.catalog import _FIRST
+    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R11
 
     names = list(entry_mod.queries())
-    assert names[:50] == list(_FIRST)
+    assert len(_FIRST) <= 50  # == 50 once the round's registrations land
+    assert names[: len(_FIRST)] == list(_FIRST)
+    assert set(_WINDOW_R11) <= set(names[:50]), (
+        set(_WINDOW_R11) - set(names[:50])
+    )
     pinned = [
         # parity core
         "jde_silver_clean",
@@ -58,18 +62,30 @@ def test_attestation_window_membership():
         "curation_pipeline_v3",
         "semdedup_embeddings",
         "containment_quote_pairs",
-        # r10: the nine debt rows — the sanctioned r9 spill, the
-        # changed-code re-attest (jpeg branch in _decode_real_asset),
-        # and the 7 never-attested r9 registrations.
-        "decontaminate_against_eval",
-        "media_feature_extract_real",
-        "quality_classifier_trained",
-        "streaming_span_islands",
-        "media_jpeg_decode",
-        "media_jpeg_color_decode",
-        "media_jpeg_420_decode",
-        "decontaminate_substring_indexed",
-        "span_islands_scrub",
+        # r11: the 16-row debt drain (VERDICT r10 action #2).
+        "temperature_mix_weights",
+        "contamination_overlap_scores",
+        "bitmap_distinct_rollup",
+        "rolling_weekly_active_users",
+        "heavy_hitters_cms",
+        "media_resize_real",
+        "ohlc_hourly_candlesticks",
+        "cohort_weekly_retention",
+        "dataset_card_summary",
+        "rag_retrieval_pipeline",
+        "curation_pipeline_v4",
+        "streaming_rolling_wau",
+        "bitmap_distinct_roaring",
+        "streaming_semdedup_ingest",
+        "streaming_ingest_dedup",
+        "streaming_rollup_maintenance",
+        # r11: changed-code re-attests (Unicode migration, BPE oracle
+        # fix, PNG sub-byte depths).
+        "bpe_merge_training",
+        "bpe_apply_token_counts",
+        "word_frequency_topk",
+        "doc_token_entropy",
+        "media_png_decode",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
