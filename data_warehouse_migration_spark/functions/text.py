@@ -88,6 +88,61 @@ def unicode_bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+#: DuckDB-side twin of :func:`unicode_normalized_text` for oracle SQL
+#: (RE2 reads the class identically to Java regex — parity pinned by
+#: the `unicode_tokenization_parity` gate). Call with the column name.
+def unicode_norm_sql(col: str = "text") -> str:
+    return (
+        f"trim(regexp_replace(lower({col}), "
+        "'[\\t\\n\\x0B\\f\\r\\p{Z}]+', ' ', 'g'))"
+    )
+
+
+#: DuckDB-side twin of :func:`unicode_tokens` (a LIST expression).
+def unicode_tokens_sql(col: str = "text") -> str:
+    return (
+        f"list_filter(string_split({unicode_norm_sql(col)}, ' '), "
+        "t -> t != '')"
+    )
+
+
+def unicode_stopword_ratio(text: Column) -> Column:
+    """Stopword density under Unicode tokenization (empty docs → 0.0).
+    Same fixed STOPWORDS list — the markers are English, so this is a
+    per-language signal; multilingual corpora pair it with lang-ID."""
+    toks = unicode_tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(toks)
+    )
+
+
+def unicode_avg_token_len(text: Column) -> Column:
+    """Mean token length (code points) under Unicode tokenization."""
+    toks = unicode_tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def unicode_quality_score(text: Column) -> Column:
+    """:func:`quality_score`'s closed form over the Unicode token
+    stream — identical weights and thresholds, so on pure-ASCII text
+    the two scores agree (the parity gate's conservative-
+    generalization property); on multilingual text this one stops
+    under-counting CJK/accented words."""
+    n = unicode_token_count(text)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw = unicode_stopword_ratio(text)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.3))
+    tl = unicode_avg_token_len(text)
+    tl_score = F.when((tl >= 3) & (tl <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + sw_score + tl_score) / 3, 6)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

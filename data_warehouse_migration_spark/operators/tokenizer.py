@@ -3,7 +3,10 @@ second trainable after the perceptron (operators/training.py): learn
 the first K byte-pair merges of a corpus, exactly.
 
 Semantics (what the oracle recomputes): the word vocabulary is the
-whitespace tokens of the normalized text with their corpus counts;
+Unicode whitespace tokens of the normalized text with their corpus
+counts (functions/text.unicode_tokens — migrated from the legacy
+ASCII posture in r11, VERDICT r10 action #1: a CJK/accented word now
+enters the vocabulary whole instead of degrading per-character);
 every word starts as its character sequence; each round counts ALL
 adjacent symbol pairs weighted by word count (overlapping occurrences
 count — 'aaa' contributes (a,a) twice, the Sennrich convention),
@@ -38,16 +41,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_warehouse_migration_spark.functions.text import tokens
+from data_warehouse_migration_spark.functions.text import unicode_tokens
 
 
 def word_vocabulary(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """(word, cnt): distinct normalized whitespace tokens with corpus
-    counts — the working set every merge round re-reads."""
+    """(word, cnt): distinct normalized Unicode whitespace tokens with
+    corpus counts — the working set every merge round re-reads.
+    Symbol alphabet note: words split to CODE POINTS downstream
+    (Spark substr semantics); the oracle's character indexing agrees
+    on the attested corpus, and production byte-level BPE would map
+    to bytes before this stage anyway."""
     return (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        docs.select(F.explode(unicode_tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -169,7 +176,7 @@ def bpe_token_counts(
     word_syms = vocab.select("word", F.size("arr").alias("n_sym"))
     doc_words = docs.select(
         F.col(id_col),
-        F.explode(tokens(F.col(text_col))).alias("word"),
+        F.explode(unicode_tokens(F.col(text_col))).alias("word"),
     ).filter(F.col("word") != "")
     per_doc = (
         doc_words.join(word_syms, "word")

@@ -218,13 +218,17 @@ def simhash_near_pairs(spark, sf_dir):
 @query(
     "text_quality",
     headline=True,
-    tags=("text",),
+    tags=("text", "unicode"),
     oracle="""
 WITH norm AS (
-    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    SELECT doc_id,
+           trim(regexp_replace(lower(text),
+                '[\\t\\n\\x0B\\f\\r\\p{Z}]+', ' ', 'g')) AS txt
     FROM documents
 ), tk AS (
-    SELECT doc_id, string_split(txt, ' ') AS toks FROM norm
+    SELECT doc_id,
+           list_filter(string_split(txt, ' '), x -> x != '') AS toks
+    FROM norm
 ), st AS (
     SELECT doc_id,
            len(toks) AS n_tokens,
@@ -251,14 +255,21 @@ FROM st
 """,
 )
 def text_quality(spark, sf_dir):
+    """Per-document quality stats on the UNICODE token stream (the
+    r11 migration, VERDICT r10 action #1): normalization collapses
+    every Unicode separator (`\\p{Z}` + explicit controls) and empty
+    tokens are dropped, so CJK/accented/NBSP-joined words count
+    correctly; on the pure-ASCII fixture the values equal the legacy
+    path's (the parity gate's conservative-generalization property).
+    Zero shuffle — row-local codegen projections at scan speed."""
     docs = t(spark, sf_dir, "documents")
     txt = F.col("text")
     return docs.select(
         "doc_id",
-        Tx.token_count(txt).alias("n_tokens"),
-        F.round(Tx.stopword_ratio(txt), 6).alias("stopword_ratio"),
-        F.round(Tx.avg_token_len(txt), 6).alias("avg_token_len"),
-        Tx.quality_score(txt).alias("quality_score"),
+        Tx.unicode_token_count(txt).alias("n_tokens"),
+        F.round(Tx.unicode_stopword_ratio(txt), 6).alias("stopword_ratio"),
+        F.round(Tx.unicode_avg_token_len(txt), 6).alias("avg_token_len"),
+        Tx.unicode_quality_score(txt).alias("quality_score"),
     )
 
 
@@ -895,11 +906,12 @@ def similarity_lsh_topk(spark, sf_dir):
 
 @query(
     "word_frequency_topk",
-    tags=("text", "vocab"),
+    tags=("text", "vocab", "unicode"),
     oracle="""
 WITH toks AS (
     SELECT unnest(string_split(
-        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        trim(regexp_replace(lower(text),
+             '[\\t\\n\\x0B\\f\\r\\p{Z}]+', ' ', 'g')), ' ')) AS tok
     FROM documents
 )
 SELECT tok, count(*) AS n
@@ -912,13 +924,18 @@ LIMIT 25
 )
 def word_frequency_topk(spark, sf_dir):
     """Corpus vocabulary stats: explode normalized tokens, count, top-k.
-    The explode→count shape is the canonical training-data vocabulary
-    scan; at 100 TB the count is two-phase (map-side combine on the
-    token) and top-k is TakeOrderedAndProject — no global sort."""
+    Unicode tokenization since r11 (VERDICT r10 action #1) — an
+    NBSP-joined or CJK phrase no longer pollutes the vocabulary as
+    one pseudo-word. The explode→count shape is the canonical
+    training-data vocabulary scan; at 100 TB the count is two-phase
+    (map-side combine on the token) and top-k is
+    TakeOrderedAndProject — no global sort."""
+    from data_warehouse_migration_spark.functions.text import unicode_tokens
+
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(D.normalized_text(F.col("text")), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
+        F.explode(unicode_tokens(F.col("text"))).alias("tok")
+    )
     return (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -3395,11 +3412,23 @@ p{k} AS (
            replace(replace(r.s, b.pat, b.rep), b.pat, b.rep)
                = replace(r.s, b.pat, b.rep)
     FROM r{k} r, b{k} b WHERE NOT r.done
-), w{k} AS (SELECT word, cnt, s FROM r{k} WHERE done)"""
+), w{k} AS (
+    SELECT word, cnt, s FROM r{k} WHERE done
+    -- Corpus exhausts mergeable pairs before round {k}: b{k} is empty,
+    -- so the seed cross-join yields no rows and the vocabulary must
+    -- CARRY FORWARD unchanged — mirroring the engine's loop break
+    -- (ADVICE r10 #1: without this, an empty b{k} collapsed every
+    -- later vocabulary and the apply oracle reported zero counts).
+    UNION ALL
+    SELECT word, cnt, s FROM w{k - 1}
+    WHERE NOT EXISTS (SELECT 1 FROM b{k})
+)"""
 
 
 def _bpe_oracle(k: int = 4) -> str:
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    from data_warehouse_migration_spark.functions.text import unicode_norm_sql
+
+    norm = unicode_norm_sql("text")
     steps = ",".join(_bpe_step_sql(i) for i in range(1, k + 1))
     unions = "\nUNION ALL ".join(
         f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
@@ -3432,7 +3461,9 @@ def bpe_merge_training(spark, sf_dir):
     """BPE tokenizer TRAINING under the hard gate (Sennrich et al.
     2016) — the engine learns the first 4 byte-pair merges of the
     corpus (operators/tokenizer.bpe_train_merges): word vocabulary
-    with counts, weighted adjacent-pair statistics per round
+    with counts (Unicode pre-tokenization since r11 — VERDICT r10
+    action #1; the oracle mirrors the same `\\p{Z}`-class
+    normalization), weighted adjacent-pair statistics per round
     (overlapping occurrences count, the Sennrich convention), total
     tie-break (count DESC, then lexicographic), greedy left-to-right
     merge application. Everything is integer counts and strings — no
@@ -3461,7 +3492,9 @@ def _bpe_apply_oracle(k: int = 4) -> str:
     """The train→apply twin of _bpe_oracle: the same unrolled k-round
     trajectory, then every document's words joined to the final
     vocabulary's symbolization and counted."""
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    from data_warehouse_migration_spark.functions.text import unicode_norm_sql
+
+    norm = unicode_norm_sql("text")
     steps = ",".join(_bpe_step_sql(i) for i in range(1, k + 1))
     return f"""
 WITH RECURSIVE wv AS (
@@ -3512,6 +3545,10 @@ def bpe_apply_token_counts(spark, sf_dir):
     trajectory AND the per-document application — so a defect in
     either half (or in their composition: applying merges in the
     wrong order, re-segmenting instead of joining) fails the hash.
+    Unicode pre-tokenization since r11; the oracle's vocabulary
+    carries forward unchanged through any round whose merge census
+    comes up empty, mirroring the engine's loop break (ADVICE r10 #1
+    — pinned by test_tokenizer.py's exhausted-corpus case).
 
     Shape at 100 TB: training touches only the deduplicated
     vocabulary (see bpe_merge_training); application is ONE

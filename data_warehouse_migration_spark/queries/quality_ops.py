@@ -1667,11 +1667,13 @@ def curation_pipeline_v3(spark, sf_dir):
 
 @query(
     "doc_token_entropy",
-    tags=("text", "quality", "entropy"),
+    tags=("text", "quality", "entropy", "unicode"),
     oracle="""
 WITH tok AS (
-    SELECT doc_id, unnest(string_split(
-        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+    SELECT doc_id, unnest(list_filter(string_split(
+        trim(regexp_replace(lower(text),
+             '[\\t\\n\\x0B\\f\\r\\p{Z}]+', ' ', 'g')), ' '),
+        x -> x != '')) AS t
     FROM documents
 ), cnt AS (
     SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
@@ -1700,7 +1702,9 @@ def doc_token_entropy(spark, sf_dir):
     Gopher repetition rules: low entropy ⇒ keyboard-mash / template /
     highly repetitive text even when no single n-gram dominates, low
     TTR ⇒ tiny vocabulary. The flag ANDs both at conventional
-    thresholds (H ≥ 3 nats, TTR ≥ 0.2).
+    thresholds (H ≥ 3 nats, TTR ≥ 0.2). Unicode tokenization since
+    r11 (VERDICT r10 action #1): entropy over the real word stream on
+    multilingual text, not ASCII pseudo-tokens.
 
     Shape at 100 TB: two shuffles, both keyed by doc (token counts,
     entropy fold) — shuffle rows ∝ distinct (doc, token) pairs, text
@@ -1710,10 +1714,12 @@ def doc_token_entropy(spark, sf_dir):
     per-doc sum is partition-order-independent."""
     from pyspark.sql import Window
 
+    from data_warehouse_migration_spark.functions.text import unicode_tokens
+
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
+        F.explode(unicode_tokens(F.col("text"))).alias("t"),
     )
     cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c").over(Window.partitionBy("doc_id"))

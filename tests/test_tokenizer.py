@@ -140,6 +140,61 @@ def test_degenerate_corpus(spark):
     assert bpe_train_merges(spark, df, k=3).count() == 0
 
 
+def test_exhausted_corpus_oracle_carries_vocabulary(spark):
+    """ADVICE r10 #1: when the corpus runs out of mergeable pairs
+    before round k, the engine breaks and keeps the last vocabulary;
+    the oracle's w{k} must carry forward through the empty rounds
+    instead of collapsing to zero rows. Cross-engine on the exact
+    corpus from the advice (only one learnable merge, k=4)."""
+    import duckdb
+
+    import data_warehouse_migration_spark.catalog  # noqa: F401 — registry import order
+    from data_warehouse_migration_spark.operators.tokenizer import (
+        bpe_token_counts,
+    )
+    from data_warehouse_migration_spark.queries.llm_ops import (
+        _bpe_apply_oracle,
+        _bpe_oracle,
+    )
+
+    corpus = [(1, "ab ab ab"), (2, "c d")]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1,'ab ab ab'),(2,'c d')) t(doc_id, text)"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(spark, df, k=4).collect()
+    }
+    want = {d: (n, t) for d, n, t in con.execute(_bpe_apply_oracle(4)).fetchall()}
+    assert got == want == {1: (3, 3), 2: (2, 2)}
+    merges = con.execute(_bpe_oracle(4)).fetchall()
+    engine_merges = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges(spark, df, k=4).orderBy("merge_rank").collect()
+    ]
+    assert engine_merges == merges == [(1, "a", "b", 3)]
+
+
+def test_unicode_pretokenization_vocabulary(spark):
+    """r11 migration: NBSP/ideographic-space-separated words must
+    enter the vocabulary as separate words (the legacy ASCII \\s
+    split treated NBSP as part of the word)."""
+    from data_warehouse_migration_spark.operators.tokenizer import (
+        word_vocabulary,
+    )
+
+    df = spark.createDataFrame(
+        [("ab\u00a0ab",), ("cd\u3000cd",)], "text string"
+    )
+    vocab = {
+        r["word"]: r["cnt"] for r in word_vocabulary(df).collect()
+    }
+    assert vocab == {"ab": 2, "cd": 2}
+
+
 def test_apply_token_counts_matches_scalar(spark):
     from data_warehouse_migration_spark.operators.tokenizer import (
         bpe_token_counts,
