@@ -178,6 +178,7 @@ _WINDOW_R11 = (
     "word_frequency_topk",
     "doc_token_entropy",
     "media_png_decode",
+    "quality_classifier_sgd_training",
 )
 # Displaced to make room: the r10 window's debt-drain rows and r10
 # registrations all landed fresh CORRECTNESS_r10 rows; with code

@@ -42,7 +42,7 @@ aggregates would be needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_migration_spark.functions.text import (
@@ -79,6 +79,149 @@ def _doc_labels(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n = F.size(toks)
     y = F.when((n > 0) & (100 * hits >= 7 * n), F.lit(1)).otherwise(F.lit(-1))
     return docs.select(F.col(id_col), y.cast("int").alias("y"))
+
+
+def _doc_labels01(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, y): 1 iff the integer stopword-density rule fires, else 0 —
+    the logistic-label form of _doc_labels (the offline trainer's
+    exact target, tools/train_quality_classifier.py)."""
+    toks = tokens(F.col(text_col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n = F.size(toks)
+    y = F.when((n > 0) & (100 * hits >= 7 * n), F.lit(1)).otherwise(F.lit(0))
+    return docs.select(F.col(id_col), y.cast("int").alias("y"))
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the semantics BOTH
+    engines share (Spark `div`, DuckDB `//`: −7/3 → −2 in each,
+    verified empirically r11), mirrored here for the driver-side
+    model update so all three computations agree exactly."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+#: Fixed-point scales for logistic_sgd_distill. Chosen so every
+#: intermediate stays far inside int64 at fixture scale and the
+#: hard-sigmoid divisor (4·Q_SCALE·W_SCALE / P_SCALE) is exact.
+Q_SCALE = 1024  # normalized feature x = cnt/n_feats, quantized to x_q/Q
+P_SCALE = 1024  # probabilities/labels, quantized to p_q/P
+W_SCALE = 1000  # weights in milli-units (the inference seam's unit)
+#: Learning rate × W_SCALE at epoch 1; epoch e steps with LR_W // e
+#: (the classic 1/t decay, integer form). Chosen by simulating the
+#: exact quantized recurrence over the sf0.01 corpus: flat schedules
+#: oscillate (full-batch GD overshoot — acc bounces 0.36↔0.90), the
+#: decayed 32M schedule converges to 0.966 training accuracy by
+#: epoch 12 (the float production fit: 0.91 held-out).
+LR_W = 32_000_000
+
+
+def logistic_sgd_distill(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 4096,
+    epochs: int = 12,
+) -> DataFrame:
+    """FIXED-POINT full-batch logistic gradient descent on the engine
+    (VERDICT r10 action #4) — the float production fit
+    (tools/train_quality_classifier.py) re-expressed in scaled-integer
+    arithmetic so the epoch-unroll oracle pattern applies to the
+    LOGISTIC trainer too, not just the perceptron.
+
+    Value-domain recurrence per epoch (quantized as noted):
+      x   = cnt / n_feats_doc          → x_q  = (cnt·Q) div n_tot
+      z   = w·x                        → z_q  = Σ x_q·w_q   (scale Q·W)
+      p̂   = clamp(z/4 + ½, 0, 1)       → p_q  = clamp(z_q div (4QW/P)
+                                                      + P/2, 0, P)
+      r   = p̂ − y                      → r_q  = p_q − y·P
+      g_b = Σ_docs r·x_b               → g_q  = Σ r_q·x_q   (scale P·Q)
+      w_b ← w_b − (λ/e)·g_b/n          → w_q −= ((λW div e)·g_q)
+                                                 div (P·Q·n)
+
+    The hard sigmoid (piecewise-linear σ̂, the quantized-training
+    standard) replaces exp so both engines compute the SAME integers:
+    every division above is truncate-toward-zero — the one integer
+    division semantics Spark (`div`), DuckDB (`//`), and the
+    driver-side Python update (:func:`_tdiv`) agree on exactly. L2 is
+    omitted: at these scales λ·L2·w_q < 1 truncates to zero anyway.
+
+    Scale shape: identical to perceptron_distill — the model
+    broadcasts (≤ n_features ints), each epoch is one doc-keyed
+    scoring aggregation plus one bucket-keyed gradient aggregation
+    (map-side combined to ≤ n_features rows), and the only collect is
+    the model-sized gradient vector. The gradient accumulates in
+    decimal(38,0) Spark-side / HUGEINT oracle-side (the r7 rule for
+    product aggregates: |r_q·x_q| ≤ P·Q ≈ 10⁶ per pair, so int64
+    holds only to ~10¹² doc-bucket pairs — a 100 TB corpus crosses
+    that)."""
+    feats = (
+        _doc_features(docs, id_col, text_col, n_features)
+        .withColumn(
+            "__tot", F.sum("cnt").over(Window.partitionBy(id_col))
+        )
+        .select(
+            id_col,
+            "bucket",
+            F.expr(f"(cnt * {Q_SCALE}) div __tot").cast("long").alias("xq"),
+        )
+        .persist()
+    )
+    labeled = feats.join(_doc_labels01(docs, id_col, text_col), id_col).persist()
+    n_docs = docs.count()
+    zdiv = 4 * Q_SCALE * W_SCALE // P_SCALE  # exact: 4096000/1024 = 4000
+
+    weights: dict[int, int] = {}
+    for epoch in range(1, epochs + 1):
+        lr_w = LR_W // epoch
+        w_df = spark.createDataFrame(
+            [(b, w) for b, w in weights.items() if w] or [],
+            "bucket long, wq long",
+        )
+        scored = (
+            labeled.join(F.broadcast(w_df), "bucket", "left")
+            .groupBy(id_col, "y")
+            .agg(
+                F.sum(F.coalesce(F.col("wq"), F.lit(0)) * F.col("xq"))
+                .cast("long")
+                .alias("zq")
+            )
+            .select(
+                id_col,
+                (
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(P_SCALE),
+                            F.expr(f"zq div {zdiv}") + F.lit(P_SCALE // 2),
+                        ),
+                    )
+                    - F.col("y") * P_SCALE
+                )
+                .cast("long")
+                .alias("rq"),
+            )
+        )
+        grads = (
+            labeled.join(scored, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    (F.col("rq") * F.col("xq")).cast("decimal(38,0)")
+                ).alias("gq")
+            )
+            .collect()  # ≤ n_features rows — model-sized, like k-means
+        )
+        for r in grads:
+            delta = _tdiv(lr_w * int(r["gq"]), P_SCALE * Q_SCALE * n_docs)
+            if delta:
+                weights[r["bucket"]] = weights.get(r["bucket"], 0) - delta
+
+    feats.unpersist()
+    labeled.unpersist()
+    rows = sorted((b, w) for b, w in weights.items() if w)
+    return spark.createDataFrame(rows or [], "bucket long, weight_mili long")
 
 
 def perceptron_distill(
