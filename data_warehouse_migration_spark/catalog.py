@@ -179,6 +179,7 @@ _WINDOW_R11 = (
     "doc_token_entropy",
     "media_png_decode",
     "quality_classifier_sgd_training",
+    "media_jpeg_progressive_decode",
 )
 # Displaced to make room: the r10 window's debt-drain rows and r10
 # registrations all landed fresh CORRECTNESS_r10 rows; with code

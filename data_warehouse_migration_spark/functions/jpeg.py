@@ -704,3 +704,607 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if n_comp == 1:
         return out[:, :, 0]
     return ycbcr_to_rgb(out)
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+# Added r11 (VERDICT r10 action #3) as a SELF-CONTAINED path: most
+# real-world web JPEGs are progressive, and the baseline decoder above
+# deliberately raises on them. Kept separate from decode_jpeg so the
+# attested baseline path is byte-identical to its r10-attested form;
+# decode_jpeg_auto dispatches on the SOF marker.
+
+
+def is_progressive_jpeg(data: bytes) -> bool:
+    """True iff the stream's frame header is SOF2 (progressive DCT,
+    Huffman). Walks the marker grammar up to the first SOF/SOS."""
+    if data[:2] != b"\xff\xd8":
+        return False
+    pos = 2
+    while pos + 3 < len(data):
+        if data[pos] != 0xFF:
+            return False
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xC2:
+            return True
+        if marker in (0xC0, 0xC1, 0xDA, 0xD9) or marker == 0x01 or (
+            0xD0 <= marker <= 0xD8
+        ):
+            return False
+        pos += int.from_bytes(data[pos : pos + 2], "big")
+    return False
+
+
+def decode_jpeg_auto(data: bytes) -> np.ndarray:
+    """Decode baseline OR progressive: dispatch on the frame marker.
+    The baseline path is decode_jpeg unchanged (its attestation
+    standing depends on that); SOF2 routes to the progressive
+    decoder."""
+    if is_progressive_jpeg(data):
+        return decode_jpeg_progressive(data)
+    return decode_jpeg(data)
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the first real marker after ``start``: entropy data
+    may contain stuffed FF 00 and RSTn markers (both belong to the
+    scan); anything else ends it (T.81 B.1.1.5)."""
+    p = start
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _refine_nonzero(br: _BitReader, coef: np.ndarray, zz_pos: int, p1: int) -> None:
+    """One AC-refinement correction bit for an already-nonzero
+    coefficient (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine): a 1 bit
+    moves the magnitude outward by 1<<Al unless that bit is set."""
+    if br.read_bit():
+        c = int(coef[zz_pos])
+        if (c & p1) == 0:
+            coef[zz_pos] = c + (p1 if c >= 0 else -p1)
+
+
+def decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Decode a PROGRESSIVE (SOF2, Huffman) JPEG: grayscale → 2-D
+    uint8, 3-component YCbCr → H×W×3 uint8 RGB, sampling factors 1-2
+    (4:4:4 / 4:2:2 / 4:2:0). Full T.81 Annex G Huffman machinery:
+    spectral selection (any band split), successive approximation
+    (DC and AC first + refinement scans), EOB runs, interleaved DC
+    scans, per-scan DHT/DRI redefinition, restart markers resetting
+    both DC predictors and the EOB run. Coefficients accumulate
+    across scans; dequantization + IDCT happen once at the end, so a
+    truncated-but-valid prefix of scans still reconstructs (the
+    format's defining property) — though this decoder requires the
+    full stream through EOI.
+
+    Pinned against real-world progressive files from independent
+    encoders (1-comp, 4:4:4, 4:2:2) and against the baseline decoder
+    on identical coefficient content in tests/test_jpeg_codec.py."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    components: list[dict] = []
+    restart_interval = 0
+    coef: list[np.ndarray] = []  # per comp: (nby, nbx, 64) zigzag-order ints
+    saw_sos = False
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            raise ValueError(
+                f"standalone marker 0x{marker:02x} outside entropy data"
+            )
+        seg_len = int.from_bytes(data[pos : pos + 2], "big")
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    tbl[r, c] = seg[i + 1 + k]
+                qtables[tid] = tbl
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                htables[(cls, tid)] = {
+                    (length, code): sym for sym, (length, code) in codes.items()
+                }
+                i += 17 + n
+        elif marker == 0xC2:
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            n_comp = seg[5]
+            if n_comp not in (1, 3):
+                raise NotImplementedError(
+                    f"{n_comp}-component JPEG: grayscale or 3-component "
+                    "YCbCr only"
+                )
+            for c in range(n_comp):
+                cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi}: only 1 and 2"
+                    )
+                components.append({"id": cid, "qid": qid, "h": hi, "v": vi})
+            if n_comp == 1:
+                components[0]["h"] = components[0]["v"] = 1
+            hmax = max(c["h"] for c in components)
+            vmax = max(c["v"] for c in components)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in components:
+                c["nbx"] = mcux * c["h"]  # padded (interleaved) grid
+                c["nby"] = mcuy * c["v"]
+                # non-interleaved scans traverse the comp's OWN grid
+                c["sbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                c["sby"] = -(-(-(-h * c["v"] // vmax)) // 8)
+                coef.append(
+                    np.zeros((c["nby"], c["nbx"], 64), dtype=np.int32)
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF marker 0x{marker:02x} in progressive decoder"
+            )
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:
+            if h is None:
+                raise ValueError("SOS before SOF2")
+            saw_sos = True
+            ns = seg[0]
+            by_id = {c["id"]: i for i, c in enumerate(components)}
+            scan: list[int] = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                ci = by_id[cid]
+                components[ci]["dc"] = tabs >> 4
+                components[ci]["ac"] = tabs & 0x0F
+                scan.append(ci)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            end = _entropy_end(data, pos + seg_len)
+            _decode_progressive_scan(
+                _BitReader(data[pos + seg_len : end]),
+                components, scan, coef, htables,
+                ss, se, ah, al, restart_interval,
+            )
+            pos = end
+            continue
+        pos += seg_len
+    if h is None or not saw_sos:
+        raise ValueError("missing SOF2/SOS")
+
+    hmax = max(c["h"] for c in components)
+    vmax = max(c["v"] for c in components)
+    n_comp = len(components)
+    planes = []
+    for ci, comp in enumerate(components):
+        quant = qtables[comp["qid"]].astype(np.int64)
+        plane = np.zeros((comp["nby"] * 8, comp["nbx"] * 8), np.float64)
+        cz = coef[ci]
+        block = np.zeros((8, 8), dtype=np.int64)
+        for by in range(comp["nby"]):
+            for bx in range(comp["nbx"]):
+                zz = cz[by, bx]
+                block[:] = 0
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    block[r, c] = zz[k]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _M.T @ (block * quant).astype(np.float64) @ _M
+                )
+        if comp["v"] < vmax:
+            plane = np.repeat(plane, vmax // comp["v"], axis=0)
+        if comp["h"] < hmax:
+            plane = np.repeat(plane, hmax // comp["h"], axis=1)
+        planes.append(plane)
+    min_h = min(p.shape[0] for p in planes)
+    min_w = min(p.shape[1] for p in planes)
+    full = np.stack([p[:min_h, :min_w] for p in planes], axis=-1)
+    out = np.clip(np.round(full + 128), 0, 255).astype(np.uint8)[:h, :w]
+    if n_comp == 1:
+        return out[:, :, 0]
+    return ycbcr_to_rgb(out)
+
+
+def _decode_progressive_scan(
+    br: _BitReader,
+    components: list[dict],
+    scan: list[int],
+    coef: list[np.ndarray],
+    htables: dict,
+    ss: int, se: int, ah: int, al: int,
+    restart_interval: int,
+) -> None:
+    """One SOS of a progressive frame, all four scan kinds
+    (T.81 G.2): DC first/refine (interleaved or single-component),
+    AC first/refine (single-component only, per A.2.2/G.1.1.1)."""
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan must have Se = 0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    eobrun = 0
+    dc_pred = {ci: 0 for ci in scan}
+
+    def dc_first(ci: int, by: int, bx: int) -> None:
+        tab = htables[(0, components[ci]["dc"])]
+        s = _decode_huffman_symbol(br, tab)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        dc_pred[ci] += diff
+        coef[ci][by, bx, 0] = dc_pred[ci] << al
+
+    def dc_refine(ci: int, by: int, bx: int) -> None:
+        if br.read_bit():
+            coef[ci][by, bx, 0] = int(coef[ci][by, bx, 0]) | (1 << al)
+
+    def ac_first(ci: int, by: int, bx: int) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        tab = htables[(1, components[ci]["ac"])]
+        zz = coef[ci][by, bx]
+        k = ss
+        while k <= se:
+            sym = _decode_huffman_symbol(br, tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(ci: int, by: int, bx: int) -> None:
+        nonlocal eobrun
+        tab = htables[(1, components[ci]["ac"])]
+        zz = coef[ci][by, bx]
+        p1 = 1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_huffman_symbol(br, tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    newval = 0  # ZRL in refinement: pass 16 zero slots
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement coefficient must be ±1"
+                        )
+                    newval = p1 if br.read_bit() else -p1
+                while k <= se:
+                    if zz[k] != 0:
+                        _refine_nonzero(br, zz, k, p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(br, zz, k, p1)
+                k += 1
+            eobrun -= 1
+
+    if ss == 0:
+        per_block = dc_refine if ah else dc_first
+    else:
+        per_block = ac_refine if ah else ac_first
+
+    def at_restart(idx: int) -> None:
+        nonlocal eobrun
+        br.expect_restart(idx)
+        eobrun = 0
+        for ci in dc_pred:
+            dc_pred[ci] = 0
+
+    if len(scan) > 1:  # interleaved DC scan: MCU traversal
+        hmax = max(components[ci]["h"] for ci in scan)
+        vmax = max(components[ci]["v"] for ci in scan)
+        mcux = components[scan[0]]["nbx"] // components[scan[0]]["h"]
+        mcuy = components[scan[0]]["nby"] // components[scan[0]]["v"]
+        mcu_index = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_index
+                    and mcu_index % restart_interval == 0
+                ):
+                    at_restart(mcu_index // restart_interval - 1)
+                mcu_index += 1
+                for ci in scan:
+                    comp = components[ci]
+                    for v in range(comp["v"]):
+                        for u in range(comp["h"]):
+                            per_block(
+                                ci, my * comp["v"] + v, mx * comp["h"] + u
+                            )
+    else:  # non-interleaved: the component's own block grid
+        ci = scan[0]
+        comp = components[ci]
+        nbx, nby = comp["sbx"], comp["sby"]
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if (
+                    restart_interval
+                    and unit
+                    and unit % restart_interval == 0
+                ):
+                    at_restart(unit // restart_interval - 1)
+                unit += 1
+                per_block(ci, by, bx)
+
+
+# --- progressive encoder ----------------------------------------------------
+
+#: Progressive AC Huffman spec: the baseline run/size symbols plus
+#: the EOBn symbols (r<<4, r=1..14) Annex G adds for EOB runs longer
+#: than one block. 176 symbols at 8 bits — max code 175 < 255, so
+#: still no all-ones code.
+_AC_PROG_BITS = [0] * 7 + [176] + [0] * 8
+_AC_PROG_VALS = (
+    [0x00]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    + [0xF0]
+    + [r << 4 for r in range(1, 15)]
+)
+_AC_PROG_CODES = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+
+#: cjpeg's default progressive scan script shape for one component:
+#: DC with one approximation bit held back, AC split 1-5 / 6-63 at
+#: Al=2, then the three refinement passes. (Ss, Se, Ah, Al).
+_PROG_SCRIPT_GRAY = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+)
+
+
+def _quantized_blocks(img: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) zigzag-order quantized DCT coefficients of a
+    2-D image padded to block multiples by edge replication."""
+    h, w = img.shape
+    padded = np.pad(
+        img.astype(np.int32), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    )
+    nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
+    out = np.zeros((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
+            c = np.round((_M @ block @ _M.T) / quant).astype(np.int64)
+            out[by, bx] = [c[r, cc] for r, cc in _ZIGZAG]
+    return out
+
+
+class _EobrunWriter:
+    """AC-scan writer state (T.81 G.1.2.3 / libjpeg jcphuff): the
+    cross-block EOB run plus the BE correction-bit buffer — bits from
+    PREVIOUS blocks' tails that must ride immediately after the EOB-run
+    symbol. Current-block correction bits (libjpeg's BR buffer) are
+    the caller's responsibility: they flush after the block's own
+    symbols, not here."""
+
+    def __init__(self, bw: _BitWriter) -> None:
+        self.bw = bw
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def emit_symbol(self, sym: int, extra: int = -1, nbits: int = 0) -> None:
+        length, code = _AC_PROG_CODES[sym]
+        self.bw.put(code, length)
+        if nbits:
+            self.bw.put(extra, nbits)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            if r > 14:
+                raise ValueError("EOB run too long for a single symbol")
+            self.emit_symbol(r << 4, self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.be:
+                self.bw.put(b, 1)
+            self.be.clear()
+
+
+def _encode_dc_first(bw: _BitWriter, blocks, order, al: int) -> None:
+    pred = 0
+    for by, bx in order:
+        t = int(blocks[by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+        diff = t - pred
+        pred = t
+        s = _category(diff)
+        length, code = _DC_CODES[s]
+        bw.put(code, length)
+        if s:
+            bw.put(_magnitude_bits(diff, s), s)
+
+
+def _encode_dc_refine(bw: _BitWriter, blocks, order, al: int) -> None:
+    for by, bx in order:
+        bw.put((int(blocks[by, bx, 0]) >> al) & 1, 1)
+
+
+def _encode_ac_first(ew: _EobrunWriter, blocks, order, ss, se, al) -> None:
+    """T.81 G.1.2.2 / libjpeg encode_mcu_AC_first: point-transformed
+    (sign-magnitude shift) coefficients, run/size symbols, cross-block
+    EOB runs for bands ending in zeros."""
+    for by, bx in order:
+        zz = blocks[by, bx]
+        run = 0
+        for k in range(ss, se + 1):
+            c = int(zz[k])
+            t = (abs(c) >> al) * (1 if c >= 0 else -1)
+            if t == 0:
+                run += 1
+                continue
+            ew.flush_eobrun()
+            while run > 15:
+                ew.emit_symbol(0xF0)
+                run -= 16
+            s = _category(t)
+            ew.emit_symbol((run << 4) | s, _magnitude_bits(t, s), s)
+            run = 0
+        if run:  # band ends in zeros: this block joins the EOB run
+            ew.eobrun += 1
+            if ew.eobrun == 0x7FFF:
+                ew.flush_eobrun()
+    ew.flush_eobrun()
+
+
+def _encode_ac_refine(ew: _EobrunWriter, blocks, order, ss, se, al) -> None:
+    """T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine: newly-significant
+    coefficients (shifted magnitude exactly 1) emit (run,1) symbols
+    with an appended sign bit; already-significant ones contribute a
+    correction bit buffered until the next symbol (they do NOT break
+    the zero run); blocks whose band holds no new significance join
+    the cross-block EOB run, their buffered corrections riding with
+    it."""
+    for by, bx in order:
+        zz = blocks[by, bx]
+        absvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        # index of the last newly-significant coefficient: beyond it
+        # everything rides on the EOB run (libjpeg's EOB variable)
+        eob_i = -1
+        for i, a in enumerate(absvals):
+            if a == 1:
+                eob_i = i
+        run = 0
+        br: list[int] = []  # current block's correction bits (libjpeg BR)
+        for i, a in enumerate(absvals):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_i:
+                ew.flush_eobrun()
+                ew.emit_symbol(0xF0)
+                run -= 16
+                for b in br:
+                    ew.bw.put(b, 1)
+                br.clear()
+            if a > 1:  # already significant: buffered correction bit
+                br.append(a & 1)
+                continue
+            # newly significant (shifted magnitude 1)
+            ew.flush_eobrun()
+            ew.emit_symbol(
+                (run << 4) | 1, 1 if int(zz[ss + i]) >= 0 else 0, 1
+            )
+            for b in br:
+                ew.bw.put(b, 1)
+            br.clear()
+            run = 0
+        if run > 0 or br:
+            ew.eobrun += 1
+            ew.be.extend(br)
+            if ew.eobrun == 0x7FFF:
+                ew.flush_eobrun()
+    ew.flush_eobrun()
+
+
+def encode_jpeg_progressive_gray(
+    img: np.ndarray, script: tuple = _PROG_SCRIPT_GRAY
+) -> bytes:
+    """Encode a 2-D uint8 array as a PROGRESSIVE (SOF2) grayscale
+    JFIF stream under ``script`` — a sequence of (Ss, Se, Ah, Al)
+    scans (default: the cjpeg-shaped six-scan script exercising DC
+    first+refine, split AC bands, and AC refinement with EOB runs).
+    Same quantization and uniform-length Huffman declaration as the
+    baseline encoder, so on the exact-roundtrip submanifold (solid
+    even-valued tiles) the decoded pixels equal the input by
+    arithmetic — the closed form the media_jpeg_progressive_decode
+    gate attests."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("grayscale encoder takes a 2-D array")
+    h, w = img.shape
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError(f"bad dimensions {img.shape}")
+    blocks = _quantized_blocks(img, QUANT_LUMA)
+    nby, nbx = blocks.shape[:2]
+    order = [(by, bx) for by in range(nby) for bx in range(nbx)]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
+    out += (1).to_bytes(2, "big") + (1).to_bytes(2, "big") + b"\x00\x00"
+    qz = bytes(int(QUANT_LUMA[r, c]) for r, c in _ZIGZAG)
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + qz
+    out += b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08"
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x01" + b"\x01\x11\x00"
+    out += b"\xff\xc4" + (2 + 1 + 16 + len(_DC_VALS)).to_bytes(2, "big")
+    out += b"\x00" + bytes(_DC_BITS[:16]) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + (2 + 1 + 16 + len(_AC_PROG_VALS)).to_bytes(2, "big")
+    out += b"\x10" + bytes(_AC_PROG_BITS[:16]) + bytes(_AC_PROG_VALS)
+    for ss, se, ah, al in script:
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00"
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        if ss == 0:
+            if ah:
+                _encode_dc_refine(bw, blocks, order, al)
+            else:
+                _encode_dc_first(bw, blocks, order, al)
+        else:
+            ew = _EobrunWriter(bw)
+            if ah:
+                _encode_ac_refine(ew, blocks, order, ss, se, al)
+            else:
+                _encode_ac_first(ew, blocks, order, ss, se, al)
+        out += bw.tobytes()
+    out += b"\xff\xd9"
+    return bytes(out)

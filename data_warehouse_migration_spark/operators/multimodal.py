@@ -81,14 +81,19 @@ def _decode_real_asset(mime: str, payload: bytes) -> tuple[int, int, float]:
         mean_norm = float(pixels.mean()) / 255.0 if pixels.size else 0.0
         return width_px, abs(height_px), mean_norm
     if mime == "image/jpeg":
-        # Baseline sequential, pure numpy (functions/jpeg — r9): real
-        # DQT/DHT/SOF0 parse, Huffman entropy decode, IDCT; grayscale
-        # and 4:4:4 YCbCr color. Subsampled/progressive raise inside
-        # the codec with the reason. feature_norm = mean over all
-        # decoded channels / 255.
-        from data_warehouse_migration_spark.functions.jpeg import decode_jpeg
+        # Baseline sequential (functions/jpeg — r9) AND progressive
+        # SOF2 (r11, VERDICT r10 action #3), dispatched on the frame
+        # marker: real DQT/DHT parse, Huffman entropy decode —
+        # spectral selection, successive approximation, EOB runs on
+        # the progressive side — IDCT; grayscale and YCbCr at
+        # sampling factors 1-2. Arithmetic coding and >2 sampling
+        # raise inside the codec with the reason. feature_norm =
+        # mean over all decoded channels / 255.
+        from data_warehouse_migration_spark.functions.jpeg import (
+            decode_jpeg_auto,
+        )
 
-        px = decode_jpeg(payload)
+        px = decode_jpeg_auto(payload)
         mean_norm = float(px.mean()) / 255.0 if px.size else 0.0
         return int(px.shape[1]), int(px.shape[0]), mean_norm
     if mime == "image/png":
@@ -460,6 +465,59 @@ def jpeg_roundtrip_features(
                 subsample="420" if mode == "420" else "444",
             )
         dec = decode_jpeg(payload)
+        return int(dec.shape[1]), int(dec.shape[0]), int(dec.astype("int64").sum())
+
+    return _codec_roundtrip_features(ids_df, id_col, per_id)
+
+
+def jpeg_progressive_roundtrip_features(
+    ids_df: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG encode→bytes→decode under the gate
+    harness (r11, VERDICT r10 action #3): per id, a 16×16 grayscale
+    image of four solid 8×8 tiles (value ``2·((id·17 + i·11 + j·7)
+    mod 128)``) is encoded with the six-scan cjpeg-shaped script —
+    DC first with a held-back approximation bit, split AC bands at
+    Al=2, AC refinement 2→1 and 1→0, DC refinement — and decoded by
+    the full Annex-G progressive decoder (spectral selection,
+    successive approximation, EOB runs).
+
+    The closed form is the same arithmetic as the baseline gate: a
+    solid even-valued 8×8 block is DC-only with DC divisible by the
+    luminance quantizer, and successive approximation is EXACT for
+    such coefficients (shift down, shift back up, refinement bits
+    restore the rest), so decode(encode(img)) == img bit-for-bit and
+    the decoded pixel sum equals 64·Σ v — DuckDB recomputes it with
+    no codec anywhere. Defects in any scan kind, the EOB-run
+    bookkeeping, or the scan-script plumbing break the equality;
+    lossy/real-world progressive content is pinned against
+    independent-encoder files in tests/test_jpeg_codec.py.
+
+    A SEPARATE function from jpeg_roundtrip_features on purpose: the
+    three baseline gates' attestation standing depends on their code
+    path staying untouched (ROTATION.md changed-code rule).
+
+    Scale: per-asset parallel mapInPandas, zero shuffle — same
+    posture as every codec gate."""
+    import numpy as np
+
+    from data_warehouse_migration_spark.functions.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_gray,
+        is_progressive_jpeg,
+    )
+
+    def per_id(aid: int) -> tuple[int, int, int]:
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for i in range(2):
+            for j in range(2):
+                img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = 2 * (
+                    (aid * 17 + i * 11 + j * 7) % 128
+                )
+        payload = encode_jpeg_progressive_gray(img)
+        if not is_progressive_jpeg(payload):
+            raise ValueError("encoder did not produce an SOF2 stream")
+        dec = decode_jpeg_progressive(payload)
         return int(dec.shape[1]), int(dec.shape[0]), int(dec.astype("int64").sum())
 
     return _codec_roundtrip_features(ids_df, id_col, per_id)

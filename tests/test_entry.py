@@ -86,6 +86,9 @@ def test_attestation_window_membership():
         "word_frequency_topk",
         "doc_token_entropy",
         "media_png_decode",
+        # r11: new gates
+        "quality_classifier_sgd_training",
+        "media_jpeg_progressive_decode",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
