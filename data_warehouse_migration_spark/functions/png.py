@@ -46,9 +46,15 @@ What is REAL here — and implemented from the public specs alone
   with ``bpp = channels·2`` per spec), every non-palette color type,
   interlaced or not.
 
+- SUB-BYTE bit depths 1/2/4 (r11, VERDICT r10 action #5): MSB-first
+  packing for gray samples and palette indices, filters over the
+  PACKED bytes with bpp = 1, per-pass partial trailing bytes under
+  Adam7, exact 255/(2^d−1) gray scaling on decode; pinned against
+  real-world 2-bit and 4-bit paletted icons shipped in this
+  container (tests/test_png_codec.py).
+
 What is honestly absent (raises with the reason rather than
-guessing): sub-byte bit depths (1/2/4 packing), and ancillary-chunk
-semantics
+guessing): ancillary-chunk semantics
 (they are skipped, as the spec allows — including tRNS, so a
 transparent palette entry decodes to its palette COLOR, as in the
 GIF tier).
@@ -710,6 +716,28 @@ def _pass_dims(h: int, w: int, p: tuple[int, int, int, int]) -> tuple[int, int]:
 # --- container ---------------------------------------------------------------
 
 
+def _pack_subbyte_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(rows, n) samples < 2^depth → (rows, ceil(n·depth/8)) packed
+    bytes, MSB-first within each byte (PNG's packing order); the last
+    byte's low bits pad with zeros (spec: pad content is arbitrary)."""
+    rows, n = samples.shape
+    bits = (
+        (samples[:, :, None].astype(np.uint8)
+         >> np.arange(depth - 1, -1, -1, dtype=np.uint8)) & 1
+    ).reshape(rows, n * depth)
+    return np.packbits(bits, axis=1)
+
+
+def _unpack_subbyte_rows(rows_bytes: np.ndarray, depth: int, n: int) -> np.ndarray:
+    """Inverse of _pack_subbyte_rows: (rows, stride) unfiltered bytes
+    → (rows, n) samples, MSB-first, pad bits discarded."""
+    bits = np.unpackbits(rows_bytes.astype(np.uint8), axis=1)[:, : n * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (
+        bits.reshape(rows_bytes.shape[0], n, depth) * weights
+    ).sum(axis=2).astype(np.uint8)
+
+
 def _chunk(ctype: bytes, payload: bytes) -> bytes:
     return (
         len(payload).to_bytes(4, "big")
@@ -725,6 +753,7 @@ def encode_png(
     filter_mode: int | str = "cycle",
     palette: np.ndarray | None = None,
     interlace: bool = False,
+    bit_depth: int | None = None,
 ) -> bytes:
     """Encode an 8-bit grayscale (h,w), gray+alpha (h,w,2), RGB
     (h,w,3), or RGBA (h,w,4) array — or, with ``palette`` given, a
@@ -736,16 +765,30 @@ def encode_png(
     filter inverses (filters operate on the index BYTES for paletted
     images, per spec). ``deflate``: ``"stored"``, ``"fixed"`` or
     ``"dynamic"``. ``interlace=True`` writes the seven Adam7 passes,
-    each filtered as an independent image.
+    each filtered as an independent image. ``bit_depth`` of 1, 2, or
+    4 (r11: VERDICT r10 action #5) packs gray samples or palette
+    indices sub-byte, MSB-first — filters then operate on the PACKED
+    bytes with bpp=1, per spec; valid for (h,w) gray/indices only and
+    every sample must be < 2^bit_depth.
     """
     img = np.asarray(img)
     depth = 16 if img.dtype == np.uint16 else 8
     if img.dtype not in (np.uint8, np.uint16):
         raise ValueError("expected uint8 (8-bit) or uint16 (16-bit) samples")
+    if bit_depth is not None:
+        if bit_depth not in (1, 2, 4):
+            raise ValueError("bit_depth must be 1, 2, or 4 (or None for 8/16)")
+        if img.dtype != np.uint8 or img.ndim != 2:
+            raise ValueError(
+                "sub-byte packing applies to (h,w) uint8 gray/indices only"
+            )
+        if int(img.max(initial=0)) >= (1 << bit_depth):
+            raise ValueError(f"sample out of range for {bit_depth}-bit packing")
+        depth = bit_depth
     plte: bytes | None = None
     if palette is not None:
-        if depth != 8:
-            raise ValueError("paletted images are 8-bit indices per spec")
+        if depth == 16:
+            raise ValueError("paletted indices are at most 8 bits per spec")
         palette = np.asarray(palette, dtype=np.uint8)
         if img.ndim != 2:
             raise ValueError("paletted image must be (h,w) indices")
@@ -766,31 +809,47 @@ def encode_png(
             " or (h,w,4) RGBA"
         )
     h, w = img.shape[:2]
-    # Filters operate on BYTES with bpp = channels·(depth/8); 16-bit
-    # samples serialize big-endian, so view each pixel row as bytes.
-    sample_bytes = depth // 8
-    bpp = channels * sample_bytes
-    if depth == 16:
-        rows_bytes = (
-            img.reshape(h, w * channels)
-            .astype(">u2")
-            .view(np.uint8)
-            .reshape(h, w * channels * 2)
-        )
-    else:
-        rows_bytes = img.reshape(h, w * channels)
-    pixels = rows_bytes.reshape(h, w, channels * sample_bytes)
     raw = bytearray()
-    if interlace:
-        for p in _ADAM7:
+    if depth < 8:
+        # Sub-byte packing happens per PASS (each Adam7 pass packs its
+        # own rows independently, partial trailing bytes per row);
+        # filters then see the packed bytes with bpp = 1.
+        passes = _ADAM7 if interlace else ((0, 1, 0, 1),)
+        for p in passes:
             r0, rs, c0, cs = p
             ph, pw = _pass_dims(h, w, p)
             if ph == 0 or pw == 0:
                 continue
-            sub = pixels[r0::rs, c0::cs, :].reshape(ph, pw * bpp)
-            raw += _serialize_image(sub, bpp, filter_mode)
+            packed = _pack_subbyte_rows(img[r0::rs, c0::cs], depth)
+            raw += _serialize_image(packed, 1, filter_mode)
     else:
-        raw += _serialize_image(pixels.reshape(h, w * bpp), bpp, filter_mode)
+        # Filters operate on BYTES with bpp = channels·(depth/8);
+        # 16-bit samples serialize big-endian, so view each pixel row
+        # as bytes.
+        sample_bytes = depth // 8
+        bpp = channels * sample_bytes
+        if depth == 16:
+            rows_bytes = (
+                img.reshape(h, w * channels)
+                .astype(">u2")
+                .view(np.uint8)
+                .reshape(h, w * channels * 2)
+            )
+        else:
+            rows_bytes = img.reshape(h, w * channels)
+        pixels = rows_bytes.reshape(h, w, channels * sample_bytes)
+        if interlace:
+            for p in _ADAM7:
+                r0, rs, c0, cs = p
+                ph, pw = _pass_dims(h, w, p)
+                if ph == 0 or pw == 0:
+                    continue
+                sub = pixels[r0::rs, c0::cs, :].reshape(ph, pw * bpp)
+                raw += _serialize_image(sub, bpp, filter_mode)
+        else:
+            raw += _serialize_image(
+                pixels.reshape(h, w * bpp), bpp, filter_mode
+            )
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
@@ -846,12 +905,14 @@ def decode_png(data: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, comp, filt, interlace = ihdr[8:13]
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"bit depth {depth} (sub-byte sample packing not implemented)"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bit depth {depth} is not defined by the spec")
     if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"color type {color_type} is not defined by the spec")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {depth} is only defined for gray/palette"
+        )
     if depth == 16 and color_type == 3:
         raise ValueError("paletted images are 8-bit indices per spec")
     if comp != 0 or filt != 0:
@@ -859,23 +920,47 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace not in (0, 1):
         raise ValueError(f"interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    sample_bytes = depth // 8
-    bpp = channels * sample_bytes
     raw = zlib_decompress(bytes(idat))
-    pixels = np.zeros((h, w, bpp), dtype=np.uint8)
     pos = 0
     passes = _ADAM7 if interlace else ((0, 1, 0, 1),)
-    for p in passes:
-        r0, rs, c0, cs = p
-        ph, pw = _pass_dims(h, w, p)
-        if ph == 0 or pw == 0:
-            continue
-        sub, pos = _deserialize_image(raw, pos, ph, pw * bpp, bpp)
-        pixels[r0::rs, c0::cs, :] = sub.reshape(ph, pw, bpp)
-    if pos != len(raw):
-        raise ValueError(
-            f"decompressed size {len(raw)} != consumed {pos}"
-        )
+    if depth < 8:
+        # Sub-byte (r11, VERDICT r10 action #5): filters ran on the
+        # PACKED bytes with bpp = 1; each pass unpacks its own rows
+        # (MSB-first, per-row pad bits discarded). Gray samples scale
+        # to 8 bits exactly (255 divisible by 1, 3, 15); palette
+        # indices stay indices for the PLTE lookup below.
+        samples = np.zeros((h, w), dtype=np.uint8)
+        for p in passes:
+            r0, rs, c0, cs = p
+            ph, pw = _pass_dims(h, w, p)
+            if ph == 0 or pw == 0:
+                continue
+            stride = -(-pw * depth // 8)
+            sub, pos = _deserialize_image(raw, pos, ph, stride, 1)
+            samples[r0::rs, c0::cs] = _unpack_subbyte_rows(sub, depth, pw)
+        if pos != len(raw):
+            raise ValueError(
+                f"decompressed size {len(raw)} != consumed {pos}"
+            )
+        if color_type == 0:
+            scale = 255 // ((1 << depth) - 1)
+            return (samples.astype(np.uint16) * scale).astype(np.uint8)
+        pixels = samples[:, :, None]
+    else:
+        sample_bytes = depth // 8
+        bpp = channels * sample_bytes
+        pixels = np.zeros((h, w, bpp), dtype=np.uint8)
+        for p in passes:
+            r0, rs, c0, cs = p
+            ph, pw = _pass_dims(h, w, p)
+            if ph == 0 or pw == 0:
+                continue
+            sub, pos = _deserialize_image(raw, pos, ph, pw * bpp, bpp)
+            pixels[r0::rs, c0::cs, :] = sub.reshape(ph, pw, bpp)
+        if pos != len(raw):
+            raise ValueError(
+                f"decompressed size {len(raw)} != consumed {pos}"
+            )
     if depth == 16:
         # big-endian byte pairs → native uint16 (filters ran on the
         # raw bytes, per spec; `pixels` is a fresh contiguous array,

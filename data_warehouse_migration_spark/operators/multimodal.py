@@ -596,7 +596,11 @@ def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
     exactly. The inflate's generality beyond this encoder (dynamic
     Huffman + LZ77 back-references) is pinned in
     tests/test_png_codec.py against real ``zlib.compress`` output as
-    an independent reference.
+    an independent reference. Ids ≡ 3 mod 7 route through the
+    SUB-BYTE leg (r11): 4/2/1-bit palette indices (depth by id mod
+    3), MSB-first packing, filters over packed bytes, its own
+    closed-form palette — real-world 2/4-bit icons are pinned against
+    an independent test-local decoder in tests/test_png_codec.py.
 
     Scale: per-asset parallel, zero shuffle — the same mapInPandas
     posture as the other codec gates."""
@@ -624,6 +628,33 @@ def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
             "stored" if aid % 2 == 0 else ("fixed" if aid % 4 == 1 else "dynamic")
         )
         interlace = aid % 5 == 0
+        if aid % 7 == 3:
+            # SUB-BYTE leg (r11, VERDICT r10 action #5): 4/2/1-bit
+            # palette indices (depth rotating on aid mod 3), MSB-first
+            # packing, filters over the PACKED bytes, partial trailing
+            # bytes per Adam7 pass row. The palette is its own closed
+            # form — pal[i][c] = (aid·3 + i·17 + c·29) mod 256 with
+            # idx = (aid + y·3 + x·5) mod 2^d — so the decoded RGB sum
+            # stays DuckDB-recomputable with no codec anywhere.
+            d = {0: 4, 1: 2, 2: 1}[aid % 3]
+            m = 1 << d
+            idx = ((aid + y[:, :, 0] * 3 + x[:, :, 0] * 5) % m).astype(
+                np.uint8
+            )
+            i = np.arange(m).reshape(m, 1)
+            pal = (
+                (aid * 3 + i * 17 + np.arange(3).reshape(1, 3) * 29) % 256
+            ).astype(np.uint8)
+            payload = encode_png(
+                idx, deflate, "cycle", palette=pal,
+                interlace=interlace, bit_depth=d,
+            )
+            dec = decode_png(payload)
+            return (
+                int(dec.shape[1]),
+                int(dec.shape[0]),
+                int(dec.astype("int64").sum()),
+            )
         if aid % 3 == 0:
             # color-type-3 leg: pixel color is a function of
             # s = (aid*3 + y*7 + x*11) mod 256, so the palette is the

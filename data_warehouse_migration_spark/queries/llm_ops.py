@@ -1349,7 +1349,17 @@ def media_jpeg_progressive_decode(spark, sf_dir):
     oracle="""
 WITH ids AS (SELECT doc_id AS asset_id FROM documents),
 px AS (
-    SELECT asset_id, (asset_id * 3 + y * 7 + x * 11 + c * 29) % 256 AS v
+    SELECT asset_id,
+           CASE WHEN asset_id % 7 = 3 THEN
+               -- sub-byte palette leg: idx = (id + y*3 + x*5) mod 2^d,
+               -- pal[i][c] = (id*3 + i*17 + c*29) mod 256, d by id mod 3
+               (asset_id * 3
+                + ((asset_id + y * 3 + x * 5)
+                   % (CASE asset_id % 3 WHEN 0 THEN 16
+                                        WHEN 1 THEN 4 ELSE 2 END)) * 17
+                + c * 29) % 256
+           ELSE (asset_id * 3 + y * 7 + x * 11 + c * 29) % 256
+           END AS v
     FROM ids,
          (SELECT unnest(range(0, 10)) AS y) yy,
          (SELECT unnest(range(0, 16)) AS x) xx,
@@ -1384,7 +1394,12 @@ def media_png_decode(spark, sf_dir):
     beyond our own encoders (dynamic-Huffman blocks, LZ77) is pinned
     in tests/test_png_codec.py against real zlib.compress output as
     an independent reference; zlib itself is never called in the
-    codec path.
+    codec path. Ids ≡ 3 mod 7 route through the SUB-BYTE leg (r11,
+    VERDICT r10 action #5): 4/2/1-bit palette indices, MSB-first
+    packing, filters over the PACKED bytes, partial trailing bytes
+    per Adam7 pass — the oracle's CASE branch recomputes that leg's
+    own closed-form palette, and real-world 2/4-bit icons are pinned
+    against an independent test-local decoder in the unit tests.
 
     Shape at 100 TB: per-asset parallel, zero shuffle — deflate
     streams are serial per image by format design, so assets are the

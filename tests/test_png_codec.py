@@ -121,8 +121,15 @@ def _patch_ihdr(data: bytes, offset_in_ihdr: int, value: int) -> bytes:
 
 def test_honest_absences_and_hard_errors():
     base = P.encode_png(np.zeros((4, 4), dtype=np.uint8))
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        P.decode_png(_patch_ihdr(base, 8, 4))  # sub-byte packing
+    # sub-byte depths are IMPLEMENTED since r11 — claiming depth 4
+    # over 8-bit-sized data is now a hard size error, not an absence
+    with pytest.raises(ValueError, match="truncated|consumed"):
+        P.decode_png(_patch_ihdr(base, 8, 4))
+    with pytest.raises(ValueError, match="not defined by the spec"):
+        P.decode_png(_patch_ihdr(base, 8, 3))  # depth 3 is no PNG depth
+    rgb = P.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="gray/palette"):
+        P.decode_png(_patch_ihdr(rgb, 8, 4))  # sub-byte RGB is illegal
     # 16-bit is IMPLEMENTED — claiming it over 8-bit-sized data is a
     # hard size error, not a short read
     with pytest.raises(ValueError, match="truncated|consumed"):
@@ -270,3 +277,136 @@ def test_png_roundtrip_features_matches_formula(spark):
         expect = int(((aid * 3 + y * 7 + x * 11 + c * 29) % 256).sum())
         assert rows[aid]["pixel_sum"] == expect
         assert rows[aid]["width"] == 16 and rows[aid]["height"] == 10
+
+
+# --- sub-byte depths (1/2/4) — r11 -------------------------------------------
+
+
+def test_subbyte_palette_and_gray_roundtrip_all_shapes():
+    """Lossless round-trip across every depth × deflate × interlace
+    combination, odd widths included (partial trailing bytes per
+    row/pass are the packing's hard case)."""
+    rng = np.random.default_rng(2)
+    for depth in (1, 2, 4):
+        m = 1 << depth
+        for interlace in (False, True):
+            for deflate in ("stored", "fixed", "dynamic"):
+                h = int(rng.integers(1, 23))
+                w = int(rng.integers(1, 23))
+                idx = rng.integers(0, m, (h, w)).astype(np.uint8)
+                pal = rng.integers(0, 256, (m, 3)).astype(np.uint8)
+                p = P.encode_png(
+                    idx, deflate, "cycle", palette=pal,
+                    interlace=interlace, bit_depth=depth,
+                )
+                assert p[24] == depth  # IHDR bit depth byte
+                assert np.array_equal(P.decode_png(p), pal[idx])
+                g = rng.integers(0, m, (h, w)).astype(np.uint8)
+                p = P.encode_png(
+                    g, deflate, "cycle", interlace=interlace,
+                    bit_depth=depth,
+                )
+                want = (g.astype(int) * (255 // (m - 1))).astype(np.uint8)
+                assert np.array_equal(P.decode_png(p), want)
+
+
+def test_subbyte_packing_is_msb_first():
+    """1×8 one-bit image [1,0,1,1,0,0,1,0] must pack to the single
+    byte 0xB2 — hand-derived, pinning the bit order."""
+    img = np.array([[1, 0, 1, 1, 0, 0, 1, 0]], dtype=np.uint8)
+    packed = P._pack_subbyte_rows(img, 1)
+    assert packed.tobytes() == b"\xb2"
+    assert np.array_equal(P._unpack_subbyte_rows(packed, 1, 8), img)
+    # 4-bit: [0xA, 0x3] -> 0xA3
+    img4 = np.array([[0xA, 0x3]], dtype=np.uint8)
+    assert P._pack_subbyte_rows(img4, 4).tobytes() == b"\xa3"
+
+
+def _independent_subbyte_decode(data: bytes):
+    """Test-local minimal decoder sharing NO code with the codec:
+    stdlib zlib inflate, scalar filter inversion, scalar bit
+    unpacking, palette lookup. Non-interlaced paletted only (the real
+    container files' shape)."""
+    import zlib as _zlib
+
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    depth = data[24]
+    pos = 8
+    idat = b""
+    plte = None
+    while pos < len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + ln]
+        elif ctype == b"PLTE":
+            plte = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = _zlib.decompress(idat)
+    stride = -(-w * depth // 8)
+    out_rows = []
+    prior = [0] * stride
+    p = 0
+    for _y in range(h):
+        ftype = raw[p]
+        row = list(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        rec = []
+        for i, v in enumerate(row):
+            a = rec[i - 1] if i >= 1 else 0
+            b = prior[i]
+            c = prior[i - 1] if i >= 1 else 0
+            if ftype == 0:
+                x = v
+            elif ftype == 1:
+                x = (v + a) % 256
+            elif ftype == 2:
+                x = (v + b) % 256
+            elif ftype == 3:
+                x = (v + (a + b) // 2) % 256
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                x = (v + pr) % 256
+            rec.append(x)
+        prior = rec
+        bits = []
+        for byte in rec:
+            bits.extend((byte >> k) & 1 for k in range(7, -1, -1))
+        samples = []
+        for i in range(w):
+            v = 0
+            for k in range(depth):
+                v = (v << 1) | bits[i * depth + k]
+            samples.append(v)
+        out_rows.append(samples)
+    pal = [tuple(plte[3 * i : 3 * i + 3]) for i in range(len(plte) // 3)]
+    return [[pal[s] for s in row] for row in out_rows]
+
+
+#: Real sub-byte paletted files from independent encoders in this
+#: container: a 2-bit favicon and two 4-bit icons.
+_REAL_SUBBYTE = [
+    ("/usr/share/gitweb/static/git-favicon.png", 2, (16, 16, 3)),
+    ("/usr/share/icons/locolor/16x16/apps/gvim.png", 4, (16, 16, 3)),
+    ("/usr/share/icons/locolor/32x32/apps/gvim.png", 4, (32, 32, 3)),
+]
+
+
+def test_real_world_subbyte_files_match_independent_decode():
+    import os
+
+    seen = 0
+    for path, depth, shape in _REAL_SUBBYTE:
+        if not os.path.exists(path):
+            continue
+        data = open(path, "rb").read()
+        assert data[24] == depth, path
+        got = P.decode_png(data)
+        assert got.shape == shape, path
+        want = np.array(_independent_subbyte_decode(data), dtype=np.uint8)
+        assert np.array_equal(got, want), path
+        seen += 1
+    assert seen >= 1, "no real sub-byte files found to pin"
