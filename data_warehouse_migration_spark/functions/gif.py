@@ -18,10 +18,14 @@ Implemented from the public GIF89a specification alone:
   ``code == next_free`` KwKwK special case on decode;
 - interlaced images: the 4-pass row ordering, both directions.
 
-Honest absences (raise with the reason): multi-frame/animation
-streams (only a single image block), and GCE transparency is ignored
-rather than composited (the palette color is returned — documented,
-not guessed).
+Animation (r11, VERDICT r10 action #7): ``decode_gif_frames``
+composites multi-frame streams — sub-rectangle placement, GCE
+transparency as frame deltas, disposal methods 0-3 — and
+``encode_gif_frames`` writes them; ``decode_gif_frame0`` gives the
+feature extractor first-frame semantics. The single-image
+``decode_gif`` is untouched (its attested behavior: multi-frame and
+sub-rectangle streams raise there, and GCE transparency returns the
+palette color — documented, not guessed).
 
 Scale posture: identical to the JPEG/PNG rungs — LZW is serial per
 image by format design, so assets are the parallelism unit inside the
@@ -224,6 +228,189 @@ def encode_gif(
     mcs = max(2, n.bit_length() - 1)  # spec: min code size >= 2
     out += bytes([mcs])
     out += _frame_subblocks(lzw_encode(rows.tobytes(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Decode a (possibly animated) GIF into COMPOSITED full-canvas
+    RGB frames — the GIF89a animation model (r11, VERDICT r10 action
+    #7), added as a separate path so the attested single-image
+    ``decode_gif`` stays byte-identical:
+
+    - each image block paints its (left, top, w, h) SUB-RECTANGLE
+      onto the logical-screen canvas;
+    - a preceding Graphic Control Extension supplies per-frame
+      transparency (the flagged index leaves the canvas pixel
+      untouched — frame deltas, the format's compression trick) and
+      the DISPOSAL method applied after the frame shows: 0/1 leave
+      the canvas, 2 restores the frame's rectangle to the background
+      color, 3 restores the pre-frame canvas;
+    - the canvas starts as the logical-screen background color (the
+      spec-pure reading; browsers render it transparent — for a
+      feature extractor the color is the deterministic choice).
+
+    Returns up to ``max_frames`` composited (sh, sw, 3) uint8 arrays.
+    Pinned against the real 783-frame sub-rectangle terminal
+    recording this container ships (tests/test_gif_codec.py)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    pos = 6
+    sw = int.from_bytes(data[pos : pos + 2], "little")
+    sh = int.from_bytes(data[pos + 2 : pos + 4], "little")
+    packed = data[pos + 4]
+    bg_index = data[pos + 5]
+    pos += 7
+    gct: np.ndarray | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg_index]
+        if gct is not None and bg_index < gct.shape[0]
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    disposal = 0
+    transparent: int | None = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            body, pos = _read_subblocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control
+                disposal = (body[0] >> 2) & 0x07
+                transparent = body[3] if body[0] & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x}")
+        left = int.from_bytes(data[pos : pos + 2], "little")
+        top = int.from_bytes(data[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        ipacked = data[pos + 8]
+        pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError("image rectangle exceeds the logical screen")
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                data[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("no color table (neither global nor local)")
+        mcs = data[pos]
+        pos += 1
+        packed_codes, pos = _read_subblocks(data, pos)
+        idx = np.frombuffer(lzw_decode(packed_codes, mcs), dtype=np.uint8)
+        if idx.size != w * h:
+            raise ValueError(f"decoded {idx.size} indices for a {w}x{h} image")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:
+            out_rows = np.zeros_like(rows)
+            out_rows[_interlace_order(h)] = rows
+            rows = out_rows
+        if int(rows.max(initial=0)) >= table.shape[0]:
+            raise ValueError("palette index out of range")
+        before = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            mask = rows != transparent
+            rect[mask] = table[rows][mask]
+        else:
+            rect[:] = table[rows]
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal = 0
+        transparent = None
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("no image block before trailer")
+    return frames
+
+
+def decode_gif_frame0(data: bytes) -> np.ndarray:
+    """First-frame semantics for the feature extractor: the attested
+    single-image path when the stream is one full-frame image, the
+    animation compositor's frame 0 otherwise (multi-frame or
+    sub-rectangle streams, which ``decode_gif`` honestly refuses)."""
+    try:
+        return decode_gif(data)
+    except NotImplementedError:
+        return decode_gif_frames(data, max_frames=1)[0]
+
+
+def encode_gif_frames(
+    frames: list[dict],
+    palette: np.ndarray,
+    screen: tuple[int, int] | None = None,
+    bg_index: int = 0,
+) -> bytes:
+    """Encode an ANIMATED GIF89a for the compositor's tests: one
+    global color table, one Graphic Control Extension + image block
+    per frame. Each frame dict: ``indices`` (h, w) uint8, optional
+    ``left``/``top`` (sub-rectangle placement), ``disposal`` (0-3),
+    ``transparent`` (index or None), ``delay_cs`` (centiseconds).
+    ``screen`` defaults to a canvas covering every frame."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = palette.shape[0]
+    if n < 2 or (n & (n - 1)) != 0:
+        raise ValueError("palette size must be a power of two >= 2")
+    norm = []
+    for f in frames:
+        idx = np.asarray(f["indices"], dtype=np.uint8)
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("palette index out of range")
+        norm.append(
+            {
+                "idx": idx,
+                "left": int(f.get("left", 0)),
+                "top": int(f.get("top", 0)),
+                "disposal": int(f.get("disposal", 0)),
+                "transparent": f.get("transparent"),
+                "delay_cs": int(f.get("delay_cs", 4)),
+            }
+        )
+    if screen is None:
+        sw = max(f["left"] + f["idx"].shape[1] for f in norm)
+        sh = max(f["top"] + f["idx"].shape[0] for f in norm)
+    else:
+        sw, sh = screen
+    size_field = n.bit_length() - 2
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | size_field, bg_index, 0])
+    out += palette.tobytes()
+    mcs = max(2, n.bit_length() - 1)
+    for f in norm:
+        tflag = f["transparent"] is not None
+        out += b"\x21\xf9\x04"
+        out += bytes([(f["disposal"] << 2) | (1 if tflag else 0)])
+        out += f["delay_cs"].to_bytes(2, "little")
+        out += bytes([f["transparent"] if tflag else 0, 0])
+        h, w = f["idx"].shape
+        out += b"\x2c"
+        out += f["left"].to_bytes(2, "little") + f["top"].to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x00])
+        out += bytes([mcs])
+        out += _frame_subblocks(lzw_encode(f["idx"].tobytes(), mcs))
     out += b"\x3b"
     return bytes(out)
 

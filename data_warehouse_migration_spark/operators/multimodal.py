@@ -110,11 +110,15 @@ def _decode_real_asset(mime: str, payload: bytes) -> tuple[int, int, float]:
     if mime == "image/gif":
         # From-scratch GIF87a/89a tier (functions/gif — r10): real
         # variable-width LZW, sub-block framing, global/local color
-        # tables, 4-pass deinterlacing. Multi-frame animation raises
-        # inside the codec with the reason.
-        from data_warehouse_migration_spark.functions.gif import decode_gif
+        # tables, 4-pass deinterlacing. Animated / sub-rectangle
+        # streams (r11) decode with FRAME-0 semantics through the
+        # compositor (transparency as deltas over the background
+        # canvas, disposal handled for later frames).
+        from data_warehouse_migration_spark.functions.gif import (
+            decode_gif_frame0,
+        )
 
-        px = decode_gif(bytes(payload))
+        px = decode_gif_frame0(bytes(payload))
         mean_norm = float(px.mean()) / 255.0 if px.size else 0.0
         return int(px.shape[1]), int(px.shape[0]), mean_norm
     raise NotImplementedError(
