@@ -3208,6 +3208,14 @@ FROM w{epochs} WHERE wq != 0
     )
 
 
+def _qc_sgd_ctes(epochs: int = 12) -> str:
+    """The SGD oracle's WITH-chain alone (``WITH tok AS (...) ...``,
+    final weights in ``w{epochs}``) — the composition seam
+    curation_pipeline_v6's oracle extends with application CTEs."""
+    full = _qc_sgd_oracle(epochs)
+    return full[: full.rindex("\nSELECT CAST(bucket")]
+
+
 @query(
     "quality_classifier_sgd_training",
     tags=("text", "quality", "classifier", "training", "iterative", "sgd"),
@@ -3424,6 +3432,128 @@ def curation_pipeline_v5(spark, sf_dir):
     n_docs = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     return mix.join(n_docs, "lang").select(
         "lang", "n_docs", "n_size", "weight", "boost"
+    )
+
+
+def _v6_oracle() -> str:
+    """v6 = TRAIN the quality filter on the corpus, then curate with
+    it: the full 12-epoch fixed-point SGD CTE chain (_qc_sgd_ctes),
+    scoring every document with the LEARNED weights over raw feature
+    counts, keep score > 0, exact-dedup the keeps (md5 of the legacy
+    normalized text — the md5-pinned digest domain), and report
+    per-language doc / unicode-token / score totals. One oracle
+    re-derives training AND application AND curation, so the
+    attestation covers the composition."""
+    uninorm = (
+        "trim(regexp_replace(lower(text), "
+        "'[\\t\\n\\x0B\\f\\r\\p{Z}]+', ' ', 'g'))"
+    )
+    return f"""{_qc_sgd_ctes(12)}, sc AS (
+    SELECT fx.doc_id,
+           CAST(sum(COALESCE(w.wq, 0) * fx.cnt) AS BIGINT) AS score
+    FROM fx LEFT JOIN w12 w USING (bucket) GROUP BY 1
+), keepd AS (
+    SELECT d.doc_id, d.lang, d.text, COALESCE(sc.score, 0) AS score
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    WHERE COALESCE(sc.score, 0) > 0
+), surv AS (
+    SELECT min(doc_id) AS doc_id FROM keepd
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+), fin AS (
+    SELECT k.lang, k.score,
+           len(list_filter(string_split({uninorm}, ' '), x -> x != ''))
+               AS nt
+    FROM keepd k JOIN surv USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(score) AS BIGINT) AS score_sum
+FROM fin GROUP BY lang
+"""
+
+
+@query(
+    "curation_pipeline_v6",
+    tags=(
+        "pipeline", "curation", "training", "classifier", "sgd",
+        "dedup", "unicode",
+    ),
+    oracle=_v6_oracle(),
+)
+def curation_pipeline_v6(spark, sf_dir):
+    """v6 of the curation family (new r11): the corpus TRAINS its own
+    quality filter on the engine and is then curated WITH it — the
+    self-distillation loop production pipelines run (heuristic label
+    → linear model → filter), previously attested only piecewise:
+
+    1. TRAIN: the 12-epoch fixed-point logistic GD
+       (operators/training.logistic_sgd_distill — hard sigmoid,
+       1/e-decayed integer updates) learns milli-weights from the
+       stopword-rule labels.
+    2. APPLY: every document scores by broadcast-joining the learned
+       weights onto its raw hashed-feature counts (the zero-shuffle
+       inference shape); keep score > 0.
+    3. DEDUP: exact near-copy removal among keeps (md5 of the legacy
+       normalized text — the md5-pinned digest domain stays on the
+       documented legacy posture).
+    4. REPORT: per-language kept docs, UNICODE token totals, and the
+       exact integer score sum.
+
+    The oracle re-derives all four stages — training trajectory
+    included — so a defect anywhere in the composition (wrong epoch's
+    weights applied, quantized-vs-raw feature mixup, dedup before
+    scoring) fails the hash.
+
+    Scale: training as quality_classifier_sgd_training (broadcast
+    model, map-side-combined per-epoch aggregations, model-sized
+    collects); application is one broadcast join + doc-keyed sum;
+    dedup shuffles (digest, id) — text never shuffles; the report is
+    a language-cardinality aggregation."""
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_token_count,
+    )
+    from data_warehouse_migration_spark.operators.dedup import (
+        normalized_text,
+    )
+    from data_warehouse_migration_spark.operators.training import (
+        _doc_features,
+        logistic_sgd_distill,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    weights = logistic_sgd_distill(
+        spark, docs, n_features=_QC_N_FEATURES, epochs=12
+    )
+    feats = _doc_features(docs, "doc_id", "text", _QC_N_FEATURES)
+    score = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("weight_mili"), F.lit(0)) * F.col("cnt"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    kept = (
+        docs.join(score, "doc_id", "left")
+        .withColumn("score", F.coalesce("score", F.lit(0)))
+        .filter(F.col("score") > 0)
+    )
+    surv = (
+        kept.groupBy(F.md5(normalized_text(F.col("text"))).alias("__d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fin = kept.join(surv, "doc_id").select(
+        "lang",
+        "score",
+        unicode_token_count(F.col("text")).alias("nt"),
+    )
+    return fin.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("score").cast("long").alias("score_sum"),
     )
 
 

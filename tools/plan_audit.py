@@ -102,6 +102,7 @@ BNLJ_WHITELIST = {
 # Streaming gates are excluded: their spark_fn RUNS the bounded stream
 # and returns a collected result whose plan is trivially local.
 EXTRA_AUDIT = (
+    "curation_pipeline_v6",
     "asof_merge_scan_attribution",
     "range_join_bucketed_activity",
     "similarity_sq8_topk",
