@@ -71,6 +71,43 @@ def _decode_real_asset(mime: str, payload: bytes) -> tuple[int, int, float]:
         samples = np.frombuffer(frames, dtype="<i2").astype("float64")
         rms = float(np.sqrt((samples**2).mean())) / 32768.0 if samples.size else 0.0
         return rate, n_ch, rms
+    if mime in ("audio/flac", "audio/x-flac"):
+        # From-scratch RFC 9639 tier (functions/flac — r11): CRC-8/
+        # CRC-16-verified frame walk, Rice/Rice2 residual decode,
+        # CONSTANT/VERBATIM/FIXED/LPC subframes, the three stereo
+        # decorrelations, STREAMINFO MD5 verified against the decoded
+        # audio. Same slot mapping as WAV: (rate, channels, RMS).
+        from data_warehouse_migration_spark.functions.flac import decode_flac
+
+        samples, rate, bps = decode_flac(bytes(payload))
+        full = float(1 << (bps - 1))
+        rms = (
+            float(np.sqrt((samples.astype("float64") ** 2).mean())) / full
+            if samples.size
+            else 0.0
+        )
+        return rate, samples.shape[1], rms
+    if mime in ("video/avi", "video/x-msvideo"):
+        # From-scratch RIFF/AVI tier (functions/avi — r11): full
+        # container walk (avih/strl/movi/idx1, index cross-checked
+        # against the real chunk layout), MJPEG frames decoded by the
+        # attested functions/jpeg rung. Slot mapping for video:
+        # (width, height, mean pixel of FRAME 0 / 255) — first-frame
+        # semantics, same convention as animated GIF. Non-MJPEG
+        # handlers raise inside the parser with the reason.
+        from data_warehouse_migration_spark.functions.avi import parse_avi
+        from data_warehouse_migration_spark.functions.jpeg import (
+            decode_jpeg_auto,
+        )
+
+        meta = parse_avi(bytes(payload))
+        if meta["handler"] not in (b"MJPG", b"mjpg"):
+            raise NotImplementedError(
+                f"only MJPEG AVI decodes here, got {meta['handler']!r}"
+            )
+        px = decode_jpeg_auto(meta["frames"][0])
+        mean_norm = float(px.mean()) / 255.0 if px.size else 0.0
+        return meta["width"], meta["height"], mean_norm
     if mime == "image/bmp":
         if payload[:2] != b"BM":
             raise ValueError("not a BMP payload")
@@ -573,6 +610,163 @@ def gif_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
         return int(dec.shape[1]), int(dec.shape[0]), int(dec.astype("int64").sum())
 
     return _codec_roundtrip_features(ids_df, id_col, per_id)
+
+
+def flac_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """REAL FLAC encode→bytes→decode, value-attestable end to end —
+    the compressed-AUDIO rung of the codec ladder (JPEG = Huffman/DCT,
+    PNG = deflate, GIF = LZW, FLAC = Rice-coded linear prediction):
+    per id, a deterministic 96-sample 2-channel 16-bit PCM signal —
+    sample ``(t, c) = ((id·7 + t·13 + c·29) mod 4096) − 2048``, or
+    the t-independent constant form for ids ≡ 0 mod 5 — is encoded to
+    a full FLAC stream (functions/flac: STREAMINFO + audio MD5, frame
+    CRC-8/CRC-16, Rice-coded subframes) and decoded back by the
+    general decoder, all inside one Arrow-batched ``mapInPandas``;
+    the output is the DECODED interleaved sample sum.
+
+    All five encoder legs rotate through the gate on ``id mod 5``:
+    CONSTANT subframes (0), VERBATIM (1), FIXED with 4-way Rice
+    partitions (2), FIXED under MID/SIDE stereo decorrelation (3),
+    and quantized-coefficient LPC (4). FLAC is LOSSLESS for every
+    leg — including LPC, whose quantized prediction is exact integer
+    arithmetic shared by encoder and decoder — so decode(encode(x))
+    == x for EVERY signal with no submanifold trick, and the decoded
+    sample sum equals the closed form DuckDB recomputes from the
+    generator formula. Any defect in the frame header codes, either
+    CRC, the zigzag/Rice coding, the partition sample-count rule,
+    the fixed/LPC predictor arithmetic, or the mid/side
+    reconstruction breaks the equality. Decode paths our encoder
+    never emits (RICE2, the escape partition, wasted bits) are
+    pinned by hand-derived bitstreams in tests/test_flac_codec.py.
+
+    Scale: per-asset parallel, zero shuffle — a FLAC stream is serial
+    by format design, the same posture as the image codec gates."""
+    import numpy as np
+
+    from data_warehouse_migration_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    N, RATE = 96, 8000
+
+    def per_id(aid: int) -> tuple[int, int, int, int]:
+        t = np.arange(N).reshape(N, 1)
+        c = np.arange(2).reshape(1, 2)
+        if aid % 5 == 0:
+            sig = np.broadcast_to(
+                (aid * 7 + c * 29) % 4096 - 2048, (N, 2)
+            ).astype(np.int64)
+        else:
+            sig = ((aid * 7 + t * 13 + c * 29) % 4096 - 2048).astype(np.int64)
+        leg = aid % 5
+        payload = encode_flac(
+            sig,
+            RATE,
+            16,
+            block_size=N,
+            strategy={0: "auto", 1: "verbatim", 2: "fixed", 3: "fixed", 4: "lpc"}[leg],
+            stereo="mid_side" if leg == 3 else "independent",
+            partition_order=2 if leg == 2 else 0,
+        )
+        dec, rate, _ = decode_flac(payload)
+        return int(dec.shape[0]), int(dec.shape[1]), rate, int(dec.sum())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(a), *per_id(int(a))) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "n_channels", "sample_rate", "sample_sum",
+                ],
+            )
+
+    return ids_df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, n_samples int, n_channels int,"
+            " sample_rate int, sample_sum bigint"
+        ),
+    )
+
+
+def video_frame_sample_features(
+    ids_df: DataFrame, id_col: str = "asset_id", every_n: int = 2
+) -> DataFrame:
+    """REAL video frame-sampling, value-attestable end to end — the
+    briefed multimodal frame-sample op on an actual container format
+    instead of a synthetic timestamp plan: per id, a 16×16 grayscale
+    MJPEG AVI with ``4 + id mod 5`` frames (frame ``f``'s four 8×8
+    tiles hold ``2·((id·7 + f·17 + i·5 + j·3) mod 128)``) is built by
+    ``functions/avi.encode_avi_mjpeg`` around real
+    ``encode_jpeg_gray`` frames, then FRAME-SAMPLED (every
+    ``every_n``-th frame, via one container parse with the idx1 index
+    cross-checked against the movi layout) and each sampled frame
+    DECODED by the attested JPEG rung — all inside one Arrow-batched
+    ``mapInPandas``. Output: container metadata plus the decoded
+    pixel sum over the SAMPLED frames only.
+
+    Exactness: the tile values are even and solid (DC-only blocks
+    that quantize exactly — the jpeg_roundtrip_features closed form),
+    so every sampled frame decodes bit-exactly and the pixel sum
+    equals the generator's closed form over frames 0, n, 2n…, which
+    DuckDB recomputes with no codec or container anywhere. Any defect
+    in the RIFF walk, the avih/strh geometry, the movi chunk
+    extraction, the idx1 verification, or the sampling stride breaks
+    the equality.
+
+    Scale: one video asset = one row; frames fan out WITHIN the
+    Python batch (per-asset parallel, zero shuffle). The sampling
+    PLAN for timestamp-based policies stays JVM-side
+    (frame_sample_plan); this operator is the decode stage that
+    consumes such plans."""
+    import numpy as np
+
+    from data_warehouse_migration_spark.functions.avi import (
+        encode_avi_mjpeg,
+        sample_frames,
+    )
+    from data_warehouse_migration_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    def per_id(aid: int) -> tuple[int, int, int, int, int]:
+        n_frames = 4 + aid % 5
+        frames = []
+        for f in range(n_frames):
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for i in range(2):
+                for j in range(2):
+                    img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = (
+                        2 * ((aid * 7 + f * 17 + i * 5 + j * 3) % 128)
+                    )
+            frames.append(encode_jpeg_gray(img))
+        payload = encode_avi_mjpeg(frames, 16, 16, fps=10)
+        meta, sampled = sample_frames(payload, every_n=every_n)
+        pixel_sum = sum(
+            int(decode_jpeg(s).astype("int64").sum()) for s in sampled
+        )
+        return meta["n_frames"], len(sampled), meta["width"], meta["height"], pixel_sum
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(a), *per_id(int(a))) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "n_sampled", "width", "height", "pixel_sum",
+                ],
+            )
+
+    return ids_df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, n_frames int, n_sampled int,"
+            " width int, height int, pixel_sum bigint"
+        ),
+    )
 
 
 def png_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:

@@ -1481,6 +1481,135 @@ def media_gif_decode(spark, sf_dir):
 
 
 @query(
+    "media_flac_decode",
+    tags=("multimodal", "audio", "flac", "rice", "codec", "mapInPandas"),
+    oracle="""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+sm AS (
+    SELECT asset_id,
+           CASE WHEN asset_id % 5 = 0
+                THEN (asset_id * 7 + c * 29) % 4096 - 2048
+                ELSE (asset_id * 7 + t * 13 + c * 29) % 4096 - 2048
+           END AS v
+    FROM ids,
+         (SELECT unnest(range(0, 96)) AS t) tt,
+         (SELECT unnest(range(0, 2)) AS c) cc
+), s AS (
+    SELECT asset_id, CAST(sum(v) AS BIGINT) AS sample_sum
+    FROM sm GROUP BY asset_id
+)
+SELECT asset_id, 96 AS n_samples, 2 AS n_channels, 8000 AS sample_rate,
+       sample_sum, round(sample_sum / 393216.0, 6) AS amp_norm
+FROM s
+""",
+)
+def media_flac_decode(spark, sf_dir):
+    """REAL FLAC (RFC 9639), value-attested end to end — the codec
+    ladder's first compressed-AUDIO rung and its fourth entropy-coding
+    family (Huffman/DCT r9, deflate r10, LZW r10, Rice-coded linear
+    prediction r11): per doc_id a deterministic 96-sample 2-channel
+    16-bit PCM signal is ENCODED to a full FLAC stream (STREAMINFO
+    with the decoded-audio MD5, frame-header CRC-8, whole-frame
+    CRC-16, Rice residuals) and DECODED back by the general decoder
+    in functions/flac, inside one Arrow-batched mapInPandas. All five
+    encoder legs rotate on id mod 5: CONSTANT subframes, VERBATIM,
+    FIXED with 4-way Rice partitions, FIXED under MID/SIDE stereo
+    decorrelation, and quantized-coefficient LPC.
+
+    Exactness: FLAC is lossless by design for EVERY leg — the LPC
+    prediction is exact integer arithmetic shared by both directions
+    — so the round-trip needs no submanifold trick and the decoded
+    sample sum equals the generator's closed form, which DuckDB
+    recomputes with no codec anywhere. Any defect in the frame
+    header, either CRC, zigzag/Rice coding, the first-partition
+    sample-count rule, a predictor, or the mid/side reconstruction
+    breaks the equality. Decode paths our encoder never emits
+    (RICE2, escape partitions, wasted bits) are pinned by
+    hand-derived bitstreams in tests/test_flac_codec.py; CRC and MD5
+    conventions are pinned against independent table-driven/struct
+    reimplementations there too.
+
+    Shape at 100 TB: per-asset parallel, zero shuffle — FLAC streams
+    are serial by format design, so assets are the parallelism unit;
+    a libFLAC swap-in changes nothing about the plan. Reference
+    (justinarndt/data-warehouse-migration) has no media surface —
+    north-star territory, same as the other codec rungs."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        flac_roundtrip_features,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    feats = flac_roundtrip_features(ids)
+    return feats.select(
+        "asset_id",
+        "n_samples",
+        "n_channels",
+        "sample_rate",
+        "sample_sum",
+        F.round(F.col("sample_sum") / F.lit(393216.0), 6).alias("amp_norm"),
+    )
+
+
+@query(
+    "media_video_frame_sample",
+    tags=("multimodal", "video", "avi", "mjpeg", "frame-sample", "mapInPandas"),
+    oracle="""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+fr AS (
+    SELECT asset_id, f
+    FROM ids, (SELECT unnest(range(0, 9)) AS f) ff
+    WHERE f < 4 + asset_id % 5 AND f % 2 = 0
+), tiles AS (
+    SELECT asset_id,
+           64 * (2 * ((asset_id * 7 + f * 17 + i * 5 + j * 3) % 128)) AS tsum
+    FROM fr,
+         (SELECT unnest(range(0, 2)) AS i) ii,
+         (SELECT unnest(range(0, 2)) AS j) jj
+), s AS (
+    SELECT asset_id, CAST(sum(tsum) AS BIGINT) AS pixel_sum
+    FROM tiles GROUP BY asset_id
+)
+SELECT asset_id,
+       CAST(4 + asset_id % 5 AS INT) AS n_frames,
+       CAST((4 + asset_id % 5 + 1) // 2 AS INT) AS n_sampled,
+       16 AS width, 16 AS height, pixel_sum
+FROM s
+""",
+)
+def media_video_frame_sample(spark, sf_dir):
+    """REAL video frame-sampling under the hard gate — the VIDEO rung
+    of the multimodal surface (the brief's decode / feature-extract /
+    resize / FRAME-SAMPLE contract, previously served only by the
+    JVM-side timestamp plan): per doc_id an MJPEG AVI with 4-8 real
+    JPEG frames is BUILT (functions/avi: RIFF grammar, avih/strl
+    headers, movi chunks, a correct idx1 index), FRAME-SAMPLED every
+    2nd frame through one container parse that cross-checks idx1
+    against the actual movi layout, and each sampled frame is DECODED
+    by the attested JPEG rung — inside one Arrow-batched mapInPandas.
+
+    Exactness: the frames are even solid-tile images (DC-only blocks
+    quantize exactly — the jpeg gate's closed form), so the pixel sum
+    over sampled frames equals the generator formula over frames
+    0,2,4…, which DuckDB recomputes with no codec or container
+    anywhere. Any defect in the RIFF walk, header geometry, chunk
+    extraction, idx1 verification, or the sampling stride breaks the
+    equality. Container-level malformations (frame-count lies, index
+    drift, truncation) are pinned in tests/test_avi_container.py.
+
+    Shape at 100 TB: one video asset = one row; frames fan out
+    WITHIN the Python batch — per-asset parallel, zero shuffle.
+    Inter-frame codecs raise loudly (MJPEG's frame independence is
+    what makes byte-slicing sampling honest). Reference has no media
+    surface — north-star territory."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        video_frame_sample_features,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    return video_frame_sample_features(ids, every_n=2)
+
+
+@query(
     "salted_event_totals",
     tags=("events", "skew"),
     oracle="""
