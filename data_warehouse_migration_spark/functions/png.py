@@ -53,11 +53,17 @@ What is REAL here — and implemented from the public specs alone
   real-world 2-bit and 4-bit paletted icons shipped in this
   container (tests/test_png_codec.py).
 
+tRNS transparency (r11): ``decode_png_rgba`` honors the tRNS chunk —
+per-palette-entry alphas for color type 3, the single transparent
+gray/RGB sample value (compared at the raw bit depth) for types 0
+and 2, forbidden-and-raising for the alpha-bearing types, exactly
+per spec §11.3.2 — and ``encode_png(trns=...)`` writes it after
+PLTE. The attested baseline ``decode_png`` keeps its spec-sanctioned
+color-only posture (transparency ignored, as in the GIF tier).
+
 What is honestly absent (raises with the reason rather than
-guessing): ancillary-chunk semantics
-(they are skipped, as the spec allows — including tRNS, so a
-transparent palette entry decodes to its palette COLOR, as in the
-GIF tier).
+guessing): semantics of the remaining ancillary chunks (gAMA, iCCP,
+tEXt… — skipped, as the spec allows).
 
 Scale posture: identical to the JPEG tier — deflate streams are
 serial per image by format design, so assets are the parallelism
@@ -754,6 +760,7 @@ def encode_png(
     palette: np.ndarray | None = None,
     interlace: bool = False,
     bit_depth: int | None = None,
+    trns=None,
 ) -> bytes:
     """Encode an 8-bit grayscale (h,w), gray+alpha (h,w,2), RGB
     (h,w,3), or RGBA (h,w,4) array — or, with ``palette`` given, a
@@ -769,7 +776,10 @@ def encode_png(
     4 (r11: VERDICT r10 action #5) packs gray samples or palette
     indices sub-byte, MSB-first — filters then operate on the PACKED
     bytes with bpp=1, per spec; valid for (h,w) gray/indices only and
-    every sample must be < 2^bit_depth.
+    every sample must be < 2^bit_depth. ``trns`` (r11) writes a tRNS
+    transparency chunk: per-index alpha bytes for paletted images, an
+    int gray sample value for color type 0, an (r, g, b) sample tuple
+    for color type 2 — forbidden (raises) for alpha-bearing types.
     """
     img = np.asarray(img)
     depth = 16 if img.dtype == np.uint16 else 8
@@ -858,6 +868,28 @@ def encode_png(
     out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
     if plte is not None:
         out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        # tRNS sits after PLTE and before IDAT per the spec's chunk
+        # ordering rules (§5.6).
+        if color_type == 3:
+            alphas = bytes(bytearray(trns))
+            if len(alphas) > len(plte) // 3:
+                raise ValueError("more tRNS alphas than palette entries")
+            out += _chunk(b"tRNS", alphas)
+        elif color_type == 0:
+            key = int(trns)
+            if not 0 <= key < (1 << depth):
+                raise ValueError("gray tRNS sample out of range")
+            out += _chunk(b"tRNS", key.to_bytes(2, "big"))
+        elif color_type == 2:
+            key = tuple(int(v) for v in trns)
+            if len(key) != 3 or any(not 0 <= v < (1 << depth) for v in key):
+                raise ValueError("RGB tRNS must be three in-range samples")
+            out += _chunk(b"tRNS", b"".join(v.to_bytes(2, "big") for v in key))
+        else:
+            raise ValueError(
+                "tRNS is forbidden for alpha-bearing color types per spec"
+            )
     return (
         out
         + _chunk(b"IDAT", zlib_compress(bytes(raw), deflate))
@@ -865,17 +897,23 @@ def encode_png(
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG of any color type — gray (h,w), gray+alpha
-    (h,w,2), RGB (h,w,3), RGBA (h,w,4), paletted (returned as the
-    looked-up (h,w,3) RGB) — interlaced or not. CRC-verified chunk
-    walk; multiple IDATs are concatenated per spec; ancillary chunks
-    are skipped."""
+def _decode_raw(
+    data: bytes,
+) -> tuple[np.ndarray, int, int, bytes | None, bytes | None]:
+    """Shared decode core: CRC-verified chunk walk + inflate + filter
+    inversion + (if interlaced) Adam7 reassembly, WITHOUT the final
+    color-model post-processing. Returns ``(pixels, color_type,
+    depth, plte, trns)`` where ``pixels`` is (h, w, channels) in the
+    native sample dtype — raw palette indices / un-scaled sub-byte
+    gray levels included — so both public decoders (the attested
+    color-only ``decode_png`` and the tRNS-honoring
+    ``decode_png_rgba``) post-process one canonical array."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr: bytes | None = None
     plte: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while pos < len(data):
         if pos + 8 > len(data):
@@ -893,13 +931,13 @@ def decode_png(data: bytes) -> np.ndarray:
             ihdr = payload
         elif ctype == b"PLTE":
             plte = payload
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"IDAT":
             idat += payload
         elif ctype == b"IEND":
             break
-        # ancillary chunks: skipped (spec-sanctioned for a baseline
-        # viewer; for paletted images that includes tRNS — the palette
-        # COLOR is returned, transparency ignored, as in the GIF tier)
+        # other ancillary chunks: skipped (spec-sanctioned)
     if ihdr is None:
         raise ValueError("missing IHDR")
     w = int.from_bytes(ihdr[0:4], "big")
@@ -942,9 +980,6 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(
                 f"decompressed size {len(raw)} != consumed {pos}"
             )
-        if color_type == 0:
-            scale = 255 // ((1 << depth) - 1)
-            return (samples.astype(np.uint16) * scale).astype(np.uint8)
         pixels = samples[:, :, None]
     else:
         sample_bytes = depth // 8
@@ -971,12 +1006,109 @@ def decode_png(data: bytes) -> np.ndarray:
             .astype(np.uint16)
             .reshape(h, w, channels)
         )
+    return pixels, color_type, depth, plte, trns
+
+
+def _palette_lookup(
+    pixels: np.ndarray, plte: bytes | None
+) -> tuple[np.ndarray, np.ndarray]:
+    if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+        raise ValueError("paletted image without a valid PLTE chunk")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = pixels[:, :, 0]
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    return pal[idx], idx
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG of any color type — gray (h,w), gray+alpha
+    (h,w,2), RGB (h,w,3), RGBA (h,w,4), paletted (returned as the
+    looked-up (h,w,3) RGB) — interlaced or not, 1/2/4/8/16-bit.
+    CRC-verified chunk walk; multiple IDATs are concatenated per
+    spec; ancillary chunks are skipped — including tRNS, so the
+    palette/gray/RGB COLOR is returned and transparency ignored (the
+    attested baseline posture, as in the GIF tier); the tRNS-honoring
+    view is ``decode_png_rgba``."""
+    pixels, color_type, depth, plte, _ = _decode_raw(data)
+    if depth < 8 and color_type == 0:
+        scale = 255 // ((1 << depth) - 1)
+        return (pixels[:, :, 0].astype(np.uint16) * scale).astype(np.uint8)
     if color_type == 3:
-        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
-            raise ValueError("paletted image without a valid PLTE chunk")
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = pixels[:, :, 0]
-        if int(idx.max(initial=0)) >= pal.shape[0]:
-            raise ValueError("palette index out of range")
-        return pal[idx]
+        return _palette_lookup(pixels, plte)[0]
+    channels = pixels.shape[2]
     return pixels[:, :, 0] if channels == 1 else pixels
+
+
+def decode_png_rgba(data: bytes) -> np.ndarray:
+    """Decode a PNG to (h, w, 4) RGBA, HONORING tRNS transparency
+    (r11 — the ancillary-chunk absence VERDICT r10 listed): per spec
+    §11.3.2, for color type 3 the tRNS payload is one alpha byte per
+    palette entry (entries beyond its length default to 255); for
+    types 0 and 2 it names ONE gray / RGB sample value (2 bytes per
+    sample, at the image bit depth) that decodes fully transparent;
+    for the alpha-bearing types 4 and 6 a tRNS chunk is forbidden and
+    raises. Output dtype matches the sample depth (uint8, or uint16
+    for 16-bit images, with full-scale opaque alpha); sub-byte gray
+    scales to 8 bits exactly as in ``decode_png``, with the tRNS
+    comparison done on the RAW sample value, pre-scaling, per spec."""
+    pixels, color_type, depth, plte, trns = _decode_raw(data)
+    if color_type in (4, 6) and trns is not None:
+        raise ValueError(
+            "tRNS is forbidden for alpha-bearing color types per spec"
+        )
+    dtype = np.uint16 if depth == 16 else np.uint8
+    opaque = (1 << min(depth, 8)) - 1 if depth < 16 else 65535
+    if depth < 8:
+        opaque = 255
+    h, w = pixels.shape[:2]
+
+    if color_type == 3:
+        rgb, idx = _palette_lookup(pixels, plte)
+        alphas = np.full(256, 255, dtype=np.uint8)
+        if trns is not None:
+            if len(trns) > (len(plte) // 3 if plte else 0):
+                raise ValueError("tRNS longer than the palette")
+            alphas[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.dstack([rgb, alphas[idx]])
+
+    if color_type == 0:
+        raw = pixels[:, :, 0]
+        alpha = np.full((h, w), opaque, dtype=dtype)
+        if trns is not None:
+            if len(trns) != 2:
+                raise ValueError("gray tRNS must be one 2-byte sample")
+            key = int.from_bytes(trns, "big")
+            if key >= (1 << depth):
+                raise ValueError("tRNS sample exceeds the bit depth")
+            alpha[raw == key] = 0
+        if depth < 8:
+            scale = 255 // ((1 << depth) - 1)
+            gray = (raw.astype(np.uint16) * scale).astype(np.uint8)
+        else:
+            gray = raw
+        return np.dstack([gray, gray, gray, alpha]).astype(dtype)
+
+    if color_type == 2:
+        alpha = np.full((h, w), opaque, dtype=dtype)
+        if trns is not None:
+            if len(trns) != 6:
+                raise ValueError("RGB tRNS must be three 2-byte samples")
+            key = tuple(
+                int.from_bytes(trns[2 * i : 2 * i + 2], "big") for i in range(3)
+            )
+            if any(k >= (1 << depth) for k in key):
+                raise ValueError("tRNS sample exceeds the bit depth")
+            match = (
+                (pixels[:, :, 0] == key[0])
+                & (pixels[:, :, 1] == key[1])
+                & (pixels[:, :, 2] == key[2])
+            )
+            alpha[match] = 0
+        return np.dstack([pixels, alpha]).astype(dtype)
+
+    if color_type == 4:
+        gray, alpha = pixels[:, :, 0], pixels[:, :, 1]
+        return np.dstack([gray, gray, gray, alpha]).astype(dtype)
+
+    return pixels  # color type 6: already RGBA

@@ -322,11 +322,12 @@ def test_subbyte_packing_is_msb_first():
     assert P._pack_subbyte_rows(img4, 4).tobytes() == b"\xa3"
 
 
-def _independent_subbyte_decode(data: bytes):
+def _independent_subbyte_decode(data: bytes, rgba: bool = False):
     """Test-local minimal decoder sharing NO code with the codec:
     stdlib zlib inflate, scalar filter inversion, scalar bit
-    unpacking, palette lookup. Non-interlaced paletted only (the real
-    container files' shape)."""
+    unpacking, palette lookup (with ``rgba=True``, per-index tRNS
+    alphas appended — 255 beyond the chunk, per spec). Non-interlaced
+    paletted only (the real container files' shape)."""
     import zlib as _zlib
 
     w = int.from_bytes(data[16:20], "big")
@@ -335,6 +336,7 @@ def _independent_subbyte_decode(data: bytes):
     pos = 8
     idat = b""
     plte = None
+    trns = b""
     while pos < len(data):
         ln = int.from_bytes(data[pos : pos + 4], "big")
         ctype = data[pos + 4 : pos + 8]
@@ -342,6 +344,8 @@ def _independent_subbyte_decode(data: bytes):
             idat += data[pos + 8 : pos + 8 + ln]
         elif ctype == b"PLTE":
             plte = data[pos + 8 : pos + 8 + ln]
+        elif ctype == b"tRNS":
+            trns = data[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
     raw = _zlib.decompress(idat)
     stride = -(-w * depth // 8)
@@ -383,6 +387,9 @@ def _independent_subbyte_decode(data: bytes):
             samples.append(v)
         out_rows.append(samples)
     pal = [tuple(plte[3 * i : 3 * i + 3]) for i in range(len(plte) // 3)]
+    if rgba:
+        alpha = [trns[i] if i < len(trns) else 255 for i in range(len(pal))]
+        return [[pal[s] + (alpha[s],) for s in row] for row in out_rows]
     return [[pal[s] for s in row] for row in out_rows]
 
 
@@ -410,3 +417,113 @@ def test_real_world_subbyte_files_match_independent_decode():
         assert np.array_equal(got, want), path
         seen += 1
     assert seen >= 1, "no real sub-byte files found to pin"
+
+
+# --- tRNS transparency (r11) --------------------------------------------------
+
+
+def test_trns_palette_alphas_and_defaults():
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, 6, size=(11, 7)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(6, 3)).astype(np.uint8)
+    payload = P.encode_png(idx, palette=pal, trns=[9, 0, 200])
+    rgba = P.decode_png_rgba(payload)
+    expect_a = np.array([9, 0, 200, 255, 255, 255], dtype=np.uint8)
+    assert (rgba[:, :, :3] == pal[idx]).all()
+    assert (rgba[:, :, 3] == expect_a[idx]).all()
+    # the attested baseline decoder keeps its color-only posture
+    assert np.array_equal(P.decode_png(payload), pal[idx])
+
+
+def test_trns_gray_and_rgb_key_matching():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rgba = P.decode_png_rgba(P.encode_png(g, trns=37))
+    assert (rgba[:, :, 3] == np.where(g == 37, 0, 255)).all()
+    assert (rgba[:, :, 0] == g).all() and (rgba[:, :, 2] == g).all()
+
+    c = np.zeros((4, 5, 3), dtype=np.uint8)
+    c[2, 2] = (1, 2, 3)
+    c[3, 3] = (1, 2, 4)  # near-miss must stay opaque
+    rgba_c = P.decode_png_rgba(P.encode_png(c, trns=(1, 2, 3)))
+    assert rgba_c[2, 2, 3] == 0 and rgba_c[3, 3, 3] == 255
+
+
+def test_trns_sixteen_bit_and_subbyte_raw_sample_compare():
+    c16 = np.full((3, 3, 3), 300, dtype=np.uint16)
+    c16[1, 1] = (300, 300, 301)
+    rgba = P.decode_png_rgba(P.encode_png(c16, trns=(300, 300, 300)))
+    assert rgba.dtype == np.uint16
+    assert rgba[0, 0, 3] == 0 and rgba[1, 1, 3] == 65535
+    # sub-byte: the key names the RAW sample (pre-scaling), per spec
+    s = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    rgba_s = P.decode_png_rgba(P.encode_png(s, bit_depth=2, trns=3))
+    assert rgba_s[0, :, 3].tolist() == [255, 255, 255, 0]
+    assert rgba_s[0, :, 0].tolist() == [0, 85, 170, 255]
+
+
+def test_trns_forbidden_for_alpha_types_both_directions():
+    ga = np.zeros((2, 2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="forbidden"):
+        P.encode_png(ga, trns=1)
+    # decode side: splice a tRNS chunk into an RGBA stream by hand
+    rgba_img = np.zeros((2, 2, 4), dtype=np.uint8)
+    payload = bytearray(P.encode_png(rgba_img))
+    at = payload.index(b"IDAT") - 4
+    chunk = P._chunk(b"tRNS", (5).to_bytes(2, "big"))
+    bad = bytes(payload[:at]) + chunk + bytes(payload[at:])
+    with pytest.raises(ValueError, match="forbidden"):
+        P.decode_png_rgba(bad)
+    # ...while the baseline decoder still skips it, per its posture
+    assert np.array_equal(P.decode_png(bad), rgba_img)
+
+
+def test_trns_validation_errors():
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="more tRNS alphas"):
+        P.encode_png(idx, palette=pal, trns=[1, 2, 3])
+    g = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="out of range"):
+        P.encode_png(g, trns=256)
+    with pytest.raises(ValueError, match="three in-range"):
+        P.encode_png(np.zeros((2, 2, 3), dtype=np.uint8), trns=(1, 2))
+
+
+def test_decode_rgba_matches_decode_png_when_no_trns():
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 256, size=(5, 9)).astype(np.uint8)
+    rgba = P.decode_png_rgba(P.encode_png(g))
+    assert (rgba[:, :, 0] == g).all() and (rgba[:, :, 3] == 255).all()
+    c = rng.integers(0, 256, size=(5, 9, 3)).astype(np.uint8)
+    rgba_c = P.decode_png_rgba(P.encode_png(c, interlace=True))
+    assert (rgba_c[:, :, :3] == c).all() and (rgba_c[:, :, 3] == 255).all()
+
+
+#: Real paletted files WITH tRNS transparency from independent
+#: encoders in this container (4-bit and 8-bit indices).
+_REAL_TRNS = [
+    "/usr/share/icons/locolor/16x16/apps/gvim.png",
+    "/usr/share/icons/Adwaita/24x24/legacy/view-fullscreen.png",
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+    "python3.11/test/imghdrdata/python.png",
+    "/usr/share/doc/nodejs/osx_installer_logo.png",
+]
+
+
+def test_real_world_trns_files_match_independent_rgba_decode():
+    import os
+
+    seen = 0
+    for path in _REAL_TRNS:
+        if not os.path.exists(path):
+            continue
+        data = open(path, "rb").read()
+        got = P.decode_png_rgba(data)
+        want = np.array(
+            _independent_subbyte_decode(data, rgba=True), dtype=np.uint8
+        )
+        assert np.array_equal(got, want), path
+        # the transparency is real: these icons have see-through pixels
+        assert int((got[:, :, 3] == 0).sum()) > 0, path
+        seen += 1
+    assert seen >= 2, "not enough real tRNS files found to pin"
