@@ -55,22 +55,52 @@ def _decode_real_asset(mime: str, payload: bytes) -> tuple[int, int, float]:
     container has no PIL/librosa/av; a richer codec adds a branch here
     without touching schema/batching/plumbing).
     """
-    import io
-    import wave
-
     import numpy as np
 
     if mime in ("audio/wav", "audio/x-wav"):
-        with wave.open(io.BytesIO(payload)) as w:
-            n_ch = w.getnchannels()
-            width_bytes = w.getsampwidth()
-            rate = w.getframerate()
-            frames = w.readframes(w.getnframes())
-        if width_bytes != 2:
-            raise NotImplementedError("only 16-bit PCM WAV is decoded")
-        samples = np.frombuffer(frames, dtype="<i2").astype("float64")
-        rms = float(np.sqrt((samples**2).mean())) / 32768.0 if samples.size else 0.0
-        return rate, n_ch, rms
+        # r11: our own RIFF walk (functions/pcm_audio) replaced the
+        # stdlib ``wave`` subset — PCM 8/16/24/32, IEEE float32, and
+        # G.711 µ-law/A-law all decode now (16-bit output verified
+        # sample-exact against ``wave`` in tests/test_pcm_audio.py).
+        from data_warehouse_migration_spark.functions.pcm_audio import (
+            decode_wav,
+        )
+
+        samples, rate, bits = decode_wav(bytes(payload))
+        x = samples.astype("float64")
+        # float32 WAV is already in [-1, 1]; integer formats normalize
+        # by their full scale
+        full = 1.0 if samples.dtype.kind == "f" else float(1 << (bits - 1))
+        rms = float(np.sqrt((x**2).mean())) / full if x.size else 0.0
+        return rate, samples.shape[1], rms
+    if mime in ("audio/basic", "audio/au"):
+        # Sun audio (r11): PCM 8/16/24/32 big-endian + G.711.
+        from data_warehouse_migration_spark.functions.pcm_audio import (
+            decode_au,
+        )
+
+        samples, rate, bits = decode_au(bytes(payload))
+        x = samples.astype("float64")
+        rms = (
+            float(np.sqrt((x**2).mean())) / float(1 << (bits - 1))
+            if x.size
+            else 0.0
+        )
+        return rate, samples.shape[1], rms
+    if mime in ("audio/aiff", "audio/x-aiff"):
+        # AIFF/AIFC (r11): big-endian PCM + G.711 AIFC.
+        from data_warehouse_migration_spark.functions.pcm_audio import (
+            decode_aiff,
+        )
+
+        samples, rate, bits = decode_aiff(bytes(payload))
+        x = samples.astype("float64")
+        rms = (
+            float(np.sqrt((x**2).mean())) / float(1 << (bits - 1))
+            if x.size
+            else 0.0
+        )
+        return rate, samples.shape[1], rms
     if mime in ("audio/flac", "audio/x-flac"):
         # From-scratch RFC 9639 tier (functions/flac — r11): CRC-8/
         # CRC-16-verified frame walk, Rice/Rice2 residual decode,
@@ -765,6 +795,83 @@ def video_frame_sample_features(
         schema=(
             f"{id_col} bigint, n_frames int, n_sampled int,"
             " width int, height int, pixel_sum bigint"
+        ),
+    )
+
+
+def audio_container_roundtrip_features(
+    ids_df: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """REAL audio-container interop, value-attestable end to end —
+    the AU/AIFF/WAV tier next to the FLAC rung (functions/pcm_audio):
+    per id a 64-sample 2-channel 16-bit signal whose values are
+    µ-LAW CODEBOOK POINTS — sample ``(t, c)`` expands code
+    ``(id·7 + t·13 + c·29) mod 256`` through the published G.711
+    formula — is encoded into the container selected by ``id mod 3``
+    (AU / AIFF / WAV... WAV via AU is covered by cross-container unit
+    pins, so the rotation here is AU pcm16 / AIFF pcm16 / AU µ-LAW)
+    and decoded back, all inside one Arrow-batched ``mapInPandas``.
+
+    The companded leg is the reason for the codebook trick: µ-law is
+    lossy in general, but codebook points are FIXPOINTS of
+    expand∘compress (up to the published two-zeros identification,
+    which expansion maps back to the same VALUE), so the decoded
+    samples equal the generated ones exactly on every leg and DuckDB
+    recomputes the sample sum from the expansion formula — plain
+    integer arithmetic (complement, mask, shift, bias), no codec
+    anywhere. Any defect in the AU/AIFF headers, the 80-bit extended
+    sample rate, big-endian PCM packing, or either companding
+    direction breaks the equality. Real-file pins (CPython's pluck
+    corpus across all four containers + stdlib ``wave`` equality)
+    live in tests/test_pcm_audio.py.
+
+    Scale: per-asset parallel, zero shuffle — same posture as every
+    codec gate."""
+    import numpy as np
+
+    from data_warehouse_migration_spark.functions.pcm_audio import (
+        decode_aiff,
+        decode_au,
+        encode_aiff,
+        encode_au,
+        ulaw_to_linear,
+    )
+
+    N, RATE = 64, 8000
+
+    def per_id(aid: int) -> tuple[str, int, int, int, int]:
+        t = np.arange(N).reshape(N, 1)
+        c = np.arange(2).reshape(1, 2)
+        codes = ((aid * 7 + t * 13 + c * 29) % 256).astype(np.uint8)
+        sig = ulaw_to_linear(codes).astype(np.int64)
+        leg = aid % 3
+        if leg == 0:
+            dec, rate, _ = decode_au(encode_au(sig, RATE, "pcm16"))
+            path = "au-pcm16"
+        elif leg == 1:
+            dec, rate, _ = decode_aiff(encode_aiff(sig, RATE, 16))
+            path = "aiff-pcm16"
+        else:
+            dec, rate, _ = decode_au(encode_au(sig, RATE, "ulaw"))
+            path = "au-ulaw"
+        return path, int(dec.shape[0]), int(dec.shape[1]), rate, int(dec.sum())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(a), *per_id(int(a))) for a in pdf[id_col]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "path", "n_samples", "n_channels",
+                    "sample_rate", "sample_sum",
+                ],
+            )
+
+    return ids_df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, path string, n_samples int, n_channels int,"
+            " sample_rate int, sample_sum bigint"
         ),
     )
 

@@ -1610,6 +1610,73 @@ def media_video_frame_sample(spark, sf_dir):
 
 
 @query(
+    "media_audio_containers",
+    tags=("multimodal", "audio", "au", "aiff", "g711", "codec", "mapInPandas"),
+    oracle="""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+km AS (
+    SELECT asset_id, 255 - ((asset_id * 7 + t * 13 + c * 29) % 256) AS u
+    FROM ids,
+         (SELECT unnest(range(0, 64)) AS t) tt,
+         (SELECT unnest(range(0, 2)) AS c) cc
+), ex AS (
+    -- the published G.711 µ-law expansion, as plain integer SQL:
+    -- t = (((u & 15) << 3) + 132) << ((u >> 4) & 7); sign on u & 128
+    SELECT asset_id,
+           CASE WHEN u >= 128
+                THEN 132 - (((u & 15) * 8 + 132) * (1 << ((u // 16) & 7)))
+                ELSE (((u & 15) * 8 + 132) * (1 << ((u // 16) & 7))) - 132
+           END AS v
+    FROM km
+), s AS (
+    SELECT asset_id, CAST(sum(v) AS BIGINT) AS sample_sum
+    FROM ex GROUP BY asset_id
+)
+SELECT asset_id,
+       CASE asset_id % 3 WHEN 0 THEN 'au-pcm16'
+                         WHEN 1 THEN 'aiff-pcm16'
+                         ELSE 'au-ulaw' END AS path,
+       64 AS n_samples, 2 AS n_channels, 8000 AS sample_rate, sample_sum
+FROM s
+""",
+)
+def media_audio_containers(spark, sf_dir):
+    """REAL AU/AIFF containers + G.711 µ-law companding under the
+    hard gate — the audio-INTEROP tier next to the FLAC rung
+    (functions/pcm_audio, r11): per doc_id a 2-channel 16-bit signal
+    whose samples are µ-law CODEBOOK points (code (id·7+t·13+c·29)
+    mod 256 expanded through the published formula) is encoded into
+    the container rotating on id mod 3 — AU pcm16 (big-endian
+    header + PCM), AIFF pcm16 (IFF grammar, COMM with the 80-bit
+    extended-float sample rate, SSND), AU µ-LAW (the companded leg)
+    — and decoded back, inside one Arrow-batched mapInPandas.
+
+    Exactness: PCM legs are trivially lossless; the µ-law leg is
+    exact BECAUSE the signal lives on the codebook — codebook points
+    are fixpoints of expand∘compress (the two-zeros identification
+    maps back to the same value) — so every leg's decoded sample sum
+    equals the DuckDB oracle's recomputation of the expansion formula
+    in plain integer SQL (complement, mask, shift, bias — no codec
+    anywhere). Any defect in either container's header geometry, the
+    extended-float rate, big-endian packing, or either companding
+    direction breaks the equality. The decoders are additionally
+    pinned against CPython's REAL pluck corpus (the same recording
+    across AU/AIFF/AIFC/WAV at four PCM depths + µ-law + A-law,
+    stdlib ``wave`` as the exact 16-bit reference) in
+    tests/test_pcm_audio.py — real-file interop the FLAC rung's
+    hand-derived pins can't provide.
+
+    Shape at 100 TB: per-asset parallel, zero shuffle. Reference has
+    no media surface — north-star territory."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        audio_container_roundtrip_features,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    return audio_container_roundtrip_features(ids)
+
+
+@query(
     "salted_event_totals",
     tags=("events", "skew"),
     oracle="""
