@@ -329,6 +329,65 @@ def synthesize_assets(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     )
 
 
+def synthesize_container_assets(
+    ids_df: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """Deterministic AU/AIFF payloads from integer ids (r11) — the
+    container-tier companion to :func:`synthesize_assets` (which
+    stays WAV/BMP because the in-window resize gate consumes it):
+
+    - even ids → mono Sun AU, G.711 µ-LAW: ``80 + id%40`` samples,
+      code ``j = (id·11 + j·7) % 256`` — the SIGNAL is the expanded
+      codebook, so decode is exact and the 24-byte header makes
+      ``n_bytes = 24 + n`` closed-form;
+    - odd ids → stereo 16-bit AIFF at 11025 Hz: ``60 + id%30``
+      frames, sample ``(j, c) = (id·13 + j·19 + c·37) % 4001 − 2000``
+      (deterministic IFF layout ⇒ ``n_bytes = 54 + 4·n``).
+
+    Every decoded property is a closed-form function of the id —
+    including the µ-law RMS, via the published expansion formula in
+    plain integer SQL — which is what lets ``_decode_real_asset``'s
+    AU/AIFF branches carry a value oracle through the SAME
+    ``extract_media_features`` path production uses
+    (``media_feature_extract_containers``)."""
+    import numpy as np
+
+    from data_warehouse_migration_spark.functions.pcm_audio import (
+        encode_aiff,
+        encode_au,
+        ulaw_to_linear,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, payloads = [], [], []
+            for raw in pdf[id_col]:
+                aid = int(raw)
+                if aid % 2 == 0:
+                    n = 80 + aid % 40
+                    codes = ((aid * 11 + np.arange(n) * 7) % 256).astype(
+                        np.uint8
+                    )
+                    sig = ulaw_to_linear(codes).astype(np.int64)
+                    mimes.append("audio/basic")
+                    payloads.append(encode_au(sig, 8000, "ulaw"))
+                else:
+                    n = 60 + aid % 30
+                    j = np.arange(n).reshape(n, 1)
+                    c = np.arange(2).reshape(1, 2)
+                    sig = (aid * 13 + j * 19 + c * 37) % 4001 - 2000
+                    mimes.append("audio/aiff")
+                    payloads.append(encode_aiff(sig, 11025, 16))
+                ids.append(aid)
+            yield pd.DataFrame(
+                {id_col: ids, "mime": mimes, "payload": payloads}
+            )
+
+    return ids_df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, mime string, payload binary"
+    )
+
+
 def frame_sample_plan(
     assets: DataFrame,
     every_n_seconds: int = 5,

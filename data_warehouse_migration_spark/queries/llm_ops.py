@@ -1677,6 +1677,83 @@ def media_audio_containers(spark, sf_dir):
 
 
 @query(
+    "media_feature_extract_containers",
+    tags=("multimodal", "audio", "au", "aiff", "mapInPandas", "real-decode"),
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+au AS (
+    SELECT doc_id, 80 + (doc_id % 40) AS n FROM d WHERE doc_id % 2 = 0
+), aus AS (
+    SELECT doc_id, n, 255 - ((doc_id * 11 + j * 7) % 256) AS u
+    FROM (SELECT doc_id, n, unnest(range(0, n)) AS j FROM au)
+), auv AS (
+    SELECT doc_id, n,
+           CASE WHEN u >= 128
+                THEN 132 - (((u & 15) * 8 + 132) * (1 << ((u // 16) & 7)))
+                ELSE (((u & 15) * 8 + 132) * (1 << ((u // 16) & 7))) - 132
+           END AS v
+    FROM aus
+), auf AS (
+    SELECT doc_id, 'audio/basic' AS mime,
+           CAST(24 + n AS INT) AS n_bytes,
+           8000 AS width, 1 AS height,
+           round(sqrt(sum(CAST(v * v AS DOUBLE)) / n) / 32768.0, 6)
+               AS feature_norm
+    FROM auv GROUP BY doc_id, n
+), aiff AS (
+    SELECT doc_id, 60 + (doc_id % 30) AS n FROM d WHERE doc_id % 2 = 1
+), aiffs AS (
+    SELECT doc_id, n, ((doc_id * 13 + j * 19 + c * 37) % 4001 - 2000) AS s
+    FROM (SELECT doc_id, n, unnest(range(0, n)) AS j FROM aiff),
+         (SELECT unnest(range(0, 2)) AS c) cc
+), aifff AS (
+    SELECT doc_id, 'audio/aiff' AS mime,
+           CAST(54 + 4 * n AS INT) AS n_bytes,
+           11025 AS width, 2 AS height,
+           round(sqrt(sum(CAST(s * s AS DOUBLE)) / (2 * n)) / 32768.0, 6)
+               AS feature_norm
+    FROM aiffs GROUP BY doc_id, n
+)
+SELECT doc_id AS asset_id, mime, n_bytes, width, height, feature_norm FROM auf
+UNION ALL
+SELECT doc_id AS asset_id, mime, n_bytes, width, height, feature_norm FROM aifff
+""",
+)
+def media_feature_extract_containers(spark, sf_dir):
+    """The AU/AIFF branches of ``_decode_real_asset`` under the hard
+    gate, through the SAME ``extract_media_features`` path production
+    uses (the umbrella pattern of ``media_feature_extract_real``,
+    which stays WAV/BMP because the in-window resize gate shares its
+    generator): even ids synthesize mono Sun-AU µ-LAW payloads whose
+    SIGNAL is the expanded µ-law codebook (decode therefore exact;
+    n_bytes = 24 + n closed-form), odd ids stereo 16-bit AIFF
+    (deterministic IFF layout ⇒ n_bytes = 54 + 4n). The DuckDB oracle
+    recomputes byte counts, rates, channel counts, and the RMS — the
+    µ-law leg's via the published G.711 expansion formula in plain
+    integer SQL — with no codec anywhere.
+
+    Shape at 100 TB: identical to the other media gates — assets are
+    independent rows through one Arrow-batched mapInPandas."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_container_assets,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    feats = extract_media_features(
+        synthesize_container_assets(ids), decode_stub=False
+    )
+    return feats.select(
+        "asset_id",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("feature_norm", 6).alias("feature_norm"),
+    )
+
+
+@query(
     "salted_event_totals",
     tags=("events", "skew"),
     oracle="""
