@@ -1754,6 +1754,72 @@ def media_feature_extract_containers(spark, sf_dir):
 
 
 @query(
+    "html_text_extract",
+    tags=("text", "html", "crawl", "boilerplate", "mapInPandas"),
+    oracle="""
+WITH base AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(text || ' <raw> AB', '[ \t\n\r]+', ' ', 'g'))
+               AS p_block
+    FROM documents
+), built AS (
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10) || lang || chr(10) || p_block ||
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN chr(10) || 'nav 0'
+                WHEN 1 THEN chr(10) || 'nav 0' || chr(10) || 'nav 1'
+                ELSE chr(10) || 'nav 0' || chr(10) || 'nav 1'
+                     || chr(10) || 'nav 2'
+           END AS full_text,
+           CAST(4 + doc_id % 3 AS INT) AS n_blocks,
+           CAST(1 + doc_id % 3 AS INT) AS n_boilerplate
+    FROM base
+)
+SELECT doc_id, md5(full_text) AS text_md5,
+       CAST(length(full_text) AS INT) AS n_chars,
+       n_blocks, n_boilerplate
+FROM built
+""",
+)
+def html_text_extract(spark, sf_dir):
+    """HTML → text extraction under the hard gate — the crawl-ingest
+    rung of the text pipeline (functions/html_text, r11; the
+    trafilatura/jusText role the engine lacked): per document a
+    deterministic HTML page is SYNTHESIZED from its own (doc_id,
+    lang, text) — title, style/script raw-text elements with embedded
+    ``<`` and ``</div>``-inside-a-JS-string traps, the body text
+    entity-ESCAPED plus a literal character-reference suffix
+    (``&lt;raw&gt; &#65;&#x42;``), a comment containing fake tags,
+    and 1 + id mod 3 pure-link nav blocks whose href embeds ``>``
+    inside quotes — then EXTRACTED back through the production
+    mapInPandas operator (operators/web_extract).
+
+    Exactness: escape∘decode is the identity on the body text,
+    comments and script/style content vanish, block tags segment
+    deterministically, and the nav blocks are 100%% link-density
+    boilerplate — so the extracted text is a pure STRING FORMULA over
+    the documents table (whitespace-collapse is the one shared
+    normalization, spelled as an explicit class — not ``\\s``, which
+    engines disagree on). The oracle rebuilds it with no HTML parser
+    anywhere and compares via md5 + length + block/boilerplate
+    counts. Adversarial parser cases (unterminated tags, CDATA, bare
+    ``<``, nested comments, malformed entities) are pinned in
+    tests/test_html_text.py.
+
+    Shape at 100 TB: documents are the parallelism unit through one
+    Arrow-batched stage, zero shuffle; the cleaned text feeds the
+    existing curation stack (unicode tokenization, Gopher rules,
+    dedup, BPE) unchanged. Reference has no text-extraction surface —
+    north-star territory."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        html_extract_features,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return html_extract_features(docs)
+
+
+@query(
     "salted_event_totals",
     tags=("events", "skew"),
     oracle="""
