@@ -55,6 +55,72 @@ def extract_text_from_html(
     )
 
 
+def synth_page(aid: int, lang: str, text: str) -> str:
+    """The deterministic page builder shared by the extraction gate
+    and curation_pipeline_v7: title, style/script raw-text traps, the
+    body text entity-escaped plus a literal character-reference
+    suffix, a comment with fake tags, and ``1 + id mod 3`` pure-link
+    nav blocks whose href embeds ``>`` inside quotes."""
+
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    navs = "".join(
+        f'<div><a href="x?a>b&c">nav {j}</a></div>'
+        for j in range(1 + aid % 3)
+    )
+    return (
+        f"<html><head><title>Doc {aid}</title>"
+        f"<style>p {{ color: red; }} /* > */</style>"
+        f'<script>if (1 < 2) {{ v = "</div>"; }}</script>'
+        f"</head><body><h1>{lang}</h1>"
+        f"<p>{esc(str(text))} &lt;raw&gt; &#65;&#x42;</p>"
+        f"<!-- <p>not text {aid}</p> -->"
+        f"{navs}</body></html>"
+    )
+
+
+def crawl_extract_main(docs: DataFrame) -> DataFrame:
+    """Crawl-shaped main-content extraction for the v7 pipeline: per
+    document, synthesize its page (``synth_page``), lex it into
+    blocks, DROP boilerplate (link density > 0.5 — the nav blocks),
+    and select the LONGEST surviving block as the main content (the
+    classic largest-block heuristic; with this page shape that is
+    provably the body paragraph, which is what lets the oracle
+    re-derive it as a string formula). Output: ``(doc_id, lang,
+    main_text, n_blocks, n_boilerplate)``."""
+    from data_warehouse_migration_spark.functions.html_text import (
+        html_blocks,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                aid = int(i)
+                blocks = html_blocks(synth_page(aid, str(lang), str(text)))
+                content = [
+                    t for t, link, total in blocks
+                    if not (total and link / total > 0.5)
+                ]
+                n_boiler = len(blocks) - len(content)
+                main = max(content, key=len) if content else ""
+                rows.append((aid, str(lang), main, len(blocks), n_boiler))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "main_text", "n_blocks",
+                         "n_boilerplate"],
+            )
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, lang string, main_text string,"
+            " n_blocks int, n_boilerplate int"
+        ),
+    )
+
+
 def html_extract_features(docs: DataFrame) -> DataFrame:
     """Gate harness: per document, SYNTHESIZE a deterministic HTML
     page from its own (doc_id, lang, text) — title, style/script
@@ -81,29 +147,12 @@ def html_extract_features(docs: DataFrame) -> DataFrame:
         html_to_text,
     )
 
-    def esc(s: str) -> str:
-        return (
-            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-        )
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
                 aid = int(i)
-                navs = "".join(
-                    f'<div><a href="x?a>b&c">nav {j}</a></div>'
-                    for j in range(1 + aid % 3)
-                )
-                page = (
-                    f"<html><head><title>Doc {aid}</title>"
-                    f"<style>p {{ color: red; }} /* > */</style>"
-                    f'<script>if (1 < 2) {{ v = "</div>"; }}</script>'
-                    f"</head><body><h1>{lang}</h1>"
-                    f"<p>{esc(str(text))} &lt;raw&gt; &#65;&#x42;</p>"
-                    f"<!-- <p>not text {aid}</p> -->"
-                    f"{navs}</body></html>"
-                )
+                page = synth_page(aid, str(lang), str(text))
                 extracted = html_to_text(page)
                 n_blocks, n_boiler = boilerplate_stats(page)
                 rows.append(

@@ -3558,6 +3558,124 @@ def curation_pipeline_v6(spark, sf_dir):
 
 
 @query(
+    "curation_pipeline_v7",
+    tags=(
+        "pipeline", "curation", "html", "crawl", "boilerplate",
+        "dedup", "unicode",
+    ),
+    oracle="""
+WITH base AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(text || ' <raw> AB', '[ \t\n\r]+', ' ', 'g'))
+               AS main_text,
+           1 + doc_id % 3 AS n_boiler
+    FROM documents
+), tok AS (
+    SELECT doc_id, lang, main_text, n_boiler,
+           len(list_filter(string_split(trim(regexp_replace(
+               lower(main_text), '[\\t\\n\\x0B\\f\\r\\p{Z}]+', ' ', 'g')),
+               ' '), x -> x != '')) AS nt
+    FROM base
+), kept AS (
+    SELECT * FROM tok WHERE nt >= 5
+), surv AS (
+    SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(main_text)
+), fin AS (
+    SELECT k.lang, k.nt FROM kept k JOIN surv USING (doc_id)
+), pages AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(n_boiler) AS BIGINT) AS n_boilerplate
+    FROM base GROUP BY lang
+), keptagg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang
+), finagg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM fin GROUP BY lang
+)
+SELECT p.lang, p.n_pages, p.n_boilerplate,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(f.n_unique, 0) AS n_unique,
+       COALESCE(f.n_tokens, 0) AS n_tokens
+FROM pages p
+LEFT JOIN keptagg k USING (lang)
+LEFT JOIN finagg f USING (lang)
+""",
+)
+def curation_pipeline_v7(spark, sf_dir):
+    """v7 of the curation family (r11): the CRAWL-INGEST composition
+    — the corpus arrives as HTML pages and leaves as deduplicated
+    training text, every stage on the engine:
+
+    1. PAGES: each document becomes a deterministic HTML page
+       (operators/web_extract.synth_page — raw-text traps, entities,
+       comments, 1 + id mod 3 pure-link nav blocks).
+    2. EXTRACT + MAIN CONTENT: one-pass lexing into blocks
+       (functions/html_text), boilerplate dropped by the >0.5
+       link-density screen, the LONGEST surviving block selected as
+       main content (the classic largest-block heuristic — provably
+       the body paragraph under this page shape, which is what makes
+       the oracle a pure string formula).
+    3. QUALITY: unicode token count of the main content >= 5.
+    4. DEDUP: exact near-copy removal on md5(main_text), min-id
+       canonical copy (the fixture corpus carries real duplicate
+       texts, so this stage does real work).
+    5. REPORT per language: pages, boilerplate blocks dropped, kept,
+       unique, token totals.
+
+    One oracle re-derives extraction (as the escape∘decode string
+    identity), the quality screen, the dedup, and the report — a
+    defect anywhere in the lexer, the link-density accounting, the
+    block selection, tokenization, or dedup ordering fails the hash.
+
+    Scale: extraction is one Arrow-batched stage (documents are the
+    parallelism unit, zero shuffle — text shuffles only as
+    (digest, id) for dedup); the report is a language-cardinality
+    aggregation. The same pipeline pointed at a real crawl table just
+    swaps stage 1 for a binary/html source scan."""
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_token_count,
+    )
+    from data_warehouse_migration_spark.operators.web_extract import (
+        crawl_extract_main,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    main = crawl_extract_main(docs)
+    tok = main.withColumn("nt", unicode_token_count(F.col("main_text")))
+    kept = tok.filter(F.col("nt") >= 5)
+    surv = (
+        kept.groupBy(F.md5("main_text").alias("__d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fin = kept.join(surv, "doc_id")
+    pages = main.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("n_boilerplate").cast("long").alias("n_boilerplate"),
+    )
+    keptagg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    finagg = fin.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    return (
+        pages.join(keptagg, "lang", "left")
+        .join(finagg, "lang", "left")
+        .select(
+            "lang",
+            "n_pages",
+            "n_boilerplate",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
     "corpus_diversity_profile",
     tags=("text", "diversity", "reporting", "dataset-card"),
     oracle="""
