@@ -64,10 +64,13 @@ def main() -> None:
     load_before = round(os.getloadavg()[0], 2)
     out: dict = {"probe": "media_codecs", "steps": steps, "families": {}}
     for name, build in families.items():
+        # warm plan analysis/codegen + Python workers outside the clock
+        build(
+            spark.range(64).select(F.col("id").alias("asset_id"))
+        ).collect()
         times = []
         for n in steps:
             ids = spark.range(n).select(F.col("id").alias("asset_id"))
-            # warm plan/codegen once per family at the smallest step
             t0 = time.monotonic()
             build(ids).collect()
             times.append(round(time.monotonic() - t0, 3))
