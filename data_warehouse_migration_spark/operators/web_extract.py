@@ -121,6 +121,41 @@ def crawl_extract_main(docs: DataFrame) -> DataFrame:
     )
 
 
+def url_canonicalize_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for URL canonicalization (functions/url): per
+    document, SYNTHESIZE a messy URL exercising every §6 rule at once
+    — uppercase scheme+host, explicit default port, dot-segments,
+    an unreserved percent-triplet (``%61`` → ``a``) next to a
+    reserved one (``%2f`` → ``%2F``), unsorted query params, a
+    fragment — then canonicalize with ``sort_query=True``. The
+    canonical form is a pure string formula over (doc_id, lang) that
+    the DuckDB oracle rebuilds with no URL code anywhere."""
+    from data_warehouse_migration_spark.functions.url import (
+        canonicalize_url,
+        split_url,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, lang in zip(pdf["doc_id"], pdf["lang"]):
+                aid = int(i)
+                url = (
+                    f"HTTP://WWW.Host{aid % 5}.COM:80/{lang}/a/b/../c/./"
+                    f"%61%2f{aid}?b={aid}&a={aid % 3}#frag{aid}"
+                )
+                canon = canonicalize_url(url, sort_query=True)
+                _, authority, _, _, _ = split_url(canon)
+                rows.append((aid, canon, authority))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "canonical_url", "host"]
+            )
+
+    return docs.select("doc_id", "lang").mapInPandas(
+        run, schema="doc_id bigint, canonical_url string, host string"
+    )
+
+
 def html_extract_features(docs: DataFrame) -> DataFrame:
     """Gate harness: per document, SYNTHESIZE a deterministic HTML
     page from its own (doc_id, lang, text) — title, style/script

@@ -1820,6 +1820,49 @@ def html_text_extract(spark, sf_dir):
 
 
 @query(
+    "url_canonicalize",
+    tags=("text", "url", "crawl", "dedup-key", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       'http://www.host' || (doc_id % 5) || '.com/' || lang ||
+       '/a/c/a%2F' || doc_id ||
+       '?a=' || (doc_id % 3) || '&b=' || doc_id AS canonical_url,
+       'www.host' || (doc_id % 5) || '.com' AS host
+FROM documents
+""",
+)
+def url_canonicalize(spark, sf_dir):
+    """URL canonicalization under the hard gate (functions/url, r11 —
+    RFC 3986 §6, the crawl frontier's dedup key): per document a
+    messy URL exercising every rule at once — uppercase scheme and
+    host, explicit default port, ``/a/b/../c/./`` dot-segments, an
+    unreserved percent-triplet (``%61`` → ``a``) next to a reserved
+    one (``%2f`` → case-normalized ``%2F``, NOT decoded — decoding
+    it would change the path structure), unsorted query params, a
+    fragment — is synthesized from (doc_id, lang) and canonicalized
+    with the param-sort convention, inside one Arrow-batched
+    mapInPandas.
+
+    Exactness: the canonical form is a pure string formula over the
+    documents table, which the oracle rebuilds with no URL code
+    anywhere. Any defect in scheme/host casing, default-port
+    dropping, the RFC §5.2.4 dot-segment algorithm, the
+    unreserved-vs-reserved percent split, query sorting, or fragment
+    dropping breaks the string equality. The RFC's own dot-segment
+    examples, IPv6 literals, userinfo, malformed triplets, and the
+    sort_query=False default are pinned in tests/test_url_canon.py.
+
+    Shape at 100 TB: pure per-row string work, zero shuffle — the
+    canonical URL becomes the frontier dedup key (digest-groupBy
+    downstream, the exact-dedup posture)."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        url_canonicalize_features,
+    )
+
+    return url_canonicalize_features(t(spark, sf_dir, "documents"))
+
+
+@query(
     "salted_event_totals",
     tags=("events", "skew"),
     oracle="""
