@@ -1863,6 +1863,58 @@ def url_canonicalize(spark, sf_dir):
 
 
 @query(
+    "media_jpeg_exif_orientation",
+    tags=("multimodal", "image", "jpeg", "exif", "codec", "mapInPandas"),
+    oracle="""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+tiles AS (
+    SELECT asset_id, 2 * ((asset_id * 5 + i * 7 + j * 11) % 128) AS v
+    FROM ids,
+         (SELECT unnest(range(0, 3)) AS i) ii,
+         (SELECT unnest(range(0, 2)) AS j) jj
+), s AS (
+    SELECT asset_id, CAST(64 * sum(v) AS BIGINT) AS pixel_sum
+    FROM tiles GROUP BY asset_id
+)
+SELECT asset_id,
+       CAST(1 + asset_id % 8 AS INT) AS orientation,
+       CAST(CASE WHEN asset_id % 8 >= 4 THEN 24 ELSE 16 END AS INT) AS width,
+       CAST(CASE WHEN asset_id % 8 >= 4 THEN 16 ELSE 24 END AS INT) AS height,
+       pixel_sum
+FROM s
+""",
+)
+def media_jpeg_exif_orientation(spark, sf_dir):
+    """EXIF orientation under the hard gate (functions/exif, r11 —
+    the metadata step real image pipelines run before any pixel
+    work; phone-camera rasters are stored unrotated): per doc_id a
+    NON-SQUARE 16×24 six-tile JPEG gets an APP1/EXIF segment with
+    orientation 1 + id mod 8 (TIFF byte order II for even ids, MM
+    for odd), then decode → parse tag 0x0112 → auto-rotate, inside
+    one Arrow-batched mapInPandas.
+
+    Exactness: the decoded raster is bit-exact (even DC-only tiles),
+    and every disposition is a permutation of pixels — so the pixel
+    sum is INVARIANT while the displayed width/height swap exactly
+    for orientations 5-8 (id mod 8 >= 4). Both facts are closed
+    forms DuckDB recomputes with no codec or TIFF parser anywhere. A
+    defect in the JPEG marker walk, either TIFF byte order, the
+    12-byte IFD entry layout, the left-justified SHORT rule, or any
+    of the eight numpy dispositions breaks the equality. Per-pixel
+    correctness of each disposition (sums can't see a wrong flip) is
+    pinned against hand-rotated matrices in tests/test_exif.py.
+
+    Shape at 100 TB: per-asset parallel, zero shuffle — the codec
+    posture."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        jpeg_exif_orientation_features,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    return jpeg_exif_orientation_features(ids)
+
+
+@query(
     "salted_event_totals",
     tags=("events", "skew"),
     oracle="""

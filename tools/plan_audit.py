@@ -163,6 +163,16 @@ EXTRA_AUDIT = (
     "media_gif_decode",
     "bpe_merge_training",
     "bpe_apply_token_counts",
+    "quality_classifier_sgd_training",
+    "media_jpeg_progressive_decode",
+    "media_flac_decode",
+    "media_video_frame_sample",
+    "media_audio_containers",
+    "media_feature_extract_containers",
+    "html_text_extract",
+    "curation_pipeline_v7",
+    "url_canonicalize",
+    "media_jpeg_exif_orientation",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
