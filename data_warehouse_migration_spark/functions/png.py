@@ -251,7 +251,16 @@ def inflate(data: bytes) -> bytes:
     blocks, LZ77 back-references. General — decodes ``zlib.compress``
     output at any level (pinned by tests), not just this module's own
     encoders."""
+    return inflate_member(data)[0]
+
+
+def inflate_member(data: bytes, offset: int = 0) -> tuple[bytes, int]:
+    """:func:`inflate` starting at ``offset``, returning the raw
+    bytes AND the (byte-aligned) position just past the final block —
+    what concatenated-member containers (gzip, RFC 1952 §2.2) need to
+    find the next member's header."""
     br = _BitReader(data)
+    br.pos = offset
     out = bytearray()
     while True:
         bfinal = br.read_bit()
@@ -326,7 +335,8 @@ def inflate(data: bytes) -> bytes:
             raise ValueError("reserved deflate block type 3")
         if bfinal:
             break
-    return bytes(out)
+    br.align_byte()
+    return bytes(out), br.pos
 
 
 def zlib_decompress(data: bytes) -> bytes:

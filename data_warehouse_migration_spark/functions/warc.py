@@ -1,0 +1,202 @@
+"""WARC/1.1 (ISO 28500) + HTTP/1.1 message framing, from scratch —
+the container a training-data crawl actually arrives in: Common
+Crawl publishes WARC files whose records are individually gzipped
+members (functions/gzip_stream), each ``response`` record holding a
+full HTTP response whose body is the HTML the curation stack ingests
+(functions/html_text → operators/web_extract).
+
+Implemented from the public specs alone:
+
+- WARC record grammar: ``WARC/1.1`` version line, CRLF-terminated
+  named fields, ``Content-Length``-framed block, the mandatory
+  two-CRLF record terminator; a writer emitting the same grammar;
+- HTTP/1.1 response framing (RFC 9112): status line, header fields,
+  ``Content-Length`` bodies AND ``Transfer-Encoding: chunked``
+  (hex chunk-size lines with optional extensions, the 0-chunk
+  terminator, trailer fields) — the two framings real servers use;
+- ``write_warc_gz`` / ``read_warc_gz``: the member-per-record gzip
+  convention that makes WARC splittable (a reader can start at any
+  member boundary — the 100 TB access pattern).
+
+The reference warehouse has no crawl surface — north-star territory.
+
+Scale posture: pure per-archive byte code inside Arrow-batched
+``mapInPandas``; zero shuffle. At corpus scale one archive ≈ one
+file splittable at member boundaries, so record decode parallelizes
+per-member with no coordination.
+"""
+
+from __future__ import annotations
+
+from data_warehouse_migration_spark.functions.gzip_stream import (
+    gzip_compress,
+    gzip_decompress_member,
+)
+
+_CRLF = b"\r\n"
+
+
+def build_warc_record(
+    warc_type: str, headers: dict[str, str], block: bytes
+) -> bytes:
+    """One WARC/1.1 record: version line, named fields (caller's
+    order preserved; Content-Length computed here), blank line,
+    block, and the two-CRLF terminator the spec mandates."""
+    lines = [b"WARC/1.1"]
+    lines.append(f"WARC-Type: {warc_type}".encode())
+    for k, v in headers.items():
+        if k.lower() in ("warc-type", "content-length"):
+            raise ValueError(f"{k} is set by the writer")
+        lines.append(f"{k}: {v}".encode())
+    lines.append(f"Content-Length: {len(block)}".encode())
+    return _CRLF.join(lines) + _CRLF * 2 + block + _CRLF * 2
+
+
+def parse_warc_record(data: bytes, offset: int = 0) -> tuple[dict, int]:
+    """Parse ONE record at ``offset``; return ({'type', 'headers',
+    'block'}, offset past the terminator). Malformed framing raises —
+    a crawl reader that guesses record boundaries corrupts every
+    record after the first bad one."""
+    head_end = data.find(_CRLF * 2, offset)
+    if head_end < 0:
+        raise ValueError("WARC header block not terminated")
+    head_lines = data[offset:head_end].split(_CRLF)
+    version = head_lines[0].decode("latin-1")
+    if not version.startswith("WARC/1."):
+        raise ValueError(f"not a WARC/1.x record: {version!r}")
+    headers: dict[str, str] = {}
+    for ln in head_lines[1:]:
+        if ln[:1] in (b" ", b"\t") and headers:  # obs-fold continuation
+            headers[last] += " " + ln.strip().decode("latin-1")  # noqa: F821
+            continue
+        name, _, value = ln.partition(b":")
+        last = name.decode("latin-1").strip()
+        headers[last] = value.decode("latin-1").strip()
+    lower = {k.lower(): v for k, v in headers.items()}
+    if "content-length" not in lower:
+        raise ValueError("WARC record missing Content-Length")
+    n = int(lower["content-length"])
+    block_start = head_end + 4
+    block_end = block_start + n
+    if data[block_end : block_end + 4] != _CRLF * 2:
+        raise ValueError("WARC record terminator missing")
+    return (
+        {
+            "type": lower.get("warc-type", ""),
+            "headers": headers,
+            "block": data[block_start:block_end],
+        },
+        block_end + 4,
+    )
+
+
+def parse_warc_records(data: bytes) -> list[dict]:
+    out: list[dict] = []
+    pos = 0
+    while pos < len(data):
+        rec, pos = parse_warc_record(data, pos)
+        out.append(rec)
+    return out
+
+
+def write_warc_gz(records: list[bytes], method: str = "dynamic") -> bytes:
+    """The Common Crawl layout: each record its OWN gzip member,
+    concatenated — so a reader can decompress any record without
+    touching the others (what makes a 100 TB crawl splittable)."""
+    return b"".join(gzip_compress(r, method=method) for r in records)
+
+
+def read_warc_gz(data: bytes) -> list[dict]:
+    """Walk gzip members; each member may hold one or more records
+    (one, in the Common Crawl convention — but §D.2 allows more)."""
+    out: list[dict] = []
+    pos = 0
+    while pos < len(data):
+        raw, pos = gzip_decompress_member(data, pos)
+        out.extend(parse_warc_records(raw))
+    return out
+
+
+# --- HTTP/1.1 response framing (RFC 9112) -----------------------------------
+
+
+def build_http_response(
+    status: int,
+    reason: str,
+    headers: dict[str, str],
+    body: bytes,
+    chunked: bool = False,
+    chunk_size: int = 512,
+) -> bytes:
+    """A full HTTP/1.1 response. ``chunked=True`` frames the body as
+    Transfer-Encoding: chunked (hex sizes, 0-chunk terminator);
+    otherwise Content-Length."""
+    lines = [f"HTTP/1.1 {status} {reason}".encode("latin-1")]
+    for k, v in headers.items():
+        if k.lower() in ("content-length", "transfer-encoding"):
+            raise ValueError(f"{k} is set by the writer")
+        lines.append(f"{k}: {v}".encode("latin-1"))
+    if chunked:
+        lines.append(b"Transfer-Encoding: chunked")
+        framed = bytearray()
+        for i in range(0, len(body), chunk_size):
+            chunk = body[i : i + chunk_size]
+            framed += f"{len(chunk):x}".encode() + _CRLF + chunk + _CRLF
+        framed += b"0" + _CRLF + _CRLF
+        payload = bytes(framed)
+    else:
+        lines.append(f"Content-Length: {len(body)}".encode())
+        payload = body
+    return _CRLF.join(lines) + _CRLF * 2 + payload
+
+
+def parse_http_response(data: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status, headers, de-framed body). Handles Content-Length,
+    chunked transfer coding (extensions after ``;`` ignored, trailer
+    fields consumed per §7.1), and the bare read-to-end fallback a
+    connection-close response uses."""
+    head_end = data.find(_CRLF * 2)
+    if head_end < 0:
+        raise ValueError("HTTP header block not terminated")
+    head_lines = data[:head_end].split(_CRLF)
+    parts = head_lines[0].decode("latin-1").split(" ", 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/1."):
+        raise ValueError(f"bad HTTP status line: {head_lines[0]!r}")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for ln in head_lines[1:]:
+        name, _, value = ln.partition(b":")
+        headers[name.decode("latin-1").strip()] = value.decode(
+            "latin-1"
+        ).strip()
+    lower = {k.lower(): v for k, v in headers.items()}
+    rest = data[head_end + 4 :]
+    if "chunked" in lower.get("transfer-encoding", "").lower():
+        body = bytearray()
+        pos = 0
+        while True:
+            nl = rest.find(_CRLF, pos)
+            if nl < 0:
+                raise ValueError("chunk size line not terminated")
+            size_token = rest[pos:nl].split(b";", 1)[0].strip()
+            size = int(size_token, 16)
+            pos = nl + 2
+            if size == 0:
+                break
+            if rest[pos + size : pos + size + 2] != _CRLF:
+                raise ValueError("chunk data not CRLF-terminated")
+            body += rest[pos : pos + size]
+            pos += size + 2
+        # trailer section: fields until the empty line
+        while rest[pos : pos + 2] != _CRLF:
+            nl = rest.find(_CRLF, pos)
+            if nl < 0:
+                raise ValueError("trailer section not terminated")
+            pos = nl + 2
+        return status, headers, bytes(body)
+    if "content-length" in lower:
+        n = int(lower["content-length"])
+        if len(rest) < n:
+            raise ValueError("HTTP body shorter than Content-Length")
+        return status, headers, rest[:n]
+    return status, headers, rest  # connection-close framing

@@ -212,3 +212,166 @@ def html_extract_features(docs: DataFrame) -> DataFrame:
         "n_blocks",
         "n_boilerplate",
     )
+
+
+def warc_ingest_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for the full crawl-archive ingest path
+    (functions/gzip_stream + functions/warc + functions/html_text —
+    r11): per document, BUILD the archive a crawler would hand us —
+    the page synthesized from the doc's own text (``synth_page``),
+    framed as a full HTTP/1.1 response (Transfer-Encoding: chunked
+    with 64-byte chunks for odd ids, Content-Length for even — both
+    RFC 9112 framings exercised), wrapped in a WARC/1.1 ``response``
+    record behind a ``warcinfo`` record, each record its OWN gzip
+    member (the Common Crawl convention; the deflate strategy rotates
+    stored/fixed/dynamic on id mod 3, so all three RFC 1951 block
+    types ship) — then READ IT ALL BACK: gzip member walk → WARC
+    record framing → HTTP de-framing → HTML extraction.
+
+    Exactness: every layer is lossless and the extracted text is the
+    same pure string formula ``html_extract_features`` attests, so
+    the oracle needs no gzip/WARC/HTTP/HTML code anywhere. The
+    archive's structural counts (2 records, 2 members, status 200,
+    the HTTP body length = the page length) are closed forms too. A
+    defect in member boundaries, CRC/ISIZE verification, record
+    Content-Length framing, chunk reassembly, or the extraction
+    breaks a column."""
+    from data_warehouse_migration_spark.functions.html_text import (
+        html_to_text,
+    )
+    from data_warehouse_migration_spark.functions.warc import (
+        build_http_response,
+        build_warc_record,
+        parse_http_response,
+        read_warc_gz,
+        write_warc_gz,
+    )
+
+    _METHODS = ("stored", "fixed", "dynamic")
+
+    def per_doc(aid: int, lang: str, text: str):
+        page = synth_page(aid, lang, text).encode("utf-8")
+        http = build_http_response(
+            200,
+            "OK",
+            {"Content-Type": "text/html; charset=utf-8"},
+            page,
+            chunked=bool(aid % 2),
+            chunk_size=64,
+        )
+        info = build_warc_record(
+            "warcinfo",
+            {"WARC-Record-ID": f"<urn:uuid:{aid:032x}>"},
+            b"software: engine-crawler\r\n",
+        )
+        resp = build_warc_record(
+            "response",
+            {
+                "WARC-Record-ID": f"<urn:uuid:{aid + 1:032x}>",
+                "WARC-Target-URI": f"http://host{aid % 5}.example/{aid}",
+                "Content-Type": "application/http;msgtype=response",
+            },
+            http,
+        )
+        archive = write_warc_gz([info, resp], method=_METHODS[aid % 3])
+        # --- the read side: what a crawl-ingest job does ---
+        records = read_warc_gz(archive)
+        responses = [r for r in records if r["type"] == "response"]
+        status, _, body = parse_http_response(responses[0]["block"])
+        extracted = html_to_text(body.decode("utf-8"))
+        return (
+            aid,
+            len(records),
+            int(status),
+            len(body),
+            extracted,
+            len(archive),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(lg), str(tx))
+                for i, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "status", "body_len",
+                    "text", "archive_len",
+                ],
+            )
+
+    out = docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_records int, status int, body_len int,"
+            " text string, archive_len int"
+        ),
+    )
+    # archive_len is real but compression-dependent — keep it out of
+    # the attested columns; assert it positive so the plan carries it.
+    return out.where(F.col("archive_len") > 0).select(
+        "doc_id",
+        "n_records",
+        "status",
+        "body_len",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def robots_policy_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for robots.txt (functions/robots, RFC 9309): per
+    document, SYNTHESIZE a robots file with a ``*`` group (Disallow
+    /p, Allow /p/ok) and an ``enginebot`` group (Disallow /d{k}/,
+    Allow /d{k}/open, Disallow /w*/x$ — k = id mod 5), plus a probe
+    path rotating on id mod 4 through: a blocked directory, an
+    allow-overridden subtree, a wildcard+anchor hit, and a path only
+    the ``*`` group blocks. Both agents are evaluated on the SAME
+    path, so group selection is attested in both directions (a named
+    group must SHADE the ``*`` group entirely, not merge with it).
+    Every verdict is a closed form over doc_id."""
+    from data_warehouse_migration_spark.functions.robots import is_allowed
+
+    def per_doc(aid: int) -> tuple[int, str, bool, bool]:
+        k = aid % 5
+        robots = (
+            "# synthetic policy\n"
+            "User-agent: *\n"
+            "Disallow: /p\n"
+            "Allow: /p/ok\n"
+            "\n"
+            "User-agent: enginebot\n"
+            f"Disallow: /d{k}/\n"
+            f"Allow: /d{k}/open\n"
+            "Disallow: /w*/x$\n"
+            "Crawl-delay: 3\n"
+        )
+        path = {
+            0: f"/d{k}/secret",
+            1: f"/d{k}/open/a",
+            2: f"/w{aid % 10}/x",
+            3: "/p/secret",
+        }[aid % 4]
+        return (
+            aid,
+            path,
+            is_allowed(robots, "enginebot/2.1", path),
+            is_allowed(robots, "randombot", path),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [per_doc(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "path", "allowed_engine", "allowed_other"],
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, path string, allowed_engine boolean,"
+            " allowed_other boolean"
+        ),
+    )

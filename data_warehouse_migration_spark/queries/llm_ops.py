@@ -1863,6 +1863,136 @@ def url_canonicalize(spark, sf_dir):
 
 
 @query(
+    "warc_ingest_extract",
+    tags=("text", "warc", "gzip", "http", "crawl", "mapInPandas"),
+    oracle="""
+WITH esc AS (
+    SELECT doc_id, lang,
+           replace(replace(replace(text, '&', '&amp;'),
+                   '<', '&lt;'), '>', '&gt;') AS etext,
+           trim(regexp_replace(text || ' <raw> AB', '[ \t\n\r]+', ' ', 'g'))
+               AS p_block
+    FROM documents
+), page AS (
+    SELECT doc_id, lang, p_block,
+           '<html><head><title>Doc ' || doc_id ||
+           '</title><style>p { color: red; } /* > */</style>' ||
+           '<script>if (1 < 2) { v = "</div>"; }</script>' ||
+           '</head><body><h1>' || lang || '</h1><p>' || etext ||
+           ' &lt;raw&gt; &#65;&#x42;</p><!-- <p>not text ' || doc_id ||
+           '</p> -->' ||
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN '<div><a href="x?a>b&c">nav 0</a></div>'
+                WHEN 1 THEN '<div><a href="x?a>b&c">nav 0</a></div>'
+                         || '<div><a href="x?a>b&c">nav 1</a></div>'
+                ELSE '<div><a href="x?a>b&c">nav 0</a></div>'
+                  || '<div><a href="x?a>b&c">nav 1</a></div>'
+                  || '<div><a href="x?a>b&c">nav 2</a></div>'
+           END || '</body></html>' AS html
+    FROM esc
+), built AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(html)) AS INT) AS body_len,
+           'Doc ' || doc_id || chr(10) || lang || chr(10) || p_block ||
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN chr(10) || 'nav 0'
+                WHEN 1 THEN chr(10) || 'nav 0' || chr(10) || 'nav 1'
+                ELSE chr(10) || 'nav 0' || chr(10) || 'nav 1'
+                     || chr(10) || 'nav 2'
+           END AS full_text
+    FROM page
+)
+SELECT doc_id, CAST(2 AS INT) AS n_records, CAST(200 AS INT) AS status,
+       body_len, md5(full_text) AS text_md5
+FROM built
+""",
+)
+def warc_ingest_extract(spark, sf_dir):
+    """The crawl-ARCHIVE ingest path end to end under the hard gate
+    (functions/gzip_stream + functions/warc, r11 — the container a
+    100 TB crawl actually arrives in): per document the harness
+    BUILDS what a crawler hands us — the page synthesized from the
+    doc's own text, framed as a full HTTP/1.1 response (chunked
+    transfer coding with 64-byte chunks for odd ids, Content-Length
+    for even — both RFC 9112 framings), wrapped in a WARC/1.1
+    ``response`` record behind a ``warcinfo`` record, each record its
+    OWN gzip member per the Common Crawl convention (deflate block
+    strategy rotating stored/fixed/dynamic on id mod 3) — then READS
+    IT ALL BACK: gzip member walk (RFC 1952 headers, CRC-32 + ISIZE
+    verified, reusing the PNG rung's attested RFC 1951 inflate) →
+    WARC Content-Length record framing → HTTP de-framing (chunk
+    reassembly incl. the 0-chunk terminator) → HTML extraction.
+
+    Exactness: every layer is lossless, so the extracted text is the
+    SAME pure string formula the ``html_text_extract`` gate attests,
+    and the structure is closed-form (2 records, status 200, HTTP
+    body length = octet_length of the rebuilt page). The oracle
+    recomputes both with no gzip/WARC/HTTP/HTML code anywhere. A
+    defect in member boundaries, trailer verification, record
+    framing, chunk reassembly, or extraction breaks a column.
+    Adversarial framing cases (bad CRC, truncated members, missing
+    terminators, chunk extensions, trailers, multi-record members)
+    are pinned in tests/test_gzip_warc.py.
+
+    Shape at 100 TB: archives are per-document here, per-FILE in
+    production — and the member-per-record layout is exactly what
+    makes a WARC splittable (start at any member boundary, no
+    coordination); decode is one Arrow-batched stage, zero shuffle."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        warc_ingest_features,
+    )
+
+    return warc_ingest_features(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "robots_policy_check",
+    tags=("crawl", "robots", "policy", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN '/d' || (doc_id % 5) || '/secret'
+            WHEN 1 THEN '/d' || (doc_id % 5) || '/open/a'
+            WHEN 2 THEN '/w' || (doc_id % 10) || '/x'
+            ELSE '/p/secret'
+       END AS path,
+       CAST(doc_id % 4 AS INT) IN (1, 3) AS allowed_engine,
+       CAST(doc_id % 4 AS INT) != 3 AS allowed_other
+FROM documents
+""",
+)
+def robots_policy_check(spark, sf_dir):
+    """robots.txt under the hard gate (functions/robots, RFC 9309 —
+    the crawl-politeness filter between the URL frontier and the
+    fetch): per document a synthetic policy carries a ``*`` group
+    (Disallow /p, Allow /p/ok) and an ``enginebot`` group (Disallow
+    /d{k}/, Allow /d{k}/open, Disallow /w*/x$), and a probe path
+    rotating on id mod 4 exercises: a blocked directory, the
+    longest-match allow override, a wildcard + ``$``-anchor hit, and
+    a path only the ``*`` group blocks. BOTH agents are evaluated on
+    the same path, so group selection is attested in both directions
+    — a named group must shadow the ``*`` group entirely (id mod 4 =
+    3: enginebot allowed, randombot blocked) and never inherit from
+    it (id mod 4 = 0/2: the reverse).
+
+    Exactness: every verdict is a closed form over doc_id that the
+    oracle recomputes with no robots parser anywhere. Line-grammar
+    edges (comments, unknown directives, multi-agent groups, rules
+    before any group, case folding, percent-normalized paths,
+    backtracking ``*`` before ``$``) are pinned in
+    tests/test_robots.py.
+
+    Shape at 100 TB: per-host robots tables broadcast-join the
+    frontier on host; the verdict itself is row-local, zero
+    shuffle."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        robots_policy_features,
+    )
+
+    return robots_policy_features(t(spark, sf_dir, "documents"))
+
+
+@query(
     "media_jpeg_exif_orientation",
     tags=("multimodal", "image", "jpeg", "exif", "codec", "mapInPandas"),
     oracle="""

@@ -1,0 +1,264 @@
+"""gzip (RFC 1952) + WARC/1.1 + HTTP/1.1 framing pins. The stdlib
+``gzip``/``zlib`` modules are the independent reference for the
+compression layer (both directions); the WARC and HTTP layers are
+pinned against hand-built byte layouts and adversarial framing."""
+
+from __future__ import annotations
+
+import gzip as sysgzip
+import io
+import struct
+
+import pytest
+
+from data_warehouse_migration_spark.functions.gzip_stream import (
+    gzip_compress,
+    gzip_decompress,
+    gzip_decompress_member,
+    gzip_members,
+)
+from data_warehouse_migration_spark.functions.warc import (
+    build_http_response,
+    build_warc_record,
+    parse_http_response,
+    parse_warc_record,
+    parse_warc_records,
+    read_warc_gz,
+    write_warc_gz,
+)
+
+RAW = b"the quick brown fox " * 100
+BIN = bytes(range(256)) * 7
+
+
+# --- gzip ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method", ["stored", "fixed", "dynamic"])
+def test_gzip_ours_decoded_by_stdlib(method):
+    for raw in (RAW, BIN, b"", b"x"):
+        assert sysgzip.decompress(gzip_compress(raw, method)) == raw
+
+
+def test_gzip_stdlib_decoded_by_ours():
+    for lvl in (0, 1, 6, 9):
+        assert gzip_decompress(sysgzip.compress(BIN, lvl)) == BIN
+
+
+def test_gzip_fname_both_directions():
+    blob = gzip_compress(RAW, fname="a.warc")
+    assert sysgzip.decompress(blob) == RAW
+    buf = io.BytesIO()
+    with sysgzip.GzipFile("crawl.warc", "wb", 6, buf, 1234.0) as f:
+        f.write(RAW)
+    assert gzip_decompress(buf.getvalue()) == RAW
+
+
+def test_gzip_multi_member_walk():
+    blob = (
+        gzip_compress(b"one", "stored")
+        + sysgzip.compress(b"two")
+        + gzip_compress(b"", "dynamic")
+    )
+    assert gzip_members(blob) == [b"one", b"two", b""]
+    # stdlib agrees on concatenated-member semantics (§2.2)
+    assert sysgzip.decompress(blob) == b"onetwo"
+
+
+def test_gzip_fextra_and_fcomment_skipped():
+    # hand-built header: FEXTRA(4) + FCOMMENT(16)
+    body = gzip_compress(b"payload", "fixed")
+    extra = b"ab" + struct.pack("<H", 3) + b"xyz"  # subfield id+len+data
+    head = (
+        b"\x1f\x8b\x08" + bytes([4 | 16]) + b"\x00" * 4 + b"\x00\xff"
+        + struct.pack("<H", len(extra)) + extra
+        + b"a comment\x00"
+    )
+    blob = head + body[10:]  # graft deflate body + trailer
+    assert gzip_decompress(blob) == b"payload"
+    assert sysgzip.decompress(blob) == b"payload"  # stdlib agrees
+
+
+def test_gzip_fhcrc_verified():
+    import data_warehouse_migration_spark.functions.png as png
+
+    body = gzip_compress(b"data", "fixed")
+    head = b"\x1f\x8b\x08" + bytes([2]) + b"\x00" * 4 + b"\x00\xff"
+    hcrc = struct.pack("<H", png.crc32(head) & 0xFFFF)
+    blob = head + hcrc + body[10:]
+    assert gzip_decompress(blob) == b"data"
+    bad = head + struct.pack("<H", (png.crc32(head) & 0xFFFF) ^ 1) + body[10:]
+    with pytest.raises(ValueError, match="header CRC16"):
+        gzip_decompress(bad)
+
+
+def test_gzip_malformed_raises():
+    good = gzip_compress(RAW, "dynamic")
+    with pytest.raises(ValueError, match="magic"):
+        gzip_decompress(b"\x1f\x8c" + good[2:])
+    with pytest.raises(ValueError, match="not deflate"):
+        gzip_decompress(good[:2] + b"\x07" + good[3:])
+    with pytest.raises(ValueError, match="reserved"):
+        gzip_decompress(good[:3] + b"\x40" + good[4:])
+    # flip one payload bit → CRC-32 must catch it
+    tampered = bytearray(good)
+    tampered[12] ^= 1
+    with pytest.raises(ValueError):
+        gzip_decompress(bytes(tampered))
+    # wrong ISIZE
+    bad_isize = good[:-4] + struct.pack("<I", len(RAW) + 1)
+    with pytest.raises(ValueError, match="ISIZE"):
+        gzip_decompress(bad_isize)
+    with pytest.raises(ValueError, match="truncated"):
+        gzip_decompress(good[:-3])
+    # trailing garbage after the last member
+    with pytest.raises(ValueError):
+        gzip_decompress(good + b"junk")
+
+
+# --- WARC ------------------------------------------------------------------
+
+
+def test_warc_record_roundtrip():
+    rec = build_warc_record(
+        "response",
+        {"WARC-Target-URI": "http://x/", "WARC-Record-ID": "<urn:uuid:1>"},
+        b"BLOCK\r\nBYTES",
+    )
+    parsed, end = parse_warc_record(rec)
+    assert end == len(rec)
+    assert parsed["type"] == "response"
+    assert parsed["block"] == b"BLOCK\r\nBYTES"
+    assert parsed["headers"]["WARC-Target-URI"] == "http://x/"
+
+
+def test_warc_exact_bytes():
+    # the writer's grammar, byte for byte
+    rec = build_warc_record("warcinfo", {}, b"k: v\r\n")
+    assert rec == (
+        b"WARC/1.1\r\nWARC-Type: warcinfo\r\nContent-Length: 6\r\n\r\n"
+        b"k: v\r\n\r\n\r\n"
+    )
+
+
+def test_warc_multi_record_and_gz():
+    r1 = build_warc_record("warcinfo", {}, b"info")
+    r2 = build_warc_record("response", {}, b"resp")
+    recs = parse_warc_records(r1 + r2)
+    assert [r["block"] for r in recs] == [b"info", b"resp"]
+    # member-per-record vs both-in-one-member: same records out
+    for blob in (
+        write_warc_gz([r1, r2], "stored"),
+        gzip_compress(r1 + r2, "dynamic"),
+    ):
+        got = read_warc_gz(blob)
+        assert [r["block"] for r in got] == [b"info", b"resp"]
+
+
+def test_warc_block_may_contain_record_lookalikes():
+    # Content-Length framing must win over content sniffing: the
+    # block embeds a fake record header.
+    evil = b"WARC/1.1\r\nWARC-Type: response\r\n\r\n"
+    rec = build_warc_record("resource", {}, evil)
+    parsed, _ = parse_warc_record(rec)
+    assert parsed["block"] == evil
+
+
+def test_warc_malformed_raises():
+    with pytest.raises(ValueError, match="not a WARC"):
+        parse_warc_record(b"HTTP/1.1 200\r\n\r\nbody\r\n\r\n")
+    ok = build_warc_record("response", {}, b"abc")
+    with pytest.raises(ValueError, match="terminator"):
+        parse_warc_record(ok[:-2])  # drop final CRLF
+    # writer refuses caller-set computed fields
+    with pytest.raises(ValueError):
+        build_warc_record("response", {"Content-Length": "3"}, b"abc")
+    # header block never terminated
+    with pytest.raises(ValueError, match="not terminated"):
+        parse_warc_record(b"WARC/1.1\r\nWARC-Type: x\r\n")
+
+
+def test_warc_obs_fold_continuation():
+    raw = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://very/\r\n long/path\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    parsed, _ = parse_warc_record(raw)
+    assert parsed["headers"]["WARC-Target-URI"] == "http://very/ long/path"
+
+
+# --- HTTP ------------------------------------------------------------------
+
+
+def test_http_content_length_roundtrip():
+    body = b"<html>x</html>"
+    blob = build_http_response(200, "OK", {"Content-Type": "text/html"}, body)
+    s, h, b = parse_http_response(blob)
+    assert (s, b) == (200, body)
+    assert h["Content-Type"] == "text/html"
+
+
+def test_http_chunked_roundtrip_and_layout():
+    body = bytes(range(200))
+    blob = build_http_response(200, "OK", {}, body, chunked=True, chunk_size=64)
+    s, _, b = parse_http_response(blob)
+    assert (s, b) == (200, body)
+    # 64+64+64+8 chunks then the 0 terminator
+    payload = blob.split(b"\r\n\r\n", 1)[1]
+    assert payload.startswith(b"40\r\n")
+    assert payload.endswith(b"0\r\n\r\n")
+
+
+def test_http_chunk_extensions_and_trailers():
+    blob = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5;ext=1\r\nhello\r\n"
+        b"1\r\n!\r\n"
+        b"0\r\nX-Trailer: v\r\n\r\n"
+    )
+    s, _, b = parse_http_response(blob)
+    assert (s, b) == (200, b"hello!")
+
+
+def test_http_connection_close_fallback():
+    blob = b"HTTP/1.1 404 Not Found\r\nServer: t\r\n\r\neverything left"
+    s, _, b = parse_http_response(blob)
+    assert (s, b) == (404, b"everything left")
+
+
+def test_http_malformed_raises():
+    with pytest.raises(ValueError, match="status line"):
+        parse_http_response(b"GARBAGE\r\n\r\n")
+    with pytest.raises(ValueError, match="not terminated"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\n")
+    with pytest.raises(ValueError, match="shorter"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nabc")
+    with pytest.raises(ValueError, match="CRLF-terminated"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"3\r\nabcXX0\r\n\r\n"
+        )
+    with pytest.raises(ValueError):
+        build_http_response(200, "OK", {"Content-Length": "3"}, b"abc")
+
+
+def test_end_to_end_archive():
+    # the gate's exact composition, checked here at unit scale
+    html = b"<html><body><p>content</p></body></html>"
+    http = build_http_response(
+        200, "OK", {"Content-Type": "text/html"}, html, chunked=True,
+        chunk_size=16,
+    )
+    info = build_warc_record("warcinfo", {}, b"software: t\r\n")
+    resp = build_warc_record(
+        "response",
+        {"Content-Type": "application/http;msgtype=response"},
+        http,
+    )
+    for method in ("stored", "fixed", "dynamic"):
+        archive = write_warc_gz([info, resp], method=method)
+        records = read_warc_gz(archive)
+        assert [r["type"] for r in records] == ["warcinfo", "response"]
+        s, _, b = parse_http_response(records[1]["block"])
+        assert (s, b) == (200, html)

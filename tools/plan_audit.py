@@ -173,6 +173,8 @@ EXTRA_AUDIT = (
     "curation_pipeline_v7",
     "url_canonicalize",
     "media_jpeg_exif_orientation",
+    "warc_ingest_extract",
+    "robots_policy_check",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
