@@ -375,3 +375,82 @@ def robots_policy_features(docs: DataFrame) -> DataFrame:
             " allowed_other boolean"
         ),
     )
+
+
+def webdataset_shard_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for tar/WebDataset shards (functions/tar_stream —
+    r11): per document, PACK the sample the WebDataset convention
+    ships — ``{id:08d}.txt`` (the doc text), ``{id:08d}.cls`` (the
+    label), ``{id:08d}.json`` (metadata) as adjacent tar members —
+    into a ustar shard (gzipped whole for odd ids: the ``.tar.gz``
+    composition over functions/gzip_stream), then READ IT BACK via
+    the sample grouper and report structure + content digests.
+
+    Exactness: tar is lossless and fully deterministic here (fixed
+    mtime/mode), so the text digest is ``md5(text)`` verbatim, the
+    label round-trips, and the UNCOMPRESSED shard length is a pure
+    header/padding formula — ``512·(3 + Σ ceil(len/512)) + 1024`` —
+    that the oracle recomputes from octet lengths alone. A defect in
+    header checksums, octal fields, 512-byte padding, the end
+    marker, gzip framing, or sample adjacency breaks a column."""
+    from data_warehouse_migration_spark.functions.gzip_stream import (
+        gzip_compress,
+        gzip_decompress,
+    )
+    from data_warehouse_migration_spark.functions.tar_stream import (
+        tar_pack,
+        webdataset_samples,
+    )
+
+    def per_doc(aid: int, lang: str, text: str):
+        key = f"{aid:08d}"
+        txt = text.encode("utf-8")
+        cls = lang.encode("utf-8")
+        meta = f'{{"doc_id": {aid}}}'.encode()
+        shard = tar_pack(
+            [(f"{key}.txt", txt), (f"{key}.cls", cls), (f"{key}.json", meta)]
+        )
+        tar_len = len(shard)
+        blob = gzip_compress(shard, "dynamic") if aid % 2 else shard
+        # --- read side ---
+        raw = gzip_decompress(blob) if aid % 2 else blob
+        samples = webdataset_samples(raw)
+        k, parts = samples[0]
+        return (
+            aid,
+            len(samples),
+            len(parts),
+            tar_len,
+            parts["txt"].decode("utf-8"),
+            parts["cls"].decode("utf-8"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(lg), str(tx))
+                for i, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_members", "tar_len",
+                    "text", "label",
+                ],
+            )
+
+    out = docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_samples int, n_members int, tar_len int,"
+            " text string, label string"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "n_members",
+        "tar_len",
+        F.md5(F.col("text")).alias("text_md5"),
+        "label",
+    )

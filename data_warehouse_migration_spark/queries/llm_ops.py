@@ -1993,6 +1993,53 @@ def robots_policy_check(spark, sf_dir):
 
 
 @query(
+    "webdataset_shard_roundtrip",
+    tags=("multimodal", "tar", "webdataset", "shard", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       CAST(1 AS INT) AS n_samples,
+       CAST(3 AS INT) AS n_members,
+       CAST(512 * (3
+            + (octet_length(encode(text)) + 511) // 512
+            + (octet_length(encode(lang)) + 511) // 512
+            + (11 + length(CAST(doc_id AS VARCHAR)) + 1 + 511) // 512)
+            + 1024 AS INT) AS tar_len,
+       md5(text) AS text_md5,
+       lang AS label
+FROM documents
+""",
+)
+def webdataset_shard_roundtrip(spark, sf_dir):
+    """tar / WebDataset shards under the hard gate
+    (functions/tar_stream, r11 — the container large training sets
+    ship in: samples as ADJACENT tar members sharing a basename
+    key): per document the harness packs ``{id}.txt`` + ``{id}.cls``
+    + ``{id}.json`` into a ustar shard (gzipped whole for odd ids —
+    the ``.tar.gz`` composition over functions/gzip_stream), then
+    reads it back through the sample grouper.
+
+    Exactness: tar is lossless and the writer is deterministic, so
+    the text digest equals ``md5(text)`` verbatim, the label
+    round-trips, and the UNCOMPRESSED shard length is the pure
+    header/padding formula ``512·(3 + Σ ceil(len/512)) + 1024`` the
+    oracle recomputes from octet lengths alone — attesting octal
+    fields, 512-byte padding, and the end-of-archive marker without
+    a tar parser anywhere. Both directions are additionally pinned
+    against CPython's tarfile (ustar mode) in
+    tests/test_tar_stream.py, including prefix-split long names,
+    checksum tampering, and non-adjacent-key rejection.
+
+    Shape at 100 TB: shards are the parallelism unit (one worker
+    streams one shard — the WebDataset access pattern); here
+    per-doc, per-FILE in production; zero shuffle."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        webdataset_shard_features,
+    )
+
+    return webdataset_shard_features(t(spark, sf_dir, "documents"))
+
+
+@query(
     "media_jpeg_exif_orientation",
     tags=("multimodal", "image", "jpeg", "exif", "codec", "mapInPandas"),
     oracle="""

@@ -175,6 +175,7 @@ EXTRA_AUDIT = (
     "media_jpeg_exif_orientation",
     "warc_ingest_extract",
     "robots_policy_check",
+    "webdataset_shard_roundtrip",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
