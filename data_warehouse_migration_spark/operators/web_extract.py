@@ -454,3 +454,106 @@ def webdataset_shard_features(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         "label",
     )
+
+
+def crawl_archive_ingest(docs: DataFrame) -> DataFrame:
+    """The v8 front-end: per document, the corpus arrives as a
+    WARC.gz ARCHIVE (the warc_ingest_extract synthesis — warcinfo +
+    response, chunked HTTP for odd ids, gzip member per record with
+    the deflate strategy rotating on id mod 3) whose response record
+    carries a MESSY ``WARC-Target-URI``. The ingest then does what a
+    crawl job does: gzip walk → WARC framing → HTTP de-framing →
+    canonicalize the target URI (functions/url) → robots verdict on
+    the canonical path (functions/robots, the id-rotating probe
+    policy) → for ALLOWED pages, lex + link-density screen + largest
+    surviving block (the v7 extraction). Output per doc: ``(doc_id,
+    lang, allowed, main_text, n_boilerplate)`` — main_text is empty
+    for pages politeness skipped (they are never parsed, as in a
+    real fetcher)."""
+    from data_warehouse_migration_spark.functions.html_text import (
+        html_blocks,
+    )
+    from data_warehouse_migration_spark.functions.robots import is_allowed
+    from data_warehouse_migration_spark.functions.url import (
+        canonicalize_url,
+        split_url,
+    )
+    from data_warehouse_migration_spark.functions.warc import (
+        build_http_response,
+        build_warc_record,
+        parse_http_response,
+        read_warc_gz,
+        write_warc_gz,
+    )
+
+    _METHODS = ("stored", "fixed", "dynamic")
+
+    def per_doc(aid: int, lang: str, text: str):
+        k = aid % 5
+        probe = {
+            0: f"/d{k}/secret",
+            1: f"/d{k}/open/a",
+            2: f"/w{aid % 10}/x",
+            3: "/p/secret",
+        }[aid % 4]
+        messy = f"HTTP://Host{k}.EXAMPLE:80/x/..{probe}#frag"
+        page = synth_page(aid, lang, text).encode("utf-8")
+        http = build_http_response(
+            200, "OK", {"Content-Type": "text/html; charset=utf-8"},
+            page, chunked=bool(aid % 2), chunk_size=64,
+        )
+        info = build_warc_record(
+            "warcinfo", {"WARC-Record-ID": f"<urn:uuid:{aid:032x}>"},
+            b"software: engine-crawler\r\n",
+        )
+        resp = build_warc_record(
+            "response",
+            {
+                "WARC-Record-ID": f"<urn:uuid:{aid + 1:032x}>",
+                "WARC-Target-URI": messy,
+                "Content-Type": "application/http;msgtype=response",
+            },
+            http,
+        )
+        archive = write_warc_gz([info, resp], method=_METHODS[aid % 3])
+        # --- ingest ---
+        records = read_warc_gz(archive)
+        rec = next(r for r in records if r["type"] == "response")
+        uri = rec["headers"]["WARC-Target-URI"]
+        canon = canonicalize_url(uri)
+        _, _, path, _, _ = split_url(canon)
+        robots = (
+            "User-agent: *\nDisallow: /p\nAllow: /p/ok\n\n"
+            "User-agent: enginebot\n"
+            f"Disallow: /d{k}/\nAllow: /d{k}/open\nDisallow: /w*/x$\n"
+        )
+        if not is_allowed(robots, "enginebot/2.1", path):
+            return (aid, lang, False, "", 0)
+        _, _, body = parse_http_response(rec["block"])
+        blocks = html_blocks(body.decode("utf-8"))
+        content = [
+            t for t, link, total in blocks
+            if not (total and link / total > 0.5)
+        ]
+        main = max(content, key=len) if content else ""
+        return (aid, lang, True, main, len(blocks) - len(content))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(lg), str(tx))
+                for i, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "allowed", "main_text",
+                         "n_boilerplate"],
+            )
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, lang string, allowed boolean,"
+            " main_text string, n_boilerplate int"
+        ),
+    )

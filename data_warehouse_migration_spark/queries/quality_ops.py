@@ -3676,6 +3676,140 @@ def curation_pipeline_v7(spark, sf_dir):
 
 
 @query(
+    "curation_pipeline_v8",
+    tags=(
+        "pipeline", "curation", "warc", "gzip", "robots", "url",
+        "crawl", "dedup", "unicode",
+    ),
+    oracle="""
+WITH base AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(text || ' <raw> AB', '[ \t\n\r]+', ' ', 'g'))
+               AS main_text,
+           1 + doc_id % 3 AS n_boiler,
+           CAST(doc_id % 4 AS INT) IN (1, 3) AS fetched
+    FROM documents
+), tok AS (
+    SELECT doc_id, lang, main_text, n_boiler,
+           len(list_filter(string_split(trim(regexp_replace(
+               lower(main_text), '[\\t\\n\\x0B\\f\\r\\p{Z}]+', ' ', 'g')),
+               ' '), x -> x != '')) AS nt
+    FROM base WHERE fetched
+), kept AS (
+    SELECT * FROM tok WHERE nt >= 5
+), surv AS (
+    SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(main_text)
+), fin AS (
+    SELECT k.lang, k.nt FROM kept k JOIN surv USING (doc_id)
+), arch AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_archives,
+           CAST(count(*) FILTER (WHERE fetched) AS BIGINT) AS n_fetched,
+           CAST(COALESCE(sum(n_boiler) FILTER (WHERE fetched), 0)
+                AS BIGINT) AS n_boilerplate
+    FROM base GROUP BY lang
+), keptagg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang
+), finagg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM fin GROUP BY lang
+)
+SELECT a.lang, a.n_archives, a.n_fetched, a.n_boilerplate,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(f.n_unique, 0) AS n_unique,
+       COALESCE(f.n_tokens, 0) AS n_tokens
+FROM arch a
+LEFT JOIN keptagg k USING (lang)
+LEFT JOIN finagg f USING (lang)
+""",
+)
+def curation_pipeline_v8(spark, sf_dir):
+    """v8 of the curation family (r11): the FULL crawl stack — the
+    corpus arrives as WARC.gz ARCHIVES and leaves as deduplicated
+    training text, with the politeness filter in between, every
+    stage on the engine:
+
+    1. ARCHIVES: per document, the warc_ingest_extract synthesis —
+       warcinfo + response records, full HTTP framing (chunked for
+       odd ids), one gzip member per record (deflate strategy
+       rotating on id mod 3), the response carrying a MESSY
+       WARC-Target-URI.
+    2. INGEST: gzip member walk → WARC record framing → HTTP
+       de-framing (functions/gzip_stream + functions/warc).
+    3. POLITENESS: canonicalize the target URI (functions/url), take
+       the robots verdict on the canonical path (functions/robots —
+       the id-rotating probe policy, so exactly the id mod 4 ∈ {1,3}
+       pages are fetchable); disallowed pages are never parsed.
+    4. EXTRACT + MAIN CONTENT: the v7 lexer + link-density screen +
+       largest-block selection on fetched pages.
+    5. QUALITY / DEDUP / REPORT: unicode-token floor (≥ 5), exact
+       dedup on md5(main_text) with min-id canonical copy, per-lang
+       report — archives, fetched, boilerplate dropped, kept,
+       unique, token totals.
+
+    ONE oracle re-derives all six stages: the archive layer is
+    lossless (so extraction stays the escape∘decode string formula),
+    the canonical path and robots verdict are closed forms over
+    doc_id, and the curation tail is v7's. A defect anywhere — a
+    member boundary, a chunk seam, URL dot-segments, group
+    selection, the lexer, dedup ordering — moves a count or a hash.
+
+    Scale: stages 1-4 are ONE Arrow-batched mapInPandas (documents
+    the parallelism unit, zero shuffle; disallowed pages short-
+    circuit before parsing, as in a real fetcher); text shuffles
+    only as (digest, id) for dedup; the report is language-
+    cardinality. Pointing at a real crawl just swaps stage 1 for a
+    binaryFile scan of .warc.gz shards — splittable at gzip member
+    boundaries, the Common Crawl access pattern."""
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_token_count,
+    )
+    from data_warehouse_migration_spark.operators.web_extract import (
+        crawl_archive_ingest,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    ingested = crawl_archive_ingest(docs)
+    fetched = ingested.filter(F.col("allowed"))
+    tok = fetched.withColumn("nt", unicode_token_count(F.col("main_text")))
+    kept = tok.filter(F.col("nt") >= 5)
+    surv = (
+        kept.groupBy(F.md5("main_text").alias("__d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fin = kept.join(surv, "doc_id")
+    arch = ingested.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_archives"),
+        F.count(F.when(F.col("allowed"), 1)).cast("long").alias("n_fetched"),
+        F.coalesce(
+            F.sum(F.when(F.col("allowed"), F.col("n_boilerplate"))),
+            F.lit(0),
+        ).cast("long").alias("n_boilerplate"),
+    )
+    keptagg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    finagg = fin.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    return (
+        arch.join(keptagg, "lang", "left")
+        .join(finagg, "lang", "left")
+        .select(
+            "lang",
+            "n_archives",
+            "n_fetched",
+            "n_boilerplate",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
     "corpus_diversity_profile",
     tags=("text", "diversity", "reporting", "dataset-card"),
     oracle="""

@@ -176,6 +176,7 @@ EXTRA_AUDIT = (
     "warc_ingest_extract",
     "robots_policy_check",
     "webdataset_shard_roundtrip",
+    "curation_pipeline_v8",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
