@@ -1,0 +1,135 @@
+"""ZIP (PKWARE APPNOTE) archive framing, from scratch — the other
+container datasets actually ship in (Kaggle dumps, model bundles,
+OOXML-adjacent formats). Entries use method 0 (stored) or method 8
+(deflate — the engine's own RFC 1951 codec from functions/png), so
+the compression layer is already attested; this module adds the ZIP
+grammar: local file headers, the central directory, the end-of-
+central-directory locator, and CRC-32 verification.
+
+Read path follows the spec's contract: find EOCD from the END of the
+file (scanning backward past an optional comment), walk the CENTRAL
+directory (the authority — local headers are cross-checked, not
+trusted), reject data descriptors / encryption / multi-disk / ZIP64
+explicitly rather than mis-reading them.
+
+Scale posture: pure per-archive byte code inside Arrow-batched
+``mapInPandas``; zero shuffle. Central-directory-first reading is
+also the remote-range-request access pattern object stores want.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from data_warehouse_migration_spark.functions.png import (
+    crc32,
+    inflate_member,
+    zlib_compress,
+)
+
+_LOCAL_SIG = b"PK\x03\x04"
+_CENTRAL_SIG = b"PK\x01\x02"
+_EOCD_SIG = b"PK\x05\x06"
+
+
+def zip_pack(
+    members: list[tuple[str, bytes]], method: str = "dynamic"
+) -> bytes:
+    """A deterministic archive (DOS timestamps zeroed, version 20).
+    ``method`` 'stored' emits method-0 entries; the deflate
+    strategies emit method-8 via the engine's own encoder."""
+    out = bytearray()
+    central = bytearray()
+    for name, raw in members:
+        nb = name.encode("utf-8")
+        comp_method = 0 if method == "stored" else 8
+        data = raw if comp_method == 0 else zlib_compress(raw, method)[2:-4]
+        crc = crc32(raw)
+        offset = len(out)
+        common = struct.pack(
+            "<HHHHHIII",
+            20,            # version needed
+            0x0800,        # UTF-8 names
+            comp_method,
+            0, 0,          # DOS time/date: deterministic zero
+            crc,
+            len(data),
+            len(raw),
+        )
+        out += _LOCAL_SIG + common + struct.pack("<HH", len(nb), 0) + nb + data
+        central += (
+            _CENTRAL_SIG
+            + struct.pack("<H", 20)  # version made by
+            + common
+            + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0, offset)
+            + nb
+        )
+    eocd = _EOCD_SIG + struct.pack(
+        "<HHHHIIH",
+        0, 0, len(members), len(members), len(central), len(out), 0,
+    )
+    return bytes(out) + bytes(central) + eocd
+
+
+def _find_eocd(data: bytes) -> int:
+    """EOCD from the end, per spec: the last 65557 bytes may hold a
+    comment after the fixed fields; scan backward for the signature
+    whose comment length reaches exactly end-of-file."""
+    n = len(data)
+    lo = max(0, n - 22 - 0xFFFF)
+    pos = data.rfind(_EOCD_SIG, lo)
+    while pos >= 0:
+        if pos + 22 <= n:
+            clen = struct.unpack_from("<H", data, pos + 20)[0]
+            if pos + 22 + clen == n:
+                return pos
+        pos = data.rfind(_EOCD_SIG, lo, pos)
+    raise ValueError("ZIP end-of-central-directory not found")
+
+
+def zip_members(data: bytes) -> list[tuple[str, bytes]]:
+    """Walk the central directory → ``[(name, raw bytes)]``; CRC-32
+    verified per entry, unsupported features raise."""
+    eocd = _find_eocd(data)
+    disk, cd_disk = struct.unpack_from("<HH", data, eocd + 4)
+    if disk or cd_disk:
+        raise ValueError("multi-disk ZIP is unsupported")
+    n_entries = struct.unpack_from("<H", data, eocd + 10)[0]
+    cd_offset = struct.unpack_from("<I", data, eocd + 16)[0]
+    out: list[tuple[str, bytes]] = []
+    pos = cd_offset
+    for _ in range(n_entries):
+        if data[pos : pos + 4] != _CENTRAL_SIG:
+            raise ValueError("central directory entry signature missing")
+        (
+            _vmade, _vneed, flags, comp_method, _t, _d, crc, csize, usize,
+            nlen, xlen, clen, _disk, _iattr, _eattr, offset,
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, pos + 4)
+        if flags & 0x1:
+            raise ValueError("encrypted ZIP entries are unsupported")
+        if flags & 0x8:
+            raise ValueError("data-descriptor entries are unsupported")
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+            raise ValueError("ZIP64 is unsupported")
+        name = data[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + xlen + clen
+        # local header: cross-check, then locate the data
+        if data[offset : offset + 4] != _LOCAL_SIG:
+            raise ValueError(f"local header missing for {name!r}")
+        lnlen, lxlen = struct.unpack_from("<HH", data, offset + 26)
+        start = offset + 30 + lnlen + lxlen
+        blob = data[start : start + csize]
+        if comp_method == 0:
+            raw = blob
+            if len(raw) != usize:
+                raise ValueError(f"stored entry size mismatch for {name!r}")
+        elif comp_method == 8:
+            raw, _ = inflate_member(blob)
+            if len(raw) != usize:
+                raise ValueError(f"inflated size mismatch for {name!r}")
+        else:
+            raise ValueError(f"unsupported compression method {comp_method}")
+        if crc32(raw) != crc:
+            raise ValueError(f"CRC-32 mismatch for {name!r}")
+        out.append((name, raw))
+    return out

@@ -557,3 +557,68 @@ def crawl_archive_ingest(docs: DataFrame) -> DataFrame:
             " main_text string, n_boilerplate int"
         ),
     )
+
+
+def zip_bundle_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for ZIP bundles (functions/zip_stream — r11): per
+    document, pack ``{id:08d}.txt`` + ``.cls`` + ``.json`` into an
+    archive (method STORED for even ids — whose byte length is then
+    a pure header-arithmetic closed form — and the engine's dynamic
+    deflate for odd ids), then read it back through the central
+    directory and report structure + content.
+
+    Exactness: names are fixed-width so the STORED archive length is
+    ``Σ(30+nlen+size) + Σ(46+nlen) + 22`` — the oracle recomputes it
+    from octet lengths alone (odd ids report -1: deflate lengths are
+    real but not closed-form); the text digest and label round-trip
+    verbatim. A defect in local/central headers, the EOCD walk,
+    CRC-32, or inflate breaks a column."""
+    from data_warehouse_migration_spark.functions.zip_stream import (
+        zip_members,
+        zip_pack,
+    )
+
+    def per_doc(aid: int, lang: str, text: str):
+        key = f"{aid:08d}"
+        items = [
+            (f"{key}.txt", text.encode("utf-8")),
+            (f"{key}.cls", lang.encode("utf-8")),
+            (f"{key}.json", f'{{"doc_id": {aid}}}'.encode()),
+        ]
+        stored = aid % 2 == 0
+        blob = zip_pack(items, "stored" if stored else "dynamic")
+        back = zip_members(blob)
+        assert [n for n, _ in back] == [n for n, _ in items]
+        return (
+            aid,
+            len(back),
+            len(blob) if stored else -1,
+            back[0][1].decode("utf-8"),
+            back[1][1].decode("utf-8"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(lg), str(tx))
+                for i, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_members", "zip_len", "text", "label"],
+            )
+
+    out = docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_members int, zip_len int, text string,"
+            " label string"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_members",
+        "zip_len",
+        F.md5(F.col("text")).alias("text_md5"),
+        "label",
+    )

@@ -2040,6 +2040,50 @@ def webdataset_shard_roundtrip(spark, sf_dir):
 
 
 @query(
+    "zip_bundle_roundtrip",
+    tags=("multimodal", "zip", "bundle", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       CAST(3 AS INT) AS n_members,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 324 + octet_length(encode(text)) + octet_length(encode(lang))
+                 + 12 + length(CAST(doc_id AS VARCHAR))
+            ELSE -1 END AS INT) AS zip_len,
+       md5(text) AS text_md5,
+       lang AS label
+FROM documents
+""",
+)
+def zip_bundle_roundtrip(spark, sf_dir):
+    """ZIP bundles under the hard gate (functions/zip_stream, r11 —
+    the other container datasets ship in): per document,
+    ``{id:08d}.txt`` + ``.cls`` + ``.json`` are packed (method
+    STORED for even ids, the engine's dynamic RFC 1951 deflate for
+    odd) and read back through the central directory — EOCD located
+    from the end past comments, central entries cross-checked
+    against local headers, CRC-32 verified, unsupported features
+    (encryption, data descriptors, ZIP64, multi-disk) rejected.
+
+    Exactness: fixed-width names make the STORED archive length the
+    pure header arithmetic ``Σ(30+nlen+size) + Σ(46+nlen) + 22`` —
+    here ``324 + len(text) + len(lang) + len(json)`` — which the
+    oracle recomputes from octet lengths alone (odd ids report -1:
+    deflate output is real but not closed-form); text digest and
+    label round-trip verbatim. CPython zipfile is pinned as the
+    independent reference in both directions (all methods, comments,
+    tamper cases) in tests/test_zip_stream.py.
+
+    Shape at 100 TB: per-archive parallel, zero shuffle; the
+    central-directory-first read is the range-request access pattern
+    object stores want."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        zip_bundle_features,
+    )
+
+    return zip_bundle_features(t(spark, sf_dir, "documents"))
+
+
+@query(
     "media_jpeg_exif_orientation",
     tags=("multimodal", "image", "jpeg", "exif", "codec", "mapInPandas"),
     oracle="""

@@ -1,0 +1,108 @@
+"""ZIP archive pins (functions/zip_stream — r11, PKWARE APPNOTE).
+CPython's ``zipfile`` is the independent reference in both
+directions; EOCD comment scanning, CRC tampering, cross-check
+failures, and unsupported-feature rejection are pinned by hand."""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+import pytest
+
+from data_warehouse_migration_spark.functions.zip_stream import (
+    zip_members,
+    zip_pack,
+)
+
+MEMBERS = [
+    ("a.txt", b"hello zip " * 50),
+    ("dir/b.bin", bytes(range(256)) * 4),
+    ("empty", b""),
+]
+
+
+@pytest.mark.parametrize("method", ["stored", "fixed", "dynamic"])
+def test_ours_read_by_stdlib(method):
+    blob = zip_pack(MEMBERS, method)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == MEMBERS
+    assert zf.testzip() is None  # stdlib's own CRC sweep
+
+
+@pytest.mark.parametrize(
+    "comp", [zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED]
+)
+def test_stdlib_read_by_ours(comp):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", comp) as w:
+        for name, data in MEMBERS:
+            w.writestr(name, data)
+    assert zip_members(buf.getvalue()) == MEMBERS
+
+
+def test_roundtrip_and_determinism():
+    blob = zip_pack(MEMBERS, "dynamic")
+    assert zip_members(blob) == MEMBERS
+    assert blob == zip_pack(MEMBERS, "dynamic")
+
+
+def test_stored_length_formula():
+    # the gate's closed form: Σ(30+nlen+size) + Σ(46+nlen) + 22
+    blob = zip_pack(MEMBERS, "stored")
+    nlens = sum(len(n.encode()) for n, _ in MEMBERS)
+    sizes = sum(len(d) for _, d in MEMBERS)
+    assert len(blob) == 3 * 30 + nlens + sizes + 3 * 46 + nlens + 22
+
+
+def test_archive_comment_scanned_past():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as w:
+        w.writestr("x", b"y")
+        w.comment = b"comment with PK\x05\x06 inside"  # adversarial
+    assert zip_members(buf.getvalue()) == [("x", b"y")]
+
+
+def test_crc_tamper_detected():
+    blob = bytearray(zip_pack([("f", b"payload-bytes")], "stored"))
+    at = blob.index(b"payload-bytes")
+    blob[at] ^= 1
+    with pytest.raises(ValueError, match="CRC-32"):
+        zip_members(bytes(blob))
+
+
+def test_missing_eocd_and_bad_local_header():
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        zip_members(b"not a zip at all")
+    blob = bytearray(zip_pack([("f", b"d")], "stored"))
+    blob[0] = 0  # corrupt the local signature; central still points there
+    with pytest.raises(ValueError, match="local header"):
+        zip_members(bytes(blob))
+
+
+def test_unsupported_features_rejected():
+    # hand-flip the encryption bit in the central directory entry
+    blob = bytearray(zip_pack([("f", b"d")], "stored"))
+    at = blob.index(b"PK\x01\x02")
+    flags_at = at + 8
+    blob[flags_at] |= 0x1
+    with pytest.raises(ValueError, match="encrypted"):
+        zip_members(bytes(blob))
+    blob[flags_at] = 0x8  # data descriptor
+    with pytest.raises(ValueError, match="data-descriptor"):
+        zip_members(bytes(blob))
+    # unknown compression method
+    blob2 = bytearray(zip_pack([("f", b"d")], "stored"))
+    at2 = blob2.index(b"PK\x01\x02")
+    struct.pack_into("<H", blob2, at2 + 10, 99)
+    with pytest.raises(ValueError, match="method 99"):
+        zip_members(bytes(blob2))
+
+
+def test_utf8_names():
+    members = [("日本語/файл.txt", b"x")]
+    blob = zip_pack(members, "stored")
+    assert zip_members(blob) == members
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.namelist() == [members[0][0]]

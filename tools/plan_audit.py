@@ -177,6 +177,7 @@ EXTRA_AUDIT = (
     "robots_policy_check",
     "webdataset_shard_roundtrip",
     "curation_pipeline_v8",
+    "zip_bundle_roundtrip",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
