@@ -622,3 +622,55 @@ def zip_bundle_features(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         "label",
     )
+
+
+def pdf_extract_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for PDF text extraction (functions/pdf — r11):
+    per document, BUILD a two-page PDF from its own (doc_id, lang,
+    text) — page 1 carries "Doc {id}", the lang, and the doc text
+    verbatim as Tj lines; page 2 carries "p2 {id}" (so the pages-tree
+    walk over /Kids is exercised) — with FlateDecode content streams
+    for even ids and plain streams for odd, then EXTRACT it back.
+
+    Exactness: the writer/reader pair is lossless on this subset
+    (string escaping ∘ unescaping is the identity; each Td line move
+    is a newline; pages join with form-feed), so the extracted text
+    is the pure string formula
+    ``Doc {id}\\n{lang}\\n{text}\\fp2 {id}`` the DuckDB oracle
+    rebuilds with no PDF code anywhere. A defect in xref offsets,
+    object parsing, stream /Length, Flate decode, string escapes, or
+    the content-stream walk breaks the md5 or the length."""
+    from data_warehouse_migration_spark.functions.pdf import (
+        build_pdf,
+        pdf_extract_text,
+    )
+
+    def per_doc(aid: int, lang: str, text: str):
+        pdf = build_pdf(
+            [[f"Doc {aid}", lang, text], [f"p2 {aid}"]],
+            flate=(aid % 2 == 0),
+        )
+        extracted = pdf_extract_text(pdf)
+        return (aid, extracted, len(extracted), len(pdf))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = [
+                per_doc(int(i), str(lg), str(tx))
+                for i, lg, tx in zip(
+                    pdf_batch["doc_id"], pdf_batch["lang"], pdf_batch["text"]
+                )
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "n_chars", "pdf_len"]
+            )
+
+    out = docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema="doc_id bigint, text string, n_chars int, pdf_len int",
+    )
+    return out.where(F.col("pdf_len") > 0).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_chars",
+    )

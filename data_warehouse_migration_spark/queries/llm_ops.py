@@ -2084,6 +2084,55 @@ def zip_bundle_roundtrip(spark, sf_dir):
 
 
 @query(
+    "pdf_text_extract",
+    tags=("text", "pdf", "document", "crawl", "mapInPandas"),
+    oracle="""
+WITH built AS (
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10) || lang || chr(10) || text
+           || chr(12) || 'p2 ' || doc_id AS full_text
+    FROM documents
+)
+SELECT doc_id, md5(full_text) AS text_md5,
+       CAST(length(full_text) AS INT) AS n_chars
+FROM built
+""",
+)
+def pdf_text_extract(spark, sf_dir):
+    """PDF text extraction under the hard gate (functions/pdf, r11 —
+    after HTML, the largest text source in a public web archive; the
+    pdftotext role the engine lacked): per document a two-page PDF is
+    SYNTHESIZED from its own (doc_id, lang, text) — FlateDecode
+    content streams for even ids (the engine's OWN RFC 1950/1951
+    codec), plain streams for odd; page 2 exercises the /Kids
+    pages-tree walk — then EXTRACTED back through the from-scratch
+    reader: startxref → xref table → trailer → catalog → pages →
+    /Contents streams → BT/ET text operators with Td line moves.
+
+    Exactness: the subset is lossless (escape∘unescape identity on
+    strings, Td = newline, pages join with form-feed), so the
+    extracted text is the pure string formula
+    ``Doc {id}\\n{lang}\\n{text}\\fp2 {id}`` the oracle rebuilds with
+    no PDF code anywhere. The reader additionally handles the MODERN
+    file layout — xref STREAMS with the PNG Up/Sub/Paeth predictor,
+    object streams, hybrid XRefStm — and is pinned against the two
+    real-world PDFs shipped in this container (libtasn1 manual,
+    shared-mime-info spec: both xref-stream files; extraction yields
+    clean text with the TJ kern-gap word heuristic) plus hand-built
+    documents with indirect /Length, TJ arrays, octal/hex escapes in
+    tests/test_pdf.py.
+
+    Shape at 100 TB: per-document parallel, zero shuffle — the codec
+    posture; extracted text feeds the existing curation stack
+    unchanged."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        pdf_extract_features,
+    )
+
+    return pdf_extract_features(t(spark, sf_dir, "documents"))
+
+
+@query(
     "media_jpeg_exif_orientation",
     tags=("multimodal", "image", "jpeg", "exif", "codec", "mapInPandas"),
     oracle="""

@@ -178,6 +178,7 @@ EXTRA_AUDIT = (
     "webdataset_shard_roundtrip",
     "curation_pipeline_v8",
     "zip_bundle_roundtrip",
+    "pdf_text_extract",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
