@@ -674,3 +674,81 @@ def pdf_extract_features(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         "n_chars",
     )
+
+
+def mime_message_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for MIME messages (functions/mime — r11): per
+    document, BUILD the multipart/mixed email a mailing-list archive
+    would hold — Subject ``Doc {id}``, an ``X-Label`` header carrying
+    lang (FOLDED across two lines, so unfolding is exercised), part 1
+    text/plain with the doc text (base64 for even ids,
+    quoted-printable for odd — both engine codecs), part 2
+    application/json base64 — then PARSE it back: header unfolding,
+    Content-Type params, boundary splitting, body decoding.
+
+    Exactness: encode∘decode is the identity on both transfer
+    encodings, so the decoded text equals the doc text verbatim and
+    every structural field is a closed form over (doc_id, lang)."""
+    from data_warehouse_migration_spark.functions.mime import (
+        base64_encode,
+        header,
+        parse_message,
+        qp_encode,
+    )
+
+    def per_doc(aid: int, lang: str, text: str):
+        bnd = f"=_bnd-{aid}-x"
+        if aid % 2 == 0:
+            cte1, body1 = "base64", base64_encode(text.encode("utf-8"))
+        else:
+            cte1, body1 = "quoted-printable", qp_encode(text.encode("utf-8"))
+        body2 = base64_encode(f'{{"doc_id": {aid}}}'.encode())
+        raw = (
+            f"Subject: Doc {aid}\r\n"
+            f"X-Label: {lang}\r\n folded\r\n"
+            f'Content-Type: multipart/mixed; boundary="{bnd}"\r\n'
+            "\r\npreamble ignored\r\n"
+            f"--{bnd}\r\n"
+            "Content-Type: text/plain; charset=utf-8\r\n"
+            f"Content-Transfer-Encoding: {cte1}\r\n\r\n"
+            f"{body1}\r\n"
+            f"--{bnd}\r\n"
+            "Content-Type: application/json\r\n"
+            "Content-Transfer-Encoding: base64\r\n\r\n"
+            f"{body2}\r\n"
+            f"--{bnd}--\r\nepilogue ignored"
+        )
+        m = parse_message(raw)
+        return (
+            aid,
+            header(m["headers"], "Subject"),
+            header(m["headers"], "X-Label"),
+            len(m["parts"]),
+            m["parts"][0]["body"].decode("utf-8"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(lg), str(tx))
+                for i, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "subject", "label", "n_parts", "text"],
+            )
+
+    out = docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, subject string, label string, n_parts int,"
+            " text string"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "subject",
+        "label",
+        "n_parts",
+        F.md5(F.col("text")).alias("text_md5"),
+    )

@@ -2133,6 +2133,49 @@ def pdf_text_extract(spark, sf_dir):
 
 
 @query(
+    "mime_message_extract",
+    tags=("text", "mime", "email", "crawl", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       'Doc ' || doc_id AS subject,
+       lang || ' folded' AS label,
+       CAST(2 AS INT) AS n_parts,
+       md5(text) AS text_md5
+FROM documents
+""",
+)
+def mime_message_extract(spark, sf_dir):
+    """MIME messages under the hard gate (functions/mime, r11 — RFC
+    5322 + 2045/2046, the mailing-list slice of a public text corpus
+    and the multipart grammar POST bodies use): per document a
+    multipart/mixed email is SYNTHESIZED — a FOLDED X-Label header
+    (unfolding exercised), part 1 text/plain carrying the doc text
+    (base64 for even ids, quoted-printable for odd — both codecs
+    implemented from scratch, stdlib-pinned both directions), part 2
+    application/json base64, preamble and epilogue present — then
+    PARSED back: header unfolding, Content-Type parameter parsing,
+    boundary splitting with the terminal-delimiter contract, body
+    decoding.
+
+    Exactness: encode∘decode is the identity on both transfer
+    encodings, so the decoded part-1 text equals the doc text
+    verbatim (md5(text) with no MIME code in the oracle) and every
+    structural field is a closed form. Codec vectors (all padding
+    lengths vs stdlib base64/quopri, soft breaks, trailing-space
+    protection, =XX at wrap boundaries) and parser edges (folded
+    headers, quoted boundary params, missing terminal boundary,
+    nested multipart) are pinned in tests/test_mime.py.
+
+    Shape at 100 TB: one mbox splits at 'From ' lines; one message =
+    one row through one Arrow-batched stage, zero shuffle."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        mime_message_features,
+    )
+
+    return mime_message_features(t(spark, sf_dir, "documents"))
+
+
+@query(
     "media_jpeg_exif_orientation",
     tags=("multimodal", "image", "jpeg", "exif", "codec", "mapInPandas"),
     oracle="""

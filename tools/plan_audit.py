@@ -179,6 +179,7 @@ EXTRA_AUDIT = (
     "curation_pipeline_v8",
     "zip_bundle_roundtrip",
     "pdf_text_extract",
+    "mime_message_extract",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
