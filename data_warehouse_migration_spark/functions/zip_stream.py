@@ -107,8 +107,10 @@ def zip_members(data: bytes) -> list[tuple[str, bytes]]:
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, pos + 4)
         if flags & 0x1:
             raise ValueError("encrypted ZIP entries are unsupported")
-        if flags & 0x8:
-            raise ValueError("data-descriptor entries are unsupported")
+        # flag bit 3 (data descriptor — streaming writers; every Java
+        # jar has it) is fine HERE: this reader takes sizes and CRC
+        # from the central directory, which is always complete — the
+        # descriptor only matters to a reader streaming local headers
         if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
             raise ValueError("ZIP64 is unsupported")
         name = data[pos + 46 : pos + 46 + nlen].decode("utf-8")

@@ -89,15 +89,38 @@ def test_unsupported_features_rejected():
     blob[flags_at] |= 0x1
     with pytest.raises(ValueError, match="encrypted"):
         zip_members(bytes(blob))
-    blob[flags_at] = 0x8  # data descriptor
-    with pytest.raises(ValueError, match="data-descriptor"):
-        zip_members(bytes(blob))
+    # data-descriptor flag (bit 3) is FINE via the central directory
+    blob[flags_at] = 0x8
+    assert zip_members(bytes(blob)) == [("f", b"d")]
     # unknown compression method
     blob2 = bytearray(zip_pack([("f", b"d")], "stored"))
     at2 = blob2.index(b"PK\x01\x02")
     struct.pack_into("<H", blob2, at2 + 10, 99)
     with pytest.raises(ValueError, match="method 99"):
         zip_members(bytes(blob2))
+
+
+REAL_JARS = [
+    # Java jars are zips written by streaming writers (data
+    # descriptors, deflate) — real-world interop pins
+    "/opt/spark/jars/spire-platform_2.13-0.18.0.jar",
+    "/opt/spark/jars/netty-codec-4.2.7.Final.jar",
+]
+
+
+@pytest.mark.parametrize("path", REAL_JARS)
+def test_real_world_jars(path):
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not in this container")
+    data = open(path, "rb").read()
+    ours = dict(zip_members(data))
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    theirs = {i.filename: zf.read(i) for i in zf.infolist()}
+    assert set(theirs) <= set(ours)
+    for name, payload in theirs.items():
+        assert ours[name] == payload, name
 
 
 def test_utf8_names():
