@@ -1594,3 +1594,137 @@ def _attach_span_islands_oracle() -> None:
 
 
 _attach_span_islands_oracle()
+
+
+@query(
+    "streaming_crawl_ingest",
+    tags=("streaming", "crawl", "warc", "robots", "dedup",
+          "incremental", "foreachBatch", "2.10"),
+    oracle=None,  # attached below (f-string oracle)
+)
+def streaming_crawl_ingest_gate(spark, sf_dir):
+    """Streaming crawl ingest on the real engine
+    (streaming/crawl_ingest): the content-addressed 10% tail of
+    `documents` arrives as a 3-file ARCHIVE stream (one file per
+    micro-batch, mtime-ordered by `doc_id % 3`); each epoch runs the
+    full v8 front-end — WARC.gz de-framing, URL canonicalization,
+    robots politeness (disallowed pages never parsed), HTML
+    extraction, the unicode quality floor — and dedups the surviving
+    texts against the at-rest digest index (the corpus's eligible
+    pages + every earlier epoch's additions), appending its own
+    digests; corpus text is never rescanned. Statuses:
+    skipped_robots / low_quality / dup_corpus / dup_batch / new.
+
+    The DuckDB oracle recomputes EVERY status from closed forms —
+    the robots verdict and extraction are pure formulas over
+    (doc_id, lang, text), and the batch-order predicate is
+    `earlier epoch ⟺ smaller doc_id % 3` — so the attestation covers
+    the grow-the-index protocol, the epoch-partitioned exactly-once
+    writes, the eligibility contract (skipped/low-quality pages are
+    never indexed), and the 4-way status priority across batch
+    boundaries. Statuses are collected (≤ the stream slice) before
+    temp cleanup."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_migration_spark.operators.sampling import hash_split
+    from data_warehouse_migration_spark.streaming.crawl_ingest import (
+        streaming_crawl_ingest,
+        write_crawl_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"corpus": 0.9, "batch": 0.1})
+    corpus = split.filter(F.col("split") == "corpus").drop("split")
+    incoming = split.filter(F.col("split") == "batch").drop("split")
+
+    base = tempfile.mkdtemp(prefix="stream_crawl_")
+    try:
+        write_crawl_index(corpus, f"{base}/index")
+        stream = _stage_ordered_stream(
+            spark,
+            [incoming.filter(F.col("doc_id") % 3 == k) for k in range(3)],
+            f"{base}/src",
+        )
+        q = streaming_crawl_ingest(
+            stream,
+            index_dir=f"{base}/index",
+            results_path=f"{base}/results",
+            checkpoint=f"{base}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise TimeoutError(
+                "streaming_crawl_ingest did not finish within 300s"
+                + (f"; query exception: {exc}" if exc else "")
+            )
+        res = spark.read.parquet(f"{base}/results")
+        n_epochs = res.select("epoch").distinct().count()
+        if n_epochs != 3:
+            raise AssertionError(f"expected 3 epochs, saw {n_epochs}")
+        out = res.select("doc_id", "status", "match_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _crawl_ingest_oracle() -> str:
+    from data_warehouse_migration_spark.queries.llm_ops import _MD5_BUCKET_SQL
+
+    return f"""
+WITH split AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN {_MD5_BUCKET_SQL} < CAST(0.9 * 65536 AS INT)
+                THEN 'corpus' ELSE 'batch' END AS s
+    FROM documents
+), ing AS (
+    SELECT doc_id, lang, s,
+           CAST(doc_id % 3 AS INT) AS bnum,
+           CAST(doc_id % 4 AS INT) IN (1, 3) AS fetched,
+           trim(regexp_replace(text || ' <raw> AB', '[ \t\n\r]+', ' ', 'g'))
+               AS main_text
+    FROM split
+), tok AS (
+    SELECT *, len(list_filter(string_split(trim(regexp_replace(
+               lower(main_text), '[\\t\\n\\x0B\\f\\r\\p{{Z}}]+', ' ', 'g')),
+               ' '), x -> x != '')) AS nt,
+           md5(main_text) AS digest
+    FROM ing
+), eligible AS (
+    SELECT * FROM tok WHERE fetched AND nt >= 5
+), atrest AS (
+    SELECT b.doc_id, min(e.doc_id) AS amatch
+    FROM eligible b JOIN eligible e ON e.digest = b.digest
+     AND (e.s = 'corpus' OR (e.s = 'batch' AND e.bnum < b.bnum))
+    WHERE b.s = 'batch'
+    GROUP BY 1
+), bmin AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY digest, bnum) AS bmin
+    FROM eligible WHERE s = 'batch'
+)
+SELECT t.doc_id,
+       CASE WHEN NOT t.fetched THEN 'skipped_robots'
+            WHEN t.nt < 5 THEN 'low_quality'
+            WHEN a.amatch IS NOT NULL THEN 'dup_corpus'
+            WHEN bm.bmin < t.doc_id THEN 'dup_batch'
+            ELSE 'new' END AS status,
+       CAST(CASE WHEN NOT t.fetched OR t.nt < 5 THEN NULL
+            WHEN a.amatch IS NOT NULL THEN a.amatch
+            WHEN bm.bmin < t.doc_id THEN bm.bmin
+            END AS BIGINT) AS match_id
+FROM tok t
+LEFT JOIN atrest a ON t.doc_id = a.doc_id
+LEFT JOIN bmin bm ON t.doc_id = bm.doc_id
+WHERE t.s = 'batch'
+"""
+
+
+def _attach_crawl_ingest_oracle() -> None:
+    from data_warehouse_migration_spark.catalog import REGISTRY
+
+    REGISTRY["streaming_crawl_ingest"].oracle = _crawl_ingest_oracle()
+
+
+_attach_crawl_ingest_oracle()

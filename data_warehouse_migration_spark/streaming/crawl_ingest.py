@@ -1,0 +1,153 @@
+"""Streaming crawl ingest: ARCHIVES arrive as a stream — each
+micro-batch runs the full v8 front-end (WARC.gz de-framing → URL
+canonicalization → robots politeness → HTML extraction → unicode
+quality floor) and the surviving texts are deduplicated against the
+content digests of everything ingested before (initial corpus + all
+earlier epochs); the batch's own digests are appended. This is the
+recurring-crawl shape verbatim: the fetch frontier streams in, the
+corpus index grows monotonically, and corpus TEXT is never rescanned.
+
+Index policy (same as streaming/ingest.py): ALL eligible batch docs'
+digests are appended, not only the accepted ones — matching a
+dup-of-a-dup is still a dup, so statuses stay a pure function of
+(initial corpus, batch order, content), deterministic under replay
+and independently recomputable by the oracle. Pages the politeness
+screen skipped or the quality floor dropped are NOT indexed: a real
+fetcher never has their content.
+
+Exactly-once: statuses and index additions land in ``epoch=K``
+partitions via dynamic partition overwrite, so a replayed epoch
+REPLACES its own output; the matching pass reads only strictly
+earlier epochs (a crash between append and checkpoint commit must
+not make a replayed doc match itself).
+
+Scale posture per epoch: the front-end is one Arrow-batched
+mapInPandas over the batch (zero shuffle); the dedup probe joins
+batch digests against the at-rest index equi on digest — shuffle ∝
+batch; appends are partition-scoped writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_migration_spark.sources.writers import (
+    overwrite_partitions_dynamic,
+)
+
+
+def _ingest_scored(docs: DataFrame) -> DataFrame:
+    """The v8 front-end + quality + digest, shared by the index
+    builder and the per-epoch matcher: ``(doc_id, lang, allowed, nt,
+    digest)`` with digest = md5(extracted main text)."""
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_token_count,
+    )
+    from data_warehouse_migration_spark.operators.web_extract import (
+        crawl_archive_ingest,
+    )
+
+    ing = crawl_archive_ingest(docs)
+    return ing.select(
+        "doc_id",
+        "lang",
+        "allowed",
+        unicode_token_count(F.col("main_text")).alias("nt"),
+        F.md5("main_text").alias("digest"),
+    )
+
+
+def write_crawl_index(corpus_docs: DataFrame, index_dir: str) -> None:
+    """Materialize the initial corpus index (epoch -1): digests of
+    the corpus pages that survive politeness + quality — the same
+    eligibility the stream applies."""
+    scored = _ingest_scored(corpus_docs)
+    eligible = scored.filter(F.col("allowed") & (F.col("nt") >= 5))
+    overwrite_partitions_dynamic(
+        eligible.select("doc_id", "digest").withColumn("epoch", F.lit(-1)),
+        index_dir,
+        partition_by=["epoch"],
+    )
+
+
+def apply_crawl_epoch(
+    batch_df: DataFrame, epoch_id: int, index_dir: str, results_path: str
+) -> None:
+    """One epoch of crawl ingest: v8 front-end on the batch, dedup
+    against strictly-earlier index epochs, epoch-partitioned status
+    and index writes (dynamic overwrite ⇒ replay-idempotent).
+    Module-level so the replay contract is directly testable."""
+    if batch_df.isEmpty():
+        return
+    spark: SparkSession = batch_df.sparkSession
+    at_rest = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("epoch") < int(epoch_id))
+        .select("digest", F.col("doc_id").alias("idx_id"))
+    )
+    cur = _ingest_scored(batch_df)
+    eligible = cur.filter(F.col("allowed") & (F.col("nt") >= 5))
+    amatch = (
+        eligible.select("doc_id", "digest")
+        .join(at_rest, "digest")
+        .groupBy("doc_id")
+        .agg(F.min("idx_id").alias("amatch"))
+    )
+    bmin = eligible.groupBy("digest").agg(F.min("doc_id").alias("bmin"))
+    scored = cur.join(amatch, "doc_id", "left").join(bmin, "digest", "left")
+    ok = F.col("allowed") & (F.col("nt") >= 5)
+    status = (
+        F.when(~F.col("allowed"), F.lit("skipped_robots"))
+        .when(F.col("nt") < 5, F.lit("low_quality"))
+        .when(F.col("amatch").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col("bmin") < F.col("doc_id"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+    )
+    match_id = F.when(
+        ok,
+        F.coalesce(
+            F.col("amatch"),
+            F.when(F.col("bmin") < F.col("doc_id"), F.col("bmin")),
+        ),
+    )
+    statuses = scored.select(
+        "doc_id",
+        status.alias("status"),
+        match_id.cast("long").alias("match_id"),
+        F.lit(int(epoch_id)).alias("epoch"),
+    )
+    overwrite_partitions_dynamic(
+        statuses, results_path, partition_by=["epoch"]
+    )
+    overwrite_partitions_dynamic(
+        eligible.select("doc_id", "digest").withColumn(
+            "epoch", F.lit(int(epoch_id))
+        ),
+        index_dir,
+        partition_by=["epoch"],
+    )
+
+
+def streaming_crawl_ingest(
+    doc_stream: DataFrame,
+    index_dir: str,
+    results_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Drive a document (archive) stream through per-epoch crawl
+    ingest. Appends ``(doc_id, status, match_id, epoch)`` rows under
+    ``results_path`` — status ∈ skipped_robots / low_quality /
+    dup_corpus / dup_batch / new — and grows the digest index.
+    Returns the started streaming query."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_crawl_epoch(batch_df, epoch_id, index_dir, results_path)
+
+    writer = doc_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
