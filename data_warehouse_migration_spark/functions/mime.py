@@ -233,3 +233,42 @@ def parse_message(raw: str) -> dict:
     else:
         out["body"] = decode_body(headers, body)
     return out
+
+
+# --- mbox (RFC 4155, mboxrd quoting) -----------------------------------------
+
+
+def mbox_join(messages: list[str]) -> str:
+    """An mbox file from raw RFC 5322 messages: each preceded by a
+    ``From `` separator line, body lines that could be mistaken for
+    one quoted with ``>`` (mboxrd: ALL ``>*From `` lines gain one
+    more ``>``, so unquoting is lossless — the property mboxo
+    lacks)."""
+    out = []
+    for i, msg in enumerate(messages):
+        out.append(f"From MAILER-DAEMON Thu Jan  1 00:00:0{i % 10} 1970")
+        for line in msg.split("\n"):
+            if line.lstrip(">").startswith("From "):
+                line = ">" + line
+            out.append(line)
+    return "\n".join(out) + "\n"
+
+
+def mbox_split(data: str) -> list[str]:
+    """Split an mbox file into raw messages, reversing the mboxrd
+    quoting. Content before the first ``From `` line raises — a
+    valid mbox starts with a separator."""
+    lines = data.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    messages: list[list[str]] = []
+    for ln in lines:
+        if ln.startswith("From "):
+            messages.append([])
+            continue
+        if not messages:
+            raise ValueError("mbox content before the first From_ line")
+        if ln.lstrip(">").startswith("From "):
+            ln = ln[1:]  # undo one level of mboxrd quoting
+        messages[-1].append(ln)
+    return ["\n".join(m) for m in messages]

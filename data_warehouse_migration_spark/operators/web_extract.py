@@ -752,3 +752,81 @@ def mime_message_features(docs: DataFrame) -> DataFrame:
         "n_parts",
         F.md5(F.col("text")).alias("text_md5"),
     )
+
+
+def mbox_thread_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for mbox archives (functions/mime mbox_* — r11):
+    per document, an mbox of TWO messages — the multipart email the
+    MIME gate attests (its text body contains lines starting
+    ``From `` whenever the doc text does, exercising mboxrd quoting)
+    and a plain reply — is JOINED then SPLIT back, and both messages
+    parsed. Splitting is the lossless inverse of joining (mboxrd, not
+    mboxo), so the decoded part-1 text equals the doc text verbatim
+    and the structure is closed-form."""
+    from data_warehouse_migration_spark.functions.mime import (
+        header,
+        mbox_join,
+        mbox_split,
+        parse_message,
+        qp_encode,
+    )
+
+    def per_doc(aid: int, lang: str, text: str):
+        bnd = f"=_bnd-{aid}-x"
+        # LF-normalize the QP lines: this message uses LF endings
+        # throughout, and a stray CRLF-CRLF inside the body would
+        # win parse_headers' separator search over the LF-LF header
+        # boundary (decode is ending-agnostic, so still lossless)
+        body1 = qp_encode(text.encode("utf-8")).replace("\r\n", "\n")
+        msg1 = (
+            f"Subject: Doc {aid}\n"
+            f'Content-Type: multipart/mixed; boundary="{bnd}"\n'
+            "\n"
+            f"--{bnd}\n"
+            "Content-Type: text/plain; charset=utf-8\n"
+            "Content-Transfer-Encoding: quoted-printable\n\n"
+            f"{body1}\n"
+            f"--{bnd}--"
+        )
+        msg2 = f"Subject: Re: Doc {aid}\n\nack {aid}"
+        blob = mbox_join([msg1, msg2])
+        back = mbox_split(blob)
+        assert back == [msg1, msg2], "mboxrd round trip broke"
+        m1 = parse_message(back[0])
+        m2 = parse_message(back[1])
+        return (
+            aid,
+            len(back),
+            header(m1["headers"], "Subject"),
+            header(m2["headers"], "Subject"),
+            m1["parts"][0]["body"].decode("utf-8"),
+            m2["body"].decode("latin-1"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(lg), str(tx))
+                for i, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_messages", "subject", "re_subject",
+                         "text", "ack"],
+            )
+
+    out = docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_messages int, subject string,"
+            " re_subject string, text string, ack string"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_messages",
+        "subject",
+        "re_subject",
+        F.md5(F.col("text")).alias("text_md5"),
+        "ack",
+    )

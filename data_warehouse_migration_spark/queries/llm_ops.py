@@ -2176,6 +2176,44 @@ def mime_message_extract(spark, sf_dir):
 
 
 @query(
+    "mbox_thread_extract",
+    tags=("text", "mime", "mbox", "email", "crawl", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       CAST(2 AS INT) AS n_messages,
+       'Doc ' || doc_id AS subject,
+       'Re: Doc ' || doc_id AS re_subject,
+       md5(text) AS text_md5,
+       'ack ' || doc_id AS ack
+FROM documents
+""",
+)
+def mbox_thread_extract(spark, sf_dir):
+    """mbox archives under the hard gate (functions/mime mbox_*, r11
+    — RFC 4155, the format mailing-list corpora actually ship in):
+    per document a two-message mbox — the multipart email plus a
+    plain reply — is JOINED (``From `` separators, mboxrd ``>From``
+    quoting: every ``>*From `` body line gains one ``>``, the
+    variant whose unquoting is lossless) and SPLIT back, both
+    messages parsed through the MIME stack.
+
+    Exactness: split∘join is the identity on message bytes (asserted
+    in-harness), QP decode∘encode is the identity on the text, so
+    part-1 text equals the doc text verbatim and every field is a
+    closed form. mboxrd quoting depth, stdlib ``mailbox``
+    cross-reads, and content-before-first-separator rejection are
+    pinned in tests/test_mime.py.
+
+    Shape at 100 TB: one mbox file splits at ``From `` lines; one
+    message = one row, zero shuffle."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        mbox_thread_features,
+    )
+
+    return mbox_thread_features(t(spark, sf_dir, "documents"))
+
+
+@query(
     "media_jpeg_exif_orientation",
     tags=("multimodal", "image", "jpeg", "exif", "codec", "mapInPandas"),
     oracle="""

@@ -152,3 +152,48 @@ def test_stdlib_built_message_parsed_by_ours():
     m = parse_message(em.as_string().replace("\n", "\r\n"))
     assert header(m["headers"], "Subject") == "From stdlib"
     assert m["parts"][0]["body"].rstrip(b"\r\n") == b"payload text"
+
+
+def test_mbox_roundtrip_and_quoting():
+    from data_warehouse_migration_spark.functions.mime import (
+        mbox_join,
+        mbox_split,
+    )
+
+    msgs = [
+        "Subject: a\n\nbody one\nFrom the start of a line\n>From quoted",
+        "Subject: b\n\nsecond line\n>>From deep",
+        "Subject: c\n\nmid-line From stays, as does mid->From",
+    ]
+    blob = mbox_join(msgs)
+    assert mbox_split(blob) == msgs
+    # mboxrd quoting is DEPTH-PRESERVING at line START only:
+    # "From " → ">From ", ">From" → ">>From", ">>From" → ">>>From"
+    assert ">From the start" in blob
+    assert ">>From quoted" in blob
+    assert ">>>From deep" in blob
+    assert "mid-line From stays" in blob  # mid-line never quoted
+    with pytest.raises(ValueError, match="before the first"):
+        mbox_split("not a separator\nFrom x\n\nbody")
+
+
+def test_mbox_read_by_stdlib_mailbox():
+    import mailbox
+    import tempfile
+    import os
+
+    from data_warehouse_migration_spark.functions.mime import mbox_join
+
+    msgs = ["Subject: a\n\nalpha", "Subject: b\n\nbeta"]
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".mbox", delete=False
+    ) as f:
+        f.write(mbox_join(msgs))
+        path = f.name
+    try:
+        mb = mailbox.mbox(path)
+        assert [m["Subject"] for m in mb] == ["a", "b"]
+        # stdlib keeps the newline that precedes the next separator
+        assert [m.get_payload() for m in mb] == ["alpha\n", "beta\n"]
+    finally:
+        os.unlink(path)

@@ -180,6 +180,7 @@ EXTRA_AUDIT = (
     "zip_bundle_roundtrip",
     "pdf_text_extract",
     "mime_message_extract",
+    "mbox_thread_extract",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
