@@ -157,6 +157,10 @@ def html_blocks(html: str) -> list[tuple[str, int, int]]:
     link_buf: list[str] = []
     link_depth = 0
     i, n = 0, len(html)
+    # lowered once: recomputing it per raw-text element would be
+    # O(n · n_scripts) — quadratic on script-heavy multi-megabyte
+    # crawl pages (ADVICE r11)
+    low = html.lower()
 
     def flush() -> None:
         nonlocal buf, link_buf
@@ -202,7 +206,6 @@ def html_blocks(html: str) -> list[tuple[str, int, int]]:
         if not is_close and name in _RAW_TEXT:
             # raw-text content runs to the literal close tag
             close = f"</{name}"
-            low = html.lower()
             end = low.find(close, i)
             content = html[i : end if end != -1 else n]
             if end == -1:

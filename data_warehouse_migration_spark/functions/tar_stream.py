@@ -29,6 +29,19 @@ from __future__ import annotations
 _BLOCK = 512
 
 
+def _read_octal(field: bytes, what: str) -> int:
+    """Parse an UNTRUSTED octal header field: octal digits only,
+    non-negative. ``int(x, 8)`` alone accepts ``-N`` — a crafted
+    negative size walks the member scan BACKWARDS into already-read
+    bytes (ADVICE r11). Empty field reads as 0 (historical tar)."""
+    token = field.split(b"\x00")[0].strip()
+    if not token:
+        return 0
+    if any(c not in b"01234567" for c in token):
+        raise ValueError(f"invalid octal {what} field: {token!r}")
+    return int(token, 8)
+
+
 def _octal(value: int, width: int) -> bytes:
     """NUL-terminated octal text field (width includes the NUL)."""
     s = f"{value:0{width - 1}o}"
@@ -89,11 +102,11 @@ def tar_members(data: bytes) -> list[tuple[str, bytes]]:
         h = data[pos : pos + _BLOCK]
         if h == b"\x00" * _BLOCK:  # end-of-archive marker
             break
-        stored = int(h[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        stored = _read_octal(h[148:156], "checksum")
         summed = sum(h[:148]) + 8 * 0x20 + sum(h[156:])
         if stored != summed:
             raise ValueError(f"tar header checksum mismatch at {pos}")
-        size = int(h[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        size = _read_octal(h[124:136], "size")
         typeflag = chr(h[156])
         name = h[0:100].split(b"\x00")[0].decode("utf-8")
         if h[257:262] == b"ustar":

@@ -19,6 +19,10 @@ scheme-based §6.2.3):
   when an authority is present;
 - port: default ports dropped (http:80, https:443), empty port
   dropped;
+- authority: the ``//`` is emitted iff the input HAD an authority
+  component — ``http:page`` (authority-less, dirty crawl input)
+  stays authority-less instead of promoting its first path segment
+  to a host (ADVICE r11);
 - query: kept byte-for-byte by default; ``sort_query=True``
   additionally orders ``&``-separated parameters by key (NOT part
   of the RFC — a crawl-dedup convention that merges param-order
@@ -102,6 +106,16 @@ def remove_dot_segments(path: str) -> str:
 def split_url(url: str) -> tuple[str, str, str, str, str]:
     """Split into (scheme, authority, path, query, fragment) per the
     RFC's component grammar (no validation — crawl input is dirty)."""
+    return _split_url_auth(url)[:5]
+
+
+def _split_url_auth(url: str) -> tuple[str, str, str, str, str, bool]:
+    """``split_url`` plus a ``had_authority`` flag: an authority-less
+    URL of a known scheme (``http:page`` — dirty but real crawl
+    input) must NOT grow a fabricated ``//`` authority on
+    canonicalization, and the empty-authority form (``file:///x``)
+    must keep its ``//`` — distinctions the 5-tuple alone loses
+    (ADVICE r11)."""
     rest = url
     fragment = ""
     if "#" in rest:
@@ -117,7 +131,8 @@ def split_url(url: str) -> tuple[str, str, str, str, str]:
         ):
             scheme, rest = cand, after
     authority = ""
-    if rest.startswith("//"):
+    had_authority = rest.startswith("//")
+    if had_authority:
         rest = rest[2:]
         cut = len(rest)
         for ch in "/":
@@ -125,13 +140,15 @@ def split_url(url: str) -> tuple[str, str, str, str, str]:
             if k != -1:
                 cut = min(cut, k)
         authority, rest = rest[:cut], rest[cut:]
-    return scheme, authority, rest, query, fragment
+    return scheme, authority, rest, query, fragment, had_authority
 
 
 def canonicalize_url(url: str, sort_query: bool = False) -> str:
     """Full RFC 3986 §6 syntax + scheme normalization; see module
     docstring for the exact rule set."""
-    scheme, authority, path, query, _frag = split_url(url.strip())
+    scheme, authority, path, query, _frag, had_auth = _split_url_auth(
+        url.strip()
+    )
     scheme = scheme.lower()
 
     userinfo = ""
@@ -165,7 +182,7 @@ def canonicalize_url(url: str, sort_query: bool = False) -> str:
     out = ""
     if scheme:
         out += scheme + ":"
-    if auth or url.strip().startswith("//") or scheme in _DEFAULT_PORTS:
+    if had_auth:
         out += "//" + auth
     out += path
     if query:

@@ -36,6 +36,24 @@ from data_warehouse_migration_spark.functions.gzip_stream import (
 _CRLF = b"\r\n"
 
 
+def _length_token(token: str | bytes, what: str, base: int = 10) -> int:
+    """Parse an UNTRUSTED length token: digits only, non-negative.
+
+    ``int()`` alone is too permissive for wire input — it accepts
+    ``-4`` (a negative Content-Length lands ``block_end`` before the
+    block even starts, so a crafted record "succeeds" and re-enters
+    INSIDE its own content: record smuggling), ``+4``/`` 4``/``4_0``
+    (non-canonical forms two parsers may read differently), and for
+    hex chunk sizes a negative value moves the scan position BACKWARDS
+    — an infinite parse loop on a malicious page (ADVICE r11)."""
+    if isinstance(token, bytes):
+        token = token.decode("latin-1", "replace")
+    digits = "0123456789" if base == 10 else "0123456789abcdefABCDEF"
+    if not token or any(c not in digits for c in token):
+        raise ValueError(f"invalid {what} token: {token!r}")
+    return int(token, base)
+
+
 def build_warc_record(
     warc_type: str, headers: dict[str, str], block: bytes
 ) -> bytes:
@@ -75,7 +93,7 @@ def parse_warc_record(data: bytes, offset: int = 0) -> tuple[dict, int]:
     lower = {k.lower(): v for k, v in headers.items()}
     if "content-length" not in lower:
         raise ValueError("WARC record missing Content-Length")
-    n = int(lower["content-length"])
+    n = _length_token(lower["content-length"], "WARC Content-Length")
     block_start = head_end + 4
     block_end = block_start + n
     if data[block_end : block_end + 4] != _CRLF * 2:
@@ -179,7 +197,7 @@ def parse_http_response(data: bytes) -> tuple[int, dict[str, str], bytes]:
             if nl < 0:
                 raise ValueError("chunk size line not terminated")
             size_token = rest[pos:nl].split(b";", 1)[0].strip()
-            size = int(size_token, 16)
+            size = _length_token(size_token, "chunk size", base=16)
             pos = nl + 2
             if size == 0:
                 break
@@ -195,7 +213,7 @@ def parse_http_response(data: bytes) -> tuple[int, dict[str, str], bytes]:
             pos = nl + 2
         return status, headers, bytes(body)
     if "content-length" in lower:
-        n = int(lower["content-length"])
+        n = _length_token(lower["content-length"], "HTTP Content-Length")
         if len(rest) < n:
             raise ValueError("HTTP body shorter than Content-Length")
         return status, headers, rest[:n]

@@ -84,10 +84,15 @@ def crawl_extract_main(docs: DataFrame) -> DataFrame:
     """Crawl-shaped main-content extraction for the v7 pipeline: per
     document, synthesize its page (``synth_page``), lex it into
     blocks, DROP boilerplate (link density > 0.5 — the nav blocks),
-    and select the LONGEST surviving block as the main content (the
-    classic largest-block heuristic; with this page shape that is
-    provably the body paragraph, which is what lets the oracle
-    re-derive it as a string formula). Output: ``(doc_id, lang,
+    and select the body paragraph as the main content. Selection is
+    the LAST surviving block — with this page shape that is provably
+    the ``<p>`` block (title and h1 precede it; the nav blocks after
+    it are 100%-link boilerplate), so the choice is deterministic for
+    ARBITRARY doc text and the oracle re-derives it as a pure string
+    formula. (The classic largest-block heuristic picks the same
+    block whenever the text is non-trivial, but for a very short doc
+    the title ``Doc {id}`` can outgrow the paragraph and silently
+    diverge from the oracle — ADVICE r11.) Output: ``(doc_id, lang,
     main_text, n_blocks, n_boilerplate)``."""
     from data_warehouse_migration_spark.functions.html_text import (
         html_blocks,
@@ -104,7 +109,7 @@ def crawl_extract_main(docs: DataFrame) -> DataFrame:
                     if not (total and link / total > 0.5)
                 ]
                 n_boiler = len(blocks) - len(content)
-                main = max(content, key=len) if content else ""
+                main = content[-1] if content else ""
                 rows.append((aid, str(lang), main, len(blocks), n_boiler))
             yield pd.DataFrame(
                 rows,
@@ -465,11 +470,12 @@ def crawl_archive_ingest(docs: DataFrame) -> DataFrame:
     crawl job does: gzip walk → WARC framing → HTTP de-framing →
     canonicalize the target URI (functions/url) → robots verdict on
     the canonical path (functions/robots, the id-rotating probe
-    policy) → for ALLOWED pages, lex + link-density screen + largest
-    surviving block (the v7 extraction). Output per doc: ``(doc_id,
-    lang, allowed, main_text, n_boilerplate)`` — main_text is empty
-    for pages politeness skipped (they are never parsed, as in a
-    real fetcher)."""
+    policy) → for ALLOWED pages, lex + link-density screen + LAST
+    surviving block (the v7 extraction — deterministically the body
+    paragraph for this page shape, see ``crawl_extract_main``).
+    Output per doc: ``(doc_id, lang, allowed, main_text,
+    n_boilerplate)`` — main_text is empty for pages politeness
+    skipped (they are never parsed, as in a real fetcher)."""
     from data_warehouse_migration_spark.functions.html_text import (
         html_blocks,
     )
@@ -535,7 +541,7 @@ def crawl_archive_ingest(docs: DataFrame) -> DataFrame:
             t for t, link, total in blocks
             if not (total and link / total > 0.5)
         ]
-        main = max(content, key=len) if content else ""
+        main = content[-1] if content else ""
         return (aid, lang, True, main, len(blocks) - len(content))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -262,3 +262,39 @@ def test_end_to_end_archive():
         assert [r["type"] for r in records] == ["warcinfo", "response"]
         s, _, b = parse_http_response(records[1]["block"])
         assert (s, b) == (200, html)
+
+
+def test_negative_and_noncanonical_length_tokens_rejected():
+    # ADVICE r11: int() alone accepts '-4' — a negative WARC
+    # Content-Length lands block_end ON the header terminator, so the
+    # parser "succeeds" with an empty block and re-enters INSIDE the
+    # block content (record smuggling). Digits-only tokens required.
+    rec = bytearray(build_warc_record("response", {}, b"abcd"))
+    smuggled = bytes(rec).replace(b"Content-Length: 4", b"Content-Length: -4")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_record(smuggled, 0)
+    # (' 4' is not here: leading OWS is stripped at the header-field
+    # level per the spec before the token validator sees it)
+    for tok in (b"+4", b"4_0", b"0x4", b""):
+        bad = bytes(rec).replace(b"Content-Length: 4", b"Content-Length: " + tok)
+        with pytest.raises(ValueError):
+            parse_warc_record(bad, 0)
+
+
+def test_negative_http_lengths_rejected():
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Length: -3\r\n\r\nabc"
+        )
+    # a negative chunk size moves the scan position BACKWARDS — an
+    # infinite parse loop on a malicious page. Hex digits only.
+    with pytest.raises(ValueError, match="chunk size"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"-4\r\nabcd\r\n0\r\n\r\n"
+        )
+    with pytest.raises(ValueError, match="chunk size"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"\r\n0\r\n\r\n"
+        )

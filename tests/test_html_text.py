@@ -133,3 +133,27 @@ def test_extract_operator_roundtrip(spark):
     assert got[1]["n_blocks"] == 3 and got[1]["n_boilerplate"] == 1
     assert got[2]["text"] == "only"
     assert got[2]["n_chars"] == 4
+
+
+def test_main_block_selection_short_text(spark):
+    # ADVICE r11: for a very short doc text the title ('Doc {id}') can
+    # be LONGER than the body paragraph; selection must still return
+    # the paragraph (the oracle's pure string formula), not the title.
+    from data_warehouse_migration_spark.operators.web_extract import (
+        crawl_extract_main,
+    )
+
+    df = spark.createDataFrame(
+        [(1234567, "en", ""), (7654321, "de", "x")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r for r in crawl_extract_main(df).collect()}
+    assert got[1234567]["main_text"] == "<raw> AB"
+    assert got[7654321]["main_text"] == "x <raw> AB"
+
+
+def test_raw_text_scan_linear_on_script_heavy_pages():
+    # ADVICE r11: html.lower() is computed once, not per raw-text
+    # element — correctness pin for the hoisted path (many scripts).
+    page = "<p>keep</p>" + "<script>var x = '</div>';</script>" * 200 + "<p>end</p>"
+    assert html_to_text(page) == "keep\nend"

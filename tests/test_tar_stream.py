@@ -134,3 +134,19 @@ def test_targz_composition():
     # stdlib reads our .tar.gz end to end
     tf = tarfile.open(fileobj=io.BytesIO(gzip_compress(shard, "fixed")), mode="r:gz")
     assert [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()] == MEMBERS
+
+
+def test_negative_size_field_rejected():
+    # ADVICE r11: int(x, 8) accepts '-N' — a crafted negative size
+    # walks the member scan backwards. Craft a header whose size field
+    # reads -12 but whose checksum is self-consistent.
+    blob = bytearray(tar_pack([("a.txt", b"x" * 12)]))
+    h = bytearray(blob[:512])
+    h[124:136] = b"-12".ljust(11, b" ") + b"\x00"
+    h[148:156] = b" " * 8
+    chk = sum(h)
+    h[148:155] = f"{chk:06o}".encode() + b"\x00"
+    h[155] = ord(" ")
+    blob[:512] = h
+    with pytest.raises(ValueError, match="octal size"):
+        tar_members(bytes(blob))

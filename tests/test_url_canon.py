@@ -99,3 +99,16 @@ def test_gate_formula_matches_operator(spark):
     assert got[7]["canonical_url"] == "http://www.host2.com/en/a/c/a%2F7?a=1&b=7"
     assert got[7]["host"] == "www.host2.com"
     assert got[12]["canonical_url"] == "http://www.host2.com/de/a/c/a%2F12?a=0&b=12"
+
+
+def test_authority_never_fabricated():
+    # ADVICE r11: 'http:page' (scheme, no '//') must not promote the
+    # first path segment to a host.
+    assert canonicalize_url("http:page") == "http:page"
+    assert canonicalize_url("HTTP:a/b/../c") == "http:a/c"
+    assert canonicalize_url("mailto:User@Example.com") == "mailto:User@Example.com"
+    # empty authority is still an authority (file URLs)
+    assert canonicalize_url("file:///Etc/./passwd") == "file:///Etc/passwd"
+    # scheme-relative input keeps its authority
+    assert canonicalize_url("//H.COM:80/x") == "//h.com:80/x"
+    assert canonicalize_url("HTTP://H.COM:80/x") == "http://h.com/x"
