@@ -631,30 +631,41 @@ def zip_bundle_features(docs: DataFrame) -> DataFrame:
 
 
 def pdf_extract_features(docs: DataFrame) -> DataFrame:
-    """Gate harness for PDF text extraction (functions/pdf — r11):
-    per document, BUILD a two-page PDF from its own (doc_id, lang,
-    text) — page 1 carries "Doc {id}", the lang, and the doc text
-    verbatim as Tj lines; page 2 carries "p2 {id}" (so the pages-tree
-    walk over /Kids is exercised) — with FlateDecode content streams
-    for even ids and plain streams for odd, then EXTRACT it back.
+    """Gate harness for PDF text extraction (functions/pdf — r11,
+    font-aware r12): per document, BUILD a two-page PDF from its own
+    (doc_id, lang, text) — page 1 carries "Doc {id}", the lang, and
+    the doc text verbatim as Tj lines; page 2 carries "p2 {id}" (so
+    the pages-tree walk over /Kids is exercised) — with FlateDecode
+    content streams for even ids and plain streams for odd, and the
+    FONT MODE rotating on id mod 3 (VERDICT r11 action #3): plain
+    latin-1 Type1, a Type0/CIDFontType2 Identity-H font whose Tj
+    bytes are 2-byte glyph codes recovered through the embedded
+    /ToUnicode CMap (the LaTeX/Word/Chrome subset-font shape), and a
+    simple font remapped by /Encoding /Differences ``uniXXXX`` glyph
+    names — then EXTRACT it all back.
 
-    Exactness: the writer/reader pair is lossless on this subset
-    (string escaping ∘ unescaping is the identity; each Td line move
-    is a newline; pages join with form-feed), so the extracted text
-    is the pure string formula
-    ``Doc {id}\\n{lang}\\n{text}\\fp2 {id}`` the DuckDB oracle
-    rebuilds with no PDF code anywhere. A defect in xref offsets,
-    object parsing, stream /Length, Flate decode, string escapes, or
-    the content-stream walk breaks the md5 or the length."""
+    Exactness: every mode is lossless (escape∘unescape identity on
+    strings, glyph decode inverts the writer's code assignment by
+    construction, each Td line move is a newline, pages join with
+    form-feed), so the extracted text is the SAME pure string
+    formula ``Doc {id}\\n{lang}\\n{text}\\fp2 {id}`` regardless of
+    mode — the DuckDB oracle rebuilds it with no PDF code anywhere.
+    A defect in xref offsets, object parsing, stream /Length, Flate
+    decode, string escapes, the content-stream walk, CMap parsing
+    (codespace widths, bfchar), hex-string shows, or Differences
+    resolution breaks the md5 or the length."""
     from data_warehouse_migration_spark.functions.pdf import (
         build_pdf,
         pdf_extract_text,
     )
 
+    _MODES = ("latin1", "cid", "differences")
+
     def per_doc(aid: int, lang: str, text: str):
         pdf = build_pdf(
             [[f"Doc {aid}", lang, text], [f"p2 {aid}"]],
             flate=(aid % 2 == 0),
+            font_mode=_MODES[aid % 3],
         )
         extracted = pdf_extract_text(pdf)
         return (aid, extracted, len(extracted), len(pdf))
