@@ -238,6 +238,95 @@ def _decode_batch(pdf: pd.DataFrame, decode_stub: bool) -> pd.DataFrame:
     )
 
 
+#: Output schema of the fault-tolerant extractor: the feature columns
+#: (null for quarantined rows) plus a per-asset disposition.
+MEDIA_QUARANTINE_SCHEMA = (
+    MEDIA_FEATURES_SCHEMA + ", status string, reason string"
+)
+
+
+def _decode_batch_quarantine(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real-decode one Arrow batch with PER-ASSET fault isolation
+    (VERDICT r11 action #1): one malformed or unsupported payload —
+    an arithmetic-coded JPEG, a truncated gzip member, an encrypted
+    PDF — must quarantine ONE ROW, not fail the task 4× and kill the
+    job, because at 100 TB corrupt inputs are a certainty, not an
+    edge case. Each asset decodes under its own catch; failures emit
+    ``status='quarantined'`` with ``reason`` = ``ExcClass: message``
+    and null features, successes emit ``status='ok'`` and the exact
+    features :func:`_decode_batch` would. The strict path (the gate
+    harnesses, where a raise IS the assertion) stays byte-identical
+    in :func:`_decode_batch`."""
+    rows = []
+    for aid, mime, payload in zip(
+        pdf["asset_id"], pdf["mime"], pdf["payload"]
+    ):
+        raw = bytes(payload)
+        base = (int(aid), str(mime), len(raw), hashlib.md5(raw).hexdigest())
+        try:
+            w, h, norm = _decode_real_asset(str(mime), raw)
+        except Exception as exc:  # noqa: BLE001 — untrusted input boundary
+            rows.append(
+                base
+                + (None, None, None, "quarantined",
+                   f"{type(exc).__name__}: {exc}")
+            )
+        else:
+            rows.append(base + (w, h, norm, "ok", None))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "asset_id", "mime", "n_bytes", "checksum",
+            "width", "height", "feature_norm", "status", "reason",
+        ],
+    )
+
+
+def extract_media_features_quarantine(
+    assets: DataFrame, target_partitions: int | None = None
+) -> DataFrame:
+    """Fault-tolerant real-decode feature extraction — the PRODUCTION
+    entry point for crawl-scale corpora (:func:`extract_media_features`
+    with ``decode_stub=False`` is the strict twin the exact-decode
+    gates drive; its raise-on-malformed posture is correct at the
+    codec API but a job-killer at the stage level). Same input
+    contract and Arrow-batched ``mapInPandas`` shape; output adds
+    ``(status, reason)`` and nulls the feature columns for
+    quarantined rows so callers can route them to a dead-letter lane
+    (``media_quarantine_report`` / ``operators.quality.split_quarantine``)
+    without losing the batch."""
+    if target_partitions:
+        assets = assets.repartition(target_partitions, F.col("asset_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch_quarantine(pdf)
+
+    return assets.select("asset_id", "mime", "payload").mapInPandas(
+        run, schema=MEDIA_QUARANTINE_SCHEMA
+    )
+
+
+def media_quarantine_report(feats: DataFrame) -> DataFrame:
+    """Aggregate a quarantine run into the dead-letter report a crawl
+    operator reads: per (mime, status, reason_class) asset counts and
+    byte totals. reason_class is the exception class alone — messages
+    carry asset-specific detail, the class is the triage key."""
+    return (
+        feats.groupBy(
+            "mime",
+            "status",
+            F.split_part(F.col("reason"), F.lit(":"), F.lit(1)).alias(
+                "reason_class"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
 def extract_media_features(
     assets: DataFrame,
     decode_stub: bool = True,
@@ -378,6 +467,95 @@ def synthesize_container_assets(
                     sig = (aid * 13 + j * 19 + c * 37) % 4001 - 2000
                     mimes.append("audio/aiff")
                     payloads.append(encode_aiff(sig, 11025, 16))
+                ids.append(aid)
+            yield pd.DataFrame(
+                {id_col: ids, "mime": mimes, "payload": payloads}
+            )
+
+    return ids_df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, mime string, payload binary"
+    )
+
+
+def synthesize_faulty_assets(
+    ids_df: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """Deterministic MIXED-HEALTH payloads from integer ids — the
+    corrupt-corpus companion to :func:`synthesize_assets` that the
+    ``media_decode_quarantine`` gate feeds through
+    :func:`extract_media_features_quarantine`. Rotation on id mod 8:
+
+    - 0, 4 → GOOD mono WAV, the exact :func:`synthesize_assets` even
+      formula (n = ``100 + id%50`` samples, rate ``8000 + 1000·(id%3)``,
+      sample j = ``(id·31 + j·17) % 2001 − 1000``) — features must
+      come through the quarantine path UNCHANGED;
+    - 1, 5 → GOOD 4×``(2 + id%3)`` BMP, the odd formula (pixel byte
+      p = ``(id·7 + p) % 256``) — same requirement;
+    - 2, 6 → an ARITHMETIC-CODED JPEG header (SOI + SOF9, 15 bytes) —
+      a real format this engine honestly does not decode
+      (functions/jpeg raises ``NotImplementedError``); the stage must
+      quarantine it, not die;
+    - 3 → a corrupt BMP (magic bytes overwritten; body intact, so
+      ``n_bytes = 54 + 12·h`` still holds) → ``ValueError``;
+    - 7 → an unsupported mime (``application/pdf``, payload
+      ``%PDF-1.7 {id}`` ⇒ ``n_bytes = 9 + len(str(id))``) →
+      ``NotImplementedError`` from the dispatch itself.
+
+    Every branch's n_bytes — and the good branches' features — are
+    closed forms over the id, so the DuckDB oracle attests BOTH that
+    corrupt rows land in quarantine with the right reason class AND
+    that good rows' values are untouched by the fault handling."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    _SOF9_JPEG = (
+        b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, payloads = [], [], []
+            for raw in pdf[id_col]:
+                aid = int(raw)
+                leg = aid % 8
+                if leg in (0, 4):
+                    n = 100 + aid % 50
+                    rate = 8000 + 1000 * (aid % 3)
+                    samples = np.array(
+                        [(aid * 31 + j * 17) % 2001 - 1000 for j in range(n)],
+                        dtype="<i2",
+                    )
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(rate)
+                        w.writeframes(samples.tobytes())
+                    mimes.append("audio/wav")
+                    payloads.append(buf.getvalue())
+                elif leg in (2, 6):
+                    mimes.append("image/jpeg")
+                    payloads.append(_SOF9_JPEG)
+                elif leg == 7:
+                    mimes.append("application/pdf")
+                    payloads.append(f"%PDF-1.7 {aid}".encode("ascii"))
+                else:  # 1, 5 good BMP; 3 the same BMP with a broken magic
+                    h = 2 + aid % 3
+                    npx = 12 * h
+                    px = bytes((aid * 7 + p) % 256 for p in range(npx))
+                    header = struct.pack(
+                        "<2sIHHI", b"BM", 54 + npx, 0, 0, 54
+                    ) + struct.pack(
+                        "<IiiHHIIiiII", 40, 4, h, 1, 24, 0, npx, 0, 0, 0, 0
+                    )
+                    blob = header + px
+                    if leg == 3:
+                        blob = b"XX" + blob[2:]
+                    mimes.append("image/bmp")
+                    payloads.append(blob)
                 ids.append(aid)
             yield pd.DataFrame(
                 {id_col: ids, "mime": mimes, "payload": payloads}

@@ -298,3 +298,33 @@ def test_negative_http_lengths_rejected():
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
             b"\r\n0\r\n\r\n"
         )
+
+
+def test_quarantine_corruptions_raise_valueerror():
+    """The three corruption legs the crawl_ingest_quarantine gate
+    applies must each raise ValueError from the read side — the class
+    the oracle attests (VERDICT r11 action #1)."""
+    import pytest
+
+    from data_warehouse_migration_spark.functions.warc import (
+        build_warc_record,
+        read_warc_gz,
+        write_warc_gz,
+    )
+
+    rec = build_warc_record(
+        "response",
+        {"WARC-Record-ID": "<urn:uuid:1>"},
+        b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi",
+    )
+    archive = write_warc_gz([rec], method="dynamic")
+    flipped_trailer = archive[:-1] + bytes([archive[-1] ^ 0xFF])
+    truncated = archive[:-20]
+    bad_magic = bytes([archive[0] ^ 0xFF]) + archive[1:]
+    for blob, why in (
+        (flipped_trailer, "trailer byte flip"),
+        (truncated, "truncation"),
+        (bad_magic, "magic flip"),
+    ):
+        with pytest.raises(ValueError):
+            read_warc_gz(blob)

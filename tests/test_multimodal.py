@@ -280,3 +280,90 @@ def test_resize_media_known_values(spark):
     )
     with pytest.raises(Exception, match="no resize"):
         resize_media(bad).collect()
+
+
+def test_quarantine_isolates_bad_assets(spark):
+    """One malformed asset in a batch quarantines ONE row; the good
+    rows' features are byte-identical to the strict path's (VERDICT
+    r11 action #1)."""
+    import io
+    import struct
+    import wave
+
+    from data_warehouse_migration_spark.operators.multimodal import (
+        extract_media_features_quarantine,
+        media_quarantine_report,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                int(s).to_bytes(2, "little", signed=True)
+                for s in (100, -100, 100, -100)
+            )
+        )
+    good_wav = buf.getvalue()
+    npx = 24
+    good_bmp = (
+        struct.pack("<2sIHHI", b"BM", 54 + npx, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 24, 0, npx, 0, 0, 0, 0)
+        + bytes(range(npx))
+    )
+    sof9 = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    rows = [
+        (1, "audio/wav", bytearray(good_wav)),
+        (2, "image/jpeg", bytearray(sof9)),          # arithmetic coding
+        (3, "image/bmp", bytearray(b"XX" + good_bmp[2:])),  # bad magic
+        (4, "image/bmp", bytearray(good_bmp)),
+        (5, "application/x-unknown", bytearray(b"????")),   # no decoder
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id bigint, mime string, payload binary"
+    ).coalesce(1)  # one Arrow batch: the faults share a task with the good rows
+
+    out = {r.asset_id: r for r in
+           extract_media_features_quarantine(assets).collect()}
+    assert [out[i].status for i in (1, 2, 3, 4, 5)] == [
+        "ok", "quarantined", "quarantined", "ok", "quarantined"
+    ]
+    # good rows match the strict path exactly
+    strict = {
+        r.asset_id: r
+        for r in extract_media_features(
+            assets.where(F.col("asset_id").isin(1, 4)), decode_stub=False
+        ).collect()
+    }
+    for i in (1, 4):
+        for col in ("n_bytes", "checksum", "width", "height", "feature_norm"):
+            assert getattr(out[i], col) == getattr(strict[i], col)
+    # quarantined rows: null features, classed reasons
+    assert out[2].width is None and out[2].feature_norm is None
+    assert out[2].reason.startswith("NotImplementedError:")
+    assert "0xc9" in out[2].reason
+    assert out[3].reason.startswith("ValueError: not a BMP payload")
+    assert out[5].reason.startswith("NotImplementedError:")
+
+    report = {
+        (r.mime, r.status, r.reason_class): r.n_assets
+        for r in media_quarantine_report(
+            extract_media_features_quarantine(assets)
+        ).collect()
+    }
+    assert report[("image/jpeg", "quarantined", "NotImplementedError")] == 1
+    assert report[("image/bmp", "quarantined", "ValueError")] == 1
+    assert report[("image/bmp", "ok", None)] == 1
+
+
+def test_strict_path_still_raises(spark):
+    """The exact-decode gates depend on a raise being the assertion —
+    strict mode must NOT quarantine."""
+    bad = spark.createDataFrame(
+        [(9, "image/bmp", bytearray(b"XXnot a bmp"))],
+        "asset_id bigint, mime string, payload binary",
+    )
+    with pytest.raises(Exception, match="not a BMP payload"):
+        extract_media_features(bad, decode_stub=False).collect()
