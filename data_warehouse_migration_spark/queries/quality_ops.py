@@ -3894,3 +3894,155 @@ def corpus_diversity_profile(spark, sf_dir):
             F.countDistinct("g") / F.count(F.lit(1)).cast("double"), 6
         ).alias("distinct_ratio"),
     )
+
+
+def _qc_warmstart_oracle(e_cold: int = 4, e_warm: int = 4) -> str:
+    """DuckDB twin of the TWO-GENERATION warm-start trajectory
+    (operators/training.logistic_sgd_warmstart): generation A is the
+    first crawl slice (``doc_id % 2 = 0``) trained ``e_cold`` epochs
+    from zero; generation B is the GROWN corpus (all documents)
+    resuming from A's weights with the 1/t decay CONTINUED at epoch
+    ``e_cold + 1`` — one long schedule across generations, which is
+    the warm start's entire point. Same fixed-point recurrence and
+    truncating-division semantics as _qc_sgd_oracle; each phase
+    carries its own feature/label/count CTEs because the corpus (and
+    the update's n divisor) changes between generations. Weight CTEs
+    are MATERIALIZED — each is referenced twice by the next epoch."""
+    from data_warehouse_migration_spark.operators.training import LR_W
+    from data_warehouse_migration_spark.queries.sketch_ops import _h_sql
+
+    bucket = _h_sql("t", 0, _QC_N_FEATURES)
+    sw = "['the','a','an','of','and','to','in','is','it','for']"
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+    def corpus_ctes(sfx: str, where: str) -> str:
+        return f"""tok{sfx} AS (
+    SELECT doc_id,
+           list_filter(string_split({norm}, ' '), t -> t != '') AS u
+    FROM documents{where}
+), lab{sfx} AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN len(u) > 0
+                     AND 100 * len(list_filter(u, t -> list_contains({sw}, t)))
+                         >= 7 * len(u)
+                THEN 1 ELSE 0 END AS y
+    FROM tok{sfx}
+), fz{sfx} AS (
+    SELECT doc_id,
+           unnest(list_concat(
+               u,
+               list_transform(range(1, len(u)), i -> u[i] || '_' || u[i + 1])
+           )) AS t
+    FROM tok{sfx}
+), fx{sfx} AS (
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, {bucket} AS bucket FROM fz{sfx}) z
+    GROUP BY doc_id, bucket
+), ft{sfx} AS MATERIALIZED (
+    SELECT doc_id, bucket,
+           (cnt * 1024) // sum(cnt) OVER (PARTITION BY doc_id) AS xq
+    FROM fx{sfx}
+), nn{sfx} AS MATERIALIZED (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM documents{where}
+)"""
+
+    def step(e: int, sfx: str, prev: str) -> str:
+        lr = LR_W // e
+        return f""", z{e} AS (
+    SELECT ft{sfx}.doc_id,
+           CAST(sum(COALESCE({prev}.wq, 0) * ft{sfx}.xq) AS BIGINT) AS zq
+    FROM ft{sfx} LEFT JOIN {prev} USING (bucket) GROUP BY 1
+), r{e} AS (
+    SELECT lab{sfx}.doc_id,
+           CAST(greatest(0, least(1024, z{e}.zq // 4000 + 512))
+                - 1024 * lab{sfx}.y AS BIGINT) AS rq
+    FROM lab{sfx} JOIN z{e} USING (doc_id)
+), g{e} AS (
+    SELECT ft{sfx}.bucket, sum(r{e}.rq * ft{sfx}.xq) AS gq
+    FROM ft{sfx} JOIN r{e} USING (doc_id) GROUP BY 1
+), w{e} AS MATERIALIZED (
+    SELECT g{e}.bucket,
+           CAST(COALESCE({prev}.wq, 0)
+                - (({lr} * g{e}.gq) // (1048576 * (SELECT n FROM nn{sfx})))
+               AS BIGINT) AS wq
+    FROM g{e} LEFT JOIN {prev} USING (bucket)
+)"""
+
+    parts = [
+        "\nWITH ",
+        corpus_ctes("a", " WHERE doc_id % 2 = 0"),
+        ", ",
+        corpus_ctes("b", ""),
+        f""", r1 AS (
+    -- cold epoch 1 on generation A: w0 = 0 -> pq = 512 for every doc
+    SELECT doc_id, CAST(512 - 1024 * y AS BIGINT) AS rq FROM laba
+), g1 AS (
+    SELECT fta.bucket, sum(r1.rq * fta.xq) AS gq
+    FROM fta JOIN r1 USING (doc_id) GROUP BY 1
+), w1 AS MATERIALIZED (
+    SELECT bucket,
+           CAST(-(({LR_W} * gq) // (1048576 * (SELECT n FROM nna)))
+               AS BIGINT) AS wq
+    FROM g1
+)""",
+    ]
+    for e in range(2, e_cold + 1):
+        parts.append(step(e, "a", f"w{e - 1}"))
+    for e in range(e_cold + 1, e_cold + e_warm + 1):
+        parts.append(step(e, "b", f"w{e - 1}"))
+    parts.append(f"""
+SELECT CAST(bucket AS BIGINT) AS bucket, wq AS weight_mili
+FROM w{e_cold + e_warm} WHERE wq != 0
+""")
+    return "".join(parts)
+
+
+@query(
+    "streaming_quality_warmstart",
+    tags=("text", "quality", "classifier", "training", "incremental",
+          "warm-start", "sgd"),
+    oracle=_qc_warmstart_oracle(4, 4),
+)
+def streaming_quality_warmstart(spark, sf_dir):
+    """INCREMENTAL quality-classifier training for the recurring
+    crawl (VERDICT r11 action #6 — the crawl twin dedups
+    incrementally but retrained its classifier from scratch every
+    generation): generation A (the first crawl slice,
+    ``doc_id % 2 = 0``) trains the fixed-point logistic model 4
+    epochs from zero; generation B (the grown corpus — everything)
+    WARM-STARTS from A's weights and trains 4 more, with the 1/t
+    decay continued at epoch 5 rather than reset — one schedule
+    spanning generations, so new data refines the model instead of
+    wiping it (operators/training.logistic_sgd_warmstart; the same
+    generation-increment modeling as dedup_incremental_batch: batch
+    form of the recurring job, with streaming_crawl_ingest carrying
+    the always-on half of the story).
+
+    The ONE oracle unrolls BOTH generations as a single CTE chain —
+    4 cold epochs over the A slice, then 4 warm epochs over the full
+    corpus with the handed-over weights — so a defect anywhere in
+    the composition (seeding from nonzero weights, the continued
+    decay, the per-generation n divisor, or either generation's
+    recurrence) breaks the bit-exact weight match.
+
+    Scale: per-generation cost is one short warm run over the
+    current corpus (model-sized weight handoff, broadcast scoring,
+    map-side-combined gradients) instead of the full from-scratch
+    schedule — the probe (tools/scaling_probe_warmstart.py,
+    SCALING_r12_warmstart.json) measures warm epochs-per-generation
+    flat as the corpus grows."""
+    from data_warehouse_migration_spark.operators.training import (
+        logistic_sgd_warmstart,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    gen_a = docs.where(F.col("doc_id") % 2 == 0)
+    wa = logistic_sgd_warmstart(
+        spark, gen_a, None, start_epoch=1, epochs=4,
+        n_features=_QC_N_FEATURES,
+    )
+    init = {int(r["bucket"]): int(r["weight_mili"]) for r in wa.collect()}
+    return logistic_sgd_warmstart(
+        spark, docs, init, start_epoch=5, epochs=4,
+        n_features=_QC_N_FEATURES,
+    )

@@ -228,3 +228,61 @@ def test_apply_token_counts_matches_scalar(spark):
         for r in bpe_token_counts(spark, df, k=k).collect()
     }
     assert got == expect
+
+
+def test_extend_equals_longer_training_on_same_corpus(spark):
+    """Prefix-stability: extending k=3 by 2 on an UNCHANGED corpus
+    reproduces merges 4-5 of a direct k=5 run — the property that
+    makes vocabulary extension a safe increment (VERDICT r11 #6)."""
+    from data_warehouse_migration_spark.operators.tokenizer import (
+        bpe_extend_merges,
+    )
+
+    corpus = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "a mat on a cat",
+        "tttt aaa the the",
+    ]
+    df = spark.createDataFrame([(c,) for c in corpus], "text string")
+    full = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges(spark, df, k=5).orderBy("merge_rank").collect()
+    ]
+    prior = [(l, rr) for _, l, rr, _ in full[:3]]
+    ext = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_extend_merges(spark, df, prior, k_more=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert ext == full[3:]
+
+
+def test_extend_on_grown_corpus_keeps_old_merges_fixed(spark):
+    """The grown-corpus case: new rounds census the NEW words, but
+    the prior merge table is replayed verbatim — ranks continue and
+    the old merges never re-enter the census."""
+    from data_warehouse_migration_spark.operators.tokenizer import (
+        bpe_extend_merges,
+    )
+
+    old = ["abab abab abab", "ab ab"]
+    df_old = spark.createDataFrame([(c,) for c in old], "text string")
+    prior = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(spark, df_old, k=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert prior[0] == ("a", "b")
+    grown = old + ["zzzz zz zz zz", "zz zz"]
+    df = spark.createDataFrame([(c,) for c in grown], "text string")
+    ext = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"])
+        for r in bpe_extend_merges(spark, df, prior, k_more=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # the only remaining high-count pair in the grown corpus is (z, z)
+    assert ext == [(3, "z", "z")]
