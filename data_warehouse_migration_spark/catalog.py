@@ -115,26 +115,27 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 11 window (ROTATION.md has the full ledger) — drain the 16-row
-# r11 head-of-line (VERDICT r10 action #2), then spend the free slots
-# on this round's changed-code re-attests and new gates:
+# Round 12 window (ROTATION.md has the full ledger) — drain the
+# 20-row r12 head-of-line exactly as VERDICT r11 action #2 listed it,
+# plus this round's three new gates; the budget closes at exactly 50:
 # (a) parity core (warehouse module) + ALL 19 bench headliners stay
-#     pinned, as every round. text_quality's r11 row doubles as the
-#     Unicode-migration re-attest (its tokenization swapped to the
-#     unicode_* family this round).
-# (b) the 16 debt rows, head-of-line: the 9 r7-stale entries never
-#     rotated since CORRECTNESS_r07 plus the 7 fillers the r10
-#     registrations displaced (all have standing green rows, code
-#     unchanged — this is freshness debt, not correctness risk).
-# (c) the round-11 changed-code re-attests (Unicode tokenization
-#     migration: word_frequency_topk, doc_token_entropy; BPE family:
-#     oracle empty-merge fix (ADVICE r10 #1) + Unicode pre-tokenizer;
-#     media_png_decode: sub-byte depths) and the new r11 gates,
-#     appended as they land. Out-of-window voided rows this round
-#     (media_feature_extract_real — umbrella over the codec changes;
-#     gopher_quality_rules if its migration slips to r12) are tracked
-#     as r12 head-of-line in ROTATION.md.
-_WINDOW_R11 = (
+#     pinned, as every round.
+# (b) the 20 debt rows: the two r11 voids (media_feature_extract_real
+#     — umbrella over the r11 codec changes; gopher_quality_rules —
+#     Unicode-migrated in r11, judge-green, driver re-attest here)
+#     and the 18 r11 registrations that landed out-of-window
+#     (curation v6/v7/v8, the crawl/format stack, the codec tiers,
+#     the streaming crawl twin). Several of these additionally had
+#     code change THIS round (the ADVICE r11 hardening touched
+#     warc/url/html_text/tar_stream/web_extract; the PDF font work
+#     touched pdf.py), so their in-window slot doubles as the
+#     changed-code re-attest.
+# (c) the three r12 gates: both fault-quarantine gates (VERDICT r11
+#     action #1) and the warm-start trainer (action #6) — registered
+#     straight into the window, keeping this round's registration
+#     count exactly at the free-slot budget (action #2's structural
+#     note).
+_WINDOW_R12 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -153,43 +154,44 @@ _WINDOW_R11 = (
     "curation_pipeline_v3",
     "semdedup_embeddings",
     "containment_quote_pairs",
-    # (b) the 16-row debt drain: 9 r7-stale entries...
-    "temperature_mix_weights",
-    "contamination_overlap_scores",
-    "bitmap_distinct_rollup",
-    "rolling_weekly_active_users",
-    "heavy_hitters_cms",
-    "media_resize_real",
-    "ohlc_hourly_candlesticks",
-    "cohort_weekly_retention",
-    "dataset_card_summary",
-    # ...plus the 7 r10-displaced fillers (r7 rows standing).
-    "rag_retrieval_pipeline",
-    "curation_pipeline_v4",
-    "streaming_rolling_wau",
-    "bitmap_distinct_roaring",
-    "streaming_semdedup_ingest",
-    "streaming_ingest_dedup",
-    "streaming_rollup_maintenance",
-    # (c) r11 changed-code re-attests + new gates (appended as they
-    # land; final count must bring _FIRST to exactly 50).
-    "bpe_merge_training",
-    "bpe_apply_token_counts",
-    "word_frequency_topk",
-    "doc_token_entropy",
-    "media_png_decode",
-    "quality_classifier_sgd_training",
-    "media_jpeg_progressive_decode",
+    # (b) the 20-row debt drain: the two r11 voids...
+    "media_feature_extract_real",
+    "gopher_quality_rules",
+    # ...and the 18 r11 out-of-window registrations (several also
+    # carry r12 code changes — see the block comment).
+    "curation_pipeline_v6",
+    "curation_pipeline_v7",
+    "curation_pipeline_v8",
+    "html_text_extract",
+    "url_canonicalize",
+    "warc_ingest_extract",
+    "robots_policy_check",
+    "pdf_text_extract",
+    "mime_message_extract",
+    "mbox_thread_extract",
+    "zip_bundle_roundtrip",
+    "webdataset_shard_roundtrip",
+    "media_flac_decode",
+    "media_video_frame_sample",
+    "media_audio_containers",
+    "media_feature_extract_containers",
+    "media_jpeg_exif_orientation",
+    "streaming_crawl_ingest",
+    # (c) the r12 gates, registered straight into the window.
+    "media_decode_quarantine",
+    "crawl_ingest_quarantine",
+    "streaming_quality_warmstart",
 )
-# Displaced to make room: the r10 window's debt-drain rows and r10
-# registrations all landed fresh CORRECTNESS_r10 rows; with code
-# unchanged those stand (media_png_decode, the BPE pair, and the text
-# queries above are back BECAUSE their code changes this round).
+# Displaced to make room: the r11 window's debt-drain rows and r11
+# re-attests all landed fresh CORRECTNESS_r11 rows; with code
+# unchanged those stand. media_resize_real stays displaced on its
+# r11 row (resize_media and synthesize_assets are untouched this
+# round — the quarantine work added NEW functions beside them).
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R11,
+    *_WINDOW_R12,
 )
 
 

@@ -24,19 +24,19 @@ def test_attestation_window_membership():
     """The driver attests the first 50 registry entries (ROTATION.md).
 
     The window prefix must BE catalog._FIRST in order (the strong
-    form, ADVICE r5), the FULL _WINDOW_R11 tuple must sit inside the
+    form, ADVICE r5), the FULL _WINDOW_R12 tuple must sit inside the
     first 50 (the containment form, ADVICE r10 #2 — so a future
-    registration can't silently displace a gate), and the r11
-    rotation targets — all 19 bench headliners, the 16-row debt
-    drain, and the changed-code re-attests — are pinned by name.
+    registration can't silently displace a gate), and the r12
+    rotation targets — all 19 bench headliners, the 20-row debt
+    drain, and the three new gates — are pinned by name.
     """
-    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R11
+    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R12
 
     names = list(entry_mod.queries())
     assert len(_FIRST) <= 50  # == 50 once the round's registrations land
     assert names[: len(_FIRST)] == list(_FIRST)
-    assert set(_WINDOW_R11) <= set(names[:50]), (
-        set(_WINDOW_R11) - set(names[:50])
+    assert set(_WINDOW_R12) <= set(names[:50]), (
+        set(_WINDOW_R12) - set(names[:50])
     )
     pinned = [
         # parity core
@@ -62,33 +62,32 @@ def test_attestation_window_membership():
         "curation_pipeline_v3",
         "semdedup_embeddings",
         "containment_quote_pairs",
-        # r11: the 16-row debt drain (VERDICT r10 action #2).
-        "temperature_mix_weights",
-        "contamination_overlap_scores",
-        "bitmap_distinct_rollup",
-        "rolling_weekly_active_users",
-        "heavy_hitters_cms",
-        "media_resize_real",
-        "ohlc_hourly_candlesticks",
-        "cohort_weekly_retention",
-        "dataset_card_summary",
-        "rag_retrieval_pipeline",
-        "curation_pipeline_v4",
-        "streaming_rolling_wau",
-        "bitmap_distinct_roaring",
-        "streaming_semdedup_ingest",
-        "streaming_ingest_dedup",
-        "streaming_rollup_maintenance",
-        # r11: changed-code re-attests (Unicode migration, BPE oracle
-        # fix, PNG sub-byte depths).
-        "bpe_merge_training",
-        "bpe_apply_token_counts",
-        "word_frequency_topk",
-        "doc_token_entropy",
-        "media_png_decode",
-        # r11: new gates
-        "quality_classifier_sgd_training",
-        "media_jpeg_progressive_decode",
+        # r12: the 20-row debt drain (VERDICT r11 action #2) — the
+        # two r11 voids plus the 18 out-of-window r11 registrations.
+        "media_feature_extract_real",
+        "gopher_quality_rules",
+        "curation_pipeline_v6",
+        "curation_pipeline_v7",
+        "curation_pipeline_v8",
+        "html_text_extract",
+        "url_canonicalize",
+        "warc_ingest_extract",
+        "robots_policy_check",
+        "pdf_text_extract",
+        "mime_message_extract",
+        "mbox_thread_extract",
+        "zip_bundle_roundtrip",
+        "webdataset_shard_roundtrip",
+        "media_flac_decode",
+        "media_video_frame_sample",
+        "media_audio_containers",
+        "media_feature_extract_containers",
+        "media_jpeg_exif_orientation",
+        "streaming_crawl_ingest",
+        # r12: new gates (quarantine ×2, warm-start)
+        "media_decode_quarantine",
+        "crawl_ingest_quarantine",
+        "streaming_quality_warmstart",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
