@@ -118,6 +118,13 @@ def previous_bench(repo_dir: str) -> tuple[str | None, dict[str, float]]:
 
 
 def main() -> None:
+    # Ambient host load, sampled BEFORE the Spark session exists: the
+    # JVM spin-up + warmup alone push the 1-minute average to ~3-4 on
+    # this 32-CPU host, so load_1m_before (sampled at timing start,
+    # after warmup) can never read "calm" even on an idle machine —
+    # it measures bench self-load plus ambient. This field is the one
+    # that answers "was the HOST calm?" (VERDICT r11 action #5).
+    load_at_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # >=3 runs so the reported min is noise-resistant: r2→r3 flagged
     # +7-19% drift on three queries that 2-run sampling couldn't
@@ -252,6 +259,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "meta": {
                     "runs_per_query": n_runs,
+                    "load_1m_at_start": load_at_start,
                     "load_1m_before": load_before_1m,
                     "load_1m_after": load_after_1m,
                     "cpus": os.cpu_count(),
