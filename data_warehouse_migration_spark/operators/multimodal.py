@@ -879,6 +879,72 @@ def gif_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataF
     return _codec_roundtrip_features(ids_df, id_col, per_id)
 
 
+def tiff_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """REAL TIFF encode→bytes→decode, value-attestable end to end —
+    the scanned-document/archival rung of the codec ladder
+    (functions/tiff — r12): per id a deterministic 10×16 8-bit image
+    — gray pixel ``(y, x) = (id·3 + y·7 + x·11) mod 256`` — is written
+    into a full baseline TIFF container (II for even ids / MM for odd:
+    both byte orders; Compression rotating none/PackBits/LZW on id
+    mod 3 — the LZW being the SAME table-driven EarlyChange variant
+    the PDF filter decodes; multi-strip RowsPerStrip=4 for ids ≡ 0
+    mod 5, single-strip otherwise) and decoded back by the general
+    decoder (IFD grammar, strip walk, per-strip decompression), all
+    inside one Arrow-batched ``mapInPandas``; the output is the
+    DECODED pixel sum.
+
+    Ids ≡ 3 mod 7 route through the PALETTE leg instead: 8-bit
+    indices ``(id + y·3 + x·5) mod 256`` under the closed-form
+    ColorMap ``pal[i][c] = (id·3 + i·17 + c·29) mod 256`` (stored as
+    the spec's 16-bit channels, recovered via the high byte), so the
+    3-channel decoded sum stays a pure formula.
+
+    Exactness: every leg is LOSSLESS (PackBits and LZW are entropy/
+    run coders; the container stores samples verbatim), so
+    decode(encode(img)) == img for EVERY image with no submanifold
+    trick and the decoded pixel sum equals the closed form DuckDB
+    recomputes from the generator formulas. A defect in either byte
+    order's IFD layout, the strip geometry checks, the PackBits run
+    grammar, the LZW width schedule, or the ColorMap scaling breaks
+    the equality. Real-world interop (the CPython-shipped RGBA file
+    pinned against a test-local independent strip walk) and the
+    Predictor-2 path live in tests/test_tiff.py.
+
+    Scale: per-asset parallel, zero shuffle — the codec-gate posture."""
+    import numpy as np
+
+    from data_warehouse_migration_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    H, W = 10, 16
+    _COMP = ("none", "packbits", "lzw")
+
+    def per_id(aid: int) -> tuple[int, int, int]:
+        y = np.arange(H).reshape(H, 1)
+        x = np.arange(W).reshape(1, W)
+        comp = _COMP[aid % 3]
+        big_endian = aid % 2 == 1
+        rps = 4 if aid % 5 == 0 else None
+        if aid % 7 == 3:
+            idx = ((aid + y * 3 + x * 5) % 256).astype(np.uint8)
+            i = np.arange(256).reshape(256, 1)
+            pal = (
+                (aid * 3 + i * 17 + np.arange(3).reshape(1, 3) * 29) % 256
+            ).astype(np.uint8)
+            blob = encode_tiff(
+                idx, comp, big_endian, rows_per_strip=rps, palette=pal
+            )
+        else:
+            img = ((aid * 3 + y * 7 + x * 11) % 256).astype(np.uint8)
+            blob = encode_tiff(img, comp, big_endian, rows_per_strip=rps)
+        dec = decode_tiff(blob)
+        return int(dec.shape[1]), int(dec.shape[0]), int(dec.astype("int64").sum())
+
+    return _codec_roundtrip_features(ids_df, id_col, per_id)
+
+
 def flac_roundtrip_features(ids_df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """REAL FLAC encode→bytes→decode, value-attestable end to end —
     the compressed-AUDIO rung of the codec ladder (JPEG = Huffman/DCT,

@@ -763,6 +763,71 @@ def zip_bundle_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def bz2_archive_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for bzip2 archives (functions/bz2_stream — r12,
+    the BWT rung of the compression ladder; the container format of
+    Wikipedia dumps and many older crawl segments): per document the
+    text is compressed with the engine's own encoder — ONE stream for
+    even ids, TWO independent concatenated streams for odd (split at
+    the byte midpoint: the pbzip2/wiki-dump multistream shape that
+    makes ``.bz2`` splittable) — then decompressed back through the
+    full decoder (block magic walk, symbol map, selector MTF,
+    delta-coded Huffman tables, RLE2→MTF→inverse-BWT→RLE1, block and
+    stream CRCs both verified).
+
+    Exactness: the codec is lossless, so the decoded text equals the
+    document text verbatim — md5 + length are the pure formulas the
+    DuckDB oracle recomputes with no codec anywhere; the stream count
+    is a closed form of the id. Compressed length is real but not
+    closed-form (reported, not attested — the zip deflate-leg rule).
+    Cross-engine generality (real libbz2 output: multi-table, multi-
+    block) is pinned in tests/test_bz2_stream.py.
+
+    Shape at 100 TB: archives are independent rows through one
+    Arrow-batched stage, zero shuffle; multistream files additionally
+    split WITHIN an archive at stream headers — the gzip-member
+    posture."""
+    from data_warehouse_migration_spark.functions.bz2_stream import (
+        bz2_compress,
+        bz2_decompress,
+    )
+
+    def per_doc(aid: int, text: str):
+        raw = text.encode("utf-8")
+        if aid % 2 == 0:
+            blob = bz2_compress(raw)
+        else:
+            mid = len(raw) // 2
+            blob = bz2_compress(raw[:mid]) + bz2_compress(raw[mid:])
+        back = bz2_decompress(blob).decode("utf-8")
+        return (aid, back, len(back), 1 + aid % 2, len(blob))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(tx))
+                for i, tx in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "text", "n_chars", "n_streams", "bz2_len"],
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, text string, n_chars int, n_streams int,"
+            " bz2_len int"
+        ),
+    )
+    return out.where(F.col("bz2_len") > 0).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_chars",
+        "n_streams",
+    )
+
+
 def pdf_extract_features(docs: DataFrame) -> DataFrame:
     """Gate harness for PDF text extraction (functions/pdf — r11,
     font-aware r12): per document, BUILD a two-page PDF from its own

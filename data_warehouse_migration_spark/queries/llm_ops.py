@@ -4614,3 +4614,109 @@ def crawl_ingest_quarantine(spark, sf_dir):
         "allowed",
         F.when(F.col("status") == "ok", F.md5("main_text")).alias("text_md5"),
     )
+
+
+@query(
+    "bz2_text_archive",
+    tags=("text", "bz2", "compression", "crawl", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(1 + doc_id % 2 AS INT) AS n_streams
+FROM documents
+""",
+)
+def bz2_text_archive(spark, sf_dir):
+    """bzip2 archives under the hard gate (functions/bz2_stream —
+    r12): the BWT rung of the compression ladder, next to deflate
+    (PNG/gzip/zip), LZW (GIF/PDF), and Rice (FLAC) — and the
+    container format of Wikipedia dumps and many older crawl
+    segments. Per document the text round-trips through the engine's
+    own encoder and FULL decoder (RLE1 → BWT → MTF → RLE2 zero-runs →
+    selector-switched delta-coded Huffman; block + combined stream
+    CRCs verified, both the unreflected bzip2 CRC-32); odd ids ship
+    as TWO concatenated independent streams — the pbzip2/wiki-dump
+    multistream layout that makes the format splittable, exercising
+    stream resynchronization.
+
+    Exactness: lossless, so decoded text equals the document text
+    verbatim — the oracle recomputes md5/length/stream-count with no
+    codec anywhere. Cross-engine generality is pinned in
+    tests/test_bz2_stream.py against CPython's libbz2 binding in
+    BOTH directions (we decode real multi-table multi-block libbz2
+    output; libbz2 accepts every stream we emit), plus the
+    corruption/randomized-bit raise surface the quarantine lane
+    routes.
+
+    Shape at 100 TB: archives are independent rows through one
+    Arrow-batched mapInPandas, zero shuffle; multistream files split
+    at stream headers — the gzip-member posture."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        bz2_archive_features,
+    )
+
+    return bz2_archive_features(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "media_tiff_decode",
+    tags=("multimodal", "image", "tiff", "codec", "mapInPandas"),
+    oracle="""
+WITH ids AS (SELECT doc_id AS asset_id FROM documents),
+gray AS (
+    SELECT asset_id,
+           CAST(sum((asset_id * 3 + y * 7 + x * 11) % 256) AS BIGINT)
+               AS pixel_sum
+    FROM ids,
+         (SELECT unnest(range(0, 10)) AS y) yy,
+         (SELECT unnest(range(0, 16)) AS x) xx
+    WHERE asset_id % 7 != 3
+    GROUP BY asset_id
+), pal AS (
+    SELECT asset_id,
+           CAST(sum(
+               (asset_id * 3 + ((asset_id + y * 3 + x * 5) % 256) * 17
+                + c * 29) % 256
+           ) AS BIGINT) AS pixel_sum
+    FROM ids,
+         (SELECT unnest(range(0, 10)) AS y) yy,
+         (SELECT unnest(range(0, 16)) AS x) xx,
+         (SELECT unnest(range(0, 3)) AS c) cc
+    WHERE asset_id % 7 = 3
+    GROUP BY asset_id
+)
+SELECT asset_id, 16 AS width, 10 AS height, pixel_sum FROM gray
+UNION ALL
+SELECT asset_id, 16 AS width, 10 AS height, pixel_sum FROM pal
+""",
+)
+def media_tiff_decode(spark, sf_dir):
+    """REAL TIFF, value-attested end to end (functions/tiff — r12):
+    the scanned-document/archival rung of the codec ladder. Per
+    doc_id a deterministic 10×16 image round-trips through the full
+    baseline container — BOTH byte orders (II even / MM odd),
+    Compression rotating none/PackBits/LZW on id mod 3 (the LZW
+    shared with the PDF filter stack: same table-driven EarlyChange
+    variant, now exercised by a second independent container),
+    multi-strip layout for ids ≡ 0 mod 5, and a palette/ColorMap leg
+    for ids ≡ 3 mod 7 — inside one Arrow-batched mapInPandas.
+
+    Exactness: every leg is lossless, so the decoded pixel sum equals
+    the generator's closed form, which the DuckDB oracle recomputes
+    with no codec anywhere. A defect in the IFD entry grammar, either
+    endianness, strip geometry verification, the PackBits run
+    grammar, the LZW width schedule, or the 16-bit ColorMap scaling
+    breaks the equality. Real-world interop (the CPython-shipped RGBA
+    file against a test-local independent strip walk) plus the
+    Predictor-2 and honest-raise surfaces are pinned in
+    tests/test_tiff.py.
+
+    Shape at 100 TB: per-asset parallel, zero shuffle — the codec
+    posture; corrupt files route through the r12 quarantine lane."""
+    from data_warehouse_migration_spark.operators.multimodal import (
+        tiff_roundtrip_features,
+    )
+
+    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    return tiff_roundtrip_features(ids)

@@ -181,6 +181,8 @@ EXTRA_AUDIT = (
     "pdf_text_extract",
     "mime_message_extract",
     "mbox_thread_extract",
+    "bz2_text_archive",
+    "media_tiff_decode",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
