@@ -174,6 +174,16 @@ def _decode_real_asset(mime: str, payload: bytes) -> tuple[int, int, float]:
         px = decode_png(bytes(payload))
         mean_norm = float(px.mean()) / 255.0 if px.size else 0.0
         return int(px.shape[1]), int(px.shape[0]), mean_norm
+    if mime in ("image/tiff", "image/tif"):
+        # Baseline TIFF 6.0 (functions/tiff — r12): II/MM, strips,
+        # none/PackBits/LZW (the PDF-shared EarlyChange variant),
+        # Predictor 2, palette ColorMap. Tiles/BigTIFF/planar-2 raise
+        # inside the codec with the reason (quarantine-routable).
+        from data_warehouse_migration_spark.functions.tiff import decode_tiff
+
+        px = decode_tiff(bytes(payload))
+        mean_norm = float(px.mean()) / 255.0 if px.size else 0.0
+        return int(px.shape[1]), int(px.shape[0]), mean_norm
     if mime == "image/gif":
         # From-scratch GIF87a/89a tier (functions/gif — r10): real
         # variable-width LZW, sub-block framing, global/local color

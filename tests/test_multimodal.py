@@ -367,3 +367,20 @@ def test_strict_path_still_raises(spark):
     )
     with pytest.raises(Exception, match="not a BMP payload"):
         extract_media_features(bad, decode_stub=False).collect()
+
+
+def test_real_decode_tiff_branch(spark):
+    """image/tiff payloads flow through the production extractor
+    (r12: the TIFF rung joined _decode_real_asset)."""
+    import numpy as np
+
+    from data_warehouse_migration_spark.functions.tiff import encode_tiff
+
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assets = spark.createDataFrame(
+        [(7, "image/tiff", bytearray(encode_tiff(img, "lzw")))],
+        "asset_id bigint, mime string, payload binary",
+    )
+    row = extract_media_features(assets, decode_stub=False).collect()[0]
+    assert (row.width, row.height) == (8, 6)
+    assert abs(row.feature_norm - float(img.mean()) / 255.0) < 1e-9
