@@ -828,6 +828,90 @@ def bz2_archive_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def wikidump_extract_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for the WIKI-DUMP composition (functions/bz2_stream
+    + functions/xml_text — r12): per document, BUILD the artifact the
+    open-corpus world actually ships — a MediaWiki export XML holding
+    the doc's own text as an entity-escaped ``<revision><text>`` (page
+    title ``Doc {id}``, namespace ``id mod 4``, page id ``id``) plus a
+    second stub talk page — compressed as bzip2, MULTISTREAM for odd
+    ids (two independent streams split at the byte midpoint: the
+    pbzip2 layout real dumps use so readers can seek) — then READ IT
+    ALL BACK: bz2 stream walk → XML parse (prolog, attributes,
+    entity decoding, well-formedness) → page extraction.
+
+    Exactness: every layer is lossless (bz2 by codec, escape∘decode
+    the identity on the text), so title/ns/page-id/text are pure
+    formulas over the documents table the DuckDB oracle recomputes
+    with no codec or parser anywhere. A defect in stream
+    resynchronization, the CRC chain, entity decoding, attribute
+    scanning (the ``<text>`` tag carries two attributes), or the
+    page walk breaks a column.
+
+    Shape at 100 TB: dumps are file-per-row here, stream-per-split in
+    production (multistream = seekable); one Arrow-batched stage,
+    zero shuffle; the extracted text feeds the curation stack
+    unchanged."""
+    from data_warehouse_migration_spark.functions.bz2_stream import (
+        bz2_compress,
+        bz2_decompress,
+    )
+    from data_warehouse_migration_spark.functions.xml_text import (
+        build_wikidump,
+        wikidump_pages,
+    )
+
+    def per_doc(aid: int, text: str):
+        xml = build_wikidump(
+            [
+                {"title": f"Doc {aid}", "ns": aid % 4, "page_id": aid,
+                 "text": text},
+                {"title": f"Talk:Doc {aid}", "ns": 1, "page_id": aid + 1,
+                 "text": f"ack {aid}"},
+            ]
+        ).encode("utf-8")
+        if aid % 2 == 0:
+            blob = bz2_compress(xml)
+        else:
+            mid = len(xml) // 2
+            blob = bz2_compress(xml[:mid]) + bz2_compress(xml[mid:])
+        pages = wikidump_pages(bz2_decompress(blob).decode("utf-8"))
+        p = pages[0]
+        return (
+            aid, len(pages), p["title"], p["ns"], p["page_id"],
+            p["text"], len(p["text"]),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(tx))
+                for i, tx in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pages", "title", "ns", "page_id",
+                         "text", "n_chars"],
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_pages int, title string, ns int,"
+            " page_id bigint, text string, n_chars int"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_pages",
+        "title",
+        "ns",
+        "page_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_chars",
+    )
+
+
 def pdf_extract_features(docs: DataFrame) -> DataFrame:
     """Gate harness for PDF text extraction (functions/pdf — r11,
     font-aware r12): per document, BUILD a two-page PDF from its own

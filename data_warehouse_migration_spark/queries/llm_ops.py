@@ -4720,3 +4720,46 @@ def media_tiff_decode(spark, sf_dir):
 
     ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
     return tiff_roundtrip_features(ids)
+
+
+@query(
+    "wikidump_extract",
+    tags=("text", "xml", "bz2", "wikidump", "crawl", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       CAST(2 AS INT) AS n_pages,
+       'Doc ' || doc_id AS title,
+       CAST(doc_id % 4 AS INT) AS ns,
+       doc_id AS page_id,
+       md5(text) AS text_md5,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+""",
+)
+def wikidump_extract(spark, sf_dir):
+    """The WIKI-DUMP ingest composition under the hard gate
+    (functions/bz2_stream + functions/xml_text — r12): Wikipedia's
+    ``pages-articles.xml.bz2`` is the canonical open pretraining
+    corpus, and its exact shape — multistream bzip2 around a
+    MediaWiki export document — is built per document from the doc's
+    own text and read back end to end: bz2 stream-walk (both CRC
+    levels) → well-formed XML parse (prolog, two-attribute ``<text>``
+    tags, entity decoding) → page extraction (title/ns/id/text from
+    ``<revision><text>``).
+
+    Exactness: bz2 is lossless and escape∘decode is the identity on
+    the page text, so every output column is a pure formula over the
+    documents table — the oracle recomputes them with no codec or
+    parser anywhere. Parser well-formedness/adversarial pins and the
+    dump grammar live in tests/test_xml_text.py; the codec's
+    cross-engine pins in tests/test_bz2_stream.py.
+
+    Shape at 100 TB: dumps are file-per-row here, stream-per-split in
+    production (the multistream layout is WHY dump readers can seek);
+    one Arrow-batched stage, zero shuffle, extracted text feeds the
+    existing curation stack unchanged."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        wikidump_extract_features,
+    )
+
+    return wikidump_extract_features(t(spark, sf_dir, "documents"))

@@ -183,6 +183,7 @@ EXTRA_AUDIT = (
     "mbox_thread_extract",
     "bz2_text_archive",
     "media_tiff_decode",
+    "wikidump_extract",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
