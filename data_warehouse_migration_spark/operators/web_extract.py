@@ -461,6 +461,83 @@ def webdataset_shard_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfrecord_shard_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for TFRecord shards (functions/tfrecord — r12),
+    the TF-world twin of ``webdataset_shard_features``: per document,
+    pack the sample a TF input pipeline ships — the doc text, the
+    label, a JSON metadata record — as three length-framed records
+    behind masked CRC-32C guards, gzip the shard whole for odd ids
+    (the ``.tfrecord.gz`` convention, over functions/gzip_stream),
+    then READ IT BACK verifying all six CRCs.
+
+    Exactness: framing is lossless and fully deterministic, so the
+    text digest is ``md5(text)`` verbatim, the label round-trips, and
+    the UNCOMPRESSED shard length is the pure 16-bytes-per-record
+    overhead formula the oracle recomputes from octet lengths alone.
+    A defect in the length framing, either CRC (the Castagnoli table
+    or the rotate+delta masking), or record adjacency breaks a
+    column. The CRC itself is pinned against published check values
+    in tests/test_tfrecord.py.
+
+    Shape at 100 TB: shard-per-row; TFRecord is not internally
+    splittable BY DESIGN, which is why corpora ship as many shards —
+    the layout operators/sharding.py already produces."""
+    from data_warehouse_migration_spark.functions.gzip_stream import (
+        gzip_compress,
+        gzip_decompress,
+    )
+    from data_warehouse_migration_spark.functions.tfrecord import (
+        tfrecord_pack,
+        tfrecord_records,
+    )
+
+    def per_doc(aid: int, lang: str, text: str):
+        recs = [
+            text.encode("utf-8"),
+            lang.encode("utf-8"),
+            f'{{"doc_id": {aid}}}'.encode(),
+        ]
+        shard = tfrecord_pack(recs)
+        shard_len = len(shard)
+        blob = gzip_compress(shard, "dynamic") if aid % 2 else shard
+        # --- read side ---
+        raw = gzip_decompress(blob) if aid % 2 else blob
+        back = tfrecord_records(raw)
+        return (
+            aid,
+            len(back),
+            shard_len,
+            back[0].decode("utf-8"),
+            back[1].decode("utf-8"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(lg), str(tx))
+                for i, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_records", "shard_len", "text", "label"],
+            )
+
+    out = docs.select("doc_id", "lang", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_records int, shard_len int, text string,"
+            " label string"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_records",
+        "shard_len",
+        F.md5(F.col("text")).alias("text_md5"),
+        "label",
+    )
+
+
 def crawl_archive_ingest(docs: DataFrame) -> DataFrame:
     """The v8 front-end: per document, the corpus arrives as a
     WARC.gz ARCHIVE (the warc_ingest_extract synthesis — warcinfo +

@@ -4763,3 +4763,46 @@ def wikidump_extract(spark, sf_dir):
     )
 
     return wikidump_extract_features(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "tfrecord_shard_roundtrip",
+    tags=("text", "tfrecord", "shards", "training-data", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       CAST(3 AS INT) AS n_records,
+       CAST(48 + octet_length(encode(text)) + octet_length(encode(lang))
+            + octet_length(encode('{"doc_id": ' || doc_id || '}'))
+           AS INT) AS shard_len,
+       md5(text) AS text_md5,
+       lang AS label
+FROM documents
+""",
+)
+def tfrecord_shard_roundtrip(spark, sf_dir):
+    """TFRecord shards under the hard gate (functions/tfrecord —
+    r12): the TF-ecosystem counterpart of webdataset_shard_roundtrip.
+    Per document a three-record shard (text, label, JSON metadata) is
+    framed with uint64 lengths behind MASKED CRC-32C guards (the
+    Castagnoli polynomial and the rotate+delta masking every TFRecord
+    reader shares — both pinned against published check values in
+    tests/test_tfrecord.py), gzipped whole for odd ids (the
+    .tfrecord.gz convention over the engine's own gzip), and read
+    back verifying all six CRCs.
+
+    Exactness: framing is lossless and deterministic, so the text
+    digest and label round-trip verbatim and the uncompressed shard
+    length is the pure 16-bytes-per-record formula the oracle
+    recomputes from octet lengths alone — no CRC or framing code
+    anywhere. Hostile-length, flipped-CRC, and truncation raises are
+    pinned in tests (quarantine-routable).
+
+    Shape at 100 TB: shard-per-row, one Arrow-batched stage, zero
+    shuffle; TFRecord is not internally splittable by design — many
+    shards IS the parallel layout, exactly what operators/sharding.py
+    emits."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        tfrecord_shard_features,
+    )
+
+    return tfrecord_shard_features(t(spark, sf_dir, "documents"))

@@ -184,6 +184,7 @@ EXTRA_AUDIT = (
     "bz2_text_archive",
     "media_tiff_decode",
     "wikidump_extract",
+    "tfrecord_shard_roundtrip",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
