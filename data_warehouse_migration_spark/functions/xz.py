@@ -1,0 +1,588 @@
+"""xz / LZMA2 / LZMA decoding from scratch — the range-coder rung of
+the compression ladder (deflate = LZ77+Huffman, bzip2 = BWT, LZW =
+dictionary, Rice = Golomb; LZMA adds adaptive binary arithmetic
+coding over a context-modeled LZ77). Why a crawl engine carries it:
+source tarballs, kernel archives, and many dump mirrors ship ``.xz``,
+and the format is multi-stream + block-indexed, so a reader can split
+at block boundaries the same way member-gzip splits at members.
+
+DECODE-ONLY by design: writing a competitive LZMA encoder is a
+research project, but decoding is exactly specified — and the
+container ships the REFERENCE encoder (CPython's ``lzma`` links
+liblzma), so every path here is cross-pinned against real encoder
+output at multiple presets in tests/test_xz.py, and the gate
+(``xz_text_archive``) decodes liblzma-compressed document text back
+to the md5/length formulas the DuckDB oracle recomputes.
+
+Implemented per the xz File Format spec v1.0.4 + the LZMA spec:
+
+- stream header/footer (magics, flags CRC, backward size), block
+  headers (filter chain, optional sizes, header CRC32), block
+  padding, the index (varint records, verified against the blocks
+  actually read), stream padding, multi-stream concatenation;
+- integrity checks: None, CRC32 (zlib), CRC64 (ECMA-182 reflected —
+  implemented here), SHA-256 — the block check is VERIFIED, as are
+  both header CRCs and the index CRC;
+- LZMA2 chunking: dict/state/props resets per control byte,
+  uncompressed chunks, end marker;
+- full LZMA: 11-bit adaptive-probability range decoder, literal
+  coder with matched-byte contexts (lc/lp), the 12-state machine,
+  rep-distance stack, length + position-slot + aligned-bit models.
+
+Honestly absent (raises with the reason): BCJ/delta filter chains
+(x86 call-conversion etc. — rare outside executables) and the legacy
+``.lzma`` alone format. Untrusted-input hygiene: every size is
+bounds-checked, reserved bits are rejected, truncation raises
+ValueError — quarantine-routable like the rest of the ingest stack.
+
+Scale: archives are independent rows through one Arrow-batched
+stage, zero shuffle; within a file, blocks are the split unit (the
+index records their offsets — exactly why the format HAS an index).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+# --- CRC64 (ECMA-182, reflected — xz's default check) -------------------------
+
+_CRC64_TABLE: list[int] = []
+
+
+def _crc64_table() -> list[int]:
+    if not _CRC64_TABLE:
+        poly = 0xC96C5795D7870F42
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            _CRC64_TABLE.append(c)
+    return _CRC64_TABLE
+
+
+def crc64_xz(data: bytes) -> int:
+    table = _crc64_table()
+    c = 0xFFFFFFFFFFFFFFFF
+    for b in data:
+        c = (c >> 8) ^ table[(c ^ b) & 0xFF]
+    return c ^ 0xFFFFFFFFFFFFFFFF
+
+
+# --- LZMA range decoder --------------------------------------------------------
+
+_K_TOP = 1 << 24
+
+
+class _RangeDecoder:
+    def __init__(self, data: bytes, pos: int):
+        if pos + 5 > len(data):
+            raise ValueError("LZMA chunk too short for range-coder init")
+        if data[pos] != 0:
+            raise ValueError("LZMA range coder must start with a zero byte")
+        self.data = data
+        self.pos = pos + 5
+        self.code = int.from_bytes(data[pos + 1 : pos + 5], "big")
+        self.range = 0xFFFFFFFF
+
+    def _normalize(self) -> None:
+        if self.range < _K_TOP:
+            if self.pos >= len(self.data):
+                raise ValueError("LZMA stream truncated mid-symbol")
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self.code = ((self.code << 8) | self.data[self.pos]) & 0xFFFFFFFF
+            self.pos += 1
+
+    def bit(self, probs: list[int], i: int) -> int:
+        p = probs[i]
+        bound = (self.range >> 11) * p
+        if self.code < bound:
+            self.range = bound
+            probs[i] = p + ((2048 - p) >> 5)
+            self._normalize()
+            return 0
+        self.code -= bound
+        self.range -= bound
+        probs[i] = p - (p >> 5)
+        self._normalize()
+        return 1
+
+    def direct_bits(self, n: int) -> int:
+        res = 0
+        for _ in range(n):
+            self.range >>= 1
+            self.code = (self.code - self.range) & 0xFFFFFFFF
+            t = 0 - (self.code >> 31)
+            self.code = (self.code + (self.range & t)) & 0xFFFFFFFF
+            res = (res << 1) + t + 1
+            self._normalize()
+        return res
+
+    def bittree(self, probs: list[int], off: int, nbits: int) -> int:
+        m = 1
+        for _ in range(nbits):
+            m = (m << 1) | self.bit(probs, off + m)
+        return m - (1 << nbits)
+
+    def bittree_rev(self, probs: list[int], off: int, nbits: int) -> int:
+        m = 1
+        res = 0
+        for i in range(nbits):
+            b = self.bit(probs, off + m)
+            m = (m << 1) | b
+            res |= b << i
+        return res
+
+    def finished(self) -> bool:
+        return self.code == 0
+
+
+def _new_probs(n: int) -> list[int]:
+    return [1024] * n
+
+
+class _LzmaState:
+    """The adaptive model state LZMA2 can reset independently of the
+    dictionary: probabilities + state machine + rep distances."""
+
+    def __init__(self, lc: int, lp: int, pb: int):
+        if lc + lp > 4 or pb > 4:
+            # liblzma itself enforces lc+lp ≤ 4
+            raise ValueError(f"unsupported LZMA props lc={lc} lp={lp} pb={pb}")
+        self.lc, self.lp, self.pb = lc, lp, pb
+        self.state = 0
+        self.reps = [0, 0, 0, 0]
+        self.lit = _new_probs(0x300 << (lc + lp))
+        self.is_match = _new_probs(12 << 4)
+        self.is_rep = _new_probs(12)
+        self.is_rep_g0 = _new_probs(12)
+        self.is_rep_g1 = _new_probs(12)
+        self.is_rep_g2 = _new_probs(12)
+        self.is_rep0_long = _new_probs(12 << 4)
+        self.pos_slot = _new_probs(4 * 64)
+        self.spec_pos = _new_probs(115)
+        self.align = _new_probs(16)
+        self.len_dec = self._len_probs()
+        self.rep_len_dec = self._len_probs()
+
+    @staticmethod
+    def _len_probs() -> dict:
+        return {
+            "choice": _new_probs(2),
+            "low": _new_probs(16 << 3),
+            "mid": _new_probs(16 << 3),
+            "high": _new_probs(256),
+        }
+
+    def decode_len(self, rc: _RangeDecoder, ld: dict, pos_state: int) -> int:
+        if not rc.bit(ld["choice"], 0):
+            return 2 + rc.bittree(ld["low"], (pos_state << 3), 3)
+        if not rc.bit(ld["choice"], 1):
+            return 10 + rc.bittree(ld["mid"], (pos_state << 3), 3)
+        return 18 + rc.bittree(ld["high"], 0, 8)
+
+
+def _lzma_decode_chunk(
+    data: bytes,
+    pos: int,
+    packed_end: int,
+    st: _LzmaState,
+    out: bytearray,
+    dict_start: int,
+    unpacked: int,
+) -> None:
+    """Decode exactly ``unpacked`` bytes of one LZMA2 compressed chunk
+    into ``out`` (which doubles as the dictionary from ``dict_start``)."""
+    rc = _RangeDecoder(data, pos)
+    target = len(out) + unpacked
+    pb_mask = (1 << st.pb) - 1
+    lp_mask = (1 << st.lp) - 1
+    while len(out) < target:
+        pos_state = len(out) & pb_mask
+        if not rc.bit(st.is_match, (st.state << 4) + pos_state):
+            prev = out[-1] if len(out) > dict_start else 0
+            lit_state = (((len(out)) & lp_mask) << st.lc) + (
+                prev >> (8 - st.lc) if st.lc else 0
+            )
+            off = 0x300 * lit_state
+            sym = 1
+            if st.state >= 7:
+                # matched literal: steer by the byte at rep0
+                mpos = len(out) - st.reps[0] - 1
+                if mpos < dict_start:
+                    raise ValueError("LZMA match byte before dictionary start")
+                match_byte = out[mpos]
+                while sym < 0x100:
+                    match_bit = (match_byte >> 7) & 1
+                    match_byte = (match_byte << 1) & 0xFF
+                    b = rc.bit(
+                        st.lit, off + ((1 + match_bit) << 8) + sym
+                    )
+                    sym = (sym << 1) | b
+                    if match_bit != b:
+                        break
+            while sym < 0x100:
+                sym = (sym << 1) | rc.bit(st.lit, off + sym)
+            out.append(sym & 0xFF)
+            st.state = (
+                0 if st.state < 4 else st.state - 3 if st.state < 10
+                else st.state - 6
+            )
+            continue
+        # match or rep
+        if rc.bit(st.is_rep, st.state):
+            if not rc.bit(st.is_rep_g0, st.state):
+                if not rc.bit(
+                    st.is_rep0_long, (st.state << 4) + pos_state
+                ):
+                    # short rep: one byte at rep0
+                    st.state = 9 if st.state < 7 else 11
+                    mpos = len(out) - st.reps[0] - 1
+                    if mpos < dict_start:
+                        raise ValueError("LZMA short rep before dict start")
+                    out.append(out[mpos])
+                    continue
+            else:
+                if not rc.bit(st.is_rep_g1, st.state):
+                    dist = st.reps[1]
+                    st.reps[1] = st.reps[0]
+                else:
+                    if not rc.bit(st.is_rep_g2, st.state):
+                        dist = st.reps[2]
+                    else:
+                        dist = st.reps[3]
+                        st.reps[3] = st.reps[2]
+                    st.reps[2] = st.reps[1]
+                    st.reps[1] = st.reps[0]
+                st.reps[0] = dist
+            length = st.decode_len(rc, st.rep_len_dec, pos_state)
+            st.state = 8 if st.state < 7 else 11
+        else:
+            length = st.decode_len(rc, st.len_dec, pos_state)
+            st.state = 7 if st.state < 7 else 10
+            len_state = min(length - 2, 3)
+            slot = rc.bittree(st.pos_slot, len_state << 6, 6)
+            if slot < 4:
+                dist = slot
+            else:
+                n_direct = (slot >> 1) - 1
+                dist = (2 | (slot & 1)) << n_direct
+                if slot < 14:
+                    dist += rc.bittree_rev(
+                        st.spec_pos, dist - slot - 1, n_direct
+                    )
+                else:
+                    dist += rc.direct_bits(n_direct - 4) << 4
+                    dist += rc.bittree_rev(st.align, 0, 4)
+            if dist == 0xFFFFFFFF:
+                raise ValueError(
+                    "LZMA end marker inside a sized LZMA2 chunk"
+                )
+            st.reps[3] = st.reps[2]
+            st.reps[2] = st.reps[1]
+            st.reps[1] = st.reps[0]
+            st.reps[0] = dist
+        if len(out) + length > target:
+            raise ValueError("LZMA match overruns the chunk's unpacked size")
+        start = len(out) - st.reps[0] - 1
+        if start < dict_start:
+            raise ValueError("LZMA match distance beyond dictionary")
+        for _ in range(length):
+            out.append(out[start])
+            start += 1
+    if rc.pos > packed_end:
+        raise ValueError("LZMA chunk overran its packed size")
+    if not rc.finished() and rc.pos != packed_end:
+        # liblzma pads the range coder so code==0 at the end of a chunk
+        # is not guaranteed; the hard contract is the packed size.
+        pass
+
+
+def lzma2_decompress(data: bytes, expected_size: int | None = None) -> bytes:
+    """Decode an LZMA2 chunk sequence (the body of an xz block)."""
+    out = bytearray()
+    dict_start = 0
+    pos = 0
+    st: _LzmaState | None = None
+    need_dict_reset = True
+    while True:
+        if pos >= len(data):
+            raise ValueError("LZMA2 stream missing its end marker")
+        control = data[pos]
+        pos += 1
+        if control == 0:
+            break
+        if control in (1, 2):
+            if control == 1:
+                dict_start = len(out)
+            elif need_dict_reset:
+                raise ValueError("LZMA2 first chunk must reset the dictionary")
+            if pos + 2 > len(data):
+                raise ValueError("LZMA2 uncompressed-chunk header truncated")
+            size = int.from_bytes(data[pos : pos + 2], "big") + 1
+            pos += 2
+            if pos + size > len(data):
+                raise ValueError("LZMA2 uncompressed chunk truncated")
+            out += data[pos : pos + size]
+            pos += size
+            need_dict_reset = False
+            if st is not None:
+                st.state = 0
+                st.reps = [0, 0, 0, 0]
+            continue
+        if control < 0x80:
+            raise ValueError(f"LZMA2 reserved control byte {control:#x}")
+        if pos + 4 > len(data):
+            raise ValueError("LZMA2 compressed-chunk header truncated")
+        unpacked = ((control & 0x1F) << 16) + int.from_bytes(
+            data[pos : pos + 2], "big"
+        ) + 1
+        packed = int.from_bytes(data[pos + 2 : pos + 4], "big") + 1
+        pos += 4
+        mode = (control >> 5) & 0x3
+        if mode >= 2:
+            if pos >= len(data):
+                raise ValueError("LZMA2 props byte truncated")
+            props = data[pos]
+            pos += 1
+            if props > (4 * 5 + 4) * 9 + 8:
+                raise ValueError(f"LZMA2 props byte {props} out of range")
+            lc = props % 9
+            lp = (props // 9) % 5
+            pb = props // 45
+            st = _LzmaState(lc, lp, pb)
+        if mode == 3:
+            dict_start = len(out)
+            need_dict_reset = False
+        if need_dict_reset:
+            raise ValueError("LZMA2 first chunk must reset the dictionary")
+        if st is None:
+            raise ValueError("LZMA2 compressed chunk before any props")
+        if mode == 1 and st is not None:
+            # state reset, same props
+            st = _LzmaState(st.lc, st.lp, st.pb)
+        if pos + packed > len(data):
+            raise ValueError("LZMA2 compressed chunk truncated")
+        _lzma_decode_chunk(
+            data, pos, pos + packed, st, out, dict_start, unpacked
+        )
+        pos += packed
+    if expected_size is not None and len(out) != expected_size:
+        raise ValueError(
+            f"LZMA2 decoded {len(out)} bytes, header says {expected_size}"
+        )
+    return bytes(out)
+
+
+# --- xz container --------------------------------------------------------------
+
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+_FOOTER_MAGIC = b"YZ"
+_CHECK_SIZES = {0: 0, 1: 4, 4: 8, 10: 32}
+_CHECK_NAMES = {0: "none", 1: "crc32", 4: "crc64", 10: "sha256"}
+
+
+def _varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    for i in range(9):
+        if pos + i >= len(data):
+            raise ValueError("xz varint truncated")
+        b = data[pos + i]
+        out |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            return out, pos + i + 1
+    raise ValueError("xz varint too long")
+
+
+def xz_decompress(data: bytes) -> bytes:
+    """Decompress a (possibly multi-stream) .xz file, verifying both
+    header CRCs, the per-block integrity check, the index, and the
+    footer of every stream."""
+    out = bytearray()
+    pos = 0
+    saw_stream = False
+    while pos < len(data):
+        # stream padding between streams: 4-aligned zero bytes
+        if data[pos] == 0:
+            if any(data[pos:]):
+                nz = pos
+                while data[nz] == 0:
+                    nz += 1
+                if (nz - pos) % 4 or not data[nz:].startswith(_XZ_MAGIC):
+                    raise ValueError("xz stream padding malformed")
+                pos = nz
+            else:
+                if (len(data) - pos) % 4:
+                    raise ValueError("xz trailing padding not 4-aligned")
+                break
+        if not data[pos:].startswith(_XZ_MAGIC):
+            raise ValueError("bad xz stream magic")
+        saw_stream = True
+        flags = data[pos + 6 : pos + 8]
+        if flags[0] != 0 or flags[1] & 0xF0:
+            raise ValueError("xz stream flags reserved bits set")
+        check_type = flags[1] & 0x0F
+        if check_type not in _CHECK_SIZES:
+            raise NotImplementedError(
+                f"xz check type {check_type} is not supported"
+            )
+        (hdr_crc,) = struct.unpack_from("<I", data, pos + 8)
+        if zlib.crc32(flags) != hdr_crc:
+            raise ValueError("xz stream header CRC mismatch")
+        pos += 12
+
+        records: list[tuple[int, int]] = []
+        while True:
+            first = data[pos]
+            if first == 0:  # index indicator
+                break
+            # --- block header ---
+            hdr_start = pos
+            hdr_size = (first + 1) * 4
+            if pos + hdr_size > len(data):
+                raise ValueError("xz block header truncated")
+            hdr = data[pos : pos + hdr_size]
+            (crc_stored,) = struct.unpack_from("<I", hdr, hdr_size - 4)
+            if zlib.crc32(hdr[: hdr_size - 4]) != crc_stored:
+                raise ValueError("xz block header CRC mismatch")
+            bflags = hdr[1]
+            if bflags & 0x3C:
+                raise ValueError("xz block flags reserved bits set")
+            n_filters = (bflags & 0x03) + 1
+            p = 2
+            comp_size = None
+            uncomp_size = None
+            if bflags & 0x40:
+                comp_size, p = _varint(hdr, p)
+            if bflags & 0x80:
+                uncomp_size, p = _varint(hdr, p)
+            filters = []
+            for _ in range(n_filters):
+                fid, p = _varint(hdr, p)
+                psize, p = _varint(hdr, p)
+                fprops = hdr[p : p + psize]
+                p += psize
+                filters.append((fid, fprops))
+            if any(hdr[p : hdr_size - 4]):
+                raise ValueError("xz block header padding not zero")
+            if len(filters) != 1 or filters[0][0] != 0x21:
+                ids = [hex(f[0]) for f in filters]
+                raise NotImplementedError(
+                    f"only a lone LZMA2 filter decodes here, got {ids}"
+                    " (BCJ/delta chains unsupported)"
+                )
+            if len(filters[0][1]) != 1 or filters[0][1][0] & 0xC0:
+                raise ValueError("bad LZMA2 dict-size props")
+            pos += hdr_size
+
+            # --- compressed data ---
+            body_start = pos
+            if comp_size is not None:
+                body = data[pos : pos + comp_size]
+                if len(body) != comp_size:
+                    raise ValueError("xz block body truncated")
+                block = lzma2_decompress(body, uncomp_size)
+                pos += comp_size
+            else:
+                # no declared size: scan is avoided by decoding with
+                # the chunk walk, which knows its own end
+                block, consumed = _lzma2_decompress_counting(data, pos)
+                if uncomp_size is not None and len(block) != uncomp_size:
+                    raise ValueError("xz block uncompressed size mismatch")
+                pos += consumed
+            body_bytes = pos - body_start
+            # block padding to 4
+            while pos % 4:
+                if data[pos] != 0:
+                    raise ValueError("xz block padding not zero")
+                pos += 1
+            # check
+            csize = _CHECK_SIZES[check_type]
+            cbytes = data[pos : pos + csize]
+            if len(cbytes) != csize:
+                raise ValueError("xz block check truncated")
+            if check_type == 1 and zlib.crc32(block) != int.from_bytes(
+                cbytes, "little"
+            ):
+                raise ValueError("xz block CRC32 mismatch")
+            if check_type == 4 and crc64_xz(block) != int.from_bytes(
+                cbytes, "little"
+            ):
+                raise ValueError("xz block CRC64 mismatch")
+            if check_type == 10 and hashlib.sha256(block).digest() != cbytes:
+                raise ValueError("xz block SHA-256 mismatch")
+            pos += csize
+            # unpadded size = header + compressed body + check (spec:
+            # padding excluded)
+            records.append((hdr_size + body_bytes + csize, len(block)))
+            out += block
+
+        # --- index ---
+        idx_start = pos
+        pos += 1  # the 0x00 indicator
+        n_rec, pos = _varint(data, pos)
+        if n_rec != len(records):
+            raise ValueError(
+                f"xz index claims {n_rec} blocks, stream had {len(records)}"
+            )
+        for unpadded, usize in records:
+            u, pos = _varint(data, pos)
+            s, pos = _varint(data, pos)
+            if (u, s) != (unpadded, usize):
+                raise ValueError(
+                    f"xz index record ({u}, {s}) != observed"
+                    f" ({unpadded}, {usize})"
+                )
+        while pos % 4:
+            if data[pos] != 0:
+                raise ValueError("xz index padding not zero")
+            pos += 1
+        (idx_crc,) = struct.unpack_from("<I", data, pos)
+        if zlib.crc32(data[idx_start:pos]) != idx_crc:
+            raise ValueError("xz index CRC mismatch")
+        pos += 4
+        index_size = pos - idx_start
+
+        # --- footer ---
+        (f_crc,) = struct.unpack_from("<I", data, pos)
+        bw = data[pos + 4 : pos + 8]
+        f_flags = data[pos + 8 : pos + 10]
+        if zlib.crc32(bw + f_flags) != f_crc:
+            raise ValueError("xz stream footer CRC mismatch")
+        if f_flags != flags:
+            raise ValueError("xz footer flags disagree with the header")
+        backward = (int.from_bytes(bw, "little") + 1) * 4
+        if backward != index_size:
+            raise ValueError(
+                f"xz backward size {backward} != index size {index_size}"
+            )
+        if data[pos + 10 : pos + 12] != _FOOTER_MAGIC:
+            raise ValueError("bad xz footer magic")
+        pos += 12
+    if not saw_stream:
+        raise ValueError("no xz stream found")
+    return bytes(out)
+
+
+def _lzma2_decompress_counting(data: bytes, start: int) -> tuple[bytes, int]:
+    """LZMA2 walk that reports how many input bytes one chunk sequence
+    consumed (for blocks whose header omits the compressed size)."""
+    # The chunk grammar is self-delimiting: reuse the main decoder on a
+    # window and track the end via a sentinel scan of chunk headers.
+    pos = start
+    while True:
+        control = data[pos]
+        if control == 0:
+            pos += 1
+            break
+        if control in (1, 2):
+            size = int.from_bytes(data[pos + 1 : pos + 3], "big") + 1
+            pos += 3 + size
+            continue
+        if control < 0x80:
+            raise ValueError(f"LZMA2 reserved control byte {control:#x}")
+        packed = int.from_bytes(data[pos + 3 : pos + 5], "big") + 1
+        pos += 5 + ((control >> 5) & 0x3 >= 2) + packed
+    blob = data[start:pos]
+    return lzma2_decompress(blob), pos - start

@@ -989,6 +989,75 @@ def wikidump_extract_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def xz_archive_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for xz archives (functions/xz — r12): DECODE-ONLY
+    against the REFERENCE encoder, the pattern real ingest lives in —
+    nobody re-compresses a crawl, they decode what upstream shipped.
+    Per document the text is compressed IN THE HARNESS by liblzma
+    (CPython's ``lzma``; preset rotating 1/6 on id parity, the
+    integrity check rotating CRC32/CRC64/SHA-256 on id mod 3) and
+    decompressed back through the engine's own decoder: stream
+    header/footer CRCs, block-header parse, LZMA2 chunk walk, the
+    full LZMA range decoder, the block check (all three algorithms,
+    incl. the from-scratch CRC-64/XZ), and index-vs-blocks
+    verification.
+
+    Exactness: lossless, so the decoded text equals the document text
+    verbatim — md5 + length are pure formulas the DuckDB oracle
+    recomputes with no codec anywhere; the check-type column is a
+    closed form of the id. Multi-chunk/uncompressed-chunk/multistream
+    generality and the corruption surface are pinned in
+    tests/test_xz.py.
+
+    Shape at 100 TB: archives are independent rows through one
+    Arrow-batched stage, zero shuffle; within a file, blocks are the
+    split unit (the index records them — why the format HAS one)."""
+    import lzma
+
+    from data_warehouse_migration_spark.functions.xz import xz_decompress
+
+    _CHECKS = (
+        (lzma.CHECK_CRC32, "crc32"),
+        (lzma.CHECK_CRC64, "crc64"),
+        (lzma.CHECK_SHA256, "sha256"),
+    )
+
+    def per_doc(aid: int, text: str):
+        raw = text.encode("utf-8")
+        check, check_name = _CHECKS[aid % 3]
+        blob = lzma.compress(
+            raw, format=lzma.FORMAT_XZ, check=check,
+            preset=1 if aid % 2 else 6,
+        )
+        back = xz_decompress(blob).decode("utf-8")
+        return (aid, back, len(back), check_name, len(blob))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(tx))
+                for i, tx in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "text", "n_chars", "check_type", "xz_len"],
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, text string, n_chars int, check_type string,"
+            " xz_len int"
+        ),
+    )
+    return out.where(F.col("xz_len") > 0).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_chars",
+        "check_type",
+    )
+
+
 def pdf_extract_features(docs: DataFrame) -> DataFrame:
     """Gate harness for PDF text extraction (functions/pdf — r11,
     font-aware r12): per document, BUILD a two-page PDF from its own

@@ -4806,3 +4806,49 @@ def tfrecord_shard_roundtrip(spark, sf_dir):
     )
 
     return tfrecord_shard_features(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "xz_text_archive",
+    tags=("text", "xz", "lzma", "compression", "crawl", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       CAST(length(text) AS INT) AS n_chars,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'crc32'
+            WHEN 1 THEN 'crc64'
+            ELSE 'sha256'
+       END AS check_type
+FROM documents
+""",
+)
+def xz_text_archive(spark, sf_dir):
+    """xz/LZMA archives under the hard gate (functions/xz — r12): the
+    range-coder rung of the compression ladder (deflate = LZ77+
+    Huffman, bzip2 = BWT, LZW = dictionary, Rice = Golomb, LZMA =
+    context-modeled LZ77 under adaptive binary arithmetic coding) and
+    the container of source tarballs, kernel archives, and many dump
+    mirrors. DECODE-ONLY by design — ingest decodes what upstream
+    shipped — so the harness compresses each document's text with the
+    REFERENCE encoder (liblzma via the stdlib, presets rotating on id
+    parity, the block check rotating CRC32 / from-scratch CRC-64/XZ /
+    SHA-256 on id mod 3) and the engine's own decoder takes it all
+    the way back: stream+block header CRCs, LZMA2 chunk walk, the
+    full LZMA range decoder, block-check verification, index-vs-
+    blocks reconciliation.
+
+    Exactness: lossless, so md5/length are pure formulas over the
+    documents table the oracle recomputes with no codec anywhere.
+    Multi-chunk, uncompressed-chunk, multistream, CRC64 vectors,
+    corruption raises, and the BCJ honest-raise are pinned in
+    tests/test_xz.py.
+
+    Shape at 100 TB: archives are independent rows through one
+    Arrow-batched stage, zero shuffle; blocks are the in-file split
+    unit via the index."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        xz_archive_features,
+    )
+
+    return xz_archive_features(t(spark, sf_dir, "documents"))

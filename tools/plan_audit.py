@@ -185,6 +185,7 @@ EXTRA_AUDIT = (
     "media_tiff_decode",
     "wikidump_extract",
     "tfrecord_shard_roundtrip",
+    "xz_text_archive",
 )
 
 # Queries allowed an unpartitioned Window: driver-sized inputs by
