@@ -135,6 +135,31 @@ def read_warc_gz(data: bytes) -> list[dict]:
     return out
 
 
+def read_warc_any(data: bytes) -> list[dict]:
+    """Transport-agnostic WARC opening (r12): dispatch on the archive
+    magic — member-gzip (the Common Crawl convention), bzip2 (older
+    mirrors), xz, or a bare uncompressed WARC — so one ingest entry
+    point covers whatever a crawl drop actually contains. Unknown
+    magic raises ValueError (quarantine-routable), never guesses."""
+    if data[:2] == b"\x1f\x8b":
+        return read_warc_gz(data)
+    if data[:3] == b"BZh":
+        from data_warehouse_migration_spark.functions.bz2_stream import (
+            bz2_decompress,
+        )
+
+        return parse_warc_records(bz2_decompress(data))
+    if data[:6] == b"\xfd7zXZ\x00":
+        from data_warehouse_migration_spark.functions.xz import xz_decompress
+
+        return parse_warc_records(xz_decompress(data))
+    if data[:5] == b"WARC/":
+        return parse_warc_records(data)
+    raise ValueError(
+        f"unrecognized WARC transport magic {bytes(data[:6])!r}"
+    )
+
+
 # --- HTTP/1.1 response framing (RFC 9112) -----------------------------------
 
 

@@ -328,3 +328,39 @@ def test_quarantine_corruptions_raise_valueerror():
     ):
         with pytest.raises(ValueError):
             read_warc_gz(blob)
+
+
+def test_read_warc_any_dispatch():
+    """One entry point for every transport a crawl drop ships:
+    member-gzip, bzip2, xz, bare — and a loud raise for unknown
+    magic (r12)."""
+    import lzma
+
+    import pytest
+
+    from data_warehouse_migration_spark.functions.bz2_stream import (
+        bz2_compress,
+    )
+    from data_warehouse_migration_spark.functions.warc import (
+        build_warc_record,
+        read_warc_any,
+        write_warc_gz,
+    )
+
+    rec = build_warc_record(
+        "response",
+        {"WARC-Record-ID": "<urn:uuid:9>"},
+        b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi",
+    )
+    bare = rec
+    variants = {
+        "gzip": write_warc_gz([rec], method="dynamic"),
+        "bz2": bz2_compress(bare),
+        "xz": lzma.compress(bare, format=lzma.FORMAT_XZ),
+        "bare": bare,
+    }
+    for why, blob in variants.items():
+        got = read_warc_any(blob)
+        assert len(got) == 1 and got[0]["type"] == "response", why
+    with pytest.raises(ValueError, match="transport magic"):
+        read_warc_any(b"ZZZZZZZZ")
