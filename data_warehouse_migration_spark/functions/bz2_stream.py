@@ -219,15 +219,32 @@ def _mtf_rle2_encode(data: bytes, used: list[int]) -> list[int]:
     return out
 
 
-def _mtf_rle2_decode(symbols: list[int], used: list[int], eob: int) -> bytes:
+def _mtf_rle2_decode(
+    symbols: list[int], used: list[int], eob: int, max_len: int | None = None
+) -> bytes:
+    """``max_len`` is the format's hard cap on the decoded BWT block
+    (100_000·level): RUNA/RUNB runs grow as bijective base 2, so a few
+    dozen hostile input bytes can request a multi-GiB run — the bound
+    must be enforced WHILE ``zrun`` accumulates, before any
+    allocation, or a crawl-scale quarantine lane feeding raw bytes
+    here risks an executor OOM-kill that per-row quarantine cannot
+    catch (ADVICE r12)."""
     alpha = list(used)
     out = bytearray()
     zrun = 0
     zbit = 1
+
+    def check(extra: int) -> None:
+        if max_len is not None and len(out) + extra > max_len:
+            raise ValueError(
+                f"bzip2 block decodes past its {max_len}-byte cap"
+            )
+
     for s in symbols:
         if s in (_RUNA, _RUNB):
             zrun += zbit if s == _RUNA else 2 * zbit
             zbit <<= 1
+            check(zrun)
             continue
         if zrun:
             out += bytes([alpha[0]]) * zrun
@@ -237,6 +254,7 @@ def _mtf_rle2_decode(symbols: list[int], used: list[int], eob: int) -> bytes:
         i = s - 1
         if not 1 <= i + 1 <= len(alpha):
             raise ValueError(f"MTF symbol {s} outside alphabet")
+        check(1)
         alpha.insert(0, alpha.pop(i))
         out.append(alpha[0])
     if zrun:
@@ -403,7 +421,7 @@ def bz2_compress(data: bytes, level: int = 9) -> bytes:
     return bw.getvalue()
 
 
-def _read_block(br: _BitReader) -> bytes:
+def _read_block(br: _BitReader, level: int) -> bytes:
     crc_expected = br.read(32)
     if br.read(1):
         raise NotImplementedError(
@@ -472,7 +490,11 @@ def _read_block(br: _BitReader) -> bytes:
         if s == eob:
             break
 
-    last = _mtf_rle2_decode(syms, used, eob)
+    # The BWT block (pre-RLE1 expansion) is hard-capped by the format
+    # at 100_000·level bytes; _rle1_decode's own output is then
+    # intrinsically bounded (≤ 259 output bytes per 5 input bytes), so
+    # only this stage needs the explicit guard.
+    last = _mtf_rle2_decode(syms, used, eob, max_len=100_000 * level)
     block = _rle1_decode(_bwt_decode(last, orig_ptr))
     crc = bz2_crc32(block)
     if crc != crc_expected:
@@ -516,7 +538,7 @@ def bz2_decompress(data: bytes) -> bytes:
                 break
             if magic != _BLOCK_MAGIC:
                 raise ValueError(f"bad bzip2 block magic {magic:012x}")
-            block = _read_block(br)
+            block = _read_block(br, level)
             out += block
             combined = (
                 ((combined << 1) & 0xFFFFFFFF) | (combined >> 31)

@@ -232,6 +232,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
             f"{expected_strips}"
         )
 
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} is not decoded (1/2 only)"
+        )
+
     row_bytes = width * spp
     raster = bytearray()
     for s, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -255,7 +261,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"TIFF compression {comp} is not decoded (1/5/32773 only)"
             )
-        if comp == 5 and one(317, 1) == 2:
+        # TIFF 6.0 defines the predictor over the post-decompression
+        # bytes for ANY compression, not just LZW — a PackBits or
+        # uncompressed file with Predictor=2 is valid and must be
+        # un-differenced too (ADVICE r12).
+        if predictor == 2:
             arr = np.frombuffer(raw, dtype=np.uint8).reshape(
                 nrows, width, spp
             )

@@ -199,10 +199,16 @@ def _lzma_decode_chunk(
     pb_mask = (1 << st.pb) - 1
     lp_mask = (1 << st.lp) - 1
     while len(out) < target:
-        pos_state = len(out) & pb_mask
+        # Position contexts count from the LAST DICTIONARY RESET, not
+        # the absolute output start: LzmaDec's processedPos resets with
+        # the dictionary, so a conformant encoder that resets mid-block
+        # expects pos_state/lp to restart there (ADVICE r12 — liblzma
+        # happens never to emit this shape, other encoders may).
+        dict_pos = len(out) - dict_start
+        pos_state = dict_pos & pb_mask
         if not rc.bit(st.is_match, (st.state << 4) + pos_state):
             prev = out[-1] if len(out) > dict_start else 0
-            lit_state = (((len(out)) & lp_mask) << st.lc) + (
+            lit_state = ((dict_pos & lp_mask) << st.lc) + (
                 prev >> (8 - st.lc) if st.lc else 0
             )
             off = 0x300 * lit_state
@@ -419,6 +425,8 @@ def xz_decompress(data: bytes) -> bytes:
         if not data[pos:].startswith(_XZ_MAGIC):
             raise ValueError("bad xz stream magic")
         saw_stream = True
+        if pos + 12 > len(data):
+            raise ValueError("xz stream header truncated")
         flags = data[pos + 6 : pos + 8]
         if flags[0] != 0 or flags[1] & 0xF0:
             raise ValueError("xz stream flags reserved bits set")
@@ -434,6 +442,8 @@ def xz_decompress(data: bytes) -> bytes:
 
         records: list[tuple[int, int]] = []
         while True:
+            if pos >= len(data):
+                raise ValueError("xz stream truncated before its index")
             first = data[pos]
             if first == 0:  # index indicator
                 break
@@ -494,6 +504,8 @@ def xz_decompress(data: bytes) -> bytes:
             body_bytes = pos - body_start
             # block padding to 4
             while pos % 4:
+                if pos >= len(data):
+                    raise ValueError("xz block padding truncated")
                 if data[pos] != 0:
                     raise ValueError("xz block padding not zero")
                 pos += 1
@@ -535,9 +547,13 @@ def xz_decompress(data: bytes) -> bytes:
                     f" ({unpadded}, {usize})"
                 )
         while pos % 4:
+            if pos >= len(data):
+                raise ValueError("xz index padding truncated")
             if data[pos] != 0:
                 raise ValueError("xz index padding not zero")
             pos += 1
+        if pos + 4 > len(data):
+            raise ValueError("xz index CRC truncated")
         (idx_crc,) = struct.unpack_from("<I", data, pos)
         if zlib.crc32(data[idx_start:pos]) != idx_crc:
             raise ValueError("xz index CRC mismatch")
@@ -545,6 +561,8 @@ def xz_decompress(data: bytes) -> bytes:
         index_size = pos - idx_start
 
         # --- footer ---
+        if pos + 12 > len(data):
+            raise ValueError("xz stream footer truncated")
         (f_crc,) = struct.unpack_from("<I", data, pos)
         bw = data[pos + 4 : pos + 8]
         f_flags = data[pos + 8 : pos + 10]
@@ -572,17 +590,27 @@ def _lzma2_decompress_counting(data: bytes, start: int) -> tuple[bytes, int]:
     # window and track the end via a sentinel scan of chunk headers.
     pos = start
     while True:
+        if pos >= len(data):
+            raise ValueError("LZMA2 stream truncated before its end marker")
         control = data[pos]
         if control == 0:
             pos += 1
             break
         if control in (1, 2):
+            if pos + 3 > len(data):
+                raise ValueError("LZMA2 uncompressed-chunk header truncated")
             size = int.from_bytes(data[pos + 1 : pos + 3], "big") + 1
             pos += 3 + size
+            if pos > len(data):
+                raise ValueError("LZMA2 uncompressed chunk truncated")
             continue
         if control < 0x80:
             raise ValueError(f"LZMA2 reserved control byte {control:#x}")
+        if pos + 5 > len(data):
+            raise ValueError("LZMA2 compressed-chunk header truncated")
         packed = int.from_bytes(data[pos + 3 : pos + 5], "big") + 1
         pos += 5 + ((control >> 5) & 0x3 >= 2) + packed
+        if pos > len(data):
+            raise ValueError("LZMA2 compressed chunk truncated")
     blob = data[start:pos]
     return lzma2_decompress(blob), pos - start

@@ -144,3 +144,61 @@ def test_randomized_bit_rejected_honestly():
     )
     with pytest.raises(NotImplementedError, match="randomized"):
         bz2_decompress(flipped)
+
+
+def test_hostile_zero_run_bounded_before_allocation():
+    """~40 RUNA symbols encode a bijective-base-2 zero run near 2^40
+    (a terabyte request from a few dozen input bytes). The decoder
+    must raise at the format's 100k·level block cap WHILE the run
+    accumulates — before any allocation — instead of OOM-killing the
+    executor (ADVICE r12)."""
+    from data_warehouse_migration_spark.functions.bz2_stream import (
+        _BLOCK_MAGIC,
+        _EOS_MAGIC,
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    syms = [0] * 40 + [2]  # 40 RUNA then EOB
+    lengths = [1, 2, 2]
+    codes = _canonical_codes(lengths)
+    bw = _BitWriter()
+    bw.write(0x425A68, 24)
+    bw.write(0x31, 8)  # level 1 → cap 100_000
+    bw.write(_BLOCK_MAGIC, 48)
+    bw.write(0, 32)  # block CRC (never reached)
+    bw.write(0, 1)  # not randomized
+    bw.write(0, 24)  # origPtr
+    bw.write(1 << 15, 16)  # MSB-first: group 0 used
+    bw.write(1 << 10, 16)  # byte 0x05 used (one-symbol alphabet)
+    bw.write(2, 3)  # nGroups
+    bw.write(1, 15)  # one selector
+    bw.write(0, 1)  # selector 0
+    for _ in range(2):
+        cur = lengths[0]
+        bw.write(cur, 5)
+        for ln in lengths:
+            while cur < ln:
+                bw.write(0b10, 2)
+                cur += 1
+            while cur > ln:
+                bw.write(0b11, 2)
+                cur -= 1
+            bw.write(0, 1)
+    for s in syms:
+        bw.write(codes[s], lengths[s])
+    bw.write(_EOS_MAGIC, 48)
+    bw.write(0, 32)
+    with pytest.raises(ValueError, match="cap"):
+        bz2_decompress(bw.getvalue())
+
+
+def test_legit_rle1_expansion_exceeds_cap_fine():
+    """The cap guards the BWT block, not the RLE1-expanded output: a
+    long zero run decodes to far more than 100k·level bytes and must
+    still round-trip (the post-BWT expansion is intrinsically
+    bounded)."""
+    data = b"\x00" * 500_000
+    blob = bz2_compress(data, level=1)
+    assert bz2_decompress(blob) == data
+    assert stdlib_bz2.decompress(blob) == data

@@ -173,3 +173,43 @@ def test_honest_raises():
         decode_tiff(bytes(blob))
     with pytest.raises(ValueError, match="truncated|beyond"):
         decode_tiff(encode_tiff(gray)[:20])
+
+
+def test_predictor2_applies_to_any_compression():
+    """TIFF 6.0 defines Predictor 2 over the post-decompression bytes
+    for ANY compression: an uncompressed or PackBits strip carrying
+    row-wise deltas must be cumsum-inverted too, and an unknown
+    predictor value must raise rather than decode silently wrong
+    (ADVICE r12)."""
+    gray = np.array([[10, 250, 3], [200, 200, 200]], dtype=np.uint8)
+    deltas = gray.astype(np.int16).copy()
+    deltas[:, 1:] -= gray[:, :-1].astype(np.int16)
+    delta_bytes = (deltas % 256).astype(np.uint8).tobytes()
+
+    def build(comp: int, strip: bytes, predictor: int) -> bytes:
+        e = "<"
+        entries = [
+            (256, 4, 1, 3), (257, 4, 1, 2), (258, 3, 1, 8),
+            (259, 3, 1, comp), (262, 3, 1, 1), (273, 4, 1, 0),
+            (277, 3, 1, 1), (278, 4, 1, 2), (279, 4, 1, len(strip)),
+            (317, 3, 1, predictor),
+        ]
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * len(entries) + 4
+        out = bytearray(b"II\x2a\x00" + struct.pack(e + "I", ifd_off))
+        out += struct.pack(e + "H", len(entries))
+        for tag, typ, count, val in entries:
+            if tag == 273:
+                val = data_off
+            packed = struct.pack(e + ("H" if typ == 3 else "I"), val)
+            packed += b"\x00" * (4 - len(packed))
+            out += struct.pack(e + "HHI", tag, typ, count) + packed
+        out += struct.pack(e + "I", 0) + strip
+        return bytes(out)
+
+    uncompressed = build(1, delta_bytes, 2)
+    assert np.array_equal(decode_tiff(uncompressed), gray)
+    packbits = build(32773, packbits_encode(delta_bytes), 2)
+    assert np.array_equal(decode_tiff(packbits), gray)
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        decode_tiff(build(1, delta_bytes, 3))

@@ -97,3 +97,37 @@ def test_lzma2_raw_reserved_control():
         lzma2_decompress(b"\x7f")
     with pytest.raises(ValueError, match="end marker"):
         lzma2_decompress(b"")
+
+
+def test_dict_reset_restarts_position_contexts():
+    """pos_state and the lp literal context count from the LAST
+    DICTIONARY RESET (LzmaDec's processedPos), not the absolute
+    output start. liblzma never emits a mid-sequence reset, so build
+    one: an uncompressed dict-reset chunk of length k (k mod 2^pb ≠ 0)
+    followed by a liblzma raw chunk sequence whose first chunk resets
+    the dictionary again — liblzma itself adjudicates the composite
+    (ADVICE r12)."""
+    filters = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
+    body = b"hello world, hello lzma, hello range coder " * 20
+    raw = lzma.compress(body, format=lzma.FORMAT_RAW, filters=filters)
+    assert raw[0] & 0xE0 == 0xE0  # first chunk: props + dict reset
+    for k in (1, 2, 3, 5, 7, 13):
+        pre = bytes([1, 0, k - 1]) + b"X" * k  # control 1 = dict reset
+        composite = pre + raw
+        ref = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW, filters=filters
+        ).decompress(composite)
+        assert ref == b"X" * k + body  # conformant per liblzma
+        assert lzma2_decompress(composite) == ref, k
+
+
+def test_truncation_raises_valueerror_everywhere():
+    """Cutting a valid .xz at EVERY byte offset must raise ValueError
+    (or NotImplementedError), never IndexError/struct.error — the
+    quarantine lane attests reason classes and strict callers rely on
+    the documented exception surface (ADVICE r12)."""
+    blob = lzma.compress(b"truncate me anywhere " * 30, preset=1)
+    assert xz_decompress(blob)  # sanity: full blob decodes
+    for cut in range(len(blob)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            xz_decompress(blob[:cut])
