@@ -1903,7 +1903,13 @@ WITH esc AS (
     FROM page
 )
 SELECT doc_id, CAST(2 AS INT) AS n_records, CAST(200 AS INT) AS status,
-       body_len, md5(full_text) AS text_md5
+       body_len,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'identity'
+            WHEN 1 THEN 'gzip'
+            ELSE 'deflate'
+       END AS content_encoding,
+       md5(full_text) AS text_md5
 FROM built
 """,
 )
@@ -1921,7 +1927,11 @@ def warc_ingest_extract(spark, sf_dir):
     IT ALL BACK: gzip member walk (RFC 1952 headers, CRC-32 + ISIZE
     verified, reusing the PNG rung's attested RFC 1951 inflate) →
     WARC Content-Length record framing → HTTP de-framing (chunk
-    reassembly incl. the 0-chunk terminator) → HTML extraction.
+    reassembly incl. the 0-chunk terminator) → HTTP content-coding
+    reversal (r13: ``Content-Encoding`` rotates identity / gzip /
+    zlib-wrapped deflate / BARE-stream deflate on id mod 4 — stored
+    wire bytes are routinely compressed, and the bare leg exercises
+    the browser-grade zlib sniff) → HTML extraction.
 
     Exactness: every layer is lossless, so the extracted text is the
     SAME pure string formula the ``html_text_extract`` gate attests,
@@ -4563,37 +4573,45 @@ WITH g AS (
     SELECT doc_id,
            trim(regexp_replace(text || ' <raw> AB', '[ \t\n\r]+', ' ', 'g'))
                AS p_block
-    FROM documents WHERE doc_id % 4 = 0
+    FROM documents WHERE doc_id % 8 IN (0, 4)
 )
 SELECT doc_id, 'ok' AS status, CAST(NULL AS VARCHAR) AS reason_class,
        CAST(2 AS INT) AS n_records, TRUE AS allowed,
        md5(p_block) AS text_md5
 FROM g
 UNION ALL
-SELECT doc_id, 'quarantined' AS status, 'ValueError' AS reason_class,
+SELECT doc_id, 'quarantined' AS status,
+       CASE WHEN doc_id % 8 = 7 THEN 'NotImplementedError'
+            ELSE 'ValueError' END AS reason_class,
        CAST(NULL AS INT) AS n_records, CAST(NULL AS BOOLEAN) AS allowed,
        CAST(NULL AS VARCHAR) AS text_md5
-FROM documents WHERE doc_id % 4 != 0
+FROM documents WHERE doc_id % 8 NOT IN (0, 4)
 """,
 )
 def crawl_ingest_quarantine(spark, sf_dir):
     """PER-ARCHIVE fault quarantine through the crawl-ingest stack
     (the web half of VERDICT r11 action #1): every document's WARC.gz
-    archive is built intact, then corrupted by id formula — last
-    trailer byte flipped (ISIZE check), truncated 20 bytes short
-    (inflate/framing), first magic byte flipped — before the read
-    side runs gzip walk → WARC framing → HTTP de-framing → robots →
+    archive is built intact, then corrupted by id formula — the
+    transport legs (last trailer byte flipped / truncated 20 bytes /
+    first magic flipped) plus, since r13, the CONTENT-CODING legs
+    (VERDICT r12 missing #1): a good ``Content-Encoding: gzip`` row
+    that must decode bit-identical to the identity path, a header
+    that lies about gzip over a plain body, a gzip body truncated
+    mid-trailer, and a Brotli coding the engine detects but does not
+    decode — before the read side runs gzip walk → WARC framing →
+    HTTP de-framing → content-coding reversal → robots →
     link-density extraction under a PER-ARCHIVE catch
     (``crawl_archive_ingest_quarantine``). One bad archive
-    quarantines one row; the other three quarters of the corpus
-    ingest untouched.
+    quarantines one row; the intact quarter of the corpus ingests
+    untouched.
 
     The oracle attests both halves with no gzip/WARC/HTTP/HTML code
-    anywhere: corrupt rows land in quarantine as ValueError (every
-    wire-format guard in the stack raises it — the r11 ADVICE
-    hardening made those guards total on untrusted length tokens),
-    and intact rows' extracted main text equals the v7 pure string
-    formula, md5-attested. Adversarial per-corruption pins live in
+    anywhere: corrupt rows land in quarantine with the RIGHT
+    exception class (ValueError from every wire-format guard;
+    NotImplementedError for the detected-but-undecoded ``br``
+    coding), and intact rows' extracted main text equals the v7 pure
+    string formula, md5-attested — identical for the identity and
+    gzip-coded good legs. Adversarial per-corruption pins live in
     tests/test_gzip_warc.py.
 
     Shape at 100 TB: archives are independent rows, one Arrow-batched

@@ -364,3 +364,76 @@ def test_read_warc_any_dispatch():
         assert len(got) == 1 and got[0]["type"] == "response", why
     with pytest.raises(ValueError, match="transport magic"):
         read_warc_any(b"ZZZZZZZZ")
+
+
+def test_content_encoding_decoding():
+    """RFC 9110 §8.4 content codings over a de-framed body: gzip,
+    zlib-wrapped deflate, BARE-stream deflate (the misconfigured-
+    server shape the browser sniff exists for), identity, the
+    right-to-left multi-coding order, and case/whitespace laxity."""
+    from data_warehouse_migration_spark.functions.png import zlib_compress
+    from data_warehouse_migration_spark.functions.warc import (
+        decode_content_encoding,
+        parse_http_response_decoded,
+    )
+
+    body = b"<html><body><p>hello coded world</p></body></html>" * 4
+    cases = {
+        "gzip": gzip_compress(body, method="dynamic"),
+        "x-gzip": gzip_compress(body),
+        "deflate": zlib_compress(body, method="dynamic"),  # zlib-wrapped
+        "identity": body,
+        "GZip ": gzip_compress(body),  # token is case-insensitive
+    }
+    for token, wire in cases.items():
+        hdrs = {"Content-Encoding": token}
+        assert decode_content_encoding(hdrs, wire) == body, token
+    # bare RFC 1951 stream under the deflate token → the sniff path
+    raw_deflate = zlib_compress(body, method="dynamic")[2:-4]
+    assert (
+        decode_content_encoding({"Content-Encoding": "deflate"}, raw_deflate)
+        == body
+    )
+    # applied left-to-right by the server → undone right-to-left
+    double = gzip_compress(zlib_compress(body, method="stored"))
+    assert (
+        decode_content_encoding(
+            {"Content-Encoding": "deflate, gzip"}, double
+        )
+        == body
+    )
+    # no header at all → body passes through untouched
+    assert decode_content_encoding({}, body) == body
+
+
+def test_content_encoding_hostile_paths_quarantine_routable():
+    """Wrong header over a plain body, truncated gzip, detected-but-
+    undecoded br/zstd, unknown token — each must raise the documented
+    class, never return compressed bytes as text."""
+    from data_warehouse_migration_spark.functions.warc import (
+        build_http_response,
+        decode_content_encoding,
+        parse_http_response_decoded,
+    )
+
+    body = b"plain text that is not gzip"
+    with pytest.raises(ValueError, match="magic"):
+        decode_content_encoding({"Content-Encoding": "gzip"}, body)
+    with pytest.raises(ValueError):
+        decode_content_encoding(
+            {"Content-Encoding": "gzip"}, gzip_compress(body)[:-8]
+        )
+    for coding in ("br", "zstd"):
+        with pytest.raises(NotImplementedError, match=coding):
+            decode_content_encoding({"Content-Encoding": coding}, body)
+    with pytest.raises(ValueError, match="unknown content coding"):
+        decode_content_encoding({"Content-Encoding": "compress"}, body)
+    # end-to-end: chunked transfer + gzip content, both layers undone
+    page = b"<p>two-layer framing</p>" * 10
+    wire = gzip_compress(page, method="dynamic")
+    resp = build_http_response(
+        200, "OK", {"Content-Encoding": "gzip"}, wire,
+        chunked=True, chunk_size=7,
+    )
+    status, headers, got = parse_http_response_decoded(resp)
+    assert (status, got) == (200, page)
