@@ -2009,11 +2009,13 @@ def robots_policy_check(spark, sf_dir):
 SELECT doc_id,
        CAST(1 AS INT) AS n_samples,
        CAST(3 AS INT) AS n_members,
-       CAST(512 * (3
+       CAST(512 * (CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 9 END
             + (octet_length(encode(text)) + 511) // 512
             + (octet_length(encode(lang)) + 511) // 512
             + (11 + length(CAST(doc_id AS VARCHAR)) + 1 + 511) // 512)
             + 1024 AS INT) AS tar_len,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 169 END AS INT)
+           AS key_len,
        md5(text) AS text_md5,
        lang AS label
 FROM documents
@@ -2024,19 +2026,29 @@ def webdataset_shard_roundtrip(spark, sf_dir):
     (functions/tar_stream, r11 — the container large training sets
     ship in: samples as ADJACENT tar members sharing a basename
     key): per document the harness packs ``{id}.txt`` + ``{id}.cls``
-    + ``{id}.json`` into a ustar shard (gzipped whole for odd ids —
+    + ``{id}.json`` into a tar shard (gzipped whole for odd ids —
     the ``.tar.gz`` composition over functions/gzip_stream), then
-    reads it back through the sample grouper.
+    reads it back through the sample grouper. The shard layout
+    rotates ustar / PAX / GNU on id mod 3 (r13): the extension legs
+    put the sample key under a 160-char directory the ustar
+    name+prefix fields cannot hold, so every member ships behind an
+    ``x`` extended header (PAX path record) or an ``L`` longname
+    member, and the decoded key length (8 vs 169) attests the long
+    path round-tripped.
 
     Exactness: tar is lossless and the writer is deterministic, so
     the text digest equals ``md5(text)`` verbatim, the label
     round-trips, and the UNCOMPRESSED shard length is the pure
-    header/padding formula ``512·(3 + Σ ceil(len/512)) + 1024`` the
-    oracle recomputes from octet lengths alone — attesting octal
-    fields, 512-byte padding, and the end-of-archive marker without
-    a tar parser anywhere. Both directions are additionally pinned
-    against CPython's tarfile (ustar mode) in
-    tests/test_tar_stream.py, including prefix-split long names,
+    header/padding formula ``512·(H + Σ ceil(len/512)) + 1024`` —
+    H = 3 plain headers, 9 when each member carries a one-block
+    extension header + one-block payload — which the oracle
+    recomputes from octet lengths alone, attesting octal fields,
+    PAX record framing, longname payloads, 512-byte padding, and
+    the end-of-archive marker without a tar parser anywhere. Both
+    directions are additionally pinned against CPython's tarfile
+    (ustar, PAX_FORMAT, and GNU_FORMAT) in tests/test_tar_stream.py,
+    including >100-char and >255-char paths, unicode names, global
+    ``g`` headers, pax size overrides, hostile record grammars,
     checksum tampering, and non-adjacent-key rejection.
 
     Shape at 100 TB: shards are the parallelism unit (one worker

