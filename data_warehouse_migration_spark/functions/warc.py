@@ -153,6 +153,12 @@ def read_warc_any(data: bytes) -> list[dict]:
         from data_warehouse_migration_spark.functions.xz import xz_decompress
 
         return parse_warc_records(xz_decompress(data))
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        from data_warehouse_migration_spark.functions.zstd import (
+            zstd_decompress,
+        )
+
+        return parse_warc_records(zstd_decompress(data))
     if data[:5] == b"WARC/":
         return parse_warc_records(data)
     raise ValueError(
@@ -262,9 +268,10 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
     ``deflate`` — zlib-wrapped per RFC 9110, with the raw-deflate
     fallback every browser carries because misconfigured servers have
     sent bare RFC 1951 streams since HTTP/1.0 (the sniff is the
-    zlib CMF check: low nibble 8 + header checksum divisible by 31).
-    ``br``/``zstd`` raise NotImplementedError naming the coding, any
-    other token raises ValueError — both quarantine-routable."""
+    zlib CMF check: low nibble 8 + header checksum divisible by 31) —
+    and ``zstd`` (RFC 8878 via the engine's own functions/zstd).
+    ``br`` raises NotImplementedError naming the coding, any other
+    token raises ValueError — both quarantine-routable."""
     from data_warehouse_migration_spark.functions.gzip_stream import (
         gzip_decompress,
     )
@@ -288,7 +295,13 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
                 and (body[0] << 8 | body[1]) % 31 == 0
             )
             body = zlib_decompress(body) if looks_zlib else inflate(body)
-        elif coding in ("br", "zstd"):
+        elif coding == "zstd":
+            from data_warehouse_migration_spark.functions.zstd import (
+                zstd_decompress,
+            )
+
+            body = zstd_decompress(body)
+        elif coding == "br":
             raise NotImplementedError(
                 f"content coding {coding!r} is not decoded here"
             )

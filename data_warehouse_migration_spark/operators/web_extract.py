@@ -1139,6 +1139,89 @@ def xz_archive_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def zst_archive_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for zstd archives (functions/zstd — r13, VERDICT
+    r12 missing #2: the compression modern public corpora actually
+    ship in). The layout rotates on id mod 4: one multi-block stored
+    frame; TWO concatenated frames splitting the text (the
+    multi-frame walk); a skippable metadata frame BETWEEN content
+    frames (the seekable-format shape); a checksum-less frame in
+    RLE-sized chunks. Every frame is authored by the engine's own
+    spec-subset writer and read back through the FULL decoder —
+    frame/block grammar, FCS and xxHash64 verification, skippable
+    dispatch. The compressed-block half of the decoder (FSE, Huffman,
+    sequences, repeat offsets) has no in-container Python encoder to
+    harness against, so it is pinned in tests/test_zstd.py against
+    the reference CLI across presets -1/-3/-9/-19, long-window mode,
+    dictionary detection, and an every-offset truncation sweep —
+    the same decode-only posture as functions/xz.
+
+    Exactness: lossless, so decoded text equals the document text
+    verbatim — md5 + length are pure formulas the DuckDB oracle
+    recomputes with no codec anywhere; the frame count is a closed
+    form of the id.
+
+    Shape at 100 TB: archives are independent rows through one
+    Arrow-batched stage, zero shuffle; within a file, frames (and
+    skippable seek-table entries) are the split unit."""
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_stored,
+        zstd_decompress,
+        zstd_skippable_frame,
+    )
+
+    def per_doc(aid: int, text: str):
+        raw = text.encode("utf-8")
+        leg = aid % 4
+        if leg == 0:
+            blob = zstd_compress_stored(raw, chunk=997)
+            n_frames = 1
+        elif leg == 1:
+            cut = len(raw) // 2
+            blob = zstd_compress_stored(raw[:cut]) + zstd_compress_stored(
+                raw[cut:]
+            )
+            n_frames = 2
+        elif leg == 2:
+            cut = len(raw) // 3
+            blob = (
+                zstd_compress_stored(raw[:cut])
+                + zstd_skippable_frame(f"doc={aid}".encode(), nibble=aid % 16)
+                + zstd_compress_stored(raw[cut:])
+            )
+            n_frames = 2
+        else:
+            blob = zstd_compress_stored(raw, checksum=False, chunk=512)
+            n_frames = 1
+        back = zstd_decompress(blob).decode("utf-8")
+        return (aid, back, len(back), n_frames, len(blob))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(tx))
+                for i, tx in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "text", "n_chars", "n_frames", "zst_len"],
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, text string, n_chars int, n_frames int,"
+            " zst_len int"
+        ),
+    )
+    return out.where(F.col("zst_len") > 0).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_chars",
+        "n_frames",
+    )
+
+
 def pdf_extract_features(docs: DataFrame) -> DataFrame:
     """Gate harness for PDF text extraction (functions/pdf — r11,
     font-aware r12): per document, BUILD a two-page PDF from its own

@@ -332,14 +332,17 @@ def test_quarantine_corruptions_raise_valueerror():
 
 def test_read_warc_any_dispatch():
     """One entry point for every transport a crawl drop ships:
-    member-gzip, bzip2, xz, bare — and a loud raise for unknown
-    magic (r12)."""
+    member-gzip, bzip2, xz, zstd (r13), bare — and a loud raise for
+    unknown magic (r12)."""
     import lzma
 
     import pytest
 
     from data_warehouse_migration_spark.functions.bz2_stream import (
         bz2_compress,
+    )
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_stored,
     )
     from data_warehouse_migration_spark.functions.warc import (
         build_warc_record,
@@ -357,6 +360,7 @@ def test_read_warc_any_dispatch():
         "gzip": write_warc_gz([rec], method="dynamic"),
         "bz2": bz2_compress(bare),
         "xz": lzma.compress(bare, format=lzma.FORMAT_XZ),
+        "zstd": zstd_compress_stored(bare),
         "bare": bare,
     }
     for why, blob in variants.items():
@@ -423,9 +427,22 @@ def test_content_encoding_hostile_paths_quarantine_routable():
         decode_content_encoding(
             {"Content-Encoding": "gzip"}, gzip_compress(body)[:-8]
         )
-    for coding in ("br", "zstd"):
-        with pytest.raises(NotImplementedError, match=coding):
-            decode_content_encoding({"Content-Encoding": coding}, body)
+    with pytest.raises(NotImplementedError, match="br"):
+        decode_content_encoding({"Content-Encoding": "br"}, body)
+    # zstd decodes through the engine's own rung (r13); garbage under
+    # the token still raises ValueError
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_stored,
+    )
+
+    assert (
+        decode_content_encoding(
+            {"Content-Encoding": "zstd"}, zstd_compress_stored(body)
+        )
+        == body
+    )
+    with pytest.raises(ValueError):
+        decode_content_encoding({"Content-Encoding": "zstd"}, body)
     with pytest.raises(ValueError, match="unknown content coding"):
         decode_content_encoding({"Content-Encoding": "compress"}, body)
     # end-to-end: chunked transfer + gzip content, both layers undone

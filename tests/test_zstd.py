@@ -1,0 +1,201 @@
+"""zstd codec (functions/zstd — r13): from-scratch RFC 8878 decoder
+cross-pinned against the reference CLI encoder across presets and
+input shapes, the stored-subset writer pinned in BOTH directions,
+xxHash64 known-answer vectors, and the truncation/corruption raise
+surface the quarantine lane routes."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from data_warehouse_migration_spark.functions.zstd import (
+    xxh64,
+    zstd_compress_stored,
+    zstd_decompress,
+    zstd_skippable_frame,
+)
+
+_CLI = shutil.which("zstd") or (
+    "/root/miniconda/bin/zstd"
+    if os.path.exists("/root/miniconda/bin/zstd")
+    else None
+)
+
+CASES = [
+    b"",
+    b"a",
+    b"abcabcabcabc",
+    b"hello zstd world " * 200,          # repeat offsets
+    bytes(range(256)) * 40,              # even distribution
+    b"\x00" * 5000,                      # RLE-friendly
+    ("the quick brown fox jumps over the lazy dog " * 500).encode(),
+    bytes((i * 2654435761) >> 24 & 0xFF for i in range(20000)),  # noisy
+]
+
+
+def _cli_compress(data: bytes, *args: str) -> bytes:
+    return subprocess.run(
+        [_CLI, "-c", *args],
+        input=data,
+        stdout=subprocess.PIPE,
+        check=True,
+    ).stdout
+
+
+def _cli_decompress(data: bytes) -> bytes:
+    return subprocess.run(
+        [_CLI, "-d", "-c"],
+        input=data,
+        stdout=subprocess.PIPE,
+        check=True,
+    ).stdout
+
+
+def test_xxh64_known_answers():
+    # the canonical published empty-input vector
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_xxh64_against_cli_frame_checksums():
+    """The frame checksum IS xxh64's low 32 bits (seed 0), so the
+    reference encoder's trailer pins our implementation across the
+    <32-byte tail paths AND the 4-lane stripe path."""
+    import struct
+
+    for n in (0, 1, 3, 4, 7, 8, 15, 16, 31, 32, 33, 100, 1000, 4097):
+        data = bytes((i * 131) & 0xFF for i in range(n))
+        blob = _cli_compress(data, "-1")
+        (stored,) = struct.unpack_from("<I", blob, len(blob) - 4)
+        assert xxh64(data) & 0xFFFFFFFF == stored, n
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_decodes_reference_cli_across_presets():
+    """Every preset tier picks different block/table strategies —
+    predefined vs built FSE tables, single- vs 4-stream Huffman, raw
+    vs compressed literals — so the sweep exercises the whole
+    decoder."""
+    for level in ("-1", "-3", "-9", "-19"):
+        for data in CASES:
+            blob = _cli_compress(data, level)
+            assert zstd_decompress(blob) == data, (level, len(data))
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_decodes_cli_no_checksum_and_long_mode():
+    data = CASES[3] + CASES[6]
+    assert zstd_decompress(_cli_compress(data, "--no-check")) == data
+    assert zstd_decompress(_cli_compress(data, "--long=20", "-5")) == data
+    # explicit small window via chaining level flags
+    assert zstd_decompress(_cli_compress(data, "--zstd=wlog=10")) == data
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_multi_frame_and_skippable():
+    a = _cli_compress(b"first frame ", "-3")
+    b = _cli_compress(b"second frame", "-1")
+    skip = zstd_skippable_frame(b"ignore me", nibble=7)
+    assert zstd_decompress(a + skip + b) == b"first frame second frame"
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_cli_decodes_our_stored_frames():
+    for data in CASES:
+        for chunk in (64 * 1024, 1000, 7):
+            blob = zstd_compress_stored(data, chunk=chunk)
+            assert _cli_decompress(blob) == data, (len(data), chunk)
+    assert _cli_decompress(zstd_compress_stored(b"x", checksum=False)) == b"x"
+
+
+def test_own_stored_roundtrip():
+    for data in CASES:
+        assert zstd_decompress(zstd_compress_stored(data)) == data
+        assert (
+            zstd_decompress(zstd_compress_stored(data, checksum=False))
+            == data
+        )
+    # multi-frame concat + skippable, no CLI needed
+    blob = (
+        zstd_compress_stored(b"one ")
+        + zstd_skippable_frame(b"meta")
+        + zstd_compress_stored(b"two")
+    )
+    assert zstd_decompress(blob) == b"one two"
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_truncation_raises_valueerror_everywhere():
+    blob = _cli_compress(b"truncate me anywhere " * 50, "-3")
+    assert zstd_decompress(blob)
+    for cut in range(len(blob)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            zstd_decompress(blob[:cut])
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_corruption_raises():
+    data = b"checksummed payload " * 100
+    blob = bytearray(_cli_compress(data, "-3"))
+    blob[-1] ^= 0xFF  # trailing checksum byte
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(blob))
+    blob2 = bytearray(_cli_compress(data, "-3"))
+    blob2[10] ^= 0xFF  # inside the first block
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(blob2))
+
+
+def test_hostile_guards():
+    import struct
+
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"ZZZZZZZZ")
+    with pytest.raises(ValueError, match="no zstd frame"):
+        zstd_decompress(b"")
+    # reserved frame-header bit
+    bad = struct.pack("<I", 0xFD2FB528) + bytes([0x28, 0x00])
+    with pytest.raises(ValueError, match="reserved"):
+        zstd_decompress(bad)
+    # reserved block type inside a valid header
+    good = bytearray(zstd_compress_stored(b"hi"))
+    # block header starts right after magic(4)+fhd(1)+fcs(1)
+    good[6] |= 0x06  # block type 3
+    with pytest.raises(ValueError, match="reserved block"):
+        zstd_decompress(bytes(good))
+    # oversized raw-block size field must raise BEFORE allocation
+    huge = (0 | (0 << 1) | ((1 << 20) << 3)).to_bytes(3, "little")
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x20, 0xFF]) + huge
+    with pytest.raises(ValueError, match="cap|truncated"):
+        zstd_decompress(frame)
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_dictionary_detected_not_guessed(tmp_path):
+    """A frame referencing a dictionary must raise NotImplementedError
+    naming the id, not decode garbage."""
+    samples = tmp_path / "s"
+    samples.mkdir()
+    for i in range(40):
+        (samples / f"{i}.txt").write_bytes(
+            b"the common prefix of every sample " + str(i).encode()
+        )
+    dic = tmp_path / "d.dict"
+    r = subprocess.run(
+        [_CLI, "--train", *map(str, samples.iterdir()), "-o", str(dic)],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip("CLI cannot train a dictionary here")
+    blob = subprocess.run(
+        [_CLI, "-c", "-D", str(dic)],
+        input=b"the common prefix of every sample 99",
+        stdout=subprocess.PIPE,
+        check=True,
+    ).stdout
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        zstd_decompress(blob)
