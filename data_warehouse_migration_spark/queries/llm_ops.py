@@ -4265,7 +4265,7 @@ def hard_negative_mining(spark, sf_dir):
     )
 
 
-def _bpe_step_sql(k: int) -> str:
+def _bpe_step_sql(k: int, sfx: str = "") -> str:
     """One unrolled BPE merge round: weighted adjacent-pair counts
     over the round's vocabulary, the (count DESC, left ASC, right
     ASC) argmax, and a RECURSIVE fixpoint CTE applying the merge by
@@ -4282,39 +4282,39 @@ def _bpe_step_sql(k: int) -> str:
     symbol can never appear inside the pattern, so no new matches are
     created; equivalence is brute-forced in tests/test_tokenizer.py."""
     return f"""
-p{k} AS (
+p{sfx}{k} AS (
     SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
     FROM (SELECT list_filter(string_split(s, ' '), x -> x != '') AS l, cnt
-          FROM w{k - 1}),
+          FROM w{sfx}{k - 1}),
          LATERAL (SELECT unnest(range(1, len(l))) AS i) ii
     GROUP BY a, b
-), b{k} AS (
+), b{sfx}{k} AS (
     SELECT a, b, c,
            ' ' || a || '  ' || b || ' ' AS pat,
            ' ' || a || b || ' ' AS rep
-    FROM p{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1
-), r{k} AS (
+    FROM p{sfx}{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+), r{sfx}{k} AS (
     SELECT w.word, w.cnt,
            replace(w.s, b.pat, b.rep) AS s,
            replace(replace(w.s, b.pat, b.rep), b.pat, b.rep)
                = replace(w.s, b.pat, b.rep) AS done
-    FROM w{k - 1} w, b{k} b
+    FROM w{sfx}{k - 1} w, b{sfx}{k} b
     UNION ALL
     SELECT r.word, r.cnt,
            replace(r.s, b.pat, b.rep),
            replace(replace(r.s, b.pat, b.rep), b.pat, b.rep)
                = replace(r.s, b.pat, b.rep)
-    FROM r{k} r, b{k} b WHERE NOT r.done
-), w{k} AS (
-    SELECT word, cnt, s FROM r{k} WHERE done
-    -- Corpus exhausts mergeable pairs before round {k}: b{k} is empty,
+    FROM r{sfx}{k} r, b{sfx}{k} b WHERE NOT r.done
+), w{sfx}{k} AS (
+    SELECT word, cnt, s FROM r{sfx}{k} WHERE done
+    -- Corpus exhausts mergeable pairs before round {k}: b{sfx}{k} is empty,
     -- so the seed cross-join yields no rows and the vocabulary must
     -- CARRY FORWARD unchanged — mirroring the engine's loop break
-    -- (ADVICE r10 #1: without this, an empty b{k} collapsed every
+    -- (ADVICE r10 #1: without this, an empty b{sfx}{k} collapsed every
     -- later vocabulary and the apply oracle reported zero counts).
     UNION ALL
-    SELECT word, cnt, s FROM w{k - 1}
-    WHERE NOT EXISTS (SELECT 1 FROM b{k})
+    SELECT word, cnt, s FROM w{sfx}{k - 1}
+    WHERE NOT EXISTS (SELECT 1 FROM b{sfx}{k})
 )"""
 
 

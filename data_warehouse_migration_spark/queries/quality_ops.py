@@ -4046,3 +4046,221 @@ def streaming_quality_warmstart(spark, sf_dir):
         spark, docs, init, start_epoch=5, epochs=4,
         n_features=_QC_N_FEATURES,
     )
+
+
+def _crawl_warm_oracle(e_cold: int = 3, e_warm: int = 3) -> str:
+    """DuckDB twin of the warm-curation COMPOSITION
+    (streaming/crawl_ingest.crawl_warm_curation): the crawl
+    front-end's eligibility + extraction as closed forms (the
+    ``streaming_crawl_ingest`` oracle's formulas — fetched ⟺
+    doc_id%4 ∈ {1,3}, main text = the v7 string formula, the unicode
+    quality floor), feeding BOTH incremental models over the same
+    two-generation split: the SGD chain (3 cold epochs on the A
+    slice, 3 warm with the decay continued — the
+    ``_qc_warmstart_oracle`` recurrence with ``s``-prefixed CTE
+    names so the BPE chain's w{k} vocabularies don't collide) and
+    the BPE chain (2 merges learned on A, replayed onto B's fresh
+    vocabulary by the same recursive leftmost-replace fixpoint, then
+    2 EXTENSION rounds). One tall result attests the whole
+    composition: kind='weight' rows are the final composed model,
+    kind='merge' rows the extension merges."""
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_norm_sql,
+        unicode_tokens_sql,
+    )
+    from data_warehouse_migration_spark.operators.training import LR_W
+    from data_warehouse_migration_spark.queries.llm_ops import _bpe_step_sql
+    from data_warehouse_migration_spark.queries.sketch_ops import _h_sql
+
+    bucket = _h_sql("t", 0, _QC_N_FEATURES)
+    sw = "['the','a','an','of','and','to','in','is','it','for']"
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    unorm = unicode_norm_sql("text")
+
+    def corpus_ctes(sfx: str, where: str) -> str:
+        return f"""tok{sfx} AS (
+    SELECT doc_id,
+           list_filter(string_split({norm}, ' '), t -> t != '') AS u
+    FROM mte{where}
+), lab{sfx} AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN len(u) > 0
+                     AND 100 * len(list_filter(u, t -> list_contains({sw}, t)))
+                         >= 7 * len(u)
+                THEN 1 ELSE 0 END AS y
+    FROM tok{sfx}
+), fz{sfx} AS (
+    SELECT doc_id,
+           unnest(list_concat(
+               u,
+               list_transform(range(1, len(u)), i -> u[i] || '_' || u[i + 1])
+           )) AS t
+    FROM tok{sfx}
+), fx{sfx} AS (
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, {bucket} AS bucket FROM fz{sfx}) z
+    GROUP BY doc_id, bucket
+), ft{sfx} AS MATERIALIZED (
+    SELECT doc_id, bucket,
+           (cnt * 1024) // sum(cnt) OVER (PARTITION BY doc_id) AS xq
+    FROM fx{sfx}
+), nn{sfx} AS MATERIALIZED (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM mte{where}
+)"""
+
+    def step(e: int, sfx: str, prev: str) -> str:
+        lr = LR_W // e
+        return f""", sz{e} AS (
+    SELECT ft{sfx}.doc_id,
+           CAST(sum(COALESCE({prev}.wq, 0) * ft{sfx}.xq) AS BIGINT) AS zq
+    FROM ft{sfx} LEFT JOIN {prev} USING (bucket) GROUP BY 1
+), sr{e} AS (
+    SELECT lab{sfx}.doc_id,
+           CAST(greatest(0, least(1024, sz{e}.zq // 4000 + 512))
+                - 1024 * lab{sfx}.y AS BIGINT) AS rq
+    FROM lab{sfx} JOIN sz{e} USING (doc_id)
+), sg{e} AS (
+    SELECT ft{sfx}.bucket, sum(sr{e}.rq * ft{sfx}.xq) AS gq
+    FROM ft{sfx} JOIN sr{e} USING (doc_id) GROUP BY 1
+), sw{e} AS MATERIALIZED (
+    SELECT sg{e}.bucket,
+           CAST(COALESCE({prev}.wq, 0)
+                - (({lr} * sg{e}.gq) // (1048576 * (SELECT n FROM nn{sfx})))
+               AS BIGINT) AS wq
+    FROM sg{e} LEFT JOIN {prev} USING (bucket)
+)"""
+
+    def replay(k: int, src: str, dst: str) -> str:
+        """Apply already-learned merge ba{k} to vocabulary ``src`` by
+        the same recursive leftmost-replace fixpoint as training,
+        with the empty-merge carry-forward."""
+        return f""", rpl{k} AS (
+    SELECT w.word, w.cnt,
+           replace(w.s, b.pat, b.rep) AS s,
+           replace(replace(w.s, b.pat, b.rep), b.pat, b.rep)
+               = replace(w.s, b.pat, b.rep) AS done
+    FROM {src} w, ba{k} b
+    UNION ALL
+    SELECT r.word, r.cnt,
+           replace(r.s, b.pat, b.rep),
+           replace(replace(r.s, b.pat, b.rep), b.pat, b.rep)
+               = replace(r.s, b.pat, b.rep)
+    FROM rpl{k} r, ba{k} b WHERE NOT r.done
+), {dst} AS (
+    SELECT word, cnt, s FROM rpl{k} WHERE done
+    UNION ALL
+    SELECT word, cnt, s FROM {src}
+    WHERE NOT EXISTS (SELECT 1 FROM ba{k})
+)"""
+
+    def seed(vocab: str, w0: str, where: str) -> str:
+        return f"""{vocab} AS (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split({unorm}, ' ')) AS w
+          FROM mte{where})
+    WHERE w != '' GROUP BY w
+), {w0} AS (
+    SELECT word, cnt,
+           '  ' || array_to_string(
+               list_transform(range(1, length(word) + 1), i -> word[i]), '  ')
+           || '  ' AS s
+    FROM {vocab}
+)"""
+
+    a_where = " WHERE doc_id % 4 = 1"
+    parts = [
+        f"""
+WITH RECURSIVE mte AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id,
+               trim(regexp_replace(text || ' <raw> AB',
+                                   '[ \t\n\r]+', ' ', 'g')) AS text
+        FROM documents WHERE CAST(doc_id % 4 AS INT) IN (1, 3)
+    ) m
+    WHERE len({unicode_tokens_sql("text")}) >= 5
+), """,
+        corpus_ctes("a", a_where),
+        ", ",
+        corpus_ctes("b", ""),
+        f""", sr1 AS (
+    SELECT doc_id, CAST(512 - 1024 * y AS BIGINT) AS rq FROM laba
+), sg1 AS (
+    SELECT fta.bucket, sum(sr1.rq * fta.xq) AS gq
+    FROM fta JOIN sr1 USING (doc_id) GROUP BY 1
+), sw1 AS MATERIALIZED (
+    SELECT bucket,
+           CAST(-(({LR_W} * gq) // (1048576 * (SELECT n FROM nna)))
+               AS BIGINT) AS wq
+    FROM sg1
+)""",
+    ]
+    for e in range(2, e_cold + 1):
+        parts.append(step(e, "a", f"sw{e - 1}"))
+    for e in range(e_cold + 1, e_cold + e_warm + 1):
+        parts.append(step(e, "b", f"sw{e - 1}"))
+    parts.append(", " + seed("wva", "wa0", a_where))
+    parts.append("," + _bpe_step_sql(1, "a"))
+    parts.append("," + _bpe_step_sql(2, "a"))
+    parts.append(", " + seed("wvb", "w0", ""))
+    parts.append(replay(1, "w0", "w1"))
+    parts.append(replay(2, "w1", "w2"))
+    parts.append("," + _bpe_step_sql(3))
+    parts.append("," + _bpe_step_sql(4))
+    parts.append(f"""
+SELECT 'weight' AS kind, CAST(bucket AS BIGINT) AS k1,
+       CAST(NULL AS VARCHAR) AS left_sym, CAST(NULL AS VARCHAR) AS right_sym,
+       wq AS val
+FROM sw{e_cold + e_warm} WHERE wq != 0
+UNION ALL
+SELECT 'merge', CAST(3 AS BIGINT), a, b, c FROM b3
+UNION ALL
+SELECT 'merge', CAST(4 AS BIGINT), a, b, c FROM b4
+""")
+    return "".join(parts)
+
+
+@query(
+    "streaming_crawl_warm_curation",
+    tags=("streaming", "crawl", "training", "tokenizer", "incremental",
+          "warm-start", "bpe", "composition"),
+    oracle=_crawl_warm_oracle(3, 3),
+)
+def streaming_crawl_warm_curation(spark, sf_dir):
+    """The incremental curation models composed INTO the recurring
+    crawl (r13 — finishes VERDICT r11 action #6: the crawl twin
+    deduped incrementally while its quality/BPE stages stayed
+    batch-only). Both models train on the crawl's OWN product — the
+    v8 front-end's extracted main text for pages that survived
+    robots politeness and the unicode quality floor — across the
+    two-generation split: the quality classifier runs 3 cold epochs
+    on the first crawl slice then 3 WARM epochs on the grown corpus
+    from the handed-over weights with the 1/t decay continued
+    (operators/training.logistic_sgd_warmstart), and the BPE
+    vocabulary learns 2 merges on the first slice then EXTENDS with
+    2 more on the grown corpus while the shipped merges stay fixed
+    (operators/tokenizer.bpe_extend_merges — the at-rest corpus is
+    never retokenized).
+
+    The ONE oracle recomputes the whole composition from closed
+    forms: crawl eligibility and extraction as string formulas (the
+    ``streaming_crawl_ingest`` oracle's), the SGD trajectory as an
+    unrolled six-epoch CTE chain spanning the generation seam, and
+    the BPE trajectory as train → recursive-replay → extend. A
+    defect anywhere — extraction feeding training, the warm handoff,
+    the continued decay, the replay fidelity, an extension round's
+    census or tie-break — breaks the bit-exact match
+    (streaming/crawl_ingest.crawl_warm_curation).
+
+    Scale: per-generation cost is the warm epochs + k_more censuses
+    over the CURRENT corpus — flat as the corpus grows
+    (SCALING_r12_warmstart.json measured both halves); handoffs are
+    model-sized driver collects, the per-epoch trainer posture."""
+    from data_warehouse_migration_spark.streaming.crawl_ingest import (
+        crawl_warm_curation,
+    )
+
+    return crawl_warm_curation(
+        spark, t(spark, sf_dir, "documents"),
+        e_cold=3, e_warm=3, k_base=2, k_more=2,
+        n_features=_QC_N_FEATURES,
+    )

@@ -129,6 +129,115 @@ def apply_crawl_epoch(
     )
 
 
+def crawl_eligible_text(docs: DataFrame) -> DataFrame:
+    """The curation-model INPUT a recurring crawl actually has: the
+    v8 front-end's extracted main text for pages that survived
+    politeness and the unicode quality floor — ``(doc_id, text)``.
+    Shared by the warm-curation composition below so the classifier
+    and tokenizer train on what the crawl KEPT, not on raw archives."""
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_token_count,
+    )
+    from data_warehouse_migration_spark.operators.web_extract import (
+        crawl_archive_ingest,
+    )
+
+    ing = crawl_archive_ingest(docs)
+    return ing.where(
+        F.col("allowed") & (unicode_token_count(F.col("main_text")) >= 5)
+    ).select("doc_id", F.col("main_text").alias("text"))
+
+
+def crawl_warm_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    e_cold: int = 3,
+    e_warm: int = 3,
+    k_base: int = 2,
+    k_more: int = 2,
+    n_features: int = 4096,
+) -> DataFrame:
+    """The INCREMENTAL curation models composed INTO the recurring
+    crawl (r13 — finishes VERDICT r11 action #6: the crawl twin
+    deduped incrementally while its quality/BPE stages stayed
+    batch-only). Generation A is the first crawl slice
+    (``doc_id % 4 = 1`` — half of the robots-eligible ids, which are
+    exactly the odd ones); generation B is the grown corpus. Each
+    generation's model input is the crawl's OWN product —
+    :func:`crawl_eligible_text`, the extracted main text of pages
+    that survived robots + the quality floor — and the models are
+    carried across the generation seam the incremental way:
+
+    - the quality classifier trains ``e_cold`` epochs from zero on
+      generation A, then WARM-STARTS generation B from A's weights
+      with the 1/t decay CONTINUED
+      (operators/training.logistic_sgd_warmstart — one schedule
+      spanning generations, not a restart);
+    - the BPE vocabulary learns ``k_base`` merges on generation A,
+      then generation B EXTENDS it with ``k_more`` new merges while
+      the shipped merges stay fixed
+      (operators/tokenizer.bpe_extend_merges — the at-rest corpus is
+      never retokenized).
+
+    Returns one tall DataFrame: ``kind='weight'`` rows carry the
+    final composed model (bucket, weight_mili) and ``kind='merge'``
+    rows the EXTENSION merges (rank k_base+1…, symbols, pair count) —
+    so one oracle attests the whole composition: extraction feeding
+    training, the warm handoff, the continued decay, the replayed
+    merges, and the new rounds' censuses.
+
+    Scale: per-generation cost is the warm epochs over the current
+    corpus plus ``k_more`` censuses over the deduplicated vocabulary
+    — both flat per generation (SCALING_r12_warmstart.json measured
+    the warm/extend halves; the model handoffs are model-sized
+    collects, the same driver posture as the per-epoch trainer)."""
+    from data_warehouse_migration_spark.operators.tokenizer import (
+        bpe_extend_merges,
+        bpe_train_merges,
+    )
+    from data_warehouse_migration_spark.operators.training import (
+        logistic_sgd_warmstart,
+    )
+
+    gen_a = crawl_eligible_text(docs.where(F.col("doc_id") % 4 == 1))
+    gen_b = crawl_eligible_text(docs)
+
+    wa = logistic_sgd_warmstart(
+        spark, gen_a, None, start_epoch=1, epochs=e_cold,
+        n_features=n_features,
+    )
+    init = {int(r["bucket"]): int(r["weight_mili"]) for r in wa.collect()}
+    wb = logistic_sgd_warmstart(
+        spark, gen_b, init, start_epoch=e_cold + 1, epochs=e_warm,
+        n_features=n_features,
+    )
+
+    ma = bpe_train_merges(spark, gen_a, text_col="text", k=k_base)
+    prior = [
+        (str(r["left_sym"]), str(r["right_sym"]))
+        for r in sorted(ma.collect(), key=lambda r: r["merge_rank"])
+    ]
+    mb = bpe_extend_merges(
+        spark, gen_b, prior, k_more=k_more, text_col="text"
+    )
+
+    weights = wb.select(
+        F.lit("weight").alias("kind"),
+        F.col("bucket").cast("long").alias("k1"),
+        F.lit(None).cast("string").alias("left_sym"),
+        F.lit(None).cast("string").alias("right_sym"),
+        F.col("weight_mili").cast("long").alias("val"),
+    )
+    merges = mb.select(
+        F.lit("merge").alias("kind"),
+        F.col("merge_rank").cast("long").alias("k1"),
+        "left_sym",
+        "right_sym",
+        F.col("pair_count").cast("long").alias("val"),
+    )
+    return weights.unionByName(merges)
+
+
 def streaming_crawl_ingest(
     doc_stream: DataFrame,
     index_dir: str,
