@@ -56,6 +56,18 @@ LOAD_CALM_BEFORE = 3.0
 LOAD_CALM_AFTER = 5.0
 CONTENTION_SLEEP_S = 60
 
+# Calm-START enforcement (VERDICT r12 "what's wrong" #1): the retry
+# logic above can re-run a contended PASS, but it cannot retry a
+# contended START — BENCH_r12.json was committed from a launch at
+# ambient load 11.99 and recorded an episode, not a floor. Before the
+# Spark session exists (so the reading is pure ambient), wait out the
+# host until the 1-minute load is calm, bounded; the waits and an
+# exhausted flag ship in meta so the artifact explains itself either
+# way.
+CALM_START_LOAD = 1.5
+CALM_START_SLEEP_S = 60
+CALM_START_MAX_WAITS = 10
+
 
 def _salvage_tail_minima(tail: str) -> dict[str, float]:
     """Per-query minima recovered from a TRUNCATED driver tail capture.
@@ -125,6 +137,11 @@ def main() -> None:
     # it measures bench self-load plus ambient. This field is the one
     # that answers "was the HOST calm?" (VERDICT r11 action #5).
     load_at_start = round(os.getloadavg()[0], 2)
+    calm_waits = 0
+    while load_at_start > CALM_START_LOAD and calm_waits < CALM_START_MAX_WAITS:
+        time.sleep(CALM_START_SLEEP_S)
+        calm_waits += 1
+        load_at_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # >=3 runs so the reported min is noise-resistant: r2→r3 flagged
     # +7-19% drift on three queries that 2-run sampling couldn't
@@ -260,6 +277,12 @@ def main() -> None:
                 "meta": {
                     "runs_per_query": n_runs,
                     "load_1m_at_start": load_at_start,
+                    # Calm-start enforcement: how many 60 s waits the
+                    # launch spent letting ambient load decay, and
+                    # whether it gave up still-contended (in which
+                    # case value records an episode, not a floor).
+                    "calm_start_waits": calm_waits,
+                    "calm_start_exhausted": load_at_start > CALM_START_LOAD,
                     "load_1m_before": load_before_1m,
                     "load_1m_after": load_after_1m,
                     "cpus": os.cpu_count(),
