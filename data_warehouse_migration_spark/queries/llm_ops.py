@@ -275,16 +275,19 @@ def text_quality(spark, sf_dir):
 
 @query(
     "token_stats",
-    tags=("text", "tokenize"),
-    oracle="""
+    tags=("text", "tokenize", "unicode"),
+    oracle=r"""
 WITH norm AS (
     SELECT doc_id, n_chars,
-           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+           trim(regexp_replace(lower(text),
+                '[\t\n\x0B\f\r\p{Z}]+', ' ', 'g')) AS txt
     FROM documents
 )
 SELECT doc_id,
-       len(string_split(txt, ' '))::INT AS n_tokens,
-       len(regexp_extract_all(txt, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::INT
+       len(list_filter(string_split(txt, ' '), t -> t != ''))::INT
+           AS n_tokens,
+       len(regexp_extract_all(txt,
+           '\p{L}+|\p{N}+|[^\p{L}\p{N}\t\n\x0B\f\r\p{Z}]'))::INT
            AS n_bpe_tokens,
        length(txt)::INT AS n_chars_norm,
        n_chars
@@ -292,15 +295,21 @@ FROM norm
 """,
 )
 def token_stats(spark, sf_dir):
+    """Per-document token statistics, on the UNICODE tokenization
+    family since r13 (SCALE.md's per-query migration mechanism —
+    VERDICT r12 missing #6): `\\p{Z}`-normalized whitespace with
+    empties dropped, `\\p{L}`/`\\p{N}` runs for the BPE-ish count, so
+    non-Latin text counts words instead of degrading to
+    per-character symbols. The oracle mirrors the identical RE2
+    classes; cross-engine parity of the family is pinned by the
+    `unicode_tokenization_parity` gate."""
     docs = t(spark, sf_dir, "documents")
     txt = F.col("text")
-    norm = D.normalized_text(txt)
+    norm = Tx.unicode_normalized_text(txt)
     return docs.select(
         "doc_id",
-        Tx.token_count(txt).alias("n_tokens"),
-        F.size(F.regexp_extract_all(norm, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
-            "n_bpe_tokens"
-        ),
+        Tx.unicode_token_count(txt).alias("n_tokens"),
+        Tx.unicode_bpe_ish_token_count(txt).alias("n_bpe_tokens"),
         F.length(norm).alias("n_chars_norm"),
         "n_chars",
     )
@@ -946,11 +955,12 @@ def word_frequency_topk(spark, sf_dir):
 
 @query(
     "higher_order_token_stats",
-    tags=("text", "higher-order"),
-    oracle="""
+    tags=("text", "higher-order", "unicode"),
+    oracle=r"""
 WITH tk AS (
     SELECT doc_id,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           list_filter(string_split(trim(regexp_replace(lower(text),
+               '[\t\n\x0B\f\r\p{Z}]+', ' ', 'g')), ' '), t -> t != '')
                AS toks
     FROM documents
 )
@@ -958,7 +968,8 @@ SELECT doc_id,
        len(list_filter(toks, x -> length(x) > 6))::INT AS n_long,
        len(list_distinct(list_transform(toks, x -> length(x))))::INT
            AS n_distinct_lens,
-       CAST(list_sum(list_transform(toks, x -> CASE WHEN x SIMILAR TO '[0-9]+'
+       CAST(list_sum(list_transform(toks,
+            x -> CASE WHEN regexp_full_match(x, '\p{N}+')
             THEN 1 ELSE 0 END)) AS BIGINT) AS n_numeric
 FROM tk
 """,
@@ -967,9 +978,12 @@ def higher_order_token_stats(spark, sf_dir):
     """Higher-order array functions (filter/transform/aggregate) kept
     entirely JVM-side — the no-UDF posture for per-document token
     analysis. Each lambda runs inside codegen over the token array; no
-    explode, no shuffle."""
+    explode, no shuffle. On the UNICODE tokenization family since r13
+    (SCALE.md's per-query migration — VERDICT r12 missing #6):
+    `\\p{Z}`-normalized tokens with empties dropped, numeric runs via
+    `\\p{N}` so fullwidth/Arabic-Indic digits count."""
     docs = t(spark, sf_dir, "documents")
-    toks = F.split(D.normalized_text(F.col("text")), " ")
+    toks = Tx.unicode_tokens(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 6)).alias("n_long"),
@@ -979,7 +993,7 @@ def higher_order_token_stats(spark, sf_dir):
         F.aggregate(
             F.transform(
                 toks,
-                lambda x: F.when(x.rlike(r"^[0-9]+$"), F.lit(1)).otherwise(F.lit(0)),
+                lambda x: F.when(x.rlike(r"^\p{N}+$"), F.lit(1)).otherwise(F.lit(0)),
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,

@@ -44,6 +44,27 @@ def _ngram_rows(docs, n: int):
     return docs.select("doc_id", F.explode(grams).alias("gram"))
 
 
+def _unicode_ngram_rows(docs, n: int):
+    """Unicode twin of :func:`_ngram_rows` (r13 — SCALE.md's
+    per-query migration mechanism): `\\p{Z}`-normalized tokens with
+    empties dropped. A separate helper because `_ngram_rows`'s
+    attested consumers stay on the legacy family by documented
+    posture (md5 chains) or until their own window slot."""
+    from data_warehouse_migration_spark.functions.text import unicode_tokens
+
+    words = unicode_tokens(F.col("text"))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array())
+    return docs.select("doc_id", F.explode(grams).alias("gram"))
+
+
 @query(
     "repetition_quality_flags",
     tags=("text", "quality", "gopher"),
@@ -202,11 +223,12 @@ def pii_redaction_stats(spark, sf_dir):
 
 @query(
     "bigram_lm_scores",
-    tags=("text", "lm", "quality"),
-    oracle="""
+    tags=("text", "lm", "quality", "unicode"),
+    oracle=r"""
 WITH n AS (
     SELECT doc_id,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           list_filter(string_split(trim(regexp_replace(lower(text),
+               '[\t\n\x0B\f\r\p{Z}]+', ' ', 'g')), ' '), t -> t != '')
                AS w
     FROM documents
 ), tok AS (
@@ -253,15 +275,18 @@ def bigram_lm_scores(spark, sf_dir):
     is broadcast. The corpus text is scanned twice and never shuffled.
     Smoothing math is exact integer counts inside the log; the per-doc
     mean follows the doc_perplexity_filter precedent (avg of ln,
-    rounded to 6)."""
+    rounded to 6). On the UNICODE tokenization family since r13
+    (SCALE.md's per-query migration — VERDICT r12 missing #6)."""
+    from data_warehouse_migration_spark.functions.text import unicode_tokens
+
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
+        F.explode(unicode_tokens(F.col("text"))).alias("t"),
     )
     uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
     vsz = uni.agg(F.count(F.lit(1)).alias("vsz"))
-    bi = _ngram_rows(docs, 2).select(
+    bi = _unicode_ngram_rows(docs, 2).select(
         "doc_id",
         F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
