@@ -3028,11 +3028,12 @@ def dedup_clusters_star(spark, sf_dir):
 @query(
     "doc_perplexity_filter",
     headline=True,
-    tags=("text", "quality", "perplexity"),
-    oracle="""
+    tags=("text", "quality", "perplexity", "unicode"),
+    oracle=r"""
 WITH norm AS (
     SELECT doc_id,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           string_split(trim(regexp_replace(lower(text),
+               '[\t\n\x0B\f\r\p{Z}]+', ' ', 'g')), ' ')
                AS toks
     FROM documents
 ), tok AS (
@@ -3070,12 +3071,17 @@ def doc_perplexity_filter(spark, sf_dir):
     fits (a shuffle hash join on tok is the honest fallback); only the
     1-row corpus-total scalar is hinted. One shuffle for the per-doc
     mean. The keep flag compares the ROUNDED mean so both engines
-    decide from bit-identical inputs."""
+    decide from bit-identical inputs. On the UNICODE tokenization
+    family since r13 (SCALE.md's per-query migration — VERDICT r12
+    missing #6; the empty-token filter was already in place, so only
+    the whitespace class moved)."""
     toks = (
         t(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.explode(F.split(D.normalized_text(F.col("text")), " ")).alias("tok"),
+            F.explode(
+                F.split(Tx.unicode_normalized_text(F.col("text")), " ")
+            ).alias("tok"),
         )
         .filter(F.col("tok") != "")
     )
@@ -3260,7 +3266,7 @@ GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
 @query(
     "training_data_pipeline",
     headline=True,
-    tags=("pipeline", "dedup", "quality", "packing", "e2e"),
+    tags=("pipeline", "dedup", "quality", "packing", "e2e", "unicode"),
     oracle=f"""
 WITH norm AS (
     SELECT doc_id,
@@ -3269,8 +3275,13 @@ WITH norm AS (
 ), survivors AS (
     SELECT min(doc_id) AS doc_id
     FROM norm GROUP BY md5(txt)
+), unorm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text),
+                '[\\t\\n\\x0B\\f\\r\\p{{Z}}]+', ' ', 'g')) AS txt
+    FROM documents
 ), toks AS (
-    SELECT n.doc_id, unnest(string_split(n.txt, ' ')) AS tok FROM norm n
+    SELECT n.doc_id, unnest(string_split(n.txt, ' ')) AS tok FROM unorm n
 ), tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
 cnt AS (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok),
 tot AS (SELECT sum(c) AS t FROM cnt),
@@ -3320,11 +3331,13 @@ def training_data_pipeline(spark, sf_dir):
     nested-loop is the broadcast of the single-row corpus-total — a
     1-row cross join, constant at any scale. This is the shape of the
     actual 100 TB job the LLM-ops surface exists for; the oracle
-    recomputes the full composition in SQL and hash-matches."""
-    from data_warehouse_migration_spark.operators.dedup import (
-        content_digest,
-        normalized_text,
-    )
+    recomputes the full composition in SQL and hash-matches.
+
+    Tokenization posture (r13, per SCALE.md): the perplexity stage is
+    on the UNICODE family; the dedup stage's ``content_digest`` stays
+    on the legacy normalization BY DESIGN — it is an at-rest md5
+    signature, and changing it re-keys every stored index."""
+    from data_warehouse_migration_spark.operators.dedup import content_digest
     from data_warehouse_migration_spark.operators.packing import pack_sequences
     from data_warehouse_migration_spark.operators.sampling import md5_bucket
 
@@ -3337,7 +3350,9 @@ def training_data_pipeline(spark, sf_dir):
     )
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"),
+        F.explode(
+            F.split(Tx.unicode_normalized_text(F.col("text")), " ")
+        ).alias("tok"),
     ).filter(F.col("tok") != "")
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("t"))
