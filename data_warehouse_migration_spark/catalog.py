@@ -115,27 +115,33 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 12 window (ROTATION.md has the full ledger) — drain the
-# 20-row r12 head-of-line exactly as VERDICT r11 action #2 listed it,
-# plus this round's three new gates; the budget closes at exactly 50:
+# Round 13 window (ROTATION.md has the full ledger) — drain the
+# 5-row r13 head-of-line FIRST (VERDICT r12 action #2), then this
+# round's changed-code voids, new gates, and migrations, with the
+# spare slots refreshing the LEAST-recently-attested rows; the
+# budget closes at exactly 50:
 # (a) parity core (warehouse module) + ALL 19 bench headliners stay
-#     pinned, as every round.
-# (b) the 20 debt rows: the two r11 voids (media_feature_extract_real
-#     — umbrella over the r11 codec changes; gopher_quality_rules —
-#     Unicode-migrated in r11, judge-green, driver re-attest here)
-#     and the 18 r11 registrations that landed out-of-window
-#     (curation v6/v7/v8, the crawl/format stack, the codec tiers,
-#     the streaming crawl twin). Several of these additionally had
-#     code change THIS round (the ADVICE r11 hardening touched
-#     warc/url/html_text/tar_stream/web_extract; the PDF font work
-#     touched pdf.py), so their in-window slot doubles as the
-#     changed-code re-attest.
-# (c) the three r12 gates: both fault-quarantine gates (VERDICT r11
-#     action #1) and the warm-start trainer (action #6) — registered
-#     straight into the window, keeping this round's registration
-#     count exactly at the free-slot budget (action #2's structural
-#     note).
-_WINDOW_R12 = (
+#     pinned, as every round. Two headliners
+#     (training_data_pipeline, doc_perplexity_filter) additionally
+#     carry this round's Unicode-tokenizer migration — their pinned
+#     slot doubles as the changed-code re-attest.
+# (b) the 5 debt rows: the r12 second-wave registrations that landed
+#     after the window sealed (bz2/tiff/wikidump/tfrecord/xz). The
+#     ADVICE r12 hardening (bz2 RLE2 cap, xz dict-reset contexts +
+#     truncation ValueError, tiff Predictor 2) touched exactly these
+#     modules, so the drain doubles as the changed-code re-attest.
+# (c) r13 changed-code voids: warc_ingest_extract (Content-Encoding
+#     legs), crawl_ingest_quarantine (content-coding fault legs),
+#     webdataset_shard_roundtrip (PAX/GNU legs), and the three
+#     Unicode-tokenizer migrations (VERDICT r12 action #8).
+# (d) the two r13 gates: zst_text_archive (the zstd rung) and
+#     streaming_crawl_warm_curation (warm training + BPE extension
+#     composed into the recurring crawl) — registered straight into
+#     the window; registrations stay within the free-slot budget.
+# (e) rotation refresh: ten TPC-H depth-suite rows standing on their
+#     ROUND-1 driver attestation — the oldest rows in the ledger
+#     (code unchanged; judge sweeps have kept them green since).
+_WINDOW_R13 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -154,44 +160,45 @@ _WINDOW_R12 = (
     "curation_pipeline_v3",
     "semdedup_embeddings",
     "containment_quote_pairs",
-    # (b) the 20-row debt drain: the two r11 voids...
-    "media_feature_extract_real",
-    "gopher_quality_rules",
-    # ...and the 18 r11 out-of-window registrations (several also
-    # carry r12 code changes — see the block comment).
-    "curation_pipeline_v6",
-    "curation_pipeline_v7",
-    "curation_pipeline_v8",
-    "html_text_extract",
-    "url_canonicalize",
+    # (b) the 5-row debt drain (+ ADVICE r12 hardening re-attest)
+    "bz2_text_archive",
+    "media_tiff_decode",
+    "wikidump_extract",
+    "tfrecord_shard_roundtrip",
+    "xz_text_archive",
+    # (c) r13 changed-code voids
     "warc_ingest_extract",
-    "robots_policy_check",
-    "pdf_text_extract",
-    "mime_message_extract",
-    "mbox_thread_extract",
-    "zip_bundle_roundtrip",
-    "webdataset_shard_roundtrip",
-    "media_flac_decode",
-    "media_video_frame_sample",
-    "media_audio_containers",
-    "media_feature_extract_containers",
-    "media_jpeg_exif_orientation",
-    "streaming_crawl_ingest",
-    # (c) the r12 gates, registered straight into the window.
-    "media_decode_quarantine",
     "crawl_ingest_quarantine",
-    "streaming_quality_warmstart",
+    "webdataset_shard_roundtrip",
+    "token_stats",
+    "higher_order_token_stats",
+    "bigram_lm_scores",
+    # (d) the r13 gates, registered straight into the window
+    "zst_text_archive",
+    "streaming_crawl_warm_curation",
+    # (e) rotation refresh: the oldest standing rows (r1)
+    "q4_priority_with_late_lines",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_bi_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
 )
-# Displaced to make room: the r11 window's debt-drain rows and r11
-# re-attests all landed fresh CORRECTNESS_r11 rows; with code
-# unchanged those stand. media_resize_real stays displaced on its
-# r11 row (resize_media and synthesize_assets are untouched this
-# round — the quarantine work added NEW functions beside them).
+# Displaced to make room: the r12 window's 20-row drain and the r12
+# gates all landed fresh CORRECTNESS_r12 rows; with code unchanged
+# those stand (crawl_archive_ingest, parse_http_response, the media
+# strict paths, and streaming/crawl_ingest's epoch machinery are
+# byte-identical this round — the r13 crawl work added NEW sibling
+# functions and only changed the two harnesses listed in (c)).
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R12,
+    *_WINDOW_R13,
 )
 
 

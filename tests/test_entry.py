@@ -24,19 +24,20 @@ def test_attestation_window_membership():
     """The driver attests the first 50 registry entries (ROTATION.md).
 
     The window prefix must BE catalog._FIRST in order (the strong
-    form, ADVICE r5), the FULL _WINDOW_R12 tuple must sit inside the
+    form, ADVICE r5), the FULL _WINDOW_R13 tuple must sit inside the
     first 50 (the containment form, ADVICE r10 #2 — so a future
-    registration can't silently displace a gate), and the r12
-    rotation targets — all 19 bench headliners, the 20-row debt
-    drain, and the three new gates — are pinned by name.
+    registration can't silently displace a gate), and the r13
+    rotation targets — all 19 bench headliners, the 5-row debt
+    drain, the changed-code voids, the two new gates, and the
+    rotation refresh — are pinned by name.
     """
-    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R12
+    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R13
 
     names = list(entry_mod.queries())
     assert len(_FIRST) <= 50  # == 50 once the round's registrations land
     assert names[: len(_FIRST)] == list(_FIRST)
-    assert set(_WINDOW_R12) <= set(names[:50]), (
-        set(_WINDOW_R12) - set(names[:50])
+    assert set(_WINDOW_R13) <= set(names[:50]), (
+        set(_WINDOW_R13) - set(names[:50])
     )
     pinned = [
         # parity core
@@ -62,32 +63,37 @@ def test_attestation_window_membership():
         "curation_pipeline_v3",
         "semdedup_embeddings",
         "containment_quote_pairs",
-        # r12: the 20-row debt drain (VERDICT r11 action #2) — the
-        # two r11 voids plus the 18 out-of-window r11 registrations.
-        "media_feature_extract_real",
-        "gopher_quality_rules",
-        "curation_pipeline_v6",
-        "curation_pipeline_v7",
-        "curation_pipeline_v8",
-        "html_text_extract",
-        "url_canonicalize",
+        # r13: the 5-row debt drain (VERDICT r12 action #2) — the
+        # r12 second-wave registrations, whose modules also carry
+        # the ADVICE r12 hardening.
+        "bz2_text_archive",
+        "media_tiff_decode",
+        "wikidump_extract",
+        "tfrecord_shard_roundtrip",
+        "xz_text_archive",
+        # r13: changed-code voids (Content-Encoding legs, the
+        # content-coding quarantine legs, PAX/GNU shard legs, and
+        # the three Unicode-tokenizer migrations)
         "warc_ingest_extract",
-        "robots_policy_check",
-        "pdf_text_extract",
-        "mime_message_extract",
-        "mbox_thread_extract",
-        "zip_bundle_roundtrip",
-        "webdataset_shard_roundtrip",
-        "media_flac_decode",
-        "media_video_frame_sample",
-        "media_audio_containers",
-        "media_feature_extract_containers",
-        "media_jpeg_exif_orientation",
-        "streaming_crawl_ingest",
-        # r12: new gates (quarantine ×2, warm-start)
-        "media_decode_quarantine",
         "crawl_ingest_quarantine",
-        "streaming_quality_warmstart",
+        "webdataset_shard_roundtrip",
+        "token_stats",
+        "higher_order_token_stats",
+        "bigram_lm_scores",
+        # r13: new gates (zstd rung, warm-curation composition)
+        "zst_text_archive",
+        "streaming_crawl_warm_curation",
+        # r13: rotation refresh — the oldest standing rows (r1)
+        "q4_priority_with_late_lines",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_bi_nation_volume",
+        "q8_market_share",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q13_order_distribution",
+        "q14_promo_revenue_share",
+        "q15_top_supplier",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
