@@ -269,9 +269,10 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
     fallback every browser carries because misconfigured servers have
     sent bare RFC 1951 streams since HTTP/1.0 (the sniff is the
     zlib CMF check: low nibble 8 + header checksum divisible by 31) —
-    and ``zstd`` (RFC 8878 via the engine's own functions/zstd).
-    ``br`` raises NotImplementedError naming the coding, any other
-    token raises ValueError — both quarantine-routable."""
+    ``zstd`` (RFC 8878 via the engine's own functions/zstd), and
+    ``br`` (RFC 7932 via functions/brotli_stream) — the full modern
+    server set. Any other token raises ValueError
+    (quarantine-routable)."""
     from data_warehouse_migration_spark.functions.gzip_stream import (
         gzip_decompress,
     )
@@ -302,9 +303,11 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
 
             body = zstd_decompress(body)
         elif coding == "br":
-            raise NotImplementedError(
-                f"content coding {coding!r} is not decoded here"
+            from data_warehouse_migration_spark.functions.brotli_stream import (
+                brotli_decompress,
             )
+
+            body = brotli_decompress(body)
         else:
             raise ValueError(f"unknown content coding {coding!r}")
     return body

@@ -719,16 +719,20 @@ def crawl_archive_ingest_quarantine(docs: DataFrame) -> DataFrame:
     - 3 → first magic byte flipped → ``bad gzip magic``
       (``ValueError``);
     - 4 → intact, body gzip-coded with ``Content-Encoding: gzip`` —
-      the GOOD content-coded row: decodes bit-identical to leg 0's
+      a GOOD content-coded row: decodes bit-identical to leg 0's
       extraction;
     - 5 → header claims ``gzip`` but the body ships uncompressed
       (the lying-server shape) → ``bad gzip magic``
       (``ValueError``);
     - 6 → gzip-coded body truncated 8 bytes (the trailer) →
       ``ValueError`` from the member walk;
-    - 7 → ``Content-Encoding: br`` — a coding the engine detects but
-      does not decode → ``NotImplementedError``, routed to
-      quarantine instead of killing the job.
+    - 7 → intact, body brotli-coded with ``Content-Encoding: br``
+      (the engine's stored-subset writer, decoded by the full
+      RFC 7932 decoder — functions/brotli_stream, r13): the second
+      GOOD content-coded row. Until r13 this leg attested br as
+      detected-but-undecoded; with the rung built it attests the
+      decode path per-row instead (an unknown token still raises
+      ``ValueError`` — pinned in tests/test_gzip_warc.py).
 
     Quarantined rows carry ``status='quarantined'``, the
     ``ExcClass: message`` reason, and null structure/text columns;
@@ -772,7 +776,12 @@ def crawl_archive_ingest_quarantine(docs: DataFrame) -> DataFrame:
             hdrs["Content-Encoding"] = "gzip"
             wire = gzip_compress(page, method="dynamic")[:-8]
         elif leg == 7:
+            from data_warehouse_migration_spark.functions.brotli_stream import (
+                brotli_compress_stored,
+            )
+
             hdrs["Content-Encoding"] = "br"
+            wire = brotli_compress_stored(page, chunk=97)
         http = build_http_response(
             200, "OK", hdrs,
             wire, chunked=bool(aid % 2), chunk_size=64,

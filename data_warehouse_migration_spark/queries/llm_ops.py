@@ -4614,19 +4614,17 @@ WITH g AS (
     SELECT doc_id,
            trim(regexp_replace(text || ' <raw> AB', '[ \t\n\r]+', ' ', 'g'))
                AS p_block
-    FROM documents WHERE doc_id % 8 IN (0, 4)
+    FROM documents WHERE doc_id % 8 IN (0, 4, 7)
 )
 SELECT doc_id, 'ok' AS status, CAST(NULL AS VARCHAR) AS reason_class,
        CAST(2 AS INT) AS n_records, TRUE AS allowed,
        md5(p_block) AS text_md5
 FROM g
 UNION ALL
-SELECT doc_id, 'quarantined' AS status,
-       CASE WHEN doc_id % 8 = 7 THEN 'NotImplementedError'
-            ELSE 'ValueError' END AS reason_class,
+SELECT doc_id, 'quarantined' AS status, 'ValueError' AS reason_class,
        CAST(NULL AS INT) AS n_records, CAST(NULL AS BOOLEAN) AS allowed,
        CAST(NULL AS VARCHAR) AS text_md5
-FROM documents WHERE doc_id % 8 NOT IN (0, 4)
+FROM documents WHERE doc_id % 8 NOT IN (0, 4, 7)
 """,
 )
 def crawl_ingest_quarantine(spark, sf_dir):
@@ -4635,24 +4633,25 @@ def crawl_ingest_quarantine(spark, sf_dir):
     archive is built intact, then corrupted by id formula — the
     transport legs (last trailer byte flipped / truncated 20 bytes /
     first magic flipped) plus, since r13, the CONTENT-CODING legs
-    (VERDICT r12 missing #1): a good ``Content-Encoding: gzip`` row
-    that must decode bit-identical to the identity path, a header
-    that lies about gzip over a plain body, a gzip body truncated
-    mid-trailer, and a Brotli coding the engine detects but does not
-    decode — before the read side runs gzip walk → WARC framing →
-    HTTP de-framing → content-coding reversal → robots →
-    link-density extraction under a PER-ARCHIVE catch
-    (``crawl_archive_ingest_quarantine``). One bad archive
-    quarantines one row; the intact quarter of the corpus ingests
-    untouched.
+    (VERDICT r12 missing #1): good ``Content-Encoding: gzip`` AND
+    ``Content-Encoding: br`` rows that must decode bit-identical to
+    the identity path (gzip through the engine's member walk, brotli
+    through the full RFC 7932 decoder over the stored-subset
+    writer's bytes), a header that lies about gzip over a plain
+    body, and a gzip body truncated mid-trailer — before the read
+    side runs gzip walk → WARC framing → HTTP de-framing →
+    content-coding reversal → robots → link-density extraction under
+    a PER-ARCHIVE catch (``crawl_archive_ingest_quarantine``). One
+    bad archive quarantines one row; the intact three-eighths of the
+    corpus ingest untouched.
 
     The oracle attests both halves with no gzip/WARC/HTTP/HTML code
     anywhere: corrupt rows land in quarantine with the RIGHT
-    exception class (ValueError from every wire-format guard;
-    NotImplementedError for the detected-but-undecoded ``br``
-    coding), and intact rows' extracted main text equals the v7 pure
-    string formula, md5-attested — identical for the identity and
-    gzip-coded good legs. Adversarial per-corruption pins live in
+    exception class (ValueError from every wire-format guard — an
+    unknown coding token also raises it, pinned in tests), and
+    intact rows' extracted main text equals the v7 pure string
+    formula, md5-attested — identical across the identity, gzip, and
+    brotli good legs. Adversarial per-corruption pins live in
     tests/test_gzip_warc.py.
 
     Shape at 100 TB: archives are independent rows, one Arrow-batched

@@ -1,0 +1,173 @@
+"""Brotli codec (functions/brotli_stream — r13): from-scratch
+RFC 7932 decoder cross-pinned against the reference libbrotli
+encoder across qualities/windows/corpora (incl. static-dictionary
+and transform territory), the stored-subset writer pinned in BOTH
+directions, the fixed-table digest pin, and the truncation/hostile
+raise surface the quarantine lane routes."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+
+import pytest
+
+from data_warehouse_migration_spark.functions.brotli_stream import (
+    _load_tables,
+    brotli_compress_stored,
+    brotli_decompress,
+)
+
+
+def _find(lib: str):
+    for cand in (
+        f"/root/miniconda/lib/lib{lib}.so",
+        ctypes.util.find_library(lib),
+    ):
+        if cand and (cand.startswith("lib") or os.path.exists(cand)):
+            try:
+                return ctypes.CDLL(cand)
+            except OSError:
+                continue
+    return None
+
+
+_ENC = _find("brotlienc")
+_DEC = _find("brotlidec")
+
+
+def ref_compress(data: bytes, quality: int = 11, lgwin: int = 22) -> bytes:
+    out = ctypes.create_string_buffer(len(data) * 2 + 2048)
+    n = ctypes.c_size_t(len(out))
+    assert _ENC.BrotliEncoderCompress(
+        quality, lgwin, 0, len(data), data, ctypes.byref(n), out
+    )
+    return out.raw[: n.value]
+
+
+def ref_decompress(blob: bytes, hint: int) -> bytes:
+    out = ctypes.create_string_buffer(hint + 256)
+    n = ctypes.c_size_t(len(out))
+    assert _DEC.BrotliDecoderDecompress(
+        len(blob), blob, ctypes.byref(n), out
+    ) == 1
+    return out.raw[: n.value]
+
+
+CASES = [
+    b"",
+    b"a",
+    b"hello brotli world " * 50,
+    bytes(range(256)) * 10,
+    b"\x00" * 5000,
+    ("the quick brown fox jumps over the lazy dog " * 200).encode(),
+    ("Überraschung naïve café 中文测试 русский — " * 100).encode(),
+]
+
+
+def test_fixed_tables_pinned():
+    """The static dictionary's SHA-256 is printed in RFC 7932 itself;
+    the loader must refuse anything else, and the derived tables must
+    have the spec's shapes."""
+    t = _load_tables()
+    assert len(t["dict"]) == 122784
+    assert len(t["transforms"]) == 121
+    assert len(t["ctx"]) == 2048
+    assert t["sbbl"][4] == 10 and t["sbbl"][24] == 5  # RFC Appendix A
+    assert t["ctx"][65] == 65 & 0x3F  # mode 0 (LSB6) lut is identity&63
+
+
+@pytest.mark.skipif(_ENC is None, reason="reference brotli encoder absent")
+def test_decodes_reference_encoder_across_qualities():
+    for quality in (0, 1, 5, 9, 11):
+        for data in CASES:
+            blob = ref_compress(data, quality)
+            assert brotli_decompress(blob) == data, (quality, len(data))
+
+
+@pytest.mark.skipif(_ENC is None, reason="reference brotli encoder absent")
+def test_decodes_across_window_sizes():
+    data = CASES[5] + CASES[3]
+    for lgwin in (10, 12, 16, 18, 22, 24):
+        assert brotli_decompress(ref_compress(data, 9, lgwin)) == data, lgwin
+
+
+@pytest.mark.skipif(_ENC is None, reason="reference brotli encoder absent")
+def test_static_dictionary_and_transforms_exercised():
+    """Short diverse natural text at max quality references the
+    static dictionary with non-identity transforms (uppercase-first,
+    omit-last, prefix/suffix) — verified by spying on the transform
+    hook, so the pin can't silently pass through back-references."""
+    import data_warehouse_migration_spark.functions.brotli_stream as B
+
+    text = (
+        b"The government announced INFORMATION about the Description "
+        b"yesterday. Download additional management performance."
+    )
+    blob = ref_compress(text, 11)
+    hits: list[tuple[bytes, int]] = []
+    orig = B._transform_word
+
+    def spy(word, tid, tables):
+        hits.append((bytes(word), tid))
+        return orig(word, tid, tables)
+
+    B._transform_word = spy
+    try:
+        assert B.brotli_decompress(blob) == text
+    finally:
+        B._transform_word = orig
+    assert hits, "expected static-dictionary references"
+    assert any(tid != 0 for _, tid in hits), "expected a real transform"
+
+
+@pytest.mark.skipif(_ENC is None, reason="reference brotli encoder absent")
+def test_large_multi_metablock_corpus():
+    import random
+
+    rng = random.Random(7)
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon"]
+    data = b" ".join(rng.choice(words) for _ in range(150_000))
+    for quality in (1, 5, 11):
+        assert brotli_decompress(ref_compress(data, quality)) == data
+
+
+@pytest.mark.skipif(_DEC is None, reason="reference brotli decoder absent")
+def test_reference_decodes_our_stored_streams():
+    for data in CASES:
+        for chunk in (65536, 1000, 7):
+            blob = brotli_compress_stored(data, chunk=chunk)
+            assert ref_decompress(blob, len(data)) == data, (len(data), chunk)
+
+
+def test_own_stored_roundtrip():
+    for data in CASES:
+        assert brotli_decompress(brotli_compress_stored(data)) == data
+    assert brotli_decompress(brotli_compress_stored(b"x" * 65537)) \
+        == b"x" * 65537
+
+
+@pytest.mark.skipif(_ENC is None, reason="reference brotli encoder absent")
+def test_truncation_raises_valueerror_everywhere():
+    blob = ref_compress(
+        b"truncate me anywhere, the information about the world. " * 20, 11
+    )
+    assert brotli_decompress(blob)
+    for cut in range(len(blob)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            brotli_decompress(blob[:cut])
+
+
+def test_hostile_guards():
+    # large-window extension detected, not guessed at
+    with pytest.raises(NotImplementedError, match="large-window"):
+        brotli_decompress(b"\x11\x00\x00\x00")
+    # stored-writer chunk bounds
+    with pytest.raises(ValueError):
+        brotli_compress_stored(b"x", chunk=0)
+    # a stored stream with its final byte corrupted into padding
+    blob = bytearray(brotli_compress_stored(b"payload bytes here"))
+    blob[-1] = 0x00  # ISLAST/ISLASTEMPTY bits erased → truncated parse
+    with pytest.raises(ValueError):
+        brotli_decompress(bytes(blob))

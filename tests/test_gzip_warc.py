@@ -427,10 +427,11 @@ def test_content_encoding_hostile_paths_quarantine_routable():
         decode_content_encoding(
             {"Content-Encoding": "gzip"}, gzip_compress(body)[:-8]
         )
-    with pytest.raises(NotImplementedError, match="br"):
-        decode_content_encoding({"Content-Encoding": "br"}, body)
-    # zstd decodes through the engine's own rung (r13); garbage under
-    # the token still raises ValueError
+    # zstd and br decode through the engine's own rungs (r13);
+    # garbage under either token still raises ValueError
+    from data_warehouse_migration_spark.functions.brotli_stream import (
+        brotli_compress_stored,
+    )
     from data_warehouse_migration_spark.functions.zstd import (
         zstd_compress_stored,
     )
@@ -443,6 +444,17 @@ def test_content_encoding_hostile_paths_quarantine_routable():
     )
     with pytest.raises(ValueError):
         decode_content_encoding({"Content-Encoding": "zstd"}, body)
+    assert (
+        decode_content_encoding(
+            {"Content-Encoding": "br"}, brotli_compress_stored(body)
+        )
+        == body
+    )
+    with pytest.raises(ValueError):
+        # truncated stored stream: a mid-meta-block cut cannot parse
+        decode_content_encoding(
+            {"Content-Encoding": "br"}, brotli_compress_stored(body)[:-3]
+        )
     with pytest.raises(ValueError, match="unknown content coding"):
         decode_content_encoding({"Content-Encoding": "compress"}, body)
     # end-to-end: chunked transfer + gzip content, both layers undone

@@ -44,13 +44,11 @@ def test_media_quarantine_rate_is_designed_half(spark):
     assert sum(counts.values()) == n  # nothing dropped, no other class
 
 
-def test_crawl_quarantine_rate_is_designed_three_quarters(spark):
-    """crawl_archive_ingest_quarantine corrupts legs {1,2,3,5,6,7} of
-    id mod 8 (transport faults + content-coding faults) — exactly six
-    eighths. The per-archive catch must land exactly that fraction
-    with the designed classes: ValueError for every wire-format
-    fault, NotImplementedError only for the detected-but-undecoded
-    br coding (leg 7)."""
+def test_crawl_quarantine_rate_is_designed_five_eighths(spark):
+    """crawl_archive_ingest_quarantine corrupts legs {1,2,3,5,6} of
+    id mod 8 (transport faults + content-coding faults; legs 0/4/7
+    are the intact identity/gzip/brotli rows) — exactly five
+    eighths, every fault a ValueError from a wire-format guard."""
     from data_warehouse_migration_spark.operators.web_extract import (
         crawl_archive_ingest_quarantine,
     )
@@ -74,7 +72,7 @@ def test_crawl_quarantine_rate_is_designed_three_quarters(spark):
             F.count("*").alias("n")
         ).collect()
     }
-    assert counts[("ok", None)] == n // 4
+    assert counts[("ok", None)] == 3 * n // 8
     assert counts[("quarantined", "ValueError")] == 5 * n // 8
-    assert counts[("quarantined", "NotImplementedError")] == n // 8
+    assert ("quarantined", "NotImplementedError") not in counts
     assert sum(counts.values()) == n

@@ -56,6 +56,11 @@ BNLJ_WHITELIST = {
                               #   over decoded codes (brute force with 4×
                               #   smaller rows — the operator's semantics)
     "histogram_order_values", # 1-row min/max bounds broadcast (O(n·1))
+    "q11_important_parts",    # 1-row grand-total scalar broadcast (the
+                              #   TPC-H Q11 HAVING threshold; group
+                              #   totals vs total·1/1200 — O(groups·1));
+                              #   first audited when the r13 rotation
+                              #   refresh brought it into the window
     "bigram_lm_scores",       # 1-row vocabulary-size scalar cross join
                               #   (the COUNT tables join equi/AQE — r5
                               #   de-broadcast; only the scalar is BNLJ)
