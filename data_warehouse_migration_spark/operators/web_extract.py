@@ -236,10 +236,13 @@ def warc_ingest_features(docs: DataFrame) -> DataFrame:
     The page additionally ships under a rotating HTTP
     ``Content-Encoding`` (r13 — VERDICT r12 missing #1: real captures
     store the wire bytes, so stored bodies are routinely compressed):
-    id mod 4 → identity / gzip (own RFC 1952 member) / deflate
+    id mod 6 → identity / gzip (own RFC 1952 member) / deflate
     (zlib-wrapped per RFC 9110) / deflate sent as a BARE RFC 1951
     stream (the misconfigured-server shape the browser sniff exists
-    for). The read side de-frames the transfer coding THEN undoes the
+    for) / zstd (RFC 8878, the engine's stored-subset writer decoded
+    by the full functions/zstd decoder) / br (RFC 7932 likewise via
+    functions/brotli_stream) — the complete coding set modern servers
+    send. The read side de-frames the transfer coding THEN undoes the
     content coding (``parse_http_response_decoded``).
 
     Exactness: every layer is lossless and the extracted text is the
@@ -250,6 +253,9 @@ def warc_ingest_features(docs: DataFrame) -> DataFrame:
     closed forms too. A defect in member boundaries, CRC/ISIZE
     verification, record Content-Length framing, chunk reassembly,
     content-coding reversal, or the extraction breaks a column."""
+    from data_warehouse_migration_spark.functions.brotli_stream import (
+        brotli_compress_stored,
+    )
     from data_warehouse_migration_spark.functions.gzip_stream import (
         gzip_compress,
     )
@@ -264,12 +270,15 @@ def warc_ingest_features(docs: DataFrame) -> DataFrame:
         read_warc_gz,
         write_warc_gz,
     )
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_stored,
+    )
 
     _METHODS = ("stored", "fixed", "dynamic")
 
     def per_doc(aid: int, lang: str, text: str):
         page = synth_page(aid, lang, text).encode("utf-8")
-        leg = aid % 4
+        leg = aid % 6
         if leg == 1:
             coding, wire = "gzip", gzip_compress(page, method="dynamic")
         elif leg == 2:
@@ -278,6 +287,10 @@ def warc_ingest_features(docs: DataFrame) -> DataFrame:
             # bare RFC 1951 stream under the "deflate" token — the
             # wire shape the decoder's zlib sniff has to catch
             coding, wire = "deflate", zlib_compress(page, method="dynamic")[2:-4]
+        elif leg == 4:
+            coding, wire = "zstd", zstd_compress_stored(page, chunk=731)
+        elif leg == 5:
+            coding, wire = "br", brotli_compress_stored(page, chunk=731)
         else:
             coding, wire = "identity", page
         hdrs = {"Content-Type": "text/html; charset=utf-8"}

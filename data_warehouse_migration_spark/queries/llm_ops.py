@@ -1918,9 +1918,11 @@ WITH esc AS (
 )
 SELECT doc_id, CAST(2 AS INT) AS n_records, CAST(200 AS INT) AS status,
        body_len,
-       CASE CAST(doc_id % 4 AS INT)
+       CASE CAST(doc_id % 6 AS INT)
             WHEN 0 THEN 'identity'
             WHEN 1 THEN 'gzip'
+            WHEN 4 THEN 'zstd'
+            WHEN 5 THEN 'br'
             ELSE 'deflate'
        END AS content_encoding,
        md5(full_text) AS text_md5
@@ -1943,9 +1945,10 @@ def warc_ingest_extract(spark, sf_dir):
     WARC Content-Length record framing → HTTP de-framing (chunk
     reassembly incl. the 0-chunk terminator) → HTTP content-coding
     reversal (r13: ``Content-Encoding`` rotates identity / gzip /
-    zlib-wrapped deflate / BARE-stream deflate on id mod 4 — stored
-    wire bytes are routinely compressed, and the bare leg exercises
-    the browser-grade zlib sniff) → HTML extraction.
+    zlib-wrapped deflate / BARE-stream deflate / zstd / br on id
+    mod 6 — stored wire bytes are routinely compressed; the bare leg
+    exercises the browser-grade zlib sniff, and the zstd/br legs run
+    the round's two new rungs per-row) → HTML extraction.
 
     Exactness: every layer is lossless, so the extracted text is the
     SAME pure string formula the ``html_text_extract`` gate attests,
