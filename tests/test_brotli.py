@@ -171,3 +171,15 @@ def test_hostile_guards():
     blob[-1] = 0x00  # ISLAST/ISLASTEMPTY bits erased → truncated parse
     with pytest.raises(ValueError):
         brotli_decompress(bytes(blob))
+
+
+def test_metadata_block_skipped():
+    """Hand-built stream with a metadata meta-block (MNIBBLES=0,
+    MSKIPBYTES=1, 5 payload bytes) before a stored block — encoders
+    rarely emit these, so the reference-encoder sweep can't cover
+    them; the reference DECODER agrees on these exact bytes (the hex
+    was cross-checked against libbrotlidec when pinned)."""
+    blob = bytes.fromhex("2c024d45544144080008686903")
+    assert brotli_decompress(blob) == b"hi"
+    if _DEC is not None:
+        assert ref_decompress(blob, 2) == b"hi"
