@@ -814,6 +814,186 @@ def zstd_compress_stored(
     return head + bytes(body) + tail
 
 
+def _fse_encode_cover(table):
+    """Encoder companion of an FSE decode table: for (symbol, next
+    decode state v) the UNIQUE current state whose transition range
+    [base, base+2^nbits) covers v — the per-symbol ranges tile the
+    state space exactly, which is what makes FSE a bijection."""
+    syms, nbits, base = table
+    cover: dict[tuple[int, int], int] = {}
+    for i in range(len(syms)):
+        for v in range(base[i], base[i] + (1 << nbits[i])):
+            cover[(syms[i], v)] = i
+    return cover
+
+
+def _code_for(value: int, bases, bits) -> int:
+    """Largest code whose [base, base+2^bits) range holds value (the
+    ranges tile, so bisect on base is exact)."""
+    import bisect
+
+    c = bisect.bisect_right(bases, value) - 1
+    if c < 0 or value >= bases[c] + (1 << bits[c]):
+        raise ValueError(f"value {value} outside code table")
+    return c
+
+
+def _encode_sequences_predefined(seqs) -> bytes:
+    """Sequence section: predefined FSE tables for all three
+    registers (mode 0 — no table serialization), states chosen by
+    walking the decode tables backward, the whole thing folded into
+    the backward sentinel bitstream the decoder reads forward."""
+    ll_t = _fse_build_table(*_LL_DEFAULT)
+    of_t = _fse_build_table(*_OF_DEFAULT)
+    ml_t = _fse_build_table(*_ML_DEFAULT)
+    ll_cover = _fse_encode_cover(ll_t)
+    of_cover = _fse_encode_cover(of_t)
+    ml_cover = _fse_encode_cover(ml_t)
+    n = len(seqs)
+
+    codes = []
+    for ll, ml, offset_value in seqs:
+        ll_c = _code_for(ll, _LL_BASE, _LL_BITS)
+        ml_c = _code_for(ml, _ML_BASE, _ML_BITS)
+        of_c = offset_value.bit_length() - 1  # (1<<of_c) + extra
+        if of_c > 31:
+            raise ValueError("zstd offset too large to encode")
+        codes.append((ll_c, ml_c, of_c))
+
+    # states backward: seq i's state must transition to seq i+1's
+    def states(cover, table, idx):
+        syms = table[0]
+        st = [0] * n
+        last_code = codes[n - 1][idx]
+        st[n - 1] = syms.index(last_code)
+        for i in range(n - 2, -1, -1):
+            st[i] = cover[(codes[i][idx], st[i + 1])]
+        return st
+
+    ll_st = states(ll_cover, ll_t, 0)
+    ml_st = states(ml_cover, ml_t, 1)
+    of_st = states(of_cover, of_t, 2)
+
+    # reads in DECODER order; the backward writer folds them so the
+    # first decoder read sits under the sentinel bit
+    al_ll, al_of, al_ml = _LL_DEFAULT[1], _OF_DEFAULT[1], _ML_DEFAULT[1]
+    reads: list[tuple[int, int]] = [
+        (ll_st[0], al_ll), (of_st[0], al_of), (ml_st[0], al_ml)
+    ]
+    for i, (ll, ml, offset_value) in enumerate(seqs):
+        ll_c, ml_c, of_c = codes[i]
+        reads.append((offset_value - (1 << of_c), of_c))
+        reads.append((ml - _ML_BASE[ml_c], _ML_BITS[ml_c]))
+        reads.append((ll - _LL_BASE[ll_c], _LL_BITS[ll_c]))
+        if i != n - 1:
+            for st, tbl in ((ll_st, ll_t), (ml_st, ml_t), (of_st, of_t)):
+                cur = st[i]
+                reads.append((st[i + 1] - tbl[2][cur], tbl[1][cur]))
+    # Fold with the sentinel on top: the first decoder read sits
+    # directly under the last byte's highest set bit, and the stream
+    # ends exactly where the reads do (pos == 0 at the end — the
+    # decoder checks full consumption), so NO byte-padding shift.
+    acc = 1  # the sentinel bit
+    total_bits = 1
+    for v, w in reads:
+        acc = (acc << w) | (v & ((1 << w) - 1))
+        total_bits += w
+    nbytes = (total_bits + 7) >> 3
+    if n >= 128:
+        raise ValueError("encoder subset caps at 127 sequences per block")
+    head = bytes([n, 0b00000000])  # nbSeq, modes: predefined ×3
+    return head + acc.to_bytes(nbytes, "little")
+
+
+def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
+    """A REAL compressed zstd frame from the spec subset the decoder
+    round-trips per-row in the gate: greedy hash-chain LZ77 into
+    sequences under the PREDEFINED FSE distributions (mode 0) with
+    raw literals — no Huffman, no custom tables, so the encoder stays
+    small while the bitstream exercises the decoder's FSE state
+    machine, extra-bit reads, and sequence execution. Blocks cap at
+    127 sequences / 64 KiB input each (the subset's bound, not the
+    format's); incompressible tails fall back to raw blocks."""
+    n = len(data)
+    if n < 256:
+        fhd = 0x20 | (0 << 6)
+        fcs = struct.pack("<B", n)
+    elif n < 0x10000 + 256:
+        fhd = 0x20 | (1 << 6)
+        fcs = struct.pack("<H", n - 256)
+    else:
+        fhd = 0x20 | (2 << 6)
+        fcs = struct.pack("<I", n)
+    fhd |= 0x04  # checksum
+    head = struct.pack("<I", 0xFD2FB528) + bytes([fhd]) + fcs
+    body = bytearray()
+    pos = 0
+    CHUNK = 64 * 1024
+    if n == 0:
+        body += bytes([1, 0, 0])
+    while pos < n:
+        end = min(pos + CHUNK, n)
+        chunk = data[pos:end]
+        last = 1 if end == n else 0
+        # greedy LZ77 within the chunk (the subset keeps blocks
+        # self-contained; the format allows cross-block matches)
+        table: dict[bytes, int] = {}
+        lits = bytearray()
+        seqs: list[tuple[int, int, int]] = []
+        i = 0
+        lit_start = 0
+        while i + min_match <= len(chunk) and len(seqs) < 127:
+            key = bytes(chunk[i : i + min_match])
+            j = table.get(key)
+            table[key] = i
+            if j is None or i - j > (1 << 20):
+                i += 1
+                continue
+            length = min_match
+            limit = len(chunk) - i
+            while length < limit and length < 65535 and \
+                    chunk[j + length] == chunk[i + length]:
+                length += 1
+            if length < 3:
+                i += 1
+                continue
+            lits += chunk[lit_start:i]
+            ll = i - lit_start
+            seqs.append((ll, length, (i - j) + 3))  # offset_value = dist+3
+            i += length
+            lit_start = i
+        lits += chunk[lit_start:]
+        block = None
+        if seqs:
+            # literals section: Raw, sized header
+            if len(lits) < 32:
+                lit_hdr = bytes([(len(lits) << 3) | 0])
+            elif len(lits) < 4096:
+                lit_hdr = bytes(
+                    [((len(lits) & 0xF) << 4) | (1 << 2) | 0, len(lits) >> 4]
+                )
+            else:
+                lit_hdr = bytes(
+                    [((len(lits) & 0xF) << 4) | (3 << 2) | 0,
+                     (len(lits) >> 4) & 0xFF, len(lits) >> 12]
+                )
+            block = (
+                lit_hdr + bytes(lits) + _encode_sequences_predefined(seqs)
+            )
+        if block is None or len(block) >= len(chunk):
+            # incompressible: Block_Size must stay within the
+            # window-bounded Block_Maximum_Size, and a "compressed"
+            # block bigger than its content would breach it
+            bh = last | (0 << 1) | (len(chunk) << 3)
+            body += bh.to_bytes(3, "little") + chunk
+        else:
+            bh = last | (2 << 1) | (len(block) << 3)
+            body += bh.to_bytes(3, "little") + block
+        pos = end
+    tail = struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return head + bytes(body) + tail
+
+
 def zstd_skippable_frame(payload: bytes, nibble: int = 0) -> bytes:
     """A skippable frame (magic 0x184D2A5?) — the side-channel the
     seekable format and per-shard metadata use."""

@@ -1167,16 +1167,20 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
     ship in). The layout rotates on id mod 4: one multi-block stored
     frame; TWO concatenated frames splitting the text (the
     multi-frame walk); a skippable metadata frame BETWEEN content
-    frames (the seekable-format shape); a checksum-less frame in
-    RLE-sized chunks. Every frame is authored by the engine's own
-    spec-subset writer and read back through the FULL decoder —
-    frame/block grammar, FCS and xxHash64 verification, skippable
-    dispatch. The compressed-block half of the decoder (FSE, Huffman,
-    sequences, repeat offsets) has no in-container Python encoder to
-    harness against, so it is pinned in tests/test_zstd.py against
-    the reference CLI across presets -1/-3/-9/-19, long-window mode,
-    dictionary detection, and an every-offset truncation sweep —
-    the same decode-only posture as functions/xz.
+    frames (the seekable-format shape); a REAL compressed frame —
+    the engine's own LZ77 encoder emitting Compressed_Blocks with
+    predefined-FSE sequences and raw literals, so the decoder's FSE
+    state machine, extra-bit reads, repeat-offset arithmetic, and
+    sequence execution run under the hash gate per-row. Every frame
+    is authored by the engine and read back through the FULL
+    decoder — frame/block grammar, FCS and xxHash64 verification,
+    skippable dispatch. The Huffman-literals and custom-table halves
+    have no in-container Python encoder to harness per-row, so they
+    are pinned in tests/test_zstd.py against the reference CLI
+    across presets -1/-3/-9/-19, long-window mode, dictionary
+    detection, and an every-offset truncation sweep; the CLI also
+    decodes our LZ frames back (the format's own decoder adjudicates
+    the encoder subset).
 
     Exactness: lossless, so decoded text equals the document text
     verbatim — md5 + length are pure formulas the DuckDB oracle
@@ -1187,6 +1191,7 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
     Arrow-batched stage, zero shuffle; within a file, frames (and
     skippable seek-table entries) are the split unit."""
     from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_lz,
         zstd_compress_stored,
         zstd_decompress,
         zstd_skippable_frame,
@@ -1213,7 +1218,7 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
             )
             n_frames = 2
         else:
-            blob = zstd_compress_stored(raw, checksum=False, chunk=512)
+            blob = zstd_compress_lz(raw)
             n_frames = 1
         back = zstd_decompress(blob).decode("utf-8")
         return (aid, back, len(back), n_frames, len(blob))

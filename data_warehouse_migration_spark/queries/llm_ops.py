@@ -4939,23 +4939,25 @@ def zst_text_archive(spark, sf_dir):
     including xxHash64 from scratch for the content checksum.
 
     Per document the text round-trips through the engine's own
-    stored-subset writer and FULL decoder, with the layout rotating
-    on id mod 4: multi-block frame / two concatenated frames / a
-    skippable metadata frame between content frames (the
-    seekable-format shape) / a checksum-less frame. Decoded text
-    equals the document text verbatim, so md5/length/frame-count are
-    pure formulas the oracle recomputes with no codec anywhere.
+    writers and FULL decoder, with the layout rotating on id mod 4:
+    multi-block stored frame / two concatenated frames / a skippable
+    metadata frame between content frames (the seekable-format
+    shape) / a REAL compressed frame from the engine's own LZ77
+    encoder (Compressed_Blocks: predefined-FSE sequences + raw
+    literals), so the FSE state machine, extra-bit reads,
+    repeat-offset arithmetic, and sequence execution run under the
+    hash gate per-row. Decoded text equals the document text
+    verbatim, so md5/length/frame-count are pure formulas the oracle
+    recomputes with no codec anywhere.
 
-    The compressed-block half of the decoder (FSE table reads,
-    Huffman tree descriptions both direct and FSE-coded, 1- and
-    4-stream literals, predefined/RLE/FSE/Repeat sequence modes,
-    repeat offsets) has no in-container Python reference encoder to
-    harness per-row, so it is pinned in tests/test_zstd.py against
-    the reference CLI across presets -1/-3/-9/-19, --ultra -22,
-    long-window mode, no-checksum frames, dictionary detection
-    (honest NotImplementedError), corruption, and an every-offset
-    truncation sweep — the same decode-only posture the xz rung
-    attests.
+    The Huffman-literals and custom-table halves of the decoder have
+    no in-container Python reference encoder to harness per-row, so
+    they are pinned in tests/test_zstd.py against the reference CLI
+    across presets -1/-3/-9/-19, --ultra -22, long-window mode,
+    no-checksum frames, dictionary detection (honest
+    NotImplementedError), corruption, and an every-offset truncation
+    sweep; the CLI also decodes the engine's LZ and stored frames
+    back — the format's own decoder adjudicates both writers.
 
     Shape at 100 TB: archives are independent rows through one
     Arrow-batched stage, zero shuffle; frames (and the seekable

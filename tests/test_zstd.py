@@ -199,3 +199,44 @@ def test_dictionary_detected_not_guessed(tmp_path):
     ).stdout
     with pytest.raises(NotImplementedError, match="dictionary"):
         zstd_decompress(blob)
+
+
+def test_lz_encoder_roundtrips_own_decoder():
+    import random
+
+    rng = random.Random(5)
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_lz,
+    )
+
+    cases = CASES + [
+        bytes(rng.randrange(256) for _ in range(50_000)),
+        b" ".join(
+            rng.choice([b"alpha", b"beta", b"gamma"]) for _ in range(30_000)
+        ),
+        b"x" * 300_000,  # multi-block
+    ]
+    for data in cases:
+        assert zstd_decompress(zstd_compress_lz(data)) == data, len(data)
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_cli_decodes_our_lz_frames():
+    """The reference implementation must accept the engine's REAL
+    compressed blocks (predefined-FSE sequences + raw literals) —
+    states, extra bits, backward-stream fold, literals sizing, and
+    the incompressible raw-block fallback all adjudicated by the
+    format's own decoder."""
+    import random
+
+    rng = random.Random(11)
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_lz,
+    )
+
+    cases = CASES + [
+        bytes(rng.randrange(256) for _ in range(50_000)),
+        ("mixed text with 12345 numbers and repeats " * 3000).encode(),
+    ]
+    for data in cases:
+        assert _cli_decompress(zstd_compress_lz(data)) == data, len(data)
