@@ -183,3 +183,25 @@ def test_metadata_block_skipped():
     assert brotli_decompress(blob) == b"hi"
     if _DEC is not None:
         assert ref_decompress(blob, 2) == b"hi"
+
+
+@pytest.mark.skipif(_ENC is None, reason="reference brotli encoder absent")
+def test_mutation_fuzz_never_escapes_the_exception_contract():
+    """200 seeded single-byte corruptions of a real stream: brotli
+    has no checksum, so silently different output is legal — but the
+    decoder must only ever raise ValueError/NotImplementedError, stay
+    under the output cap, and never hit a raw IndexError."""
+    import random
+
+    rng = random.Random(4321)
+    data = b"fuzz me gently, said the meta-block " * 40
+    blob = bytearray(ref_compress(data, 5))
+    for _ in range(200):
+        i = rng.randrange(len(blob))
+        old = blob[i]
+        blob[i] ^= 1 << rng.randrange(8)
+        try:
+            brotli_decompress(bytes(blob), max_output=len(data) * 4)
+        except (ValueError, NotImplementedError):
+            pass
+        blob[i] = old

@@ -240,3 +240,25 @@ def test_cli_decodes_our_lz_frames():
     ]
     for data in cases:
         assert _cli_decompress(zstd_compress_lz(data)) == data, len(data)
+
+
+@pytest.mark.skipif(_CLI is None, reason="reference zstd CLI absent")
+def test_mutation_fuzz_never_escapes_the_exception_contract():
+    """200 seeded single-byte corruptions of a real frame: each must
+    either decode (mutations in skippable padding can be inert) or
+    raise ValueError/NotImplementedError — never IndexError, never an
+    OverflowError, never a hang past the output cap."""
+    import random
+
+    rng = random.Random(1234)
+    data = b"fuzz me gently, said the frame " * 40
+    blob = bytearray(_cli_compress(data, "-3"))
+    for _ in range(200):
+        i = rng.randrange(len(blob))
+        old = blob[i]
+        blob[i] ^= 1 << rng.randrange(8)
+        try:
+            zstd_decompress(bytes(blob), max_output=len(data) * 4)
+        except (ValueError, NotImplementedError):
+            pass
+        blob[i] = old
