@@ -262,3 +262,66 @@ def test_mutation_fuzz_never_escapes_the_exception_contract():
         except (ValueError, NotImplementedError):
             pass
         blob[i] = old
+
+
+def test_fse_bijection_property_over_random_tables():
+    """For ANY valid normalized-count table (random mixes of positive
+    and 'less than 1' probabilities at random accuracy logs), the
+    per-symbol transition ranges tile the state space, so encoding by
+    walking the decode table backward and re-decoding forward is the
+    identity and consumes the bitstream exactly — the argument
+    zstd_compress_lz's sequence writer rests on, pinned beyond the
+    three predefined distributions."""
+    import random
+
+    from data_warehouse_migration_spark.functions.zstd import (
+        _BackBits,
+        _fse_build_table,
+        _fse_encode_cover,
+    )
+
+    rng = random.Random(7)
+    for _ in range(25):
+        al = rng.choice([5, 6, 7])
+        total = 1 << al
+        nsym = rng.randrange(2, 40)
+        counts = [0] * nsym
+        remaining = total
+        live = rng.sample(range(nsym), rng.randrange(2, nsym + 1))
+        for s in live[:-1]:
+            if remaining <= 1:
+                break
+            if rng.random() < 0.25:
+                counts[s] = -1
+                remaining -= 1
+            else:
+                counts[s] = rng.randrange(1, remaining)
+                remaining -= counts[s]
+        counts[live[-1]] = max(remaining, 0) or counts[live[-1]]
+        if sum(abs(c) if c < 0 else c for c in counts) != total:
+            continue  # rare degenerate draw; the next trial covers it
+        syms, nbits, base = _fse_build_table(counts, al)
+        cover = _fse_encode_cover((syms, nbits, base))
+        alphabet = [s for s, c in enumerate(counts) if c != 0]
+        seq = [rng.choice(alphabet) for _ in range(60)]
+        st = [0] * len(seq)
+        st[-1] = syms.index(seq[-1])
+        for i in range(len(seq) - 2, -1, -1):
+            st[i] = cover[(seq[i], st[i + 1])]
+        reads = [(st[0], al)]
+        for i in range(len(seq) - 1):
+            cur = st[i]
+            reads.append((st[i + 1] - base[cur], nbits[cur]))
+        acc = 1
+        for v, w in reads:
+            acc = (acc << w) | (v & ((1 << w) - 1))
+        blob = acc.to_bytes((acc.bit_length() + 7) // 8, "little")
+        bb = _BackBits(blob)
+        s = bb.read(al)
+        out = []
+        for i in range(len(seq)):
+            out.append(syms[s])
+            if i != len(seq) - 1:
+                s = base[s] + bb.read(nbits[s])
+        assert out == seq
+        assert bb.pos == 0  # fully consumed, exactly
