@@ -410,14 +410,16 @@ _MAX_LOG = {"ll": 9, "of": 8, "ml": 9}
 _MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
 
 
-def _seq_table(mode: int, reg: str, data: bytes, pos: int, prev):
-    """One register's decoding table per its compression mode."""
+def _seq_table(mode: int, reg: str, data: bytes, pos: int, end: int, prev):
+    """One register's decoding table per its compression mode. Reads
+    are clamped to the BLOCK end: a malformed table description must
+    raise, never consume the next block's bytes as table data."""
     if mode == 0:  # predefined
         counts, al = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT,
                       "ml": _ML_DEFAULT}[reg]
         return _fse_build_table(counts, al), al, pos
     if mode == 1:  # RLE: one byte = the symbol
-        if pos >= len(data):
+        if pos >= end:
             raise ValueError("zstd RLE sequence symbol truncated")
         sym = data[pos]
         if sym > _MAX_SYM[reg]:
@@ -425,7 +427,7 @@ def _seq_table(mode: int, reg: str, data: bytes, pos: int, prev):
         return _fse_rle_table(sym), 0, pos + 1
     if mode == 2:  # FSE-compressed description
         table, al, used = _fse_table_from_stream(
-            data[pos:], _MAX_SYM[reg], _MAX_LOG[reg]
+            data[pos:end], _MAX_SYM[reg], _MAX_LOG[reg]
         )
         return table, al, pos + used
     # mode 3: repeat
@@ -464,11 +466,11 @@ def _decode_sequences(data: bytes, pos: int, end: int, frame_state: dict):
     ll_mode = (modes >> 6) & 3
     of_mode = (modes >> 4) & 3
     ml_mode = (modes >> 2) & 3
-    ll_t, ll_al, pos = _seq_table(ll_mode, "ll", data, pos,
+    ll_t, ll_al, pos = _seq_table(ll_mode, "ll", data, pos, end,
                                   frame_state.get("ll"))
-    of_t, of_al, pos = _seq_table(of_mode, "of", data, pos,
+    of_t, of_al, pos = _seq_table(of_mode, "of", data, pos, end,
                                   frame_state.get("of"))
-    ml_t, ml_al, pos = _seq_table(ml_mode, "ml", data, pos,
+    ml_t, ml_al, pos = _seq_table(ml_mode, "ml", data, pos, end,
                                   frame_state.get("ml"))
     frame_state["ll"] = (ll_t, ll_al)
     frame_state["of"] = (of_t, of_al)

@@ -466,3 +466,36 @@ def test_content_encoding_hostile_paths_quarantine_routable():
     )
     status, headers, got = parse_http_response_decoded(resp)
     assert (status, got) == (200, page)
+
+
+def test_content_coding_chains_invert():
+    """Random multi-coding chains (servers may stack codings; RFC
+    9110 lists them in application order): composing the engine's own
+    writers left-to-right must invert through the right-to-left
+    decode, for every chain the writers can express."""
+    import itertools
+
+    from data_warehouse_migration_spark.functions.brotli_stream import (
+        brotli_compress_stored,
+    )
+    from data_warehouse_migration_spark.functions.png import zlib_compress
+    from data_warehouse_migration_spark.functions.warc import (
+        decode_content_encoding,
+    )
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_stored,
+    )
+
+    encoders = {
+        "gzip": gzip_compress,
+        "deflate": lambda b: zlib_compress(b, method="dynamic"),
+        "zstd": zstd_compress_stored,
+        "br": brotli_compress_stored,
+    }
+    body = b"stacked codings body " * 30
+    for chain in itertools.permutations(encoders, 2):
+        wire = body
+        for coding in chain:  # applied in listed order
+            wire = encoders[coding](wire)
+        hdrs = {"Content-Encoding": ", ".join(chain)}
+        assert decode_content_encoding(hdrs, wire) == body, chain

@@ -255,3 +255,39 @@ def test_pax_size_override_and_hostile_records():
             hdr + evil + b"\x00" * (-len(evil) % 512)
             + _header("f", 0) + b"\x00" * 1024
         )
+
+
+def test_pax_gnu_roundtrip_property():
+    """Property over random member sets: names drawn from short,
+    prefix-splittable-long, unsplittable-long, and unicode pools with
+    random payload sizes must round-trip through BOTH extension
+    formats via our reader AND CPython tarfile, in order."""
+    import random
+
+    rng = random.Random(42)
+    pools = [
+        lambda: f"f{rng.randrange(10**6)}.bin",
+        lambda: "d/" * rng.randrange(30, 60) + f"n{rng.randrange(100)}.txt",
+        lambda: "x" * rng.randrange(101, 220) + ".dat",
+        lambda: "ü/" * rng.randrange(20, 40) + f"文{rng.randrange(100)}.txt",
+    ]
+    for _ in range(10):
+        members = []
+        used = set()
+        for _ in range(rng.randrange(1, 8)):
+            name = rng.choice(pools)()
+            if name in used:
+                continue
+            used.add(name)
+            members.append(
+                (name, bytes(rng.randrange(256)
+                             for _ in range(rng.randrange(0, 1500))))
+            )
+        for fmt in ("pax", "gnu"):
+            blob = tar_pack(members, fmt=fmt)
+            assert tar_members(blob) == members, fmt
+            tf = tarfile.open(fileobj=io.BytesIO(blob))
+            got = [
+                (m.name, tf.extractfile(m).read()) for m in tf.getmembers()
+            ]
+            assert got == members, fmt
