@@ -1,0 +1,380 @@
+"""LZ4 (frame + block formats) from scratch — the speed-tier rung of
+the compression ladder: ``.lz4`` is the framing many data lakes and
+event pipelines ship when they trade ratio for throughput (Kafka,
+Hadoop codecs, rocksdb backups), sitting beside gzip (balanced),
+zstd (modern default), and xz/bzip2 (archival) in the engine's
+ladder. The block format is LZ77 at its most minimal — token nibbles,
+255-run length extensions, 2-byte offsets, no entropy coding — which
+is exactly why it is fast and why a from-scratch decoder is small.
+
+BOTH directions here: the block format is simple enough that a
+greedy hash-chain compressor is honest engine code (unlike zstd/
+brotli, whose entropy stages are reference-encoder territory).
+
+Implemented per the public LZ4 frame (v1.6.x) and block specs:
+
+- frame: magic, FLG/BD descriptor (version, block independence,
+  block/content checksum flags, content size, dict id), the
+  xxHash32-derived header-checksum byte (verified), block stream
+  (high-bit uncompressed blocks, EndMark), optional per-block and
+  content checksums (verified), skippable frames, multi-frame
+  concatenation; LEGACY frames (magic 0x184C2102 — what ``lz4 -l``
+  and old Hadoop paths emit) decode too;
+- block: token nibbles with 255-byte run extensions, 2-byte offsets
+  (zero rejected), overlapping match copies, the literals-only last
+  sequence; linked blocks (B.Indep = 0) match into earlier blocks'
+  decoded bytes;
+- xxHash32 implemented from scratch (the frame's checksum
+  primitive, verified against every reference-encoder trailer);
+- writer: real greedy-LZ77 compressed blocks with the spec's
+  end-of-block safety margins, falling back to uncompressed blocks
+  when compression does not win.
+
+Untrusted-input hygiene: sizes bounds-checked against the declared
+block maximum BEFORE allocation, truncation raises ValueError,
+reserved bits/versions rejected — quarantine-routable like the rest
+of the ingest stack.
+
+Scale posture: archives are independent rows through one
+Arrow-batched stage, zero shuffle; with B.Indep set (the default
+real pipelines use) blocks are the in-file split unit.
+
+Attestation posture (r13): capability without a registry slot — the
+r13 window sealed at 50 before this rung landed, so attestation
+rides tests/test_lz4.py (reference CLI pinned both directions,
+truncation sweep, mutation fuzz) per the ``bpe_extend_merges``
+precedent; a gate takes an r14 window slot.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_M32 = 0xFFFFFFFF
+_P1, _P2, _P3, _P4, _P5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393,
+)
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P1 + _P2) & _M32
+        v2 = (seed + _P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _P1) & _M32
+        while i + 16 <= n:
+            lanes = struct.unpack_from("<4I", data, i)
+            v1 = (_rotl32((v1 + lanes[0] * _P2) & _M32, 13) * _P1) & _M32
+            v2 = (_rotl32((v2 + lanes[1] * _P2) & _M32, 13) * _P1) & _M32
+            v3 = (_rotl32((v3 + lanes[2] * _P2) & _M32, 13) * _P1) & _M32
+            v4 = (_rotl32((v4 + lanes[3] * _P2) & _M32, 13) * _P1) & _M32
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7)
+             + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _P5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = (_rotl32((h + k * _P3) & _M32, 17) * _P4) & _M32
+        i += 4
+    while i < n:
+        h = (_rotl32((h + data[i] * _P5) & _M32, 11) * _P1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _P2) & _M32
+    h ^= h >> 13
+    h = (h * _P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+# --- block format --------------------------------------------------------------
+
+
+def lz4_block_decompress(
+    data: bytes, out: bytearray, window_start: int, max_out: int
+) -> None:
+    """Decode one LZ4 block APPENDING to ``out``; matches may reach
+    back to ``window_start`` (block independence draws that line at
+    the block's own start, linked blocks at the frame window)."""
+    pos = 0
+    n = len(data)
+    limit = len(out) + max_out
+    while True:
+        if pos >= n:
+            raise ValueError("LZ4 block truncated at token")
+        token = data[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("LZ4 literal length truncated")
+                b = data[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError("LZ4 literals truncated")
+        if len(out) + lit > limit:
+            raise ValueError("LZ4 block exceeds its declared maximum")
+        out += data[pos : pos + lit]
+        pos += lit
+        if pos == n:
+            return  # the literals-only last sequence
+        if pos + 2 > n:
+            raise ValueError("LZ4 offset truncated")
+        offset = data[pos] | (data[pos + 1] << 8)
+        pos += 2
+        if offset == 0:
+            raise ValueError("LZ4 offset 0 is invalid")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("LZ4 match length truncated")
+                b = data[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < window_start:
+            raise ValueError("LZ4 match reaches before the window")
+        if len(out) + mlen > limit:
+            raise ValueError("LZ4 block exceeds its declared maximum")
+        for k in range(mlen):  # overlap-safe byte copy
+            out.append(out[start + k])
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """Greedy hash-chain LZ4 block honoring the spec's end-of-block
+    rules: the last 5 bytes are always literals and no match starts
+    within the last 12 bytes."""
+    n = len(data)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+
+    def emit(lit_start: int, lit_end: int, offset: int, mlen: int) -> None:
+        nonlocal out
+        lit = lit_end - lit_start
+        ml = mlen - 4 if mlen else 0
+        token = (min(lit, 15) << 4) | (min(ml, 15) if mlen else 0)
+        out.append(token)
+        rem = lit - 15
+        while rem >= 0:
+            out.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+        out += data[lit_start:lit_end]
+        if mlen:
+            out += struct.pack("<H", offset)
+            rem = ml - 15
+            while rem >= 0:
+                out.append(min(rem, 255))
+                if rem < 255:
+                    break
+                rem -= 255
+
+    while i + 12 <= n:
+        key = bytes(data[i : i + 4])
+        j = table.get(key)
+        table[key] = i
+        if j is None or i - j > 0xFFFF:
+            i += 1
+            continue
+        mlen = 4
+        # matches must end ≥ 5 bytes before the block end
+        cap = n - 5 - i
+        while mlen < cap and data[j + mlen] == data[i + mlen]:
+            mlen += 1
+        if mlen < 4:
+            i += 1
+            continue
+        emit(anchor, i, i - j, mlen)
+        i += mlen
+        anchor = i
+    emit(anchor, n, 0, 0)  # literals-only last sequence
+    return bytes(out)
+
+
+# --- frame format --------------------------------------------------------------
+
+_MAGIC = 0x184D2204
+_LEGACY_MAGIC = 0x184C2102
+_BD_SIZES = {4: 64 * 1024, 5: 256 * 1024, 6: 1 << 20, 7: 4 << 20}
+
+
+def lz4_decompress(data: bytes, max_output: int | None = None) -> bytes:
+    """Decompress a (possibly multi-frame) .lz4 input: modern frames
+    with every checksum verified, legacy frames, skippable frames."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    saw = False
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("LZ4 frame magic truncated")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable
+            if pos + 8 > n:
+                raise ValueError("LZ4 skippable frame header truncated")
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            if pos + 8 + size > n:
+                raise ValueError("LZ4 skippable frame truncated")
+            pos += 8 + size
+            continue
+        if magic == _LEGACY_MAGIC:
+            saw = True
+            pos += 4
+            while pos + 4 <= n:
+                (bsize,) = struct.unpack_from("<I", data, pos)
+                if bsize in (_MAGIC, _LEGACY_MAGIC) or (
+                    bsize & 0xFFFFFFF0
+                ) == 0x184D2A50:
+                    break  # next frame's magic, not a block size
+                pos += 4
+                if bsize > 8 << 20 or pos + bsize > n:
+                    raise ValueError("LZ4 legacy block truncated")
+                lz4_block_decompress(
+                    data[pos : pos + bsize], out, len(out), 8 << 20
+                )
+                pos += bsize
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"bad LZ4 frame magic {magic:#010x}")
+        saw = True
+        pos += 4
+        if pos + 2 > n:
+            raise ValueError("LZ4 frame descriptor truncated")
+        desc_start = pos
+        flg = data[pos]
+        bd = data[pos + 1]
+        pos += 2
+        if flg >> 6 != 0b01:
+            raise ValueError(f"LZ4 frame version {flg >> 6} unsupported")
+        if flg & 0x02:
+            raise ValueError("LZ4 frame reserved bit set")
+        indep = bool(flg & 0x20)
+        b_checksum = bool(flg & 0x10)
+        has_csize = bool(flg & 0x08)
+        c_checksum = bool(flg & 0x04)
+        has_dict = bool(flg & 0x01)
+        if bd & 0x8F:
+            raise ValueError("LZ4 BD reserved bits set")
+        bmax = _BD_SIZES.get(bd >> 4)
+        if bmax is None:
+            raise ValueError(f"LZ4 block max-size code {bd >> 4} reserved")
+        csize = None
+        if has_csize:
+            if pos + 8 > n:
+                raise ValueError("LZ4 content size truncated")
+            (csize,) = struct.unpack_from("<Q", data, pos)
+            pos += 8
+        if has_dict:
+            if pos + 4 > n:
+                raise ValueError("LZ4 dictionary ID truncated")
+            (did,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            raise NotImplementedError(
+                f"LZ4 dictionary {did} is not supported"
+            )
+        if pos >= n:
+            raise ValueError("LZ4 header checksum truncated")
+        hc = data[pos]
+        if (xxh32(data[desc_start:pos]) >> 8) & 0xFF != hc:
+            raise ValueError("LZ4 header checksum mismatch")
+        pos += 1
+
+        frame_start = len(out)
+        while True:
+            if pos + 4 > n:
+                raise ValueError("LZ4 block size truncated")
+            (bsize,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if bsize == 0:  # EndMark
+                break
+            uncompressed = bool(bsize & 0x80000000)
+            bsize &= 0x7FFFFFFF
+            if bsize > bmax:
+                raise ValueError(
+                    f"LZ4 block size {bsize} exceeds declared max {bmax}"
+                )
+            if pos + bsize > n:
+                raise ValueError("LZ4 block truncated")
+            block = data[pos : pos + bsize]
+            pos += bsize
+            if b_checksum:
+                if pos + 4 > n:
+                    raise ValueError("LZ4 block checksum truncated")
+                (stored,) = struct.unpack_from("<I", data, pos)
+                pos += 4
+                if xxh32(block) != stored:
+                    raise ValueError("LZ4 block checksum mismatch")
+            if uncompressed:
+                out += block
+            else:
+                window = len(out) if indep else frame_start
+                lz4_block_decompress(block, out, window, bmax)
+            if max_output is not None and len(out) > max_output:
+                raise ValueError("LZ4 output exceeds caller's cap")
+        content = bytes(out[frame_start:])
+        if csize is not None and len(content) != csize:
+            raise ValueError(
+                f"LZ4 decoded {len(content)} bytes, header says {csize}"
+            )
+        if c_checksum:
+            if pos + 4 > n:
+                raise ValueError("LZ4 content checksum truncated")
+            (stored,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if xxh32(content) != stored:
+                raise ValueError("LZ4 content checksum mismatch")
+    if not saw:
+        raise ValueError("no LZ4 frame found")
+    return bytes(out)
+
+
+def lz4_compress(
+    data: bytes, block_checksum: bool = False, chunk_code: int = 4
+) -> bytes:
+    """A modern LZ4 frame: independent greedy-compressed blocks (the
+    splittable layout real pipelines use), explicit content size,
+    content checksum, optional block checksums; a block that doesn't
+    shrink ships uncompressed (the spec's high-bit escape)."""
+    bmax = _BD_SIZES.get(chunk_code)
+    if bmax is None:
+        raise ValueError(f"chunk_code {chunk_code} must be 4-7")
+    flg = (0b01 << 6) | 0x20 | 0x08 | 0x04 | (0x10 if block_checksum else 0)
+    desc = bytes([flg, chunk_code << 4]) + struct.pack("<Q", len(data))
+    head = (
+        struct.pack("<I", _MAGIC)
+        + desc
+        + bytes([(xxh32(desc) >> 8) & 0xFF])
+    )
+    body = bytearray()
+    for i in range(0, len(data), bmax) or [0]:
+        part = data[i : i + bmax]
+        comp = lz4_block_compress(part)
+        if len(comp) < len(part):
+            body += struct.pack("<I", len(comp)) + comp
+            blk = comp
+        else:
+            body += struct.pack("<I", 0x80000000 | len(part)) + part
+            blk = part
+        if block_checksum:
+            body += struct.pack("<I", xxh32(blk))
+    body += struct.pack("<I", 0)  # EndMark
+    body += struct.pack("<I", xxh32(data))
+    return head + bytes(body)

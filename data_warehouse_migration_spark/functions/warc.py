@@ -159,6 +159,12 @@ def read_warc_any(data: bytes) -> list[dict]:
         )
 
         return parse_warc_records(zstd_decompress(data))
+    if data[:4] in (b"\x04\x22\x4d\x18", b"\x02\x21\x4c\x18"):
+        from data_warehouse_migration_spark.functions.lz4 import (
+            lz4_decompress,
+        )
+
+        return parse_warc_records(lz4_decompress(data))
     if data[:5] == b"WARC/":
         return parse_warc_records(data)
     raise ValueError(

@@ -332,8 +332,8 @@ def test_quarantine_corruptions_raise_valueerror():
 
 def test_read_warc_any_dispatch():
     """One entry point for every transport a crawl drop ships:
-    member-gzip, bzip2, xz, zstd (r13), bare — and a loud raise for
-    unknown magic (r12)."""
+    member-gzip, bzip2, xz, zstd and lz4 incl. legacy (r13), bare —
+    and a loud raise for unknown magic (r12)."""
     import lzma
 
     import pytest
@@ -341,13 +341,14 @@ def test_read_warc_any_dispatch():
     from data_warehouse_migration_spark.functions.bz2_stream import (
         bz2_compress,
     )
-    from data_warehouse_migration_spark.functions.zstd import (
-        zstd_compress_stored,
-    )
+    from data_warehouse_migration_spark.functions.lz4 import lz4_compress
     from data_warehouse_migration_spark.functions.warc import (
         build_warc_record,
         read_warc_any,
         write_warc_gz,
+    )
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_stored,
     )
 
     rec = build_warc_record(
@@ -361,6 +362,7 @@ def test_read_warc_any_dispatch():
         "bz2": bz2_compress(bare),
         "xz": lzma.compress(bare, format=lzma.FORMAT_XZ),
         "zstd": zstd_compress_stored(bare),
+        "lz4": lz4_compress(bare),
         "bare": bare,
     }
     for why, blob in variants.items():
