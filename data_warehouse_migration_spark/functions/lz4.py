@@ -214,6 +214,11 @@ def lz4_block_compress(data: bytes) -> bytes:
 _MAGIC = 0x184D2204
 _LEGACY_MAGIC = 0x184C2102
 _BD_SIZES = {4: 64 * 1024, 5: 256 * 1024, 6: 1 << 20, 7: 4 << 20}
+# Legacy frames compress fixed 8 MiB chunks with NO stored-block
+# fallback, so a compressed block can exceed 8 MiB on incompressible
+# input — the admissible maximum is LZ4_compressBound(8 MiB).
+_LEGACY_CHUNK = 8 << 20
+_LEGACY_BOUND = _LEGACY_CHUNK + _LEGACY_CHUNK // 255 + 16
 
 
 def lz4_decompress(data: bytes, max_output: int | None = None) -> bytes:
@@ -245,12 +250,19 @@ def lz4_decompress(data: bytes, max_output: int | None = None) -> bytes:
                 ) == 0x184D2A50:
                     break  # next frame's magic, not a block size
                 pos += 4
-                if bsize > 8 << 20 or pos + bsize > n:
+                if bsize > _LEGACY_BOUND:
+                    raise ValueError(
+                        f"LZ4 legacy block size {bsize} exceeds "
+                        f"compress bound {_LEGACY_BOUND}"
+                    )
+                if pos + bsize > n:
                     raise ValueError("LZ4 legacy block truncated")
                 lz4_block_decompress(
-                    data[pos : pos + bsize], out, len(out), 8 << 20
+                    data[pos : pos + bsize], out, len(out), _LEGACY_CHUNK
                 )
                 pos += bsize
+                if max_output is not None and len(out) > max_output:
+                    raise ValueError("LZ4 output exceeds caller's cap")
             continue
         if magic != _MAGIC:
             raise ValueError(f"bad LZ4 frame magic {magic:#010x}")

@@ -140,6 +140,36 @@ def test_mutation_fuzz_never_escapes_the_exception_contract():
         blob[i] = old
 
 
+@pytest.mark.skipif(_CLI is None, reason="reference lz4 CLI absent")
+def test_legacy_frame_incompressible_9mb():
+    """ADVICE r13: legacy blocks have NO stored fallback, so on
+    incompressible input the compressed block exceeds the 8 MiB chunk
+    size (up to LZ4_compressBound). A 9 MB noisy file through the
+    reference `lz4 -l` must decode, not quarantine."""
+    import random
+
+    data = random.Random(9).randbytes(9 << 20)
+    blob = _enc(data, "-l")
+    # at least one block genuinely exceeds the old 8 MiB cap
+    (first_bsize,) = struct.unpack_from("<I", blob, 4)
+    assert first_bsize > 8 << 20
+    assert lz4_decompress(blob) == data
+    # the caller's cap still binds on the legacy path
+    with pytest.raises(ValueError, match="caller's cap"):
+        lz4_decompress(blob, max_output=1 << 20)
+
+
+def test_legacy_block_bound_split_from_truncation():
+    from data_warehouse_migration_spark.functions.lz4 import _LEGACY_BOUND
+
+    over = struct.pack("<II", 0x184C2102, _LEGACY_BOUND + 1)
+    with pytest.raises(ValueError, match="compress bound"):
+        lz4_decompress(over + b"\x00" * 16)
+    short = struct.pack("<II", 0x184C2102, 100) + b"\x00" * 10
+    with pytest.raises(ValueError, match="legacy block truncated"):
+        lz4_decompress(short)
+
+
 def test_hostile_guards():
     with pytest.raises(ValueError, match="magic"):
         lz4_decompress(b"XXXXXXXX")
