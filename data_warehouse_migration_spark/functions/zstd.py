@@ -41,8 +41,17 @@ Implemented per RFC 8878 + the zstd format notes:
   update order LL→ML→OF, and the three-slot repeat-offset rules
   including the literals_length == 0 shift and the rep1-1 special;
 - sequence execution with overlapping matches; offsets are bounded
-  by decoded history (no dictionary support — a nonzero
-  Dictionary_ID raises NotImplementedError honestly);
+  by decoded history plus, when a dictionary is supplied, the
+  dictionary content;
+- trained dictionaries (RFC 8878 §5, r14): magic/ID, the entropy
+  section (Huffman literals table, FSE tables in OF/ML/LL storage
+  order) priming the Repeat/Treeless modes of a frame's FIRST
+  block, the three initial repeat offsets (validated against the
+  content size), and content as virtual history before the frame;
+  raw-content dictionaries (no magic) are pure history. A frame
+  referencing a dictionary that was not supplied still raises
+  NotImplementedError honestly (quarantine-routable), and an ID
+  mismatch raises ValueError;
 - integrity: xxHash64 implemented from scratch (the content
   checksum is its low 32 bits), frame content size verified.
 
@@ -444,6 +453,12 @@ def _decode_sequences(data: bytes, pos: int, end: int, frame_state: dict):
     b0 = data[pos]
     pos += 1
     if b0 == 0:
+        # RFC 8878 §3.1.1.3.2: a zero count ends the section — the
+        # reference decoder rejects trailing bytes as corruption.
+        if pos != end:
+            raise ValueError(
+                "zstd zero-sequence block has trailing bytes"
+            )
         return [], pos
     if b0 < 128:
         n_seq = b0
@@ -633,8 +648,7 @@ def _execute(out: bytearray, frame_start: int, lits: bytes, seqs, reps):
         consumed += ll
         if offset > len(out) - frame_start:
             raise ValueError(
-                "zstd match offset reaches before frame start"
-                " (dictionaries unsupported)"
+                "zstd match offset reaches before the frame window"
             )
         start = len(out) - offset
         if offset >= ml:
@@ -645,10 +659,76 @@ def _execute(out: bytearray, frame_start: int, lits: bytes, seqs, reps):
     out += lits[consumed:]
 
 
-def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
+# --- trained dictionaries (RFC 8878 §5) ----------------------------------------
+
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDictionary:
+    """A parsed dictionary: entropy-table priming, initial repeat
+    offsets, and content history. ``huf`` is ``None`` for raw-content
+    dictionaries (no entropy priming, default repeat offsets)."""
+
+    __slots__ = ("dict_id", "huf", "tables", "reps", "content")
+
+    def __init__(self, dict_id, huf, tables, reps, content):
+        self.dict_id = dict_id
+        self.huf = huf
+        self.tables = tables
+        self.reps = reps
+        self.content = content
+
+
+def parse_zstd_dictionary(blob: bytes) -> ZstdDictionary:
+    """Parse a dictionary per RFC 8878 §5: magic, Dictionary_ID,
+    entropy tables (Huffman literals, then FSE for Offsets /
+    Match_Lengths / Literal_Lengths), three 4-byte repeat offsets,
+    then content. A blob without the magic is a raw-content
+    dictionary: pure history, no priming, implicit ID 0."""
+    if len(blob) >= 8:
+        (magic,) = struct.unpack_from("<I", blob, 0)
+    else:
+        magic = None
+    if magic != _DICT_MAGIC:
+        return ZstdDictionary(0, None, {}, [1, 4, 8], bytes(blob))
+    (did,) = struct.unpack_from("<I", blob, 4)
+    pos = 8
+    huf_table, huf_bits, used = _huf_read_tree(blob[pos:])
+    pos += used
+    tables: dict = {}
+    for reg in ("of", "ml", "ll"):  # the section's storage order
+        table, al, used = _fse_table_from_stream(
+            blob[pos:], _MAX_SYM[reg], _MAX_LOG[reg]
+        )
+        tables[reg] = (table, al)
+        pos += used
+    if pos + 12 > len(blob):
+        raise ValueError("zstd dictionary repeat offsets truncated")
+    reps = list(struct.unpack_from("<3I", blob, pos))
+    pos += 12
+    content = bytes(blob[pos:])
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError(
+                f"zstd dictionary repeat offset {r} exceeds content"
+            )
+    return ZstdDictionary(
+        did, (huf_table, huf_bits), tables, reps, content
+    )
+
+
+def zstd_decompress(
+    data: bytes,
+    max_output: int | None = None,
+    dictionary: "ZstdDictionary | bytes | None" = None,
+) -> bytes:
     """Decompress a (possibly multi-frame) zstd input, verifying the
     frame content size and the xxHash64 content checksum of every
-    frame; skippable frames are skipped."""
+    frame; skippable frames are skipped. ``dictionary`` (a parsed
+    ``ZstdDictionary`` or raw bytes) primes each frame's entropy
+    tables, repeat offsets, and match history per RFC 8878 §5."""
+    if isinstance(dictionary, (bytes, bytearray)):
+        dictionary = parse_zstd_dictionary(bytes(dictionary))
     out = bytearray()
     pos = 0
     n = len(data)
@@ -688,15 +768,23 @@ def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
             window += (window >> 3) * (wd & 7)
             if window > (1 << 30):
                 raise ValueError(f"zstd window {window} exceeds 1 GiB cap")
+        did = 0
         dict_bytes = {0: 0, 1: 1, 2: 2, 3: 4}[dict_flag]
         if dict_bytes:
             if pos + dict_bytes > n:
                 raise ValueError("zstd dictionary ID truncated")
             did = int.from_bytes(data[pos : pos + dict_bytes], "little")
             pos += dict_bytes
-            if did != 0:
+        if did != 0:
+            if dictionary is None:
                 raise NotImplementedError(
                     f"zstd dictionary {did} is not supported"
+                    " without the dictionary bytes"
+                )
+            if dictionary.dict_id not in (0, did):
+                raise ValueError(
+                    f"zstd frame references dictionary {did}, "
+                    f"the supplied one is {dictionary.dict_id}"
                 )
         fcs = None
         fcs_bytes = {0: 1 if single else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
@@ -708,9 +796,24 @@ def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
                 fcs += 256
             pos += fcs_bytes
 
-        frame_start = len(out)
-        frame_state: dict = {}
-        reps = [1, 4, 8]
+        # With a dictionary, the frame decodes into a buffer seeded
+        # with the dictionary content: matches reach into that
+        # history exactly as if it preceded the frame (RFC 8878 §5),
+        # and the dictionary's entropy tables / repeat offsets prime
+        # the Repeat modes. Without one, the buffer IS ``out``.
+        if dictionary is not None:
+            buf = bytearray(dictionary.content)
+            frame_start = 0
+            frame_state = dict(dictionary.tables)
+            if dictionary.huf is not None:
+                frame_state["huf"] = dictionary.huf
+            reps = list(dictionary.reps)
+        else:
+            buf = out
+            frame_start = len(out)
+            frame_state = {}
+            reps = [1, 4, 8]
+        base = len(buf)
         while True:
             if pos + 3 > n:
                 raise ValueError("zstd block header truncated")
@@ -726,14 +829,14 @@ def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
                     raise ValueError("zstd raw block exceeds block cap")
                 if pos + bsize > n:
                     raise ValueError("zstd raw block truncated")
-                out += data[pos : pos + bsize]
+                buf += data[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE: bsize = regenerated size, 1 byte
                 if bsize > _BLOCK_MAX:
                     raise ValueError("zstd RLE block exceeds block cap")
                 if pos >= n:
                     raise ValueError("zstd RLE block byte truncated")
-                out += bytes([data[pos]]) * bsize
+                buf += bytes([data[pos]]) * bsize
                 pos += 1
             else:  # compressed
                 if bsize > _BLOCK_MAX:
@@ -743,16 +846,20 @@ def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
                     raise ValueError("zstd compressed block truncated")
                 lits, p2 = _decode_literals(data, pos, end, frame_state)
                 seqs, _ = _decode_sequences(data, p2, end, frame_state)
-                before = len(out)
-                _execute(out, frame_start, lits, seqs, reps)
-                if len(out) - before > _BLOCK_MAX:
+                before = len(buf)
+                _execute(buf, frame_start, lits, seqs, reps)
+                if len(buf) - before > _BLOCK_MAX:
                     raise ValueError("zstd block regenerated above cap")
                 pos = end
-            if max_output is not None and len(out) > max_output:
+            if max_output is not None and (
+                len(out) + (len(buf) - base if buf is not out else 0)
+            ) > max_output:
                 raise ValueError("zstd output exceeds caller's cap")
             if last:
                 break
-        content = bytes(out[frame_start:])
+        content = bytes(buf[base:])
+        if buf is not out:
+            out += content
         if fcs is not None and len(content) != fcs:
             raise ValueError(
                 f"zstd decoded {len(content)} bytes, header says {fcs}"
