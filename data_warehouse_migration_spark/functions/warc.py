@@ -135,12 +135,25 @@ def read_warc_gz(data: bytes) -> list[dict]:
     return out
 
 
-def read_warc_any(data: bytes) -> list[dict]:
+def read_warc_any(data: bytes, max_output: int | None = None) -> list[dict]:
     """Transport-agnostic WARC opening (r12): dispatch on the archive
     magic — member-gzip (the Common Crawl convention), bzip2 (older
-    mirrors), xz, or a bare uncompressed WARC — so one ingest entry
-    point covers whatever a crawl drop actually contains. Unknown
-    magic raises ValueError (quarantine-routable), never guesses."""
+    mirrors), xz, zstd, lz4, or a bare uncompressed WARC — so one
+    ingest entry point covers whatever a crawl drop actually
+    contains. Unknown magic raises ValueError (quarantine-routable),
+    never guesses.
+
+    ``max_output`` caps the decompressed transport size (ADVICE r13:
+    a hostile zstd RLE frame amplifies ~32,000×, enough to OOM an
+    executor that per-row quarantine cannot catch). Default: 32× the
+    archive size with a 64 MiB floor — real WARC transports compress
+    well under 16×. The cap binds DURING decode for zstd/lz4 (whose
+    decoders carry it) and after decode for bz2/xz, whose formats
+    bound per-step amplification internally (bz2's RLE2 run cap,
+    xz's declared dictionary sizes); gzip members bound amplification
+    structurally at deflate's 1032:1."""
+    if max_output is None:
+        max_output = max(64 << 20, 32 * len(data))
     if data[:2] == b"\x1f\x8b":
         return read_warc_gz(data)
     if data[:3] == b"BZh":
@@ -148,23 +161,29 @@ def read_warc_any(data: bytes) -> list[dict]:
             bz2_decompress,
         )
 
-        return parse_warc_records(bz2_decompress(data))
+        raw = bz2_decompress(data)
+        if len(raw) > max_output:
+            raise ValueError("bzip2 WARC transport exceeds output cap")
+        return parse_warc_records(raw)
     if data[:6] == b"\xfd7zXZ\x00":
         from data_warehouse_migration_spark.functions.xz import xz_decompress
 
-        return parse_warc_records(xz_decompress(data))
+        raw = xz_decompress(data)
+        if len(raw) > max_output:
+            raise ValueError("xz WARC transport exceeds output cap")
+        return parse_warc_records(raw)
     if data[:4] == b"\x28\xb5\x2f\xfd":
         from data_warehouse_migration_spark.functions.zstd import (
             zstd_decompress,
         )
 
-        return parse_warc_records(zstd_decompress(data))
+        return parse_warc_records(zstd_decompress(data, max_output))
     if data[:4] in (b"\x04\x22\x4d\x18", b"\x02\x21\x4c\x18"):
         from data_warehouse_migration_spark.functions.lz4 import (
             lz4_decompress,
         )
 
-        return parse_warc_records(lz4_decompress(data))
+        return parse_warc_records(lz4_decompress(data, max_output))
     if data[:5] == b"WARC/":
         return parse_warc_records(data)
     raise ValueError(
@@ -265,7 +284,9 @@ def parse_http_response(data: bytes) -> tuple[int, dict[str, str], bytes]:
 # compressed bytes to the HTML extractor (VERDICT r12 missing #1).
 
 
-def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
+def decode_content_encoding(
+    headers: dict[str, str], body: bytes, max_output: int | None = None
+) -> bytes:
     """Undo the ``Content-Encoding`` codings on a de-framed body.
 
     Codings are listed in the order the server APPLIED them, so they
@@ -278,7 +299,15 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
     ``zstd`` (RFC 8878 via the engine's own functions/zstd), and
     ``br`` (RFC 7932 via functions/brotli_stream) — the full modern
     server set. Any other token raises ValueError
-    (quarantine-routable)."""
+    (quarantine-routable).
+
+    ``max_output`` caps the decoded size per coding step (ADVICE
+    r13: zstd amplifies ~32,000× on hostile input — an OOM no
+    per-row quarantine can catch). Default: 256× the wire body with
+    a 16 MiB floor (real page codings run 5-30×). zstd/br enforce
+    the cap during decode; gzip/deflate check it after (deflate's
+    structural ceiling is 1032:1, so the pre-check memory exposure
+    is bounded by the format itself)."""
     from data_warehouse_migration_spark.functions.gzip_stream import (
         gzip_decompress,
     )
@@ -287,6 +316,8 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
         zlib_decompress,
     )
 
+    if max_output is None:
+        max_output = max(16 << 20, 256 * len(body))
     lower = {k.lower(): v for k, v in headers.items()}
     raw = lower.get("content-encoding", "")
     codings = [c.strip().lower() for c in raw.split(",") if c.strip()]
@@ -295,6 +326,8 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
             continue
         if coding in ("gzip", "x-gzip"):
             body = gzip_decompress(body)
+            if len(body) > max_output:
+                raise ValueError("gzip content coding exceeds output cap")
         elif coding == "deflate":
             looks_zlib = (
                 len(body) >= 2
@@ -302,29 +335,32 @@ def decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
                 and (body[0] << 8 | body[1]) % 31 == 0
             )
             body = zlib_decompress(body) if looks_zlib else inflate(body)
+            if len(body) > max_output:
+                raise ValueError("deflate content coding exceeds output cap")
         elif coding == "zstd":
             from data_warehouse_migration_spark.functions.zstd import (
                 zstd_decompress,
             )
 
-            body = zstd_decompress(body)
+            body = zstd_decompress(body, max_output)
         elif coding == "br":
             from data_warehouse_migration_spark.functions.brotli_stream import (
                 brotli_decompress,
             )
 
-            body = brotli_decompress(body)
+            body = brotli_decompress(body, max_output)
         else:
             raise ValueError(f"unknown content coding {coding!r}")
     return body
 
 
 def parse_http_response_decoded(
-    data: bytes,
+    data: bytes, max_output: int | None = None
 ) -> tuple[int, dict[str, str], bytes]:
     """(status, headers, body) with BOTH layers undone: transfer
     de-framing (:func:`parse_http_response`) then the content codings
-    (:func:`decode_content_encoding`) — the entry point a crawl
-    ingest should use on a stored response record."""
+    (:func:`decode_content_encoding`, which ``max_output`` caps) —
+    the entry point a crawl ingest should use on a stored response
+    record."""
     status, headers, body = parse_http_response(data)
-    return status, headers, decode_content_encoding(headers, body)
+    return status, headers, decode_content_encoding(headers, body, max_output)

@@ -372,6 +372,57 @@ def test_read_warc_any_dispatch():
         read_warc_any(b"ZZZZZZZZ")
 
 
+def test_decompression_bomb_caps():
+    """ADVICE r13: a hostile zstd RLE frame amplifies ~32,000×, so
+    the ingest hooks must carry an output budget into the decoders
+    instead of letting an executor OOM past per-row quarantine. The
+    caps bind on both the transport opener and the per-response
+    content-coding path, by default and when passed explicitly."""
+    import pytest
+
+    from data_warehouse_migration_spark.functions.warc import (
+        decode_content_encoding,
+        parse_http_response_decoded,
+        read_warc_any,
+    )
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_stored,
+    )
+
+    # ~80 MiB of zeros → a few-KB .zst (RLE blocks): the default
+    # transport budget (max(64 MiB, 32× archive)) must fire mid-decode
+    bomb = zstd_compress_stored(b"\x00" * (80 << 20), chunk=64 * 1024)
+    assert len(bomb) < 64 << 10
+    with pytest.raises(ValueError, match="caller's cap"):
+        read_warc_any(bomb)
+    # explicit budgets thread through
+    small = zstd_compress_stored(b"\x00" * (2 << 20))
+    with pytest.raises(ValueError, match="caller's cap"):
+        read_warc_any(small, max_output=1 << 20)
+    # content-coding leg: default budget max(16 MiB, 256× wire body)
+    body = zstd_compress_stored(b"\x00" * (20 << 20))
+    with pytest.raises(ValueError, match="caller's cap"):
+        decode_content_encoding({"Content-Encoding": "zstd"}, body)
+    with pytest.raises(ValueError, match="caller's cap"):
+        decode_content_encoding(
+            {"Content-Encoding": "zstd"}, small, max_output=1 << 20
+        )
+    # and through the composed response entry point
+    resp = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(small) + small
+    )
+    with pytest.raises(ValueError, match="caller's cap"):
+        parse_http_response_decoded(resp, max_output=1 << 20)
+    # a legitimate coded body still decodes under the default budget
+    status, _, got = parse_http_response_decoded(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n"
+        b"Content-Length: %d\r\n\r\n"
+        % len(zstd_compress_stored(b"ok page")) + zstd_compress_stored(b"ok page")
+    )
+    assert status == 200 and got == b"ok page"
+
+
 def test_content_encoding_decoding():
     """RFC 9110 §8.4 content codings over a de-framed body: gzip,
     zlib-wrapped deflate, BARE-stream deflate (the misconfigured-
