@@ -119,8 +119,16 @@ def _member_blocks(name: str, data: bytes, mtime: int, fmt: str) -> bytes:
         nb = name.encode("utf-8")
         if fmt == "pax":
             rec = _pax_record("path", name)
+            # the extension member's own name is advisory, but it
+            # must still FIT the 100-byte ustar name field: clip to
+            # UTF-8 BYTES on a character boundary (ADVICE r13 — a
+            # character slice of a multibyte name overflows the
+            # field on exactly the inputs PAX exists for)
+            clipped = nb[: 100 - len("PaxHeaders.0/")].decode(
+                "utf-8", "ignore"
+            )
             out += _header(
-                "PaxHeaders.0/" + name[:80], len(rec), mtime=mtime,
+                "PaxHeaders.0/" + clipped, len(rec), mtime=mtime,
                 typeflag="x",
             )
             out += rec + b"\x00" * (-len(rec) % _BLOCK)
@@ -214,7 +222,6 @@ def tar_members(data: bytes) -> list[tuple[str, bytes]]:
     global_pax: dict[str, str] = {}
     pending_pax: dict[str, str] = {}
     pending_longname: str | None = None
-    pending_longlink: str | None = None
     while pos + _BLOCK <= n:
         h = data[pos : pos + _BLOCK]
         if h == b"\x00" * _BLOCK:  # end-of-archive marker
@@ -234,7 +241,11 @@ def tar_members(data: bytes) -> list[tuple[str, bytes]]:
         if typeflag in ("0", "\x00", "1", "2", "5"):
             # the member the pending overrides describe
             eff = {**global_pax, **pending_pax}
-            if "size" in eff:
+            if "size" in eff and typeflag in ("0", "\x00"):
+                # only regular files carry data blocks — a size
+                # record in scope of a dir/link member must NOT make
+                # the reader skip nonexistent payload bytes and
+                # misparse everything after it (ADVICE r13)
                 size = _pax_size(eff["size"])
             if pending_longname is not None:
                 name = pending_longname
@@ -242,7 +253,6 @@ def tar_members(data: bytes) -> list[tuple[str, bytes]]:
                 name = eff["path"]
             pending_pax = {}
             pending_longname = None
-            pending_longlink = None
         payload = data[pos : pos + size]
         if len(payload) < size:
             raise ValueError("tar member data truncated")
@@ -258,7 +268,9 @@ def tar_members(data: bytes) -> list[tuple[str, bytes]]:
         elif typeflag == "L":
             pending_longname = payload.split(b"\x00")[0].decode("utf-8")
         elif typeflag == "K":
-            pending_longlink = payload.split(b"\x00")[0].decode("utf-8")
+            # longlink target: link members are never listed here, so
+            # the target has no consumer — validate UTF-8 and move on
+            payload.split(b"\x00")[0].decode("utf-8")
         else:
             raise ValueError(f"unsupported tar typeflag {typeflag!r}")
     return out

@@ -257,6 +257,67 @@ def test_pax_size_override_and_hostile_records():
         )
 
 
+def test_pax_long_multibyte_name_without_slashes():
+    """ADVICE r13: a long all-multibyte name with NO usable slash
+    split must pack as pax — the extension member's own name is
+    clipped to 100 UTF-8 BYTES on a character boundary, not 80
+    characters (which overflowed the field for CJK names)."""
+    name = "文" * 120 + ".txt"  # 364 UTF-8 bytes, no slashes
+    members = [(name, b"payload"), ("after.txt", b"ok")]
+    for fmt in ("pax", "gnu"):
+        blob = tar_pack(members, fmt=fmt)
+        assert tar_members(blob) == members, fmt
+        tf = tarfile.open(fileobj=io.BytesIO(blob))
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+        assert got == members, fmt
+    with pytest.raises(ValueError, match="too long for ustar"):
+        tar_pack(members, fmt="ustar")
+
+
+def test_pax_size_override_only_binds_regular_files():
+    """ADVICE r13: directory / link members carry no data blocks, so
+    a ``size`` record in their scope must not make the reader skip
+    phantom payload and misparse every member after them."""
+    from data_warehouse_migration_spark.functions.tar_stream import (
+        _header,
+        _pax_record,
+    )
+
+    rec = _pax_record("size", "512")
+    after = b"survives"
+    for flag in ("5", "2", "1"):
+        blob = (
+            _header("p", len(rec), typeflag="x")
+            + rec + b"\x00" * (-len(rec) % 512)
+            + _header("dir-or-link", 0, typeflag=flag)
+            + _header("after.txt", len(after))
+            + after + b"\x00" * (-len(after) % 512)
+            + b"\x00" * 1024
+        )
+        assert tar_members(blob) == [("after.txt", after)], flag
+        # CPython tarfile adjudicates the same layout
+        tf = tarfile.open(fileobj=io.BytesIO(blob))
+        names = [m.name for m in tf.getmembers()]
+        assert "after.txt" in names, flag
+
+
+def test_gnu_longlink_member_is_tolerated():
+    """A GNU ``K`` longlink member must not derail the walk: the
+    following symlink is skipped (links are never listed) and the
+    members after it parse."""
+    from data_warehouse_migration_spark.functions.tar_stream import _header
+
+    target = b"some/very/long/target" + b"\x00"
+    blob = (
+        _header("././@LongLink", len(target), typeflag="K")
+        + target + b"\x00" * (-len(target) % 512)
+        + _header("link", 0, typeflag="2")
+        + _header("after.txt", 2) + b"ok" + b"\x00" * 510
+        + b"\x00" * 1024
+    )
+    assert tar_members(blob) == [("after.txt", b"ok")]
+
+
 def test_pax_gnu_roundtrip_property():
     """Property over random member sets: names drawn from short,
     prefix-splittable-long, unsplittable-long, and unicode pools with
