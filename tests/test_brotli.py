@@ -205,3 +205,29 @@ def test_mutation_fuzz_never_escapes_the_exception_contract():
         except (ValueError, NotImplementedError):
             pass
         blob[i] = old
+
+
+def test_large_window_extension_detected_and_quarantine_routable():
+    """VERDICT r13 what's-missing #5: the non-RFC large-window
+    extension (wbits > 24, a rare explicit encoder flag) must land in
+    quarantine as NotImplementedError — detected from the header's
+    reserved WBITS pattern, never misdecoded, never a crash class.
+    The pin rides the crawl's own content-coding entry point so the
+    posture survives refactors."""
+    from data_warehouse_migration_spark.functions.warc import (
+        decode_content_encoding,
+        parse_http_response_decoded,
+    )
+
+    # header bits LSB-first: 1, 000, 001 -> the reserved marker
+    lw = b"\x11\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="large-window"):
+        brotli_decompress(lw)
+    with pytest.raises(NotImplementedError, match="large-window"):
+        decode_content_encoding({"Content-Encoding": "br"}, lw)
+    resp = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+        b"Content-Length: 4\r\n\r\n" + lw
+    )
+    with pytest.raises(NotImplementedError, match="large-window"):
+        parse_http_response_decoded(resp)
