@@ -39,11 +39,10 @@ Scale posture: archives are independent rows through one
 Arrow-batched stage, zero shuffle; with B.Indep set (the default
 real pipelines use) blocks are the in-file split unit.
 
-Attestation posture (r13): capability without a registry slot — the
-r13 window sealed at 50 before this rung landed, so attestation
-rides tests/test_lz4.py (reference CLI pinned both directions,
-truncation sweep, mutation fuzz) per the ``bpe_extend_merges``
-precedent; a gate takes an r14 window slot.
+Attestation posture: landed post-seal in r13 with attestation riding
+tests/test_lz4.py only; r14 registers the ``lz4_text_archive`` hash
+gate (VERDICT r13 action #1) rotating modern/legacy/skippable/
+multi-block layouts per-row, alongside the CLI cross-pins.
 """
 
 from __future__ import annotations
@@ -359,15 +358,23 @@ def lz4_decompress(data: bytes, max_output: int | None = None) -> bytes:
 
 
 def lz4_compress(
-    data: bytes, block_checksum: bool = False, chunk_code: int = 4
+    data: bytes,
+    block_checksum: bool = False,
+    chunk_code: int = 4,
+    chunk: int | None = None,
 ) -> bytes:
     """A modern LZ4 frame: independent greedy-compressed blocks (the
     splittable layout real pipelines use), explicit content size,
     content checksum, optional block checksums; a block that doesn't
-    shrink ships uncompressed (the spec's high-bit escape)."""
+    shrink ships uncompressed (the spec's high-bit escape). ``chunk``
+    overrides the slice size below the declared block maximum (to
+    author multi-block frames from small inputs)."""
     bmax = _BD_SIZES.get(chunk_code)
     if bmax is None:
         raise ValueError(f"chunk_code {chunk_code} must be 4-7")
+    step = chunk if chunk is not None else bmax
+    if not 0 < step <= bmax:
+        raise ValueError(f"chunk {step} must be in 1..{bmax}")
     flg = (0b01 << 6) | 0x20 | 0x08 | 0x04 | (0x10 if block_checksum else 0)
     desc = bytes([flg, chunk_code << 4]) + struct.pack("<Q", len(data))
     head = (
@@ -376,8 +383,8 @@ def lz4_compress(
         + bytes([(xxh32(desc) >> 8) & 0xFF])
     )
     body = bytearray()
-    for i in range(0, len(data), bmax) or [0]:
-        part = data[i : i + bmax]
+    for i in range(0, len(data), step) or [0]:
+        part = data[i : i + step]
         comp = lz4_block_compress(part)
         if len(comp) < len(part):
             body += struct.pack("<I", len(comp)) + comp
@@ -390,3 +397,24 @@ def lz4_compress(
     body += struct.pack("<I", 0)  # EndMark
     body += struct.pack("<I", xxh32(data))
     return head + bytes(body)
+
+
+def lz4_compress_legacy(data: bytes) -> bytes:
+    """The legacy frame (``lz4 -l``, old Hadoop paths): magic
+    0x184C2102, then fixed 8 MiB chunks each greedy-compressed with
+    NO stored fallback or checksum — the format has neither, which
+    is why a compressed block may exceed the chunk size on
+    incompressible input (see ``_LEGACY_BOUND``)."""
+    out = bytearray(struct.pack("<I", _LEGACY_MAGIC))
+    for i in range(0, len(data), _LEGACY_CHUNK) or [0]:
+        comp = lz4_block_compress(data[i : i + _LEGACY_CHUNK])
+        out += struct.pack("<I", len(comp)) + comp
+    return bytes(out)
+
+
+def lz4_skippable_frame(payload: bytes, nibble: int = 0) -> bytes:
+    """A skippable frame (magic 0x184D2A5n): framed metadata every
+    LZ4 decoder must pass over — the seek-index convention."""
+    if not 0 <= nibble <= 15:
+        raise ValueError(f"skippable nibble {nibble} must be 0-15")
+    return struct.pack("<II", 0x184D2A50 | nibble, len(payload)) + payload

@@ -1249,6 +1249,90 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def lz4_archive_features(docs: DataFrame) -> DataFrame:
+    """Gate harness for LZ4 archives (functions/lz4 — the r13
+    post-seal rung; VERDICT r13 action #1 gives it the registry slot
+    the sealed window couldn't). The layout rotates on id mod 4 so
+    the decoder's whole frame surface runs under the hash gate
+    per-row: a modern frame with real greedy-compressed blocks; a
+    LEGACY frame (``lz4 -l`` / old Hadoop magic, no checksums, no
+    stored fallback); TWO concatenated frames with a skippable
+    metadata frame between them (the seek-index shape); a
+    multi-block modern frame with per-block checksums (``chunk``
+    below the declared maximum forces several blocks from small
+    text). Every archive is authored by the engine's own writers and
+    read back through the FULL decoder — descriptor flags, header
+    checksum byte, block walk, xxHash32 block/content checksums,
+    legacy chunk rules, skippable dispatch, multi-frame concat.
+
+    Cross-engine generality is pinned in tests/test_lz4.py against
+    the reference CLI in BOTH directions (presets, -BD linked
+    blocks, every block-size code, legacy incl. the >8 MiB
+    incompressible-block bound, truncation sweep, mutation fuzz).
+
+    Exactness: lossless, so decoded text equals the document text
+    verbatim — md5/length/frame-count are pure formulas the DuckDB
+    oracle recomputes with no codec anywhere.
+
+    Shape at 100 TB: archives are independent rows through one
+    Arrow-batched stage, zero shuffle; with independent blocks (the
+    default real pipelines use) blocks are the in-file split unit."""
+    from data_warehouse_migration_spark.functions.lz4 import (
+        lz4_compress,
+        lz4_compress_legacy,
+        lz4_decompress,
+        lz4_skippable_frame,
+    )
+
+    def per_doc(aid: int, text: str):
+        raw = text.encode("utf-8")
+        leg = aid % 4
+        if leg == 0:
+            blob = lz4_compress(raw)
+            n_frames = 1
+        elif leg == 1:
+            blob = lz4_compress_legacy(raw)
+            n_frames = 1
+        elif leg == 2:
+            cut = len(raw) // 2
+            blob = (
+                lz4_compress(raw[:cut])
+                + lz4_skippable_frame(f"doc={aid}".encode(), nibble=aid % 16)
+                + lz4_compress(raw[cut:], chunk_code=5)
+            )
+            n_frames = 2
+        else:
+            blob = lz4_compress(raw, block_checksum=True, chunk=503)
+            n_frames = 1
+        back = lz4_decompress(blob).decode("utf-8")
+        return (aid, back, len(back), n_frames, len(blob))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(tx))
+                for i, tx in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "text", "n_chars", "n_frames", "lz4_len"],
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, text string, n_chars int, n_frames int,"
+            " lz4_len int"
+        ),
+    )
+    return out.where(F.col("lz4_len") > 0).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_chars",
+        "n_frames",
+    )
+
+
 def pdf_extract_features(docs: DataFrame) -> DataFrame:
     """Gate harness for PDF text extraction (functions/pdf — r11,
     font-aware r12): per document, BUILD a two-page PDF from its own

@@ -4967,3 +4967,54 @@ def zst_text_archive(spark, sf_dir):
     )
 
     return zst_archive_features(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "lz4_text_archive",
+    tags=("text", "lz4", "compression", "crawl", "mapInPandas"),
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS INT)
+           AS n_frames
+FROM documents
+""",
+)
+def lz4_text_archive(spark, sf_dir):
+    """LZ4 archives under the hard gate (functions/lz4 — VERDICT r13
+    action #1: the r13 post-seal rung was the only shipped codec
+    without a per-row registry gate). ``.lz4`` is the speed-tier
+    framing event pipelines and data lakes ship when they trade
+    ratio for throughput (Kafka, Hadoop codecs, rocksdb backups);
+    the block format is LZ77 at its most minimal — token nibbles,
+    255-run extensions, 2-byte offsets, no entropy stage — so BOTH
+    directions are engine code (a real greedy hash-chain compressor,
+    unlike zstd/brotli where encoders are reference territory).
+
+    Per document the text round-trips through the engine's own
+    writers and FULL decoder, the layout rotating on id mod 4:
+    modern frame with real compressed blocks / LEGACY frame
+    (``lz4 -l`` magic, fixed 8 MiB chunks, no stored fallback) / two
+    concatenated frames with a skippable metadata frame between /
+    multi-block modern frame with per-block xxHash32 checksums.
+    Decoded text equals the document text verbatim, so
+    md5/length/frame-count are pure formulas the oracle recomputes
+    with no codec anywhere.
+
+    Cross-engine pins live in tests/test_lz4.py: the reference CLI
+    decodes every writer shape (incl. legacy + custom chunks) and
+    the decoder reads CLI output across presets, -BD linked blocks,
+    every block-size code, legacy frames above the 8 MiB
+    incompressible-block bound (ADVICE r13), an every-offset
+    truncation sweep, and a 300-trial mutation fuzz; xxHash32 is
+    pinned via every reference trailer.
+
+    Shape at 100 TB: archives are independent rows through one
+    Arrow-batched stage, zero shuffle; with independent blocks (the
+    default real pipelines use) blocks are the in-file split unit."""
+    from data_warehouse_migration_spark.operators.web_extract import (
+        lz4_archive_features,
+    )
+
+    return lz4_archive_features(t(spark, sf_dir, "documents"))

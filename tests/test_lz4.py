@@ -85,10 +85,42 @@ def test_decodes_reference_cli_across_frame_shapes():
 
 @pytest.mark.skipif(_CLI is None, reason="reference lz4 CLI absent")
 def test_cli_decodes_our_frames():
+    from data_warehouse_migration_spark.functions.lz4 import (
+        lz4_compress_legacy,
+    )
+
     for data in CASES:
-        for kwargs in ({}, {"block_checksum": True}, {"chunk_code": 5}):
+        for kwargs in (
+            {}, {"block_checksum": True}, {"chunk_code": 5},
+            {"block_checksum": True, "chunk": 503},
+        ):
             blob = lz4_compress(data, **kwargs)
             assert _dec(blob) == data, (len(data), kwargs)
+        assert _dec(lz4_compress_legacy(data)) == data, len(data)
+
+
+def test_own_writer_shapes_roundtrip():
+    from data_warehouse_migration_spark.functions.lz4 import (
+        lz4_compress_legacy,
+        lz4_skippable_frame,
+    )
+
+    for data in CASES:
+        assert lz4_decompress(lz4_compress_legacy(data)) == data
+        assert lz4_decompress(lz4_compress(data, chunk=503)) == data
+        cut = len(data) // 2
+        blob = (
+            lz4_compress(data[:cut])
+            + lz4_skippable_frame(b"meta", nibble=9)
+            + lz4_compress(data[cut:], chunk_code=5)
+        )
+        assert lz4_decompress(blob) == data
+    with pytest.raises(ValueError, match="nibble"):
+        lz4_skippable_frame(b"", nibble=16)
+    with pytest.raises(ValueError, match="chunk"):
+        lz4_compress(b"x", chunk=0)
+    with pytest.raises(ValueError, match="chunk"):
+        lz4_compress(b"x", chunk_code=4, chunk=(64 << 10) + 1)
 
 
 def test_own_roundtrip_and_block_layer():
