@@ -16,7 +16,13 @@ from data_warehouse_migration_spark.catalog import query, t
 from data_warehouse_migration_spark.functions import text as Tx
 from data_warehouse_migration_spark.operators import dedup as D
 from data_warehouse_migration_spark.operators import sessionize as S
+from data_warehouse_migration_spark.functions.text import unicode_tokens_sql
 from data_warehouse_migration_spark.operators.similarity import brute_force_topk
+
+#: DuckDB twin of functions/text.unicode_tokens over the `text`
+#: column — the static form the decorator oracles interpolate (the
+#: r14 per-query tokenizer migrations; SCALE.md's swap mechanism).
+_UNICODE_TOKENS_SQL = unicode_tokens_sql("text")
 
 # Shared oracle CTE: normalized text + distinct 3-gram shingle digests.
 _SHINGLES_CTE = """
@@ -2471,16 +2477,11 @@ def dataset_mix_by_lang(spark, sf_dir):
 @query(
     "tfidf_top_terms",
     tags=("text", "tfidf"),
-    oracle="""
-WITH norm AS (
-    SELECT doc_id,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-               AS toks
-    FROM documents
-), tok AS (
-    SELECT doc_id, unnest(toks) AS tok FROM norm
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_UNICODE_TOKENS_SQL}) AS tok FROM documents
 ), tf AS (
-    SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> '' GROUP BY 1, 2
+    SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
 ), df AS (
     SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
 ), n AS (SELECT count(*) AS n_docs FROM documents),
@@ -2504,14 +2505,17 @@ def tfidf_top_terms(spark, sf_dir):
     on token, map-side combined), broadcastable doc count, then a
     per-doc ranking window. Exact-integer counts; only the final
     ln-weighted score is floating (rounded for cross-engine equality,
-    term tie-break makes top-3 total)."""
+    term tie-break makes top-3 total). r14: tokenization migrated to
+    the Unicode family (functions/text.unicode_tokens — `\\p{Z}`
+    whitespace, empties dropped), per SCALE.md's per-query swap
+    mechanism; behavior-identical on ASCII corpora."""
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(D.normalized_text(F.col("text")), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+        F.explode(Tx.unicode_tokens(F.col("text"))).alias("tok"),
+    )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # driver scalar: one number, not a collect of rows
@@ -3560,11 +3564,9 @@ def contamination_overlap_scores(spark, sf_dir):
 @query(
     "temperature_mix_weights",
     tags=("sampling", "mixing", "multilingual"),
-    oracle="""
+    oracle=f"""
 WITH n AS (
-    SELECT lang,
-           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-               ' ')) AS nt
+    SELECT lang, len({_UNICODE_TOKENS_SQL}) AS nt
     FROM documents
 ), agg AS (
     SELECT lang, CAST(sum(nt) AS BIGINT) AS n_size FROM n GROUP BY lang
@@ -3593,14 +3595,15 @@ def temperature_mix_weights(spark, sf_dir):
     integers BEFORE the denominator sum, so the totals are
     order-independent integer sums and the oracle reproduces every
     ratio exactly — the catalog's exactness rule applied to a
-    float-weighted normalization."""
-    from data_warehouse_migration_spark.operators.dedup import normalized_text
+    float-weighted normalization. r14: token mass counted under the
+    Unicode tokenizer (SCALE.md's per-query swap mechanism);
+    behavior-identical on ASCII corpora."""
     from data_warehouse_migration_spark.operators.sampling import temperature_weights
 
     docs = t(spark, sf_dir, "documents")
     per_doc = docs.select(
         "lang",
-        F.size(F.split(normalized_text(F.col("text")), " ")).alias("nt"),
+        Tx.unicode_token_count(F.col("text")).alias("nt"),
     )
     return temperature_weights(per_doc, "lang", "nt", alpha=0.3)
 

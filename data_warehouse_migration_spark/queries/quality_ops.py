@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_warehouse_migration_spark.catalog import query, t
-from data_warehouse_migration_spark.functions.text import redact_pii
+from data_warehouse_migration_spark.functions.text import (
+    redact_pii,
+    unicode_tokens_sql,
+)
 from data_warehouse_migration_spark.operators.dedup import normalized_text
 
 
@@ -359,11 +362,9 @@ def embedding_label_centroids(spark, sf_dir):
 @query(
     "chunk_documents_overlap",
     tags=("text", "chunking", "rag"),
-    oracle="""
+    oracle=f"""
 WITH n AS (
-    SELECT doc_id,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-               AS w
+    SELECT doc_id, {unicode_tokens_sql("text")} AS w
     FROM documents
 ), s AS (
     SELECT doc_id, w,
@@ -388,9 +389,13 @@ def chunk_documents_overlap(spark, sf_dir):
     chunk contents, not just counts. Complements
     ``pack_documents_into_chunks`` (bin packing many docs into fixed
     budgets) — this splits single docs; a pipeline composes split →
-    pack."""
+    pack. r14: tokenization migrated to the Unicode family
+    (SCALE.md's per-query swap mechanism); behavior-identical on
+    ASCII corpora."""
+    from data_warehouse_migration_spark.functions.text import unicode_tokens
+
     docs = t(spark, sf_dir, "documents")
-    words = F.split(normalized_text(F.col("text")), " ")
+    words = unicode_tokens(F.col("text"))
     sized = docs.select(
         "doc_id", words.alias("w"), F.size(words).alias("len")
     )
