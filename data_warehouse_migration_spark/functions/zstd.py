@@ -1103,6 +1103,95 @@ def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
     return head + bytes(body) + tail
 
 
+def zstd_compress_lz_dict(
+    data: bytes, content: bytes, min_match: int = 4
+) -> bytes:
+    """:func:`zstd_compress_lz` against a RAW-CONTENT dictionary: the
+    first block's matches may reach back into ``content`` as virtual
+    history (offsets beyond the frame start — RFC 8878 §5 semantics),
+    which is what a reader must prime with the same bytes to decode.
+    The frame carries an explicit window descriptor sized to
+    content+data (raw dictionaries have no ID field to declare), so
+    the reference decoder accepts it with ``-D <content>``. Sibling
+    of the plain encoder, not an edit to it."""
+    n = len(data)
+    need = len(content) + n + 16
+    e = max(10, (need - 1).bit_length())
+    if e > 30:
+        raise ValueError("dictionary + data exceed the 1 GiB window cap")
+    fhd = (2 << 6) | 0x04  # 4-byte FCS + content checksum, windowed
+    head = (
+        struct.pack("<I", 0xFD2FB528)
+        + bytes([fhd, (e - 10) << 3])
+        + struct.pack("<I", n)
+    )
+    body = bytearray()
+    pos = 0
+    CHUNK = 64 * 1024
+    if n == 0:
+        body += bytes([1, 0, 0])
+    while pos < n:
+        end = min(pos + CHUNK, n)
+        last = 1 if end == n else 0
+        if pos == 0:  # only the first block sees the dictionary
+            ext = content + data[:end]
+            base = len(content)
+        else:
+            ext = data[pos:end]
+            base = 0
+        table: dict[bytes, int] = {}
+        for j in range(0, base - min_match + 1):
+            table[bytes(ext[j : j + min_match])] = j
+        lits = bytearray()
+        seqs: list[tuple[int, int, int]] = []
+        i = base
+        lit_start = base
+        while i + min_match <= len(ext) and len(seqs) < 127:
+            key = bytes(ext[i : i + min_match])
+            j = table.get(key)
+            table[key] = i
+            if j is None or i - j > (1 << 20):
+                i += 1
+                continue
+            length = min_match
+            limit = len(ext) - i
+            while length < limit and length < 65535 and \
+                    ext[j + length] == ext[i + length]:
+                length += 1
+            lits += ext[lit_start:i]
+            ll = i - lit_start
+            seqs.append((ll, length, (i - j) + 3))
+            i += length
+            lit_start = i
+        lits += ext[lit_start:]
+        chunk_len = end - pos
+        block = None
+        if seqs:
+            if len(lits) < 32:
+                lit_hdr = bytes([(len(lits) << 3) | 0])
+            elif len(lits) < 4096:
+                lit_hdr = bytes(
+                    [((len(lits) & 0xF) << 4) | (1 << 2) | 0, len(lits) >> 4]
+                )
+            else:
+                lit_hdr = bytes(
+                    [((len(lits) & 0xF) << 4) | (3 << 2) | 0,
+                     (len(lits) >> 4) & 0xFF, len(lits) >> 12]
+                )
+            block = (
+                lit_hdr + bytes(lits) + _encode_sequences_predefined(seqs)
+            )
+        if block is None or len(block) >= chunk_len:
+            bh = last | (0 << 1) | (chunk_len << 3)
+            body += bh.to_bytes(3, "little") + data[pos:end]
+        else:
+            bh = last | (2 << 1) | (len(block) << 3)
+            body += bh.to_bytes(3, "little") + block
+        pos = end
+    tail = struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return head + bytes(body) + tail
+
+
 def zstd_skippable_frame(payload: bytes, nibble: int = 0) -> bytes:
     """A skippable frame (magic 0x184D2A5?) — the side-channel the
     seekable format and per-shard metadata use."""

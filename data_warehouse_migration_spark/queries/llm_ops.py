@@ -4925,7 +4925,7 @@ def xz_text_archive(spark, sf_dir):
 SELECT doc_id,
        md5(text) AS text_md5,
        CAST(length(text) AS INT) AS n_chars,
-       CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 2 ELSE 1 END AS INT)
+       CAST(CASE WHEN doc_id % 5 IN (1, 2) THEN 2 ELSE 1 END AS INT)
            AS n_frames
 FROM documents
 """,
@@ -4942,25 +4942,33 @@ def zst_text_archive(spark, sf_dir):
     including xxHash64 from scratch for the content checksum.
 
     Per document the text round-trips through the engine's own
-    writers and FULL decoder, with the layout rotating on id mod 4:
+    writers and FULL decoder, with the layout rotating on id mod 5:
     multi-block stored frame / two concatenated frames / a skippable
     metadata frame between content frames (the seekable-format
     shape) / a REAL compressed frame from the engine's own LZ77
     encoder (Compressed_Blocks: predefined-FSE sequences + raw
     literals), so the FSE state machine, extra-bit reads,
     repeat-offset arithmetic, and sequence execution run under the
-    hash gate per-row. Decoded text equals the document text
-    verbatim, so md5/length/frame-count are pure formulas the oracle
-    recomputes with no codec anywhere.
+    hash gate per-row / and (r14, VERDICT r13 action #3) a
+    DICTIONARY leg: a raw-content dictionary from the document's own
+    head primes the decode, the frame's matches reach into it as
+    virtual history, so the history-seeded buffer and the window
+    check against the dictionary boundary run under the hash gate
+    per-row. Decoded text equals the document text verbatim, so
+    md5/length/frame-count are pure formulas the oracle recomputes
+    with no codec anywhere.
 
-    The Huffman-literals and custom-table halves of the decoder have
-    no in-container Python reference encoder to harness per-row, so
-    they are pinned in tests/test_zstd.py against the reference CLI
-    across presets -1/-3/-9/-19, --ultra -22, long-window mode,
-    no-checksum frames, dictionary detection (honest
-    NotImplementedError), corruption, and an every-offset truncation
-    sweep; the CLI also decodes the engine's LZ and stored frames
-    back — the format's own decoder adjudicates both writers.
+    The Huffman-literals, custom-table, and TRAINED-dictionary
+    entropy-priming halves of the decoder have no in-container
+    Python reference encoder to harness per-row, so they are pinned
+    in tests/test_zstd.py against the reference CLI across presets
+    -1/-3/-9/-19, --ultra -22, long-window mode, no-checksum frames,
+    trained dictionaries (``--train`` across levels, wrong-id
+    refusal, truncation + mutation fuzz under the dictionary),
+    corruption, and an every-offset truncation sweep; the CLI also
+    decodes the engine's LZ, stored, and dictionary-referencing
+    frames back (the last under ``-D``) — the format's own decoder
+    adjudicates all three writers.
 
     Shape at 100 TB: archives are independent rows through one
     Arrow-batched stage, zero shuffle; frames (and the seekable
