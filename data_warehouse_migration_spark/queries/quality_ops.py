@@ -893,8 +893,7 @@ def _hex12_to_int_sql(expr: str) -> str:
     oracle=f"""
 WITH d AS (
     SELECT doc_id,
-           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-               ' ')) AS n_words,
+           len({unicode_tokens_sql("text")}) AS n_words,
            md5('r5' || CAST(doc_id AS VARCHAR)) AS h
     FROM documents
 ), s AS (
@@ -922,17 +921,22 @@ def weighted_doc_sample(spark, sf_dir):
     from the same hash arithmetic. Scores are rounded to 9 before
     ranking so 1-ulp libm ln() differences can't flip an order.
 
+    r14: token mass counted under the Unicode tokenizer (SCALE.md's
+    per-query swap mechanism); behavior-identical on ASCII corpora
+    with no empty documents (the fixture invariant — an empty doc
+    has zero weight and simply cannot be drawn).
+
     Shape at 100 TB: score is a zero-shuffle projection; global top-k
     plans as TakeOrderedAndProject."""
-    from data_warehouse_migration_spark.operators.dedup import normalized_text
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_token_count,
+    )
     from data_warehouse_migration_spark.operators.sampling import weighted_sample
 
     docs = t(spark, sf_dir, "documents")
     wdf = docs.select(
         "doc_id",
-        F.size(F.split(normalized_text(F.col("text")), " "))
-        .cast("int")
-        .alias("n_words"),
+        unicode_token_count(F.col("text")).cast("int").alias("n_words"),
     )
     return weighted_sample(wdf, "doc_id", "n_words", k=50, salt="r5").select(
         "doc_id", "n_words", "es_key", "sample_rank"
@@ -2160,10 +2164,11 @@ def doc_novelty_scores(spark, sf_dir):
 @query(
     "spearman_length_vs_novelty",
     tags=("stats", "correlation", "quality"),
-    oracle="""
+    oracle=f"""
 WITH n AS (
     SELECT doc_id, lang,
-           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt,
+           len({unicode_tokens_sql("text")}) AS u_tokens
     FROM documents
 ), words AS (
     SELECT doc_id, lang, string_split(txt, ' ') AS w FROM n
@@ -2179,9 +2184,9 @@ WITH n AS (
            count(*) AS n_sh
     FROM sh s JOIN own o USING (sh) GROUP BY 1
 ), sig AS (
-    SELECT w.doc_id, w.lang, len(w.w) AS n_tokens,
+    SELECT n.doc_id, n.lang, n.u_tokens AS n_tokens,
            round(nov.n_novel / CAST(nov.n_sh AS DOUBLE), 6) AS novelty
-    FROM words w JOIN nov ON w.doc_id = nov.doc_id
+    FROM n JOIN nov ON n.doc_id = nov.doc_id
 ), ranked AS (
     SELECT lang,
            row_number() OVER (PARTITION BY lang
@@ -2208,15 +2213,24 @@ def spearman_length_vs_novelty(spark, sf_dir):
     float is the final normalized division, rounded 6; same IEEE on
     both engines). Per-lang rank windows run on the per-doc SIGNAL
     table (docs-per-lang rows); novelty reuses the shingle-ownership
-    shuffles of `doc_novelty_scores`."""
+    shuffles of `doc_novelty_scores`.
+
+    r14: the LENGTH rank migrates to the Unicode token count
+    (SCALE.md's per-query swap; ASCII-identical). The novelty side's
+    shingles stay on the legacy normalization BY DESIGN — they are
+    at-rest content signatures (SCALE.md's signature-keyed family:
+    changing them re-keys every stored index)."""
     from pyspark.sql import Window
 
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_token_count,
+    )
     from data_warehouse_migration_spark.operators.dedup import shingle_index
 
     docs = t(spark, sf_dir, "documents")
-    txt = normalized_text(F.col("text"))
     base = docs.select(
-        "doc_id", "lang", F.size(F.split(txt, " ")).alias("n_tokens")
+        "doc_id", "lang",
+        unicode_token_count(F.col("text")).alias("n_tokens"),
     )
     sh = shingle_index(docs, n=3, fast_hash=True)
     own = sh.groupBy("sh").agg(F.min("doc").alias("first_doc"))
@@ -2267,11 +2281,10 @@ def spearman_length_vs_novelty(spark, sf_dir):
 @query(
     "quantile_normalize_lengths",
     tags=("stats", "normalization", "calibration"),
-    oracle="""
+    oracle=f"""
 WITH n AS (
     SELECT doc_id, lang,
-           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-               ' ')) AS n_tokens
+           len({unicode_tokens_sql("text")}) AS n_tokens
     FROM documents
 ), lr AS (
     SELECT doc_id, lang, n_tokens,
@@ -2311,13 +2324,20 @@ def quantile_normalize_lengths(spark, sf_dir):
     sessionize posture); the pooled CDF lives on the DISTINCT-value
     table (domain-bounded, the bucketizer posture) and broadcasts
     into the ceiling-lookup join — whitelisted O(n·|domain|), with
-    |domain| = distinct lengths, not row count."""
+    |domain| = distinct lengths, not row count.
+
+    r14: lengths counted under the Unicode tokenizer (SCALE.md's
+    per-query swap mechanism); behavior-identical on ASCII corpora."""
     from pyspark.sql import Window
 
+    from data_warehouse_migration_spark.functions.text import (
+        unicode_token_count,
+    )
+
     docs = t(spark, sf_dir, "documents")
-    txt = normalized_text(F.col("text"))
     base = docs.select(
-        "doc_id", "lang", F.size(F.split(txt, " ")).alias("n_tokens")
+        "doc_id", "lang",
+        unicode_token_count(F.col("text")).alias("n_tokens"),
     )
     n_total = base.count()  # driver scalar (tfidf precedent) — a
     # row-bound global count WINDOW here was the audit's catch: every
@@ -3842,11 +3862,9 @@ def curation_pipeline_v8(spark, sf_dir):
 @query(
     "corpus_diversity_profile",
     tags=("text", "diversity", "reporting", "dataset-card"),
-    oracle="""
+    oracle=f"""
 WITH n AS (
-    SELECT doc_id, lang,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                        ' ') AS w
+    SELECT doc_id, lang, {unicode_tokens_sql("text")} AS w
     FROM documents
 ),
 grams AS (
@@ -3890,13 +3908,18 @@ def corpus_diversity_profile(spark, sf_dir):
     whose volume is the corpus token count in 8-byte hashes — text
     never shuffles; output is languages × 3 rows. At 100 TB swap the
     exact distinct for the HLL/bitmap cell per (lang, n) — the sketch
-    rollup pattern, same plan shape (documented, exact form attested)."""
+    rollup pattern, same plan shape (documented, exact form attested).
+
+    r14: grams built over Unicode tokens (SCALE.md's per-query swap
+    mechanism; ASCII-identical). The digest helper is unchanged — it
+    hashes whatever token array it is handed."""
+    from data_warehouse_migration_spark.functions.text import unicode_tokens
     from data_warehouse_migration_spark.operators.dedup import (
         span_hashes_from_words,
     )
 
     docs = t(spark, sf_dir, "documents")
-    words = F.split(normalized_text(F.col("text")), " ")
+    words = unicode_tokens(F.col("text"))
 
     frames = []
     for n in (1, 2, 3):
