@@ -1008,9 +1008,13 @@ def _encode_sequences_predefined(seqs) -> bytes:
         acc = (acc << w) | (v & ((1 << w) - 1))
         total_bits += w
     nbytes = (total_bits + 7) >> 3
-    if n >= 128:
-        raise ValueError("encoder subset caps at 127 sequences per block")
-    head = bytes([n, 0b00000000])  # nbSeq, modes: predefined ×3
+    if n < 128:
+        count = bytes([n])
+    elif n < 0x7F00:  # the 2-byte form: (b0-128)<<8 + b1
+        count = bytes([(n >> 8) + 128, n & 0xFF])
+    else:
+        raise ValueError("encoder subset caps at 32511 sequences per block")
+    head = count + bytes([0b00000000])  # nbSeq, modes: predefined ×3
     return head + acc.to_bytes(nbytes, "little")
 
 
@@ -1021,8 +1025,9 @@ def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
     raw literals — no Huffman, no custom tables, so the encoder stays
     small while the bitstream exercises the decoder's FSE state
     machine, extra-bit reads, and sequence execution. Blocks cap at
-    127 sequences / 64 KiB input each (the subset's bound, not the
-    format's); incompressible tails fall back to raw blocks."""
+    64 KiB input each (sequence counts use the format's 1- and
+    2-byte forms, so a block's matches are never artificially cut
+    short); incompressible tails fall back to raw blocks."""
     n = len(data)
     if n < 256:
         fhd = 0x20 | (0 << 6)
@@ -1051,7 +1056,7 @@ def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
         seqs: list[tuple[int, int, int]] = []
         i = 0
         lit_start = 0
-        while i + min_match <= len(chunk) and len(seqs) < 127:
+        while i + min_match <= len(chunk) and len(seqs) < 21845:
             key = bytes(chunk[i : i + min_match])
             j = table.get(key)
             table[key] = i
@@ -1146,7 +1151,7 @@ def zstd_compress_lz_dict(
         seqs: list[tuple[int, int, int]] = []
         i = base
         lit_start = base
-        while i + min_match <= len(ext) and len(seqs) < 127:
+        while i + min_match <= len(ext) and len(seqs) < 21845:
             key = bytes(ext[i : i + min_match])
             j = table.get(key)
             table[key] = i
@@ -1202,3 +1207,119 @@ def zstd_skippable_frame(payload: bytes, nibble: int = 0) -> bytes:
         + struct.pack("<I", len(payload))
         + payload
     )
+
+
+# --- the seekable format (r14) --------------------------------------------------
+#
+# The public zstd seekable format (zstd contrib): ordinary
+# concatenated frames plus a FINAL skippable frame (nibble 0xE)
+# holding a seek table — per-frame compressed/decompressed sizes,
+# optional per-frame xxHash64-low32 checksums, a footer with the
+# entry count, a descriptor byte, and the 0x8F92EAB1 seekable magic.
+# This is what makes ONE large .zst splittable: a reader grabs the
+# footer, derives every frame's byte range, and hands ranges to
+# independent tasks — the in-file analogue of the gzip-member WARC
+# convention. Any plain zstd decoder still reads the whole file (it
+# skips the table), so the format degrades gracefully.
+
+_SEEKABLE_MAGIC = 0x8F92EAB1
+_SEEKABLE_SKIP_MAGIC = 0x184D2A5E
+
+
+def zstd_seekable_pack(
+    chunks: list[bytes], compressor=None, checksum: bool = True
+) -> bytes:
+    """Pack chunks as one seekable .zst: each chunk its own frame
+    (default: the engine's real LZ77 encoder), then the seek-table
+    skippable frame. Chunk boundaries become the split points."""
+    comp = compressor if compressor is not None else zstd_compress_lz
+    out = bytearray()
+    entries = bytearray()
+    for chunk in chunks:
+        frame = comp(chunk)
+        out += frame
+        entries += struct.pack("<II", len(frame), len(chunk))
+        if checksum:
+            entries += struct.pack("<I", xxh64(chunk) & 0xFFFFFFFF)
+    footer = struct.pack(
+        "<IBI", len(chunks), 0x80 if checksum else 0x00, _SEEKABLE_MAGIC
+    )
+    table = bytes(entries) + footer
+    out += struct.pack("<II", _SEEKABLE_SKIP_MAGIC, len(table)) + table
+    return bytes(out)
+
+
+def zstd_seek_table(data: bytes, file_len: int | None = None) -> list[dict]:
+    """Parse the seek table from a seekable .zst WITHOUT touching the
+    frame bodies. ``data`` is the whole file, or just its TAIL (what
+    one ranged footer read returns) with ``file_len`` giving the true
+    file length — the 100 TB shape: 9 bytes for the footer, then one
+    read of the table, never the frames. Returns one dict per frame —
+    ``c_offset``/``c_size`` (the byte range an independent task
+    reads) plus ``d_size`` and the optional ``checksum``. Everything
+    is untrusted: magics, sizes, and the offset sum against the file
+    length all raise ValueError."""
+    total = file_len if file_len is not None else len(data)
+    base = total - len(data)
+    if base < 0:
+        raise ValueError("zstd seekable tail longer than the file")
+    if len(data) < 17:
+        raise ValueError("zstd seekable input shorter than a footer")
+    n_frames, desc, magic = struct.unpack_from("<IBI", data, len(data) - 9)
+    if magic != _SEEKABLE_MAGIC:
+        raise ValueError("zstd seekable footer magic missing")
+    if desc & 0x7C:
+        raise ValueError("zstd seekable descriptor reserved bits set")
+    has_ck = bool(desc & 0x80)
+    entry = 12 if has_ck else 8
+    table_len = n_frames * entry + 9
+    skip_start = total - table_len - 8
+    if skip_start < 0:
+        raise ValueError("zstd seek table longer than the file")
+    rel = skip_start - base
+    if rel < 0:
+        raise ValueError("zstd seekable tail slice misses the seek table")
+    smagic, ssize = struct.unpack_from("<II", data, rel)
+    if smagic != _SEEKABLE_SKIP_MAGIC or ssize != table_len:
+        raise ValueError("zstd seek-table skippable frame malformed")
+    out: list[dict] = []
+    pos = rel + 8
+    c_off = 0
+    for _ in range(n_frames):
+        c_size, d_size = struct.unpack_from("<II", data, pos)
+        ck = None
+        if has_ck:
+            (ck,) = struct.unpack_from("<I", data, pos + 8)
+        out.append(
+            {"c_offset": c_off, "c_size": c_size, "d_size": d_size,
+             "checksum": ck}
+        )
+        c_off += c_size
+        pos += entry
+    if c_off != skip_start:
+        raise ValueError(
+            f"zstd seek table covers {c_off} bytes, frames span {skip_start}"
+        )
+    return out
+
+
+def zstd_seekable_read_frame(data: bytes, entry: dict) -> bytes:
+    """Decode ONE frame of a seekable .zst from its seek-table entry
+    — the per-task unit of the frame-parallel ingest. ``data`` may be
+    the whole file or exactly the entry's byte range (what a ranged
+    read hands a task). Decompressed size and, when present, the
+    per-frame checksum are verified."""
+    off = entry["c_offset"] if len(data) != entry["c_size"] else 0
+    blob = data[off : off + entry["c_size"]]
+    if len(blob) != entry["c_size"]:
+        raise ValueError("zstd seekable frame range outside the data")
+    raw = zstd_decompress(blob, max_output=entry["d_size"])
+    if len(raw) != entry["d_size"]:
+        raise ValueError(
+            f"zstd seekable frame decoded {len(raw)} bytes, "
+            f"table says {entry['d_size']}"
+        )
+    ck = entry.get("checksum")
+    if ck is not None and xxh64(raw) & 0xFFFFFFFF != ck:
+        raise ValueError("zstd seekable per-frame checksum mismatch")
+    return raw
