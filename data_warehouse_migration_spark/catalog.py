@@ -115,33 +115,33 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 13 window (ROTATION.md has the full ledger) — drain the
-# 5-row r13 head-of-line FIRST (VERDICT r12 action #2), then this
-# round's changed-code voids, new gates, and migrations, with the
-# spare slots refreshing the LEAST-recently-attested rows; the
-# budget closes at exactly 50:
+# Round 14 window (ROTATION.md has the full ledger). The r14
+# head-of-line was EMPTY (both r13 registrations landed in-window),
+# so after the pins every slot goes to this round's changed-code
+# voids, its one new gate, and the oldest-first rotation refresh;
+# the budget closes at exactly 50:
 # (a) parity core (warehouse module) + ALL 19 bench headliners stay
-#     pinned, as every round. Two headliners
-#     (training_data_pipeline, doc_perplexity_filter) additionally
-#     carry this round's Unicode-tokenizer migration — their pinned
-#     slot doubles as the changed-code re-attest.
-# (b) the 5 debt rows: the r12 second-wave registrations that landed
-#     after the window sealed (bz2/tiff/wikidump/tfrecord/xz). The
-#     ADVICE r12 hardening (bz2 RLE2 cap, xz dict-reset contexts +
-#     truncation ValueError, tiff Predictor 2) touched exactly these
-#     modules, so the drain doubles as the changed-code re-attest.
-# (c) r13 changed-code voids: warc_ingest_extract (Content-Encoding
-#     legs), crawl_ingest_quarantine (content-coding fault legs),
-#     webdataset_shard_roundtrip (PAX/GNU legs), and the three
-#     Unicode-tokenizer migrations (VERDICT r12 action #8).
-# (d) the two r13 gates: zst_text_archive (the zstd rung) and
-#     streaming_crawl_warm_curation (warm training + BPE extension
-#     composed into the recurring crawl) — registered straight into
-#     the window; registrations stay within the free-slot budget.
-# (e) rotation refresh: ten TPC-H depth-suite rows standing on their
-#     ROUND-1 driver attestation — the oldest rows in the ledger
-#     (code unchanged; judge sweeps have kept them green since).
-_WINDOW_R13 = (
+#     pinned, as every round.
+# (b) the r14 gate: lz4_text_archive (VERDICT r13 action #1 — the
+#     post-seal LZ4 rung was the only codec without a per-row
+#     registry gate), registered straight into the window.
+# (c) r14 changed-code voids: zst_text_archive (zstd dictionary
+#     decode + the nbSeq==0 strictness fix + the seekable format +
+#     the gate's new dictionary leg), warc_ingest_extract and
+#     crawl_ingest_quarantine (ADVICE r13 output budgets threaded
+#     through decode_content_encoding/parse_http_response_decoded),
+#     webdataset_shard_roundtrip (ADVICE r13 PAX fixes: byte-clipped
+#     extension-member names, size overrides scoped to regular
+#     files), and the SEVEN Unicode-tokenizer migrations (VERDICT
+#     r13 action #5 and beyond — tfidf_top_terms,
+#     chunk_documents_overlap, temperature_mix_weights,
+#     weighted_doc_sample, spearman_length_vs_novelty,
+#     quantile_normalize_lengths, corpus_diversity_profile) which
+#     EMPTY SCALE.md's deferred list.
+# (d) rotation refresh: eleven rows standing on their ROUND-1
+#     driver attestation — the oldest in the ledger (code unchanged;
+#     judge sweeps have kept them green since).
+_WINDOW_R14 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -160,45 +160,46 @@ _WINDOW_R13 = (
     "curation_pipeline_v3",
     "semdedup_embeddings",
     "containment_quote_pairs",
-    # (b) the 5-row debt drain (+ ADVICE r12 hardening re-attest)
-    "bz2_text_archive",
-    "media_tiff_decode",
-    "wikidump_extract",
-    "tfrecord_shard_roundtrip",
-    "xz_text_archive",
-    # (c) r13 changed-code voids
+    # (b) the r14 gate, registered straight into the window
+    "lz4_text_archive",
+    # (c) r14 changed-code voids
+    "zst_text_archive",
     "warc_ingest_extract",
     "crawl_ingest_quarantine",
     "webdataset_shard_roundtrip",
-    "token_stats",
-    "higher_order_token_stats",
-    "bigram_lm_scores",
-    # (d) the r13 gates, registered straight into the window
-    "zst_text_archive",
-    "streaming_crawl_warm_curation",
-    # (e) rotation refresh: the oldest standing rows (r1)
-    "q4_priority_with_late_lines",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_bi_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
+    "tfidf_top_terms",
+    "chunk_documents_overlap",
+    "temperature_mix_weights",
+    "weighted_doc_sample",
+    "spearman_length_vs_novelty",
+    "quantile_normalize_lengths",
+    "corpus_diversity_profile",
+    # (d) rotation refresh: the oldest standing rows (r1) — the
+    #     remaining depth-suite rows, then the analytics cohort
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_dormant_high_balance",
+    "agg_order_stats_by_status",
+    "anti_join_customers_without_orders",
+    "argmax_order_per_status",
+    "array_agg_nations_per_region",
+    "correlated_subqueries",
+    "cube_order_counts",
+    "grouping_sets_revenue",
 )
-# Displaced to make room: the r12 window's 20-row drain and the r12
-# gates all landed fresh CORRECTNESS_r12 rows; with code unchanged
-# those stand (crawl_archive_ingest, parse_http_response, the media
-# strict paths, and streaming/crawl_ingest's epoch machinery are
-# byte-identical this round — the r13 crawl work added NEW sibling
-# functions and only changed the two harnesses listed in (c)).
+# Displaced to make room: the r13 window's debt drain, voids, gates,
+# and ten-row refresh all landed fresh CORRECTNESS_r13 rows; with
+# code unchanged those stand (token_stats/higher_order_token_stats/
+# bigram_lm_scores, the bz2/tiff/wikidump/tfrecord/xz quintet,
+# streaming_crawl_warm_curation, and the ten r1 TPC-H depth rows are
+# byte-identical this round — the r14 codec work added NEW sibling
+# functions or touched only the harnesses listed in (c)).
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R13,
+    *_WINDOW_R14,
 )
 
 

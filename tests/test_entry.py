@@ -24,20 +24,21 @@ def test_attestation_window_membership():
     """The driver attests the first 50 registry entries (ROTATION.md).
 
     The window prefix must BE catalog._FIRST in order (the strong
-    form, ADVICE r5), the FULL _WINDOW_R13 tuple must sit inside the
+    form, ADVICE r5), the FULL _WINDOW_R14 tuple must sit inside the
     first 50 (the containment form, ADVICE r10 #2 — so a future
-    registration can't silently displace a gate), and the r13
-    rotation targets — all 19 bench headliners, the 5-row debt
-    drain, the changed-code voids, the two new gates, and the
-    rotation refresh — are pinned by name.
+    registration can't silently displace a gate), and the r14
+    rotation targets — all 19 bench headliners, the new lz4 gate,
+    the changed-code voids (codec/harness hardening + the seven
+    tokenizer migrations), and the rotation refresh — are pinned by
+    name.
     """
-    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R13
+    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R14
 
     names = list(entry_mod.queries())
     assert len(_FIRST) <= 50  # == 50 once the round's registrations land
     assert names[: len(_FIRST)] == list(_FIRST)
-    assert set(_WINDOW_R13) <= set(names[:50]), (
-        set(_WINDOW_R13) - set(names[:50])
+    assert set(_WINDOW_R14) <= set(names[:50]), (
+        set(_WINDOW_R14) - set(names[:50])
     )
     pinned = [
         # parity core
@@ -63,37 +64,35 @@ def test_attestation_window_membership():
         "curation_pipeline_v3",
         "semdedup_embeddings",
         "containment_quote_pairs",
-        # r13: the 5-row debt drain (VERDICT r12 action #2) — the
-        # r12 second-wave registrations, whose modules also carry
-        # the ADVICE r12 hardening.
-        "bz2_text_archive",
-        "media_tiff_decode",
-        "wikidump_extract",
-        "tfrecord_shard_roundtrip",
-        "xz_text_archive",
-        # r13: changed-code voids (Content-Encoding legs, the
-        # content-coding quarantine legs, PAX/GNU shard legs, and
-        # the three Unicode-tokenizer migrations)
+        # r14: the new gate (VERDICT r13 action #1)
+        "lz4_text_archive",
+        # r14: changed-code voids — zstd dictionary/strictness/
+        # seekable work, the ADVICE r13 output budgets and PAX
+        # fixes, and the seven tokenizer migrations that empty
+        # SCALE.md's deferred list
+        "zst_text_archive",
         "warc_ingest_extract",
         "crawl_ingest_quarantine",
         "webdataset_shard_roundtrip",
-        "token_stats",
-        "higher_order_token_stats",
-        "bigram_lm_scores",
-        # r13: new gates (zstd rung, warm-curation composition)
-        "zst_text_archive",
-        "streaming_crawl_warm_curation",
-        # r13: rotation refresh — the oldest standing rows (r1)
-        "q4_priority_with_late_lines",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q7_bi_nation_volume",
-        "q8_market_share",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q13_order_distribution",
-        "q14_promo_revenue_share",
-        "q15_top_supplier",
+        "tfidf_top_terms",
+        "chunk_documents_overlap",
+        "temperature_mix_weights",
+        "weighted_doc_sample",
+        "spearman_length_vs_novelty",
+        "quantile_normalize_lengths",
+        "corpus_diversity_profile",
+        # r14: rotation refresh — the oldest standing rows (r1)
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_predicates",
+        "q22_dormant_high_balance",
+        "agg_order_stats_by_status",
+        "anti_join_customers_without_orders",
+        "argmax_order_per_status",
+        "array_agg_nations_per_region",
+        "correlated_subqueries",
+        "cube_order_counts",
+        "grouping_sets_revenue",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
