@@ -1164,7 +1164,7 @@ def xz_archive_features(docs: DataFrame) -> DataFrame:
 def zst_archive_features(docs: DataFrame) -> DataFrame:
     """Gate harness for zstd archives (functions/zstd — r13, VERDICT
     r12 missing #2: the compression modern public corpora actually
-    ship in). The layout rotates on id mod 5: one multi-block stored
+    ship in). The layout rotates on id mod 6: one multi-block stored
     frame; TWO concatenated frames splitting the text (the
     multi-frame walk); a skippable metadata frame BETWEEN content
     frames (the seekable-format shape); a REAL compressed frame —
@@ -1177,9 +1177,15 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
     frame's first-block matches reach into it as virtual history,
     so the history-seeded buffer, the window check against the
     dictionary boundary, and the checksum across the seam run under
-    the hash gate per-row. Every frame is authored by the engine and
-    read back through the FULL decoder — frame/block grammar, FCS
-    and xxHash64 verification, skippable dispatch. The
+    the hash gate per-row; and a SEEKABLE leg (the r14 split-unit
+    work's gate half): the text packs as three frames + the public
+    seek-table skippable frame and reassembles from per-frame
+    RANGED reads via the parsed table — footer/table parse, offset
+    arithmetic, and per-frame size/checksum verification under the
+    hash gate per-row (the wall-clock claim lives in
+    SCALING_r14_zstdsplit.json). Every frame is authored by the
+    engine and read back through the FULL decoder — frame/block
+    grammar, FCS and xxHash64 verification, skippable dispatch. The
     Huffman-literals, custom-table, and TRAINED-dictionary entropy-
     priming halves have no in-container Python encoder to harness
     per-row, so they are pinned in tests/test_zstd.py against the
@@ -1208,7 +1214,7 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
 
     def per_doc(aid: int, text: str):
         raw = text.encode("utf-8")
-        leg = aid % 5
+        leg = aid % 6
         if leg == 0:
             blob = zstd_compress_stored(raw, chunk=997)
             n_frames = 1
@@ -1229,13 +1235,32 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
         elif leg == 3:
             blob = zstd_compress_lz(raw)
             n_frames = 1
-        else:
+        elif leg == 4:
             # raw-content dictionary: the doc's own head primes the
             # window, so the frame's first matches reach into history
             content = raw[: max(32, len(raw) // 3)]
             blob = zstd_compress_lz_dict(raw, content)
             back = zstd_decompress(blob, dictionary=content).decode("utf-8")
             return (aid, back, len(back), 1, len(blob))
+        else:
+            # seekable archive (r14): three-way split, seek-table
+            # parse, and PER-FRAME ranged decodes reassemble the text
+            from data_warehouse_migration_spark.functions.zstd import (
+                zstd_seek_table,
+                zstd_seekable_pack,
+                zstd_seekable_read_frame,
+            )
+
+            third = max(1, len(raw) // 3)
+            parts = [raw[:third], raw[third : 2 * third], raw[2 * third :]]
+            blob = zstd_seekable_pack(parts)
+            back = b"".join(
+                zstd_seekable_read_frame(
+                    blob[e["c_offset"] : e["c_offset"] + e["c_size"]], e
+                )
+                for e in zstd_seek_table(blob)
+            ).decode("utf-8")
+            return (aid, back, len(back), 3, len(blob))
         back = zstd_decompress(blob).decode("utf-8")
         return (aid, back, len(back), n_frames, len(blob))
 

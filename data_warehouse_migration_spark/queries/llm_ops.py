@@ -4925,7 +4925,8 @@ def xz_text_archive(spark, sf_dir):
 SELECT doc_id,
        md5(text) AS text_md5,
        CAST(length(text) AS INT) AS n_chars,
-       CAST(CASE WHEN doc_id % 5 IN (1, 2) THEN 2 ELSE 1 END AS INT)
+       CAST(CASE WHEN doc_id % 6 IN (1, 2) THEN 2
+                 WHEN doc_id % 6 = 5 THEN 3 ELSE 1 END AS INT)
            AS n_frames
 FROM documents
 """,
@@ -4942,7 +4943,7 @@ def zst_text_archive(spark, sf_dir):
     including xxHash64 from scratch for the content checksum.
 
     Per document the text round-trips through the engine's own
-    writers and FULL decoder, with the layout rotating on id mod 5:
+    writers and FULL decoder, with the layout rotating on id mod 6:
     multi-block stored frame / two concatenated frames / a skippable
     metadata frame between content frames (the seekable-format
     shape) / a REAL compressed frame from the engine's own LZ77
@@ -4954,7 +4955,13 @@ def zst_text_archive(spark, sf_dir):
     head primes the decode, the frame's matches reach into it as
     virtual history, so the history-seeded buffer and the window
     check against the dictionary boundary run under the hash gate
-    per-row. Decoded text equals the document text verbatim, so
+    per-row / a SEEKABLE leg (the r14 split-unit work's gate half):
+    three frames + the public seek-table skippable frame,
+    reassembled from per-frame RANGED reads via the parsed table —
+    footer/table parse, offset arithmetic, and per-frame
+    size/checksum verification per-row (the wall-clock claim lives
+    in SCALING_r14_zstdsplit.json). Decoded text equals the document
+    text verbatim, so
     md5/length/frame-count are pure formulas the oracle recomputes
     with no codec anywhere.
 
