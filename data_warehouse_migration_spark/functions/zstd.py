@@ -650,6 +650,12 @@ def _execute(out: bytearray, frame_start: int, lits: bytes, seqs, reps):
             raise ValueError(
                 "zstd match offset reaches before the frame window"
             )
+        # NOTE deliberately NOT enforced: offsets larger than the
+        # declared window but within decoded history. RFC 8878
+        # §3.1.1.4 makes support above Window_Size optional, and the
+        # reference decoder ACCEPTS such frames in single-shot mode
+        # (verified against the CLI in tests) — rejecting them here
+        # would refuse input the format's own decoder reads.
         start = len(out) - offset
         if offset >= ml:
             out += out[start : start + ml]
@@ -759,6 +765,7 @@ def zstd_decompress(
         has_checksum = bool(fhd & 0x04)
         dict_flag = fhd & 0x03
         fcs_flag = fhd >> 6
+        window = None
         if not single:
             if pos >= n:
                 raise ValueError("zstd window descriptor truncated")
@@ -795,6 +802,9 @@ def zstd_decompress(
             if fcs_bytes == 2:
                 fcs += 256
             pos += fcs_bytes
+        # single-segment frames have no window descriptor: the whole
+        # content is the window (RFC 8878 §3.1.1.1.1)
+        window_cap = fcs if single else window
 
         # With a dictionary, the frame decodes into a buffer seeded
         # with the dictionary content: matches reach into that
@@ -814,6 +824,15 @@ def zstd_decompress(
             frame_state = {}
             reps = [1, 4, 8]
         base = len(buf)
+        # Block_Maximum_Size = min(Window_Size, 128 KB) — the
+        # reference rejects blocks above it (RFC 8878 §3.1.1.2.3),
+        # and the window for single-segment frames is the content
+        # size itself (r14 strictness, adjudicated by the CLI)
+        block_cap = (
+            min(_BLOCK_MAX, window_cap)
+            if window_cap is not None
+            else _BLOCK_MAX
+        )
         while True:
             if pos + 3 > n:
                 raise ValueError("zstd block header truncated")
@@ -825,21 +844,21 @@ def zstd_decompress(
             if btype == 3:
                 raise ValueError("zstd reserved block type")
             if btype == 0:  # raw
-                if bsize > _BLOCK_MAX:
+                if bsize > block_cap:
                     raise ValueError("zstd raw block exceeds block cap")
                 if pos + bsize > n:
                     raise ValueError("zstd raw block truncated")
                 buf += data[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE: bsize = regenerated size, 1 byte
-                if bsize > _BLOCK_MAX:
+                if bsize > block_cap:
                     raise ValueError("zstd RLE block exceeds block cap")
                 if pos >= n:
                     raise ValueError("zstd RLE block byte truncated")
                 buf += bytes([data[pos]]) * bsize
                 pos += 1
             else:  # compressed
-                if bsize > _BLOCK_MAX:
+                if bsize > block_cap:
                     raise ValueError("zstd compressed block exceeds cap")
                 end = pos + bsize
                 if end > n:
@@ -848,7 +867,7 @@ def zstd_decompress(
                 seqs, _ = _decode_sequences(data, p2, end, frame_state)
                 before = len(buf)
                 _execute(buf, frame_start, lits, seqs, reps)
-                if len(buf) - before > _BLOCK_MAX:
+                if len(buf) - before > block_cap:
                     raise ValueError("zstd block regenerated above cap")
                 pos = end
             if max_output is not None and (

@@ -350,6 +350,46 @@ def test_dict_lz_writer_roundtrips_and_cli_adjudicates(tmp_path):
         zstd_decompress(blob)
 
 
+def test_block_cap_binds_to_the_declared_window():
+    """r14 strictness: Block_Maximum_Size = min(Window_Size, 128 KB)
+    (RFC 8878 §3.1.1.2.3) — a block above the declared window is
+    corruption, as the reference decoder treats it. Offsets LARGER
+    than the window but inside decoded history are deliberately
+    tolerated, because the reference decoder accepts them in
+    single-shot mode (adjudicated here): rejecting would refuse
+    input the format's own decoder reads."""
+    import struct
+
+    from data_warehouse_migration_spark.functions.zstd import (
+        _encode_sequences_predefined,
+    )
+
+    def frame(offset, wd):
+        head = struct.pack("<I", 0xFD2FB528) + bytes([0x00, wd])
+        raw = b"a" * 2000
+        bh1 = (0 | (0 << 1) | (len(raw) << 3)).to_bytes(3, "little")
+        block = b"\x08x" + _encode_sequences_predefined([(1, 4, offset + 3)])
+        bh2 = (1 | (2 << 1) | (len(block) << 3)).to_bytes(3, "little")
+        return head + bh1 + raw + bh1 + raw + bh2 + block
+
+    expect = b"a" * 4000 + b"x" + b"a" * 4
+    ok = frame(1500, 0x08)  # 2 KiB window; blocks fit
+    assert zstd_decompress(ok) == expect
+    over = frame(3000, 0x08)  # offset beyond window, within history
+    assert zstd_decompress(over) == expect  # reference-matching laxity
+    small = frame(900, 0x00)  # 1 KiB window < the 2000-byte blocks
+    with pytest.raises(ValueError, match="block cap"):
+        zstd_decompress(small)
+    if _CLI is not None:  # the reference decoder adjudicates all three
+        assert _cli_decompress(ok) == expect
+        assert _cli_decompress(over) == expect
+        r = subprocess.run(
+            [_CLI, "-d", "-c"], input=small,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        assert r.returncode != 0
+
+
 def test_zero_sequence_block_trailing_bytes_raise():
     """VERDICT r13: a compressed block whose sequence count is 0 must
     consume the block exactly — trailing bytes are corruption, as the
