@@ -99,6 +99,12 @@ BNLJ_WHITELIST = {
                               #   queries broadcast, corpus streamed);
                               #   at corpus scale the same contract
                               #   runs on the LSH/IVF/PQ index path
+    "q22_dormant_high_balance",  # 1-row (total, count) scalar broadcast
+                              #   cross-multiplied into the balance
+                              #   filter (exact-integer form of the
+                              #   TPC-H Q22 global average; O(n·1));
+                              #   first audited when the r14 rotation
+                              #   refresh brought it into the window
 }
 
 # Batch queries registered OUTSIDE the driver window this round whose
