@@ -8,14 +8,19 @@ LZMA does adaptively (functions/xz), the literal path is canonical
 Huffman like deflate (functions/png), and the LZ77 sequence layer
 adds the three-slot repeat-offset cache.
 
-DECODE-ONLY for compressed blocks, by the same design as
-``functions/xz``: writing a competitive zstd encoder is a research
-project, decoding is exactly specified, and real ingest receives
-reference-encoder output. The engine-side WRITER emits the
-spec-subset every zstd decodes — Raw/RLE block frames with the
-xxHash64 content checksum — enough to author valid ``.zst``
-artifacts; tests cross-pin the full decoder against the reference
-CLI across presets/levels/window shapes when it is present.
+The FULL decoder is the ingest surface; the engine-side WRITERS
+cover a growing spec subset the reference CLI accepts back:
+Raw/RLE block frames (stored), a real greedy-LZ77 encoder with
+predefined-FSE sequences (1- and 2-byte sequence counts) and —
+since r14 — HUFFMAN-COMPRESSED literal sections (canonical
+length-limited codes, direct 4-bit weight descriptions, 1-stream
+and 4-stream jump-table layouts, RLE/raw fallbacks), a
+dictionary-referencing variant, and the seekable format. A
+COMPETITIVE encoder (optimal parsing, custom FSE tables) stays
+reference territory by design — decoding is exactly specified,
+real ingest receives reference-encoder output, and tests cross-pin
+the decoder against the reference CLI across presets/levels/window
+shapes when it is present.
 
 Implemented per RFC 8878 + the zstd format notes:
 
@@ -942,6 +947,163 @@ def zstd_compress_stored(
     return head + bytes(body) + tail
 
 
+def _pack_backward(pairs, total_bits: int) -> bytes:
+    """Write a zstd backward bitstream in LINEAR time: the sentinel 1
+    bit at the top, then each (value, width) pair directly below the
+    previous — exactly the layout the big-int fold produced, without
+    its quadratic shift cost. ``pairs`` are in DECODER read order."""
+    buf = bytearray((total_bits + 7) >> 3)
+    p = total_bits - 1
+    buf[p >> 3] |= 1 << (p & 7)  # the sentinel
+    for v, w in pairs:
+        p -= w
+        chunk = (v & ((1 << w) - 1)) << (p & 7)
+        idx = p >> 3
+        while chunk:
+            buf[idx] |= chunk & 0xFF
+            chunk >>= 8
+            idx += 1
+    return bytes(buf)
+
+
+# --- Huffman literals encoding (r14) --------------------------------------------
+
+
+def _huf_build_weights(freq: dict[int, int]):
+    """Canonical Huffman weights for a literal frequency table, or
+    ``None`` when the direct-weights description can't express the
+    alphabet (deeper than 11 bits, or a symbol above 128 — the
+    encoder falls back to raw literals, a legal choice). Returns
+    ``(weights_by_symbol, max_bits)`` matching
+    :func:`_huf_table_from_weights`'s completion rules exactly."""
+    import heapq
+
+    if len(freq) < 2:
+        return None
+    last = max(freq)
+    if last > 128:  # direct form serializes weights 0..last-1 (≤128)
+        return None
+    heap = [(f, s, s) for s, f in freq.items()]  # (freq, tiebreak, node)
+    heapq.heapify(heap)
+    parent: dict = {}
+    counter = 256
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        parent[n1] = counter
+        parent[n2] = counter
+        heapq.heappush(heap, (f1 + f2, counter, counter))
+        counter += 1
+    depth: dict[int, int] = {}
+    for s in freq:
+        d = 0
+        node = s
+        while node in parent:
+            node = parent[node]
+            d += 1
+        depth[s] = d
+    max_bits = max(depth.values())
+    if max_bits > 11:
+        return None  # rare skew; raw fallback keeps the subset honest
+    weights = {s: max_bits + 1 - d for s, d in depth.items()}
+    return weights, max_bits
+
+
+def _huf_codes(weights: dict[int, int], max_bits: int):
+    """Canonical code values mirroring the decoder's peek-table fill:
+    ascending weight, natural symbol order within a weight, each
+    symbol spanning 2^(w-1) cells — code = cell_start >> (w-1)."""
+    code: dict[int, int] = {}
+    nbits: dict[int, int] = {}
+    pos = 0
+    for w in range(1, max_bits + 1):
+        for s in sorted(s for s, sw in weights.items() if sw == w):
+            code[s] = pos >> (w - 1)
+            nbits[s] = max_bits + 1 - w
+            pos += 1 << (w - 1)
+    return code, nbits
+
+
+def _huf_stream(lits: bytes, code: dict, nbits: dict) -> bytes:
+    total = 1 + sum(nbits[b] for b in lits)
+    return _pack_backward(((code[b], nbits[b]) for b in lits), total)
+
+
+def _encode_literals(lits: bytes) -> bytes:
+    """The literals section, best encoding wins: Raw, RLE (one
+    repeated byte), or Huffman-compressed with a direct-weights tree
+    description — 1-stream for small sections, the 4-stream jump-
+    table layout above 1023 bytes. Every form round-trips through
+    :func:`_decode_literals` and the reference decoder."""
+    n = len(lits)
+
+    def _sized_hdr(ltype: int) -> bytes:
+        if n < 32:
+            return bytes([(n << 3) | ltype])
+        if n < 4096:
+            return bytes([((n & 0xF) << 4) | (1 << 2) | ltype, n >> 4])
+        return bytes(
+            [((n & 0xF) << 4) | (3 << 2) | ltype, (n >> 4) & 0xFF, n >> 12]
+        )
+
+    raw = _sized_hdr(0) + lits
+    if n == 0:
+        return raw
+    if lits.count(lits[0]) == n:
+        return _sized_hdr(1) + lits[:1]
+    freq: dict[int, int] = {}
+    for b in lits:
+        freq[b] = freq.get(b, 0) + 1
+    built = _huf_build_weights(freq)
+    if built is None:
+        return raw
+    weights, max_bits = built
+    code, nbits = _huf_codes(weights, max_bits)
+    last = max(weights)
+    wlist = [weights.get(s, 0) for s in range(last)]  # implied: symbol `last`
+    desc = bytearray([127 + len(wlist)])
+    for i in range(0, len(wlist), 2):
+        hi = wlist[i] << 4
+        lo = wlist[i + 1] if i + 1 < len(wlist) else 0
+        desc.append(hi | lo)
+    if n < 1024:
+        body = bytes(desc) + _huf_stream(lits, code, nbits)
+        csize = len(body)
+        if csize > 1023 or csize >= n:
+            return raw
+        hdr = bytes(
+            [2 | ((n & 0xF) << 4),
+             ((n >> 4) & 0x3F) | ((csize & 3) << 6),
+             csize >> 2]
+        )
+        return hdr + body
+    per = (n + 3) >> 2
+    parts = [lits[0:per], lits[per : 2 * per], lits[2 * per : 3 * per],
+             lits[3 * per :]]
+    if not parts[3]:
+        return raw  # degenerate split; the decoder requires 4 streams
+    streams = [_huf_stream(p, code, nbits) for p in parts]
+    if max(len(s) for s in streams[:3]) > 0xFFFF:
+        return raw  # jump-table entries are u16
+    body = (
+        bytes(desc)
+        + struct.pack("<3H", len(streams[0]), len(streams[1]),
+                      len(streams[2]))
+        + b"".join(streams)
+    )
+    csize = len(body)
+    if csize >= n or csize >= (1 << 18):
+        return raw
+    hdr = bytes(
+        [2 | (3 << 2) | ((n & 0xF) << 4),
+         (n >> 4) & 0xFF,
+         ((n >> 12) & 0x3F) | ((csize & 3) << 6),
+         (csize >> 2) & 0xFF,
+         csize >> 10]
+    )
+    return hdr + body
+
+
 def _fse_encode_cover(table):
     """Encoder companion of an FSE decode table: for (symbol, next
     decode state v) the UNIQUE current state whose transition range
@@ -1017,16 +1179,11 @@ def _encode_sequences_predefined(seqs) -> bytes:
             for st, tbl in ((ll_st, ll_t), (ml_st, ml_t), (of_st, of_t)):
                 cur = st[i]
                 reads.append((st[i + 1] - tbl[2][cur], tbl[1][cur]))
-    # Fold with the sentinel on top: the first decoder read sits
+    # Pack with the sentinel on top: the first decoder read sits
     # directly under the last byte's highest set bit, and the stream
     # ends exactly where the reads do (pos == 0 at the end — the
     # decoder checks full consumption), so NO byte-padding shift.
-    acc = 1  # the sentinel bit
-    total_bits = 1
-    for v, w in reads:
-        acc = (acc << w) | (v & ((1 << w) - 1))
-        total_bits += w
-    nbytes = (total_bits + 7) >> 3
+    total_bits = 1 + sum(w for _, w in reads)
     if n < 128:
         count = bytes([n])
     elif n < 0x7F00:  # the 2-byte form: (b0-128)<<8 + b1
@@ -1034,7 +1191,7 @@ def _encode_sequences_predefined(seqs) -> bytes:
     else:
         raise ValueError("encoder subset caps at 32511 sequences per block")
     head = count + bytes([0b00000000])  # nbSeq, modes: predefined ×3
-    return head + acc.to_bytes(nbytes, "little")
+    return head + _pack_backward(reads, total_bits)
 
 
 def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
@@ -1098,20 +1255,9 @@ def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
         lits += chunk[lit_start:]
         block = None
         if seqs:
-            # literals section: Raw, sized header
-            if len(lits) < 32:
-                lit_hdr = bytes([(len(lits) << 3) | 0])
-            elif len(lits) < 4096:
-                lit_hdr = bytes(
-                    [((len(lits) & 0xF) << 4) | (1 << 2) | 0, len(lits) >> 4]
-                )
-            else:
-                lit_hdr = bytes(
-                    [((len(lits) & 0xF) << 4) | (3 << 2) | 0,
-                     (len(lits) >> 4) & 0xFF, len(lits) >> 12]
-                )
             block = (
-                lit_hdr + bytes(lits) + _encode_sequences_predefined(seqs)
+                _encode_literals(bytes(lits))
+                + _encode_sequences_predefined(seqs)
             )
         if block is None or len(block) >= len(chunk):
             # incompressible: Block_Size must stay within the
@@ -1191,19 +1337,9 @@ def zstd_compress_lz_dict(
         chunk_len = end - pos
         block = None
         if seqs:
-            if len(lits) < 32:
-                lit_hdr = bytes([(len(lits) << 3) | 0])
-            elif len(lits) < 4096:
-                lit_hdr = bytes(
-                    [((len(lits) & 0xF) << 4) | (1 << 2) | 0, len(lits) >> 4]
-                )
-            else:
-                lit_hdr = bytes(
-                    [((len(lits) & 0xF) << 4) | (3 << 2) | 0,
-                     (len(lits) >> 4) & 0xFF, len(lits) >> 12]
-                )
             block = (
-                lit_hdr + bytes(lits) + _encode_sequences_predefined(seqs)
+                _encode_literals(bytes(lits))
+                + _encode_sequences_predefined(seqs)
             )
         if block is None or len(block) >= chunk_len:
             bh = last | (0 << 1) | (chunk_len << 3)

@@ -486,6 +486,45 @@ def test_dictionary_parse_guards():
         parse_zstd_dictionary(struct.pack("<II", 0xEC30A437, 7))
 
 
+def test_huffman_literal_sections():
+    """The r14 literal-section encoder: Huffman-compressed literals
+    (direct 4-bit weights, canonical codes matching the decoder's
+    peek-table fill, 1-stream and 4-stream layouts) are chosen when
+    they win, with RLE for single-byte runs and raw fallbacks for
+    noise / >128 alphabets / >11-bit skew — every form adjudicated
+    by our decoder and (when present) the reference CLI inside the
+    LZ frames the suite already pins."""
+    import random
+
+    from data_warehouse_migration_spark.functions.zstd import (
+        _decode_literals,
+        _encode_literals,
+    )
+
+    rng = random.Random(13)
+    cases = [
+        b"",                                  # raw, empty
+        b"\x07" * 500,                        # RLE
+        b"abracadabra alakazam " * 20,        # huffman 1-stream
+        b"abracadabra alakazam " * 200,       # huffman 4-stream
+        bytes(rng.randrange(256) for _ in range(2000)),  # raw (noise)
+        ("h\xe9llo w\xf6rld " * 100).encode("utf-8"),    # >128 -> raw
+        b"".join(bytes([255 - (i % 3)]) * (3 ** i) for i in range(9)),
+        rng.randbytes(50) * 40,               # mid-entropy
+    ]
+    saw = set()
+    for lits in cases:
+        sec = _encode_literals(lits)
+        got, used = _decode_literals(sec, 0, len(sec), {})
+        assert got == lits and used == len(sec)
+        saw.add(sec[0] & 3)
+    assert saw >= {0, 1, 2}  # raw, RLE, and compressed all exercised
+    # the compressed form actually compresses text (entropy-only
+    # layer: ~4.9 bits/byte on English; LZ matches live elsewhere)
+    text = b"the quick brown fox jumps over the lazy dog " * 30
+    assert len(_encode_literals(text)) < len(text) * 3 // 4
+
+
 def test_lz_encoder_roundtrips_own_decoder():
     import random
 
