@@ -241,6 +241,83 @@ def _fse_read_ncount(br: _FwdBits, max_symbol: int, max_log: int):
     return counts, accuracy_log
 
 
+class _FwdBitWriter:
+    """Forward little-endian LSB-first writer — the inverse of
+    :class:`_FwdBits` (FSE table descriptions are byte-padded)."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def write(self, v: int, nbits: int) -> None:
+        self.acc |= (v & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _fse_write_ncount(counts: list[int], accuracy_log: int) -> bytes:
+    """Serialize normalized counts — the exact inverse of
+    :func:`_fse_read_ncount` (r14): the low-threshold variable-bit
+    values, 2-bit zero-repeat flags after every zero, thresholds
+    shrinking as probability mass drains. Counts use the decoder's
+    convention (-1 = "less than 1"); they must sum (with -1 worth 1)
+    to ``1 << accuracy_log`` and end on the draining symbol."""
+    bw = _FwdBitWriter()
+    bw.write(accuracy_log - 5, 4)
+    remaining = (1 << accuracy_log) + 1
+    threshold = 1 << accuracy_log
+    i = 0
+    while remaining > 1:
+        if i >= len(counts):
+            raise ValueError("zstd FSE counts drain before the table fills")
+        c = counts[i]
+        i += 1
+        stored = c + 1
+        if stored < 0:
+            raise ValueError(f"zstd FSE count {c} below -1")
+        k = threshold.bit_length() - 1
+        max_small = (2 * threshold - 1) - remaining
+        if stored < max_small:
+            bw.write(stored, k)
+        elif stored < threshold:
+            bw.write(stored, k)   # low = stored >= max_small
+            bw.write(0, 1)        # extra: full = stored -> count = full
+        else:
+            full = stored + max_small
+            if full >= 2 * threshold:
+                raise ValueError(f"zstd FSE count {c} exceeds remaining")
+            bw.write(full & ((1 << k) - 1), k)
+            bw.write(full >> k, 1)
+        remaining -= 1 if c < 0 else c
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+        if c == 0 and remaining > 1:
+            # the reader now expects 2-bit repeat flags covering the
+            # run of FURTHER zeros (always at least one flag)
+            while True:
+                run = 0
+                while run < 3 and i < len(counts) and counts[i] == 0:
+                    run += 1
+                    i += 1
+                bw.write(run, 2)
+                if run < 3:
+                    break
+    if remaining != 1:
+        raise ValueError("zstd FSE counts do not sum to the table size")
+    return bw.finish()
+
+
 def _fse_build_table(counts: list[int], accuracy_log: int):
     """(symbols, nbits, baseline) arrays of size 2**accuracy_log —
     the spread-step construction, -1 symbols at the top states."""
@@ -1194,6 +1271,127 @@ def _encode_sequences_predefined(seqs) -> bytes:
     return head + _pack_backward(reads, total_bits)
 
 
+def _normalize_counts(hist: dict[int, int], al: int):
+    """Largest-share normalization of a code histogram to a 2^al
+    FSE table: every present symbol keeps ≥1 state, drift lands on
+    the most frequent symbol. ``None`` when the table can't absorb
+    the correction (caller falls back to the predefined tables)."""
+    size = 1 << al
+    total = sum(hist.values())
+    if len(hist) > size:
+        return None
+    top = max(hist, key=lambda s: (hist[s], -s))
+    counts = [0] * (max(hist) + 1)
+    assigned = 0
+    for s, f in hist.items():
+        c = max(1, (f * size) // total)
+        counts[s] = c
+        assigned += c
+    diff = size - assigned
+    if counts[top] + diff < 1:
+        return None
+    counts[top] += diff
+    return counts
+
+
+def _register_plan(codes: list[int], reg: str, default):
+    """Pick the cheapest coding mode for one sequence register:
+    RLE (one distinct code), a custom FSE table fitted to the
+    block's histogram, or the predefined distribution — exact bit
+    accounting via the actual state chain for each candidate.
+    Returns (mode, desc_bytes, table, accuracy_log, states)."""
+    n = len(codes)
+    hist: dict[int, int] = {}
+    for c in codes:
+        hist[c] = hist.get(c, 0) + 1
+    if len(hist) == 1:
+        sym = codes[0]
+        table = _fse_rle_table(sym)
+        return 1, bytes([sym]), table, 0, [0] * n
+
+    def chain(table, al, desc):
+        cover = _fse_encode_cover(table)
+        syms = table[0]
+        st = [0] * n
+        try:
+            st[n - 1] = syms.index(codes[n - 1])
+            for i in range(n - 2, -1, -1):
+                st[i] = cover[(codes[i], st[i + 1])]
+        except (ValueError, KeyError):
+            return None
+        bits = al + sum(table[1][st[i]] for i in range(n - 1))
+        return (len(desc) * 8 + bits, desc, table, al, st)
+
+    counts_d, al_d = default
+    best = chain(_fse_build_table(counts_d, al_d), al_d, b"")
+    mode = 0
+    al_c = min(_MAX_LOG[reg], max(5, max(5, (n - 1).bit_length() - 2)))
+    while (1 << al_c) < len(hist):
+        al_c += 1
+    if al_c <= _MAX_LOG[reg]:
+        counts = _normalize_counts(hist, al_c)
+        if counts is not None and len(counts) - 1 <= _MAX_SYM[reg]:
+            desc = _fse_write_ncount(counts, al_c)
+            cand = chain(_fse_build_table(counts, al_c), al_c, desc)
+            if cand is not None and (best is None or cand[0] < best[0]):
+                best = cand
+                mode = 2
+    if best is None:
+        raise ValueError(f"zstd {reg} register has no encodable table")
+    _, desc, table, al, st = best
+    return mode, desc, table, al, st
+
+
+def _encode_sequences(seqs) -> bytes:
+    """Sequence section with per-register mode selection (r14):
+    Predefined / RLE / FSE_Compressed chosen by exact cost, table
+    descriptions serialized via the ncount writer, states chosen by
+    walking each decode table backward — the general form of
+    :func:`_encode_sequences_predefined`, which the subset keeps for
+    layouts that pin the predefined distributions."""
+    n = len(seqs)
+    ll_codes, ml_codes, of_codes = [], [], []
+    for ll, ml, offset_value in seqs:
+        ll_codes.append(_code_for(ll, _LL_BASE, _LL_BITS))
+        ml_codes.append(_code_for(ml, _ML_BASE, _ML_BITS))
+        of_c = offset_value.bit_length() - 1
+        if of_c > 31:
+            raise ValueError("zstd offset too large to encode")
+        of_codes.append(of_c)
+
+    ll_m, ll_d, ll_t, ll_al, ll_st = _register_plan(
+        ll_codes, "ll", _LL_DEFAULT)
+    of_m, of_d, of_t, of_al, of_st = _register_plan(
+        of_codes, "of", _OF_DEFAULT)
+    ml_m, ml_d, ml_t, ml_al, ml_st = _register_plan(
+        ml_codes, "ml", _ML_DEFAULT)
+
+    reads: list[tuple[int, int]] = [
+        (ll_st[0], ll_al), (of_st[0], of_al), (ml_st[0], ml_al)
+    ]
+    for i, (ll, ml, offset_value) in enumerate(seqs):
+        of_c = of_codes[i]
+        reads.append((offset_value - (1 << of_c), of_c))
+        reads.append((ml - _ML_BASE[ml_codes[i]], _ML_BITS[ml_codes[i]]))
+        reads.append((ll - _LL_BASE[ll_codes[i]], _LL_BITS[ll_codes[i]]))
+        if i != n - 1:
+            for st, tbl in ((ll_st, ll_t), (ml_st, ml_t), (of_st, of_t)):
+                cur = st[i]
+                reads.append((st[i + 1] - tbl[2][cur], tbl[1][cur]))
+    total_bits = 1 + sum(w for _, w in reads)
+    if n < 128:
+        count = bytes([n])
+    elif n < 0x7F00:
+        count = bytes([(n >> 8) + 128, n & 0xFF])
+    else:
+        raise ValueError("encoder subset caps at 32511 sequences per block")
+    modes = (ll_m << 6) | (of_m << 4) | (ml_m << 2)
+    return (
+        count + bytes([modes]) + ll_d + of_d + ml_d
+        + _pack_backward(reads, total_bits)
+    )
+
+
 def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
     """A REAL compressed zstd frame from the spec subset the decoder
     round-trips per-row in the gate: greedy hash-chain LZ77 into
@@ -1257,7 +1455,7 @@ def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
         if seqs:
             block = (
                 _encode_literals(bytes(lits))
-                + _encode_sequences_predefined(seqs)
+                + _encode_sequences(seqs)
             )
         if block is None or len(block) >= len(chunk):
             # incompressible: Block_Size must stay within the
@@ -1339,7 +1537,7 @@ def zstd_compress_lz_dict(
         if seqs:
             block = (
                 _encode_literals(bytes(lits))
-                + _encode_sequences_predefined(seqs)
+                + _encode_sequences(seqs)
             )
         if block is None or len(block) >= chunk_len:
             bh = last | (0 << 1) | (chunk_len << 3)
