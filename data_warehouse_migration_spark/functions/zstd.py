@@ -805,6 +805,68 @@ def parse_zstd_dictionary(blob: bytes) -> ZstdDictionary:
     )
 
 
+def zstd_write_dictionary(content: bytes, dict_id: int) -> bytes:
+    """Author a TRAINED-format dictionary (RFC 8878 §5, r14): magic,
+    Dictionary_ID, the entropy section — a Huffman literals table
+    fitted to the content's byte histogram (direct 4-bit weights;
+    clamped to a uniform code over the low alphabet when the
+    histogram is too deep or too wide for the direct form) and the
+    three FSE tables in OF/ML/LL storage order (the predefined
+    distributions serialized through the ncount writer — valid,
+    sane priming) — then Repeat_Offsets and the content history.
+    Parsed back by :func:`parse_zstd_dictionary` and by the
+    reference CLI under ``-D``."""
+    if not content:
+        raise ValueError("zstd dictionary content must be non-empty")
+    if not 1 <= dict_id <= 0xFFFFFFFF:
+        raise ValueError("zstd dictionary id must be a nonzero u32")
+    # add-one smoothing over the whole low alphabet: a primed
+    # Treeless block must be able to encode bytes the content never
+    # showed (rare ones just get long codes). Halving clamps the
+    # skew until the canonical depth fits the 11-bit ceiling —
+    # all-ones (depth 8 over 129 symbols) terminates the loop.
+    hist = {s: 1 for s in range(129)}
+    for b in content:
+        if b <= 128:
+            hist[b] += 1
+    built = _huf_build_weights(hist)
+    while built is None:
+        hist = {s: max(1, v // 2) for s, v in hist.items()}
+        built = _huf_build_weights(hist)
+    weights, max_bits = built
+    last = max(weights)
+    wlist = [weights.get(s, 0) for s in range(last)]
+    desc = bytearray([127 + len(wlist)])
+    for i in range(0, len(wlist), 2):
+        hi = wlist[i] << 4
+        lo = wlist[i + 1] if i + 1 < len(wlist) else 0
+        desc.append(hi | lo)
+    out = bytearray(struct.pack("<II", _DICT_MAGIC, dict_id))
+    out += bytes(desc)
+    for counts, al in (_OF_DEFAULT, _ML_DEFAULT, _LL_DEFAULT):
+        out += _fse_write_ncount(list(counts), al)
+    reps = [min(r, len(content)) for r in (1, 4, 8)]
+    out += struct.pack("<3I", *reps)
+    out += content
+    return bytes(out)
+
+
+def _huf_encoder_from_table(table, max_bits: int) -> dict:
+    """Recover {symbol: (code, length)} from a decode peek table —
+    what encoding TREELESS literals against a dictionary's Huffman
+    table needs."""
+    enc: dict[int, tuple[int, int]] = {}
+    i = 0
+    while i < len(table):
+        sym, nb = table[i]
+        if sym < 0:
+            i += 1
+            continue
+        enc[sym] = (i >> (max_bits - nb), nb)
+        i += 1 << (max_bits - nb)
+    return enc
+
+
 def zstd_decompress(
     data: bytes,
     max_output: int | None = None,
@@ -1181,6 +1243,58 @@ def _encode_literals(lits: bytes) -> bytes:
     return hdr + body
 
 
+def _encode_literals_treeless(lits: bytes, enc: dict) -> bytes | None:
+    """Treeless (ltype 3) literals against a primed Huffman table —
+    the dictionary-priming form: no tree description, the decoder
+    reuses ``frame_state['huf']``. ``None`` when a byte falls
+    outside the table or the headers can't size it."""
+    n = len(lits)
+    if n == 0:
+        return None
+    code: dict[int, int] = {}
+    nbits: dict[int, int] = {}
+    for s, (c, w) in enc.items():
+        code[s] = c
+        nbits[s] = w
+    if any(b not in code for b in lits):
+        return None
+    if n < 1024:
+        body = _huf_stream(lits, code, nbits)
+        csize = len(body)
+        if csize > 1023:
+            return None
+        hdr = bytes(
+            [3 | ((n & 0xF) << 4),
+             ((n >> 4) & 0x3F) | ((csize & 3) << 6),
+             csize >> 2]
+        )
+        return hdr + body
+    per = (n + 3) >> 2
+    parts = [lits[0:per], lits[per : 2 * per], lits[2 * per : 3 * per],
+             lits[3 * per :]]
+    if not parts[3]:
+        return None
+    streams = [_huf_stream(p, code, nbits) for p in parts]
+    if max(len(s) for s in streams[:3]) > 0xFFFF:
+        return None
+    body = (
+        struct.pack("<3H", len(streams[0]), len(streams[1]),
+                    len(streams[2]))
+        + b"".join(streams)
+    )
+    csize = len(body)
+    if csize >= (1 << 18):
+        return None
+    hdr = bytes(
+        [3 | (3 << 2) | ((n & 0xF) << 4),
+         (n >> 4) & 0xFF,
+         ((n >> 12) & 0x3F) | ((csize & 3) << 6),
+         (csize >> 2) & 0xFF,
+         csize >> 10]
+    )
+    return hdr + body
+
+
 def _fse_encode_cover(table):
     """Encoder companion of an FSE decode table: for (symbol, next
     decode state v) the UNIQUE current state whose transition range
@@ -1294,17 +1408,19 @@ def _normalize_counts(hist: dict[int, int], al: int):
     return counts
 
 
-def _register_plan(codes: list[int], reg: str, default):
+def _register_plan(codes: list[int], reg: str, default, primed=None):
     """Pick the cheapest coding mode for one sequence register:
     RLE (one distinct code), a custom FSE table fitted to the
-    block's histogram, or the predefined distribution — exact bit
-    accounting via the actual state chain for each candidate.
-    Returns (mode, desc_bytes, table, accuracy_log, states)."""
+    block's histogram, the predefined distribution, or — when a
+    dictionary primes the frame — Repeat mode against the primed
+    table. Exact bit accounting via the actual state chain per
+    candidate. Returns (mode, desc_bytes, table, accuracy_log,
+    states)."""
     n = len(codes)
     hist: dict[int, int] = {}
     for c in codes:
         hist[c] = hist.get(c, 0) + 1
-    if len(hist) == 1:
+    if len(hist) == 1 and primed is None:
         sym = codes[0]
         table = _fse_rle_table(sym)
         return 1, bytes([sym]), table, 0, [0] * n
@@ -1322,6 +1438,16 @@ def _register_plan(codes: list[int], reg: str, default):
         bits = al + sum(table[1][st[i]] for i in range(n - 1))
         return (len(desc) * 8 + bits, desc, table, al, st)
 
+    if primed is not None:
+        # a dictionary-primed block PINS Repeat mode so the priming
+        # path is genuinely exercised (the point of the leg)
+        best = chain(primed[0], primed[1], b"")
+        if best is None:
+            raise ValueError(
+                f"zstd {reg} code outside the dictionary's primed table"
+            )
+        _, desc, table, al, st = best
+        return 3, desc, table, al, st
     counts_d, al_d = default
     best = chain(_fse_build_table(counts_d, al_d), al_d, b"")
     mode = 0
@@ -1342,11 +1468,13 @@ def _register_plan(codes: list[int], reg: str, default):
     return mode, desc, table, al, st
 
 
-def _encode_sequences(seqs) -> bytes:
+def _encode_sequences(seqs, primed=None) -> bytes:
     """Sequence section with per-register mode selection (r14):
-    Predefined / RLE / FSE_Compressed chosen by exact cost, table
+    Predefined / RLE / FSE_Compressed chosen by exact cost — or
+    Repeat mode against a dictionary's primed tables when ``primed``
+    (a {"ll"/"of"/"ml": (table, al)} map) is given — table
     descriptions serialized via the ncount writer, states chosen by
-    walking each decode table backward — the general form of
+    walking each decode table backward. The general form of
     :func:`_encode_sequences_predefined`, which the subset keeps for
     layouts that pin the predefined distributions."""
     n = len(seqs)
@@ -1360,11 +1488,11 @@ def _encode_sequences(seqs) -> bytes:
         of_codes.append(of_c)
 
     ll_m, ll_d, ll_t, ll_al, ll_st = _register_plan(
-        ll_codes, "ll", _LL_DEFAULT)
+        ll_codes, "ll", _LL_DEFAULT, primed and primed["ll"])
     of_m, of_d, of_t, of_al, of_st = _register_plan(
-        of_codes, "of", _OF_DEFAULT)
+        of_codes, "of", _OF_DEFAULT, primed and primed["of"])
     ml_m, ml_d, ml_t, ml_al, ml_st = _register_plan(
-        ml_codes, "ml", _ML_DEFAULT)
+        ml_codes, "ml", _ML_DEFAULT, primed and primed["ml"])
 
     reads: list[tuple[int, int]] = [
         (ll_st[0], ll_al), (of_st[0], of_al), (ml_st[0], ml_al)
@@ -1472,27 +1600,47 @@ def zstd_compress_lz(data: bytes, min_match: int = 4) -> bytes:
 
 
 def zstd_compress_lz_dict(
-    data: bytes, content: bytes, min_match: int = 4
+    data: bytes, content, min_match: int = 4
 ) -> bytes:
-    """:func:`zstd_compress_lz` against a RAW-CONTENT dictionary: the
-    first block's matches may reach back into ``content`` as virtual
-    history (offsets beyond the frame start — RFC 8878 §5 semantics),
-    which is what a reader must prime with the same bytes to decode.
-    The frame carries an explicit window descriptor sized to
-    content+data (raw dictionaries have no ID field to declare), so
-    the reference decoder accepts it with ``-D <content>``. Sibling
-    of the plain encoder, not an edit to it."""
+    """:func:`zstd_compress_lz` against a dictionary. ``content`` as
+    BYTES is a raw-content dictionary: the first block's matches may
+    reach back into it as virtual history (offsets beyond the frame
+    start — RFC 8878 §5 semantics); the frame carries no ID (raw
+    dictionaries have none) and the reference decoder accepts it
+    with ``-D <content>``. ``content`` as a parsed
+    :class:`ZstdDictionary` (r14, the trained format —
+    :func:`zstd_write_dictionary` authors one) additionally declares
+    the Dictionary_ID in the frame header and PRIMES the first
+    block: Treeless literals against the dictionary's Huffman table
+    and Repeat-mode sequence tables — the full §5 entropy-priming
+    path, in both directions. Sibling of the plain encoder, not an
+    edit to it."""
+    zdict = None
+    if isinstance(content, ZstdDictionary):
+        zdict = content
+        content = zdict.content
     n = len(data)
     need = len(content) + n + 16
     e = max(10, (need - 1).bit_length())
     if e > 30:
         raise ValueError("dictionary + data exceed the 1 GiB window cap")
-    fhd = (2 << 6) | 0x04  # 4-byte FCS + content checksum, windowed
+    did_field = b""
+    dict_flag = 0
+    if zdict is not None and zdict.dict_id:
+        did_field = struct.pack("<I", zdict.dict_id)
+        dict_flag = 3
+    fhd = (2 << 6) | 0x04 | dict_flag  # 4-byte FCS + checksum, windowed
     head = (
         struct.pack("<I", 0xFD2FB528)
         + bytes([fhd, (e - 10) << 3])
+        + did_field
         + struct.pack("<I", n)
     )
+    primed_seq = None
+    primed_huf = None
+    if zdict is not None and zdict.huf is not None:
+        primed_seq = {reg: zdict.tables[reg] for reg in ("ll", "of", "ml")}
+        primed_huf = _huf_encoder_from_table(*zdict.huf)
     body = bytearray()
     pos = 0
     CHUNK = 64 * 1024
@@ -1535,10 +1683,21 @@ def zstd_compress_lz_dict(
         chunk_len = end - pos
         block = None
         if seqs:
-            block = (
-                _encode_literals(bytes(lits))
-                + _encode_sequences(seqs)
-            )
+            if pos == 0 and primed_seq is not None:
+                # the dictionary-primed first block: Treeless
+                # literals + Repeat sequence tables (RFC 8878 §5's
+                # entropy priming, exercised from the WRITE side)
+                lit_sec = _encode_literals_treeless(
+                    bytes(lits), primed_huf
+                )
+                if lit_sec is None:
+                    lit_sec = _encode_literals(bytes(lits))
+                block = lit_sec + _encode_sequences(seqs, primed_seq)
+            else:
+                block = (
+                    _encode_literals(bytes(lits))
+                    + _encode_sequences(seqs)
+                )
         if block is None or len(block) >= chunk_len:
             bh = last | (0 << 1) | (chunk_len << 3)
             body += bh.to_bytes(3, "little") + data[pos:end]

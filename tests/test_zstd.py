@@ -746,3 +746,69 @@ def test_custom_fse_sequence_tables_cli_adjudicated(tmp_path):
     modes = sec[n_hdr]
     saw_modes = {(modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3}
     assert 1 in saw_modes or 2 in saw_modes  # RLE or fitted table chosen
+
+
+def test_trained_dictionary_writer_both_directions(tmp_path):
+    """r14's capstone: the engine AUTHORS a trained-format dictionary
+    (magic/id, Huffman table smoothed over the low alphabet, the
+    three FSE tables via the ncount writer, repeat offsets, content)
+    and compresses frames whose FIRST block is genuinely PRIMED —
+    Treeless literals + Repeat-mode sequence tables. Adjudication in
+    all four directions: our decoder reads our frames with the
+    dictionary; it refuses without it (the frame declares the id);
+    the REFERENCE decoder accepts our dictionary file and our primed
+    frames under ``-D``; and our decoder reads reference frames
+    compressed with OUR dictionary."""
+    import random
+
+    from data_warehouse_migration_spark.functions.zstd import (
+        parse_zstd_dictionary,
+        zstd_compress_lz_dict,
+        zstd_write_dictionary,
+    )
+
+    rng = random.Random(8)
+    words = [b"alpha", b"bravo", b"charlie", b"delta"]
+    content = b" ".join(rng.choice(words) for _ in range(400))
+    dblob = zstd_write_dictionary(content, dict_id=0xABCD1234)
+    d = parse_zstd_dictionary(dblob)
+    assert d.dict_id == 0xABCD1234 and d.content == content
+    assert d.huf is not None and set(d.tables) == {"ll", "of", "ml"}
+    dfile = tmp_path / "engine.dict"
+    dfile.write_bytes(dblob)
+    primed_seen = False
+    for trial in range(12):
+        data = (
+            content[: rng.randrange(len(content))]
+            + b" NEW "
+            + b" ".join(rng.choice(words)
+                        for _ in range(rng.randrange(0, 800)))
+        )
+        blob = zstd_compress_lz_dict(data, d)
+        assert zstd_decompress(blob, dictionary=dblob) == data, trial
+        with pytest.raises(NotImplementedError, match="dictionary"):
+            zstd_decompress(blob)
+        # first-block mode inspection: Treeless literals engaged
+        bh = blob[14] | (blob[15] << 8) | (blob[16] << 16)
+        if (bh >> 1) & 3 == 2 and blob[17] & 3 == 3:
+            primed_seen = True
+        if _CLI is not None:
+            r = subprocess.run(
+                [_CLI, "-d", "-c", "-D", str(dfile)],
+                input=blob, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+            )
+            assert r.returncode == 0 and r.stdout == data, trial
+            cli = subprocess.run(
+                [_CLI, "-c", "-7", "-D", str(dfile)],
+                input=data, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+            )
+            assert cli.returncode == 0
+            assert zstd_decompress(cli.stdout, dictionary=d) == data
+    assert primed_seen
+    # hostile writer inputs refuse loudly
+    with pytest.raises(ValueError, match="non-empty"):
+        zstd_write_dictionary(b"", 7)
+    with pytest.raises(ValueError, match="nonzero"):
+        zstd_write_dictionary(b"x", 0)
