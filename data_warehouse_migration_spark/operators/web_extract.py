@@ -1172,12 +1172,15 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
     predefined-FSE sequences and raw literals, so the decoder's FSE
     state machine, extra-bit reads, repeat-offset arithmetic, and
     sequence execution run under the hash gate per-row; and (r14,
-    VERDICT r13 action #3) a DICTIONARY leg — a raw-content
-    dictionary derived from the document primes the decode, the
-    frame's first-block matches reach into it as virtual history,
-    so the history-seeded buffer, the window check against the
-    dictionary boundary, and the checksum across the seam run under
-    the hash gate per-row; and a SEEKABLE leg (the r14 split-unit
+    VERDICT r13 action #3) a DICTIONARY leg sub-rotating raw-content
+    and TRAINED-format dictionaries — the raw half primes pure
+    history (history-seeded buffer, window check at the dictionary
+    boundary, checksum across the seam); the trained half authors a
+    full RFC 8878 §5 dictionary with the engine's own writer
+    (smoothed Huffman table, ncount-serialized FSE tables, repeat
+    offsets) whose id the frame declares and whose entropy tables
+    prime the first block's Treeless literals and Repeat sequence
+    modes — §5 BOTH directions under the hash gate per-row; and a SEEKABLE leg (the r14 split-unit
     work's gate half): the text packs as three frames + the public
     seek-table skippable frame and reassembles from per-frame
     RANGED reads via the parsed table — footer/table parse, offset
@@ -1236,11 +1239,32 @@ def zst_archive_features(docs: DataFrame) -> DataFrame:
             blob = zstd_compress_lz(raw)
             n_frames = 1
         elif leg == 4:
-            # raw-content dictionary: the doc's own head primes the
-            # window, so the frame's first matches reach into history
+            # dictionary leg, sub-rotating on aid: even rows use a
+            # RAW-CONTENT dictionary (pure history — the doc's own
+            # head primes the window, the frame's first matches
+            # reach into it); odd rows author a TRAINED-format
+            # dictionary (zstd_write_dictionary: smoothed Huffman
+            # table + ncount-serialized FSE tables + reps + content)
+            # whose id the frame declares and whose entropy tables
+            # PRIME the first block (Treeless literals, Repeat
+            # sequence modes) — RFC 8878 §5 both directions under
+            # the hash gate per-row
             content = raw[: max(32, len(raw) // 3)]
-            blob = zstd_compress_lz_dict(raw, content)
-            back = zstd_decompress(blob, dictionary=content).decode("utf-8")
+            if (aid // 6) % 2:
+                from data_warehouse_migration_spark.functions.zstd import (
+                    parse_zstd_dictionary,
+                    zstd_write_dictionary,
+                )
+
+                dblob = zstd_write_dictionary(content, dict_id=aid or 1)
+                zd = parse_zstd_dictionary(dblob)
+                blob = zstd_compress_lz_dict(raw, zd)
+                back = zstd_decompress(blob, dictionary=zd).decode("utf-8")
+            else:
+                blob = zstd_compress_lz_dict(raw, content)
+                back = zstd_decompress(blob, dictionary=content).decode(
+                    "utf-8"
+                )
             return (aid, back, len(back), 1, len(blob))
         else:
             # seekable archive (r14): three-way split, seek-table
