@@ -4951,11 +4951,16 @@ def zst_text_archive(spark, sf_dir):
     literals), so the FSE state machine, extra-bit reads,
     repeat-offset arithmetic, and sequence execution run under the
     hash gate per-row / and (r14, VERDICT r13 action #3) a
-    DICTIONARY leg: a raw-content dictionary from the document's own
-    head primes the decode, the frame's matches reach into it as
-    virtual history, so the history-seeded buffer and the window
-    check against the dictionary boundary run under the hash gate
-    per-row / a SEEKABLE leg (the r14 split-unit work's gate half):
+    DICTIONARY leg sub-rotating RAW-CONTENT and TRAINED-format
+    dictionaries: the raw half primes pure history (history-seeded
+    buffer, window check at the dictionary boundary); the trained
+    half is authored by the engine's own ``zstd_write_dictionary``
+    (smoothed Huffman + ncount-serialized FSE tables + reps), its id
+    declared in the frame header, its entropy tables priming the
+    first block's Treeless literals and Repeat sequence modes —
+    RFC 8878 §5 BOTH directions per-row, the reference CLI
+    accepting the engine's dictionaries and primed frames under
+    ``-D`` in tests / a SEEKABLE leg (the r14 split-unit work's gate half):
     three frames + the public seek-table skippable frame,
     reassembled from per-frame RANGED reads via the parsed table —
     footer/table parse, offset arithmetic, and per-frame
