@@ -9,18 +9,23 @@ Huffman like deflate (functions/png), and the LZ77 sequence layer
 adds the three-slot repeat-offset cache.
 
 The FULL decoder is the ingest surface; the engine-side WRITERS
-cover a growing spec subset the reference CLI accepts back:
-Raw/RLE block frames (stored), a real greedy-LZ77 encoder with
-predefined-FSE sequences (1- and 2-byte sequence counts) and —
-since r14 — HUFFMAN-COMPRESSED literal sections (canonical
-length-limited codes, direct 4-bit weight descriptions, 1-stream
-and 4-stream jump-table layouts, RLE/raw fallbacks), a
-dictionary-referencing variant, and the seekable format. A
-COMPETITIVE encoder (optimal parsing, custom FSE tables) stays
-reference territory by design — decoding is exactly specified,
-real ingest receives reference-encoder output, and tests cross-pin
-the decoder against the reference CLI across presets/levels/window
-shapes when it is present.
+cover a spec subset the reference CLI accepts back: Raw/RLE block
+frames (stored), a real greedy-LZ77 encoder with — since r14 —
+HUFFMAN-COMPRESSED literal sections (canonical length-limited
+codes; tree descriptions in BOTH forms, direct 4-bit weights and
+FSE-compressed two-interleaved-state weights, so >128-symbol
+alphabets like UTF-8 text compress too; 1- and 4-stream layouts,
+RLE/raw fallbacks), per-register sequence-table SELECTION
+(Predefined / RLE / fitted FSE_Compressed by exact bit cost, 1-
+and 2-byte sequence counts, tables serialized via the ncount
+writer), dictionary-referencing frames (raw-content AND
+trained-format — `zstd_write_dictionary` authors §5 dictionaries
+whose entropy tables prime Treeless/Repeat first blocks), and the
+seekable format. A COMPETITIVE encoder (optimal parsing, lazy
+matching) stays reference territory by design — decoding is
+exactly specified, real ingest receives reference-encoder output,
+and tests cross-pin the decoder against the reference CLI across
+presets/levels/window shapes when it is present.
 
 Implemented per RFC 8878 + the zstd format notes:
 
@@ -820,15 +825,15 @@ def zstd_write_dictionary(content: bytes, dict_id: int) -> bytes:
         raise ValueError("zstd dictionary content must be non-empty")
     if not 1 <= dict_id <= 0xFFFFFFFF:
         raise ValueError("zstd dictionary id must be a nonzero u32")
-    # add-one smoothing over the whole low alphabet: a primed
-    # Treeless block must be able to encode bytes the content never
-    # showed (rare ones just get long codes). Halving clamps the
-    # skew until the canonical depth fits the 11-bit ceiling —
-    # all-ones (depth 8 over 129 symbols) terminates the loop.
-    hist = {s: 1 for s in range(129)}
+    # add-one smoothing over the WHOLE byte alphabet: a primed
+    # Treeless block must be able to encode any literal byte, seen
+    # or not (rare ones just get long codes; the FSE-compressed
+    # weights form carries the 255-entry description compactly).
+    # Halving clamps the skew until the canonical depth fits the
+    # 11-bit ceiling — all-ones (depth 8) terminates the loop.
+    hist = {s: 1 for s in range(256)}
     for b in content:
-        if b <= 128:
-            hist[b] += 1
+        hist[b] += 1
     built = _huf_build_weights(hist)
     while built is None:
         hist = {s: max(1, v // 2) for s, v in hist.items()}
@@ -836,11 +841,9 @@ def zstd_write_dictionary(content: bytes, dict_id: int) -> bytes:
     weights, max_bits = built
     last = max(weights)
     wlist = [weights.get(s, 0) for s in range(last)]
-    desc = bytearray([127 + len(wlist)])
-    for i in range(0, len(wlist), 2):
-        hi = wlist[i] << 4
-        lo = wlist[i + 1] if i + 1 < len(wlist) else 0
-        desc.append(hi | lo)
+    desc = _huf_write_tree(wlist)
+    if desc is None:
+        raise ValueError("zstd dictionary weights are not serializable")
     out = bytearray(struct.pack("<II", _DICT_MAGIC, dict_id))
     out += bytes(desc)
     for counts, al in (_OF_DEFAULT, _ML_DEFAULT, _LL_DEFAULT):
@@ -1110,17 +1113,13 @@ def _pack_backward(pairs, total_bits: int) -> bytes:
 
 def _huf_build_weights(freq: dict[int, int]):
     """Canonical Huffman weights for a literal frequency table, or
-    ``None`` when the direct-weights description can't express the
-    alphabet (deeper than 11 bits, or a symbol above 128 — the
-    encoder falls back to raw literals, a legal choice). Returns
-    ``(weights_by_symbol, max_bits)`` matching
+    ``None`` when no description can express the shape (deeper than
+    11 bits — the encoder falls back to raw literals, a legal
+    choice). Returns ``(weights_by_symbol, max_bits)`` matching
     :func:`_huf_table_from_weights`'s completion rules exactly."""
     import heapq
 
     if len(freq) < 2:
-        return None
-    last = max(freq)
-    if last > 128:  # direct form serializes weights 0..last-1 (≤128)
         return None
     heap = [(f, s, s) for s, f in freq.items()]  # (freq, tiebreak, node)
     heapq.heapify(heap)
@@ -1200,11 +1199,9 @@ def _encode_literals(lits: bytes) -> bytes:
     code, nbits = _huf_codes(weights, max_bits)
     last = max(weights)
     wlist = [weights.get(s, 0) for s in range(last)]  # implied: symbol `last`
-    desc = bytearray([127 + len(wlist)])
-    for i in range(0, len(wlist), 2):
-        hi = wlist[i] << 4
-        lo = wlist[i + 1] if i + 1 < len(wlist) else 0
-        desc.append(hi | lo)
+    desc = _huf_write_tree(wlist)
+    if desc is None:
+        return raw
     if n < 1024:
         body = bytes(desc) + _huf_stream(lits, code, nbits)
         csize = len(body)
@@ -1241,6 +1238,88 @@ def _encode_literals(lits: bytes) -> bytes:
          csize >> 10]
     )
     return hdr + body
+
+
+def _fse_chain(codes: list[int], table, al: int):
+    """Backward state assignment for one FSE stream: states whose
+    symbols decode to ``codes`` in order, plus the (value, width)
+    transition reads between them. ``None`` if a code is absent."""
+    cover = _fse_encode_cover(table)
+    syms, nbits, base = table
+    n = len(codes)
+    st = [0] * n
+    try:
+        st[n - 1] = syms.index(codes[n - 1])
+        for i in range(n - 2, -1, -1):
+            st[i] = cover[(codes[i], st[i + 1])]
+    except (ValueError, KeyError):
+        return None
+    trans = [
+        (st[i + 1] - base[st[i]], nbits[st[i]]) for i in range(n - 1)
+    ]
+    return st, trans
+
+
+def _huf_write_tree_fse(wlist: list[int]) -> bytes | None:
+    """The FSE-compressed Huffman-weights form (RFC 8878 §4.2.1.2,
+    head < 128): weights decode through TWO interleaved FSE states
+    with the padded-read termination rule — the encoder splits the
+    weight sequence into the two state lanes, chains each backward,
+    interleaves the transitions, and sizes the stream so the read
+    AFTER the last transition is the one that overruns. ``None``
+    when the form doesn't apply (degenerate histogram, >127-byte
+    description)."""
+    n = len(wlist)
+    if n < 2:
+        return None
+    hist: dict[int, int] = {}
+    for w in wlist:
+        hist[w] = hist.get(w, 0) + 1
+    if len(hist) < 2:
+        return None  # 0-bit states would never terminate the loop
+    best = None
+    for al in (5, 6):
+        counts = _normalize_counts(hist, al)
+        if counts is None:
+            continue
+        desc = _fse_write_ncount(counts, al)
+        table = _fse_build_table(counts, al)
+        lane1 = _fse_chain(wlist[0::2], table, al)
+        lane2 = _fse_chain(wlist[1::2], table, al)
+        if lane1 is None or lane2 is None:
+            continue
+        (s1, t1), (s2, t2) = lane1, lane2
+        pairs: list[tuple[int, int]] = [(s1[0], al), (s2[0], al)]
+        for i in range(max(len(t1), len(t2))):
+            if i < len(t1):
+                pairs.append(t1[i])
+            if i < len(t2):
+                pairs.append(t2[i])
+        total = 1 + sum(w for _, w in pairs)
+        blob = desc + _pack_backward(pairs, total)
+        if len(blob) <= 127 and (best is None or len(blob) < len(best)):
+            best = blob
+    if best is None:
+        return None
+    return bytes([len(best)]) + best
+
+
+def _huf_write_tree(wlist: list[int]) -> bytes | None:
+    """Serialize explicit Huffman weights (symbols 0..len-1; the last
+    present symbol's weight is implied) as the CHEAPER of the direct
+    4-bit form (≤128 weights) and the FSE-compressed form — both
+    read back by :func:`_huf_read_tree` and the reference decoder."""
+    direct = None
+    if len(wlist) <= 128:
+        out = bytearray([127 + len(wlist)])
+        for i in range(0, len(wlist), 2):
+            hi = wlist[i] << 4
+            lo = wlist[i + 1] if i + 1 < len(wlist) else 0
+            out.append(hi | lo)
+        direct = bytes(out)
+    fse = _huf_write_tree_fse(wlist)
+    forms = [f for f in (direct, fse) if f is not None]
+    return min(forms, key=len) if forms else None
 
 
 def _encode_literals_treeless(lits: bytes, enc: dict) -> bytes | None:

@@ -812,3 +812,75 @@ def test_trained_dictionary_writer_both_directions(tmp_path):
         zstd_write_dictionary(b"", 7)
     with pytest.raises(ValueError, match="nonzero"):
         zstd_write_dictionary(b"x", 0)
+
+
+def test_fse_compressed_huffman_weights_form():
+    """r14: the FSE-compressed Huffman-weights description (head <
+    128 — two interleaved states, padded-read termination) round-
+    trips through the reader for random alphabets INCLUDING the
+    >128-symbol shapes the direct form cannot express, and UTF-8 /
+    high-byte literals now Huffman-compress inside LZ frames the
+    reference decoder accepts."""
+    import random
+
+    from data_warehouse_migration_spark.functions.zstd import (
+        _huf_build_weights,
+        _huf_read_tree,
+        _huf_table_from_weights,
+        _huf_write_tree,
+        zstd_compress_lz,
+    )
+
+    rng = random.Random(31)
+    wide_seen = 0
+    for trial in range(300):
+        nsym = rng.randrange(2, 256)
+        freq = {s: rng.randrange(1, 1000)
+                for s in rng.sample(range(256), nsym)}
+        built = _huf_build_weights(freq)
+        if built is None:
+            continue
+        weights, _mb = built
+        last = max(weights)
+        wlist = [weights.get(s, 0) for s in range(last)]
+        desc = _huf_write_tree(wlist)
+        if desc is None:
+            continue
+        table, max_bits, used = _huf_read_tree(desc)
+        assert used == len(desc), trial
+        assert (table, max_bits) == _huf_table_from_weights(wlist), trial
+        if last > 128:
+            assert desc[0] < 128  # only the FSE form can carry it
+            wide_seen += 1
+    assert wide_seen > 20
+    utf8 = ("héllo wörld ünïcode çafé " * 1500).encode()
+    blob = zstd_compress_lz(utf8)
+    assert zstd_decompress(blob) == utf8
+    assert len(blob) < len(utf8) // 50  # genuinely compressed now
+    if _CLI is not None:
+        assert _cli_decompress(blob) == utf8
+        # a full-alphabet dictionary (CJK content) still loads in the
+        # reference and primes our frames
+        import tempfile
+
+        from data_warehouse_migration_spark.functions.zstd import (
+            parse_zstd_dictionary,
+            zstd_compress_lz_dict,
+            zstd_write_dictionary,
+        )
+
+        content = ("中文 内容 样本 数据 " * 60).encode()
+        dblob = zstd_write_dictionary(content, 99)
+        d = parse_zstd_dictionary(dblob)
+        data = content[:200] + " NEW 中文 数据 样本 ".encode() * 30
+        frame = zstd_compress_lz_dict(data, d)
+        assert zstd_decompress(frame, dictionary=dblob) == data
+        assert frame[17] & 3 == 3  # Treeless first block engaged
+        with tempfile.NamedTemporaryFile() as f:
+            f.write(dblob)
+            f.flush()
+            r = subprocess.run(
+                [_CLI, "-d", "-c", "-D", f.name], input=frame,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            )
+            assert r.returncode == 0 and r.stdout == data
