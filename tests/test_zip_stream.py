@@ -129,3 +129,65 @@ def test_utf8_names():
     assert zip_members(blob) == members
     zf = zipfile.ZipFile(io.BytesIO(blob))
     assert zf.namelist() == [members[0][0]]
+
+
+def test_zip64_both_directions_adjudicated_by_stdlib():
+    """ZIP64 (r14, NEW SIBLINGS — the attested classic reader keeps
+    its honest-raise contract): `zip_pack64` forces the >4 GiB
+    layout (saturated fields, 0x0001 extras, ZIP64 EOCD record +
+    locator) so the structures are testable without 4 GiB fixtures;
+    `zip_members64` reads classic AND zip64 archives through the
+    central-directory authority. CPython zipfile adjudicates both
+    directions."""
+    import io
+    import struct
+    import zipfile
+
+    import pytest
+
+    from data_warehouse_migration_spark.functions.zip_stream import (
+        zip_members,
+        zip_members64,
+        zip_pack,
+        zip_pack64,
+    )
+
+    members = [
+        ("a.txt", b"hello zip64 " * 100),
+        ("dir/b.bin", bytes(range(256)) * 10),
+        ("c", b""),
+    ]
+    for method in ("dynamic", "stored", "fixed"):
+        blob = zip_pack64(members, method=method)
+        assert zip_members64(blob) == members, method
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
+    # the classic reader refuses the sentinels rather than misreading
+    with pytest.raises(ValueError):
+        zip_members(zip_pack64(members))
+    # stdlib's forced-zip64 output reads back through the new reader
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as w:
+        for n, d in members:
+            with w.open(zipfile.ZipInfo(n), "w", force_zip64=True) as f:
+                f.write(d)
+    assert zip_members64(buf.getvalue()) == members
+    # classic archives read identically through the new reader
+    assert zip_members64(zip_pack(members)) == members
+    # hostile: sentinel fields with no locator / truncated z64 EOCD
+    blob = bytearray(zip_pack64(members))
+    no_loc = blob[: len(blob) - 42] + blob[len(blob) - 22 :]
+    with pytest.raises(ValueError, match="locator|signature|missing"):
+        zip_members64(bytes(no_loc))
+    bad = bytearray(zip_pack64(members))
+    struct.pack_into("<Q", bad, len(bad) - 38, 1 << 40)  # locator offset
+    with pytest.raises(ValueError, match="ZIP64|missing"):
+        zip_members64(bytes(bad))
+    # absurd entry count bounded before the walk
+    bad2 = bytearray(zip_pack64(members))
+    # n_entries lives in the z64 EOCD record (offsets from its start)
+    z64_off = len(bad2) - 22 - 20 - 56
+    assert bytes(bad2[z64_off : z64_off + 4]) == b"PK\x06\x06"
+    struct.pack_into("<Q", bad2, z64_off + 4 + 20 + 8, 1 << 50)
+    with pytest.raises(ValueError):
+        zip_members64(bytes(bad2))
