@@ -115,33 +115,29 @@ from data_warehouse_migration_spark.queries import (  # noqa: E402,F401
 # (warehouse module) is pinned in-window every round.
 # ---------------------------------------------------------------------------
 
-# Round 14 window (ROTATION.md has the full ledger). The r14
-# head-of-line was EMPTY (both r13 registrations landed in-window),
-# so after the pins every slot goes to this round's changed-code
-# voids, its one new gate, and the oldest-first rotation refresh;
-# the budget closes at exactly 50:
+# Round 15 window (ROTATION.md has the full ledger). The r15
+# head-of-line is EMPTY (the r14 ledger closed current for the third
+# consecutive round), so after the pins every slot goes to this
+# round's changed-code voids, its one new gate, and the oldest-first
+# rotation refresh; the budget closes at exactly 50:
 # (a) parity core (warehouse module) + ALL 19 bench headliners stay
 #     pinned, as every round.
-# (b) the r14 gate: lz4_text_archive (VERDICT r13 action #1 — the
-#     post-seal LZ4 rung was the only codec without a per-row
-#     registry gate), registered straight into the window.
-# (c) r14 changed-code voids: zst_text_archive (zstd dictionary
-#     decode + the nbSeq==0 strictness fix + the seekable format +
-#     the gate's new dictionary leg), warc_ingest_extract and
-#     crawl_ingest_quarantine (ADVICE r13 output budgets threaded
-#     through decode_content_encoding/parse_http_response_decoded),
-#     webdataset_shard_roundtrip (ADVICE r13 PAX fixes: byte-clipped
-#     extension-member names, size overrides scoped to regular
-#     files), and the SEVEN Unicode-tokenizer migrations (VERDICT
-#     r13 action #5 and beyond — tfidf_top_terms,
-#     chunk_documents_overlap, temperature_mix_weights,
-#     weighted_doc_sample, spearman_length_vs_novelty,
-#     quantile_normalize_lengths, corpus_diversity_profile) which
-#     EMPTY SCALE.md's deferred list.
-# (d) rotation refresh: eleven rows standing on their ROUND-1
-#     driver attestation — the oldest in the ledger (code unchanged;
+# (b) the r15 gate: snappy_text_archive (VERDICT r14 missing #1 —
+#     the post-seal Snappy rung was the only codec without a
+#     per-row registry gate; Spark's own default parquet codec),
+#     registered straight into the window. The harness carries the
+#     codec seam (functions/codecs — VERDICT r14 missing #2), so
+#     the native-slot-in demonstration rides the same gate.
+# (c) r15 changed-code voids: zip_bundle_roundtrip (ZIP64 leg via
+#     zip_pack64/zip_members64 — VERDICT r14 missing #3 — plus the
+#     ADVICE r14 0xFFFF-entry-count fix), and bz2_text_archive /
+#     xz_text_archive / wikidump_extract (ADVICE r14: max_output
+#     budgets threaded INTO bz2_decompress/xz_decompress so the cap
+#     binds during decode, not after).
+# (d) rotation refresh: eighteen rows — the twelve remaining r1
+#     analytics rows, then six of the r3 cohort (code unchanged;
 #     judge sweeps have kept them green since).
-_WINDOW_R14 = (
+_WINDOW_R15 = (
     # (a) pinned headliners — the warehouse module is prepended in
     # _FIRST below.
     "q1_pricing_summary",
@@ -160,46 +156,47 @@ _WINDOW_R14 = (
     "curation_pipeline_v3",
     "semdedup_embeddings",
     "containment_quote_pairs",
-    # (b) the r14 gate, registered straight into the window
-    "lz4_text_archive",
-    # (c) r14 changed-code voids
-    "zst_text_archive",
-    "warc_ingest_extract",
-    "crawl_ingest_quarantine",
-    "webdataset_shard_roundtrip",
-    "tfidf_top_terms",
-    "chunk_documents_overlap",
-    "temperature_mix_weights",
-    "weighted_doc_sample",
-    "spearman_length_vs_novelty",
-    "quantile_normalize_lengths",
-    "corpus_diversity_profile",
-    # (d) rotation refresh: the oldest standing rows (r1) — the
-    #     remaining depth-suite rows, then the analytics cohort
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_dormant_high_balance",
-    "agg_order_stats_by_status",
-    "anti_join_customers_without_orders",
-    "argmax_order_per_status",
-    "array_agg_nations_per_region",
-    "correlated_subqueries",
-    "cube_order_counts",
-    "grouping_sets_revenue",
+    # (b) the r15 gate, registered straight into the window
+    "snappy_text_archive",
+    # (c) r15 changed-code voids
+    "zip_bundle_roundtrip",
+    "bz2_text_archive",
+    "xz_text_archive",
+    "wikidump_extract",
+    # (d) rotation refresh: the twelve remaining r1 analytics rows,
+    #     then six of the r3 cohort (oldest-first)
+    "ntile_acctbal_quartiles",
+    "percentiles_by_segment",
+    "pivot_status_by_segment",
+    "rollup_revenue",
+    "semi_join_suppliers_with_sales",
+    "setops_repeat_buyers",
+    "topk_orders",
+    "union_table_stats",
+    "window_order_gaps",
+    "window_running_revenue",
+    "window_top_orders_per_customer",
+    "window_trailing_90d_revenue",
+    "lang_id",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q16_supplier_part_counts",
+    "q20_concentrated_shippers",
+    "q21_waiting_suppliers",
 )
-# Displaced to make room: the r13 window's debt drain, voids, gates,
-# and ten-row refresh all landed fresh CORRECTNESS_r13 rows; with
-# code unchanged those stand (token_stats/higher_order_token_stats/
-# bigram_lm_scores, the bz2/tiff/wikidump/tfrecord/xz quintet,
-# streaming_crawl_warm_curation, and the ten r1 TPC-H depth rows are
-# byte-identical this round — the r14 codec work added NEW sibling
-# functions or touched only the harnesses listed in (c)).
+# Displaced to make room: the r14 window's gate, voids, tokenizer
+# migrations, and eleven-row refresh all landed fresh
+# CORRECTNESS_r14 rows; with code unchanged those stand
+# (lz4_text_archive, zst_text_archive, warc_ingest_extract,
+# crawl_ingest_quarantine, webdataset_shard_roundtrip, the seven
+# migrations, and the r1 depth/analytics cohort are byte-identical
+# this round — the r15 codec-seam work added NEW sibling functions
+# or touched only the harnesses listed in (c)).
 
 _FIRST = (
     # Parity core: the reference's own dataflows, end to end.
     *(n for n, q in REGISTRY.items() if q.spark_fn.__module__.endswith(".warehouse")),
-    *_WINDOW_R14,
+    *_WINDOW_R15,
 )
 
 

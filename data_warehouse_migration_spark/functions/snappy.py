@@ -195,18 +195,26 @@ def snappy_compress_raw(data: bytes) -> bytes:
     return bytes(out)
 
 
-def snappy_frame_compress(data: bytes, chunk: int = _CHUNK_MAX) -> bytes:
+def snappy_frame_compress(
+    data: bytes, chunk: int = _CHUNK_MAX, raw_compress=None
+) -> bytes:
     """The framing format: stream identifier, then per-chunk masked
     CRC-32C + body — compressed where it wins, uncompressed where it
     doesn't (the spec's requirement that compressed chunks actually
-    shrink)."""
+    shrink).
+
+    ``raw_compress`` swaps the raw-block encoder (the codec seam —
+    functions/codecs: a native snappy produces interchangeable chunk
+    bodies because the framing layer only sees raw-format blocks)."""
     if not 0 < chunk <= _CHUNK_MAX:
         raise ValueError(f"snappy frame chunk {chunk} must be 1-65536")
+    if raw_compress is None:
+        raw_compress = snappy_compress_raw
     out = bytearray(_STREAM_ID)
     for i in range(0, len(data), chunk) or [0]:
         part = data[i : i + chunk]
         crc = masked_crc(part)
-        comp = snappy_compress_raw(part)
+        comp = raw_compress(part)
         if len(comp) < len(part):
             body = struct.pack("<I", crc) + comp
             out.append(0x00)
@@ -218,11 +226,18 @@ def snappy_frame_compress(data: bytes, chunk: int = _CHUNK_MAX) -> bytes:
 
 
 def snappy_frame_decompress(
-    data: bytes, max_output: int | None = None
+    data: bytes, max_output: int | None = None, raw_decompress=None
 ) -> bytes:
     """Decode a framed stream, verifying every chunk's masked
     CRC-32C; padding and skippable-reserved chunks are passed over,
-    unskippable-reserved ones raise (quarantine-routable)."""
+    unskippable-reserved ones raise (quarantine-routable).
+
+    ``raw_decompress`` swaps the raw-block decoder (the codec seam —
+    functions/codecs); it receives ``(payload, cap)`` like
+    ``snappy_decompress_raw`` and must enforce the declared-size cap
+    the same way."""
+    if raw_decompress is None:
+        raw_decompress = snappy_decompress_raw
     if data[: len(_STREAM_ID)] != _STREAM_ID:
         raise ValueError("snappy stream identifier missing")
     pos = len(_STREAM_ID)
@@ -253,7 +268,7 @@ def snappy_frame_decompress(
                 cap = _CHUNK_MAX
                 if max_output is not None:
                     cap = min(cap, max_output - len(out) + 1)
-                payload = snappy_decompress_raw(payload, cap)
+                payload = raw_decompress(payload, cap)
             if len(payload) > _CHUNK_MAX:
                 raise ValueError("snappy chunk exceeds the 64 KiB ceiling")
             if masked_crc(payload) != crc:

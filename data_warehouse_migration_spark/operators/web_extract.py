@@ -1398,6 +1398,128 @@ def lz4_archive_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def snappy_archive_features(docs: DataFrame, raw_codec=None) -> DataFrame:
+    """Gate harness for Snappy archives (functions/snappy — the r14
+    post-seal rung; VERDICT r14 missing #1 gives it the registry
+    slot the sealed window couldn't). Snappy is Spark's DEFAULT
+    parquet codec and the Kafka/HBase/LevelDB wire compressor — of
+    the whole ladder it is the format a lake pipeline meets most
+    often. The layout rotates on id mod 4 so both formats' whole
+    surface runs under the hash gate per-row: a bare RAW-format
+    block (the parquet-page shape: varint preamble, tagged
+    literal/copy elements); a FRAMED stream at the default 64 KiB
+    chunk; a framed stream at ``chunk=100`` so small text still
+    forces a real multi-chunk walk (per-chunk masked CRC-32C); and a
+    HAND-LAID frame — padding chunk, 256-byte data chunks
+    alternating forced-UNCOMPRESSED (0x01) and compressed (0x00)
+    encodings, a mid-stream repeated stream identifier — the shapes
+    real writers emit that a round-trip through our own writer would
+    never produce. Every archive is authored by the engine's writers
+    and read back through the FULL decoder; ``n_chunks`` is COUNTED
+    by walking the authored frame's chunk headers (raw format: 1),
+    and the oracle recomputes it as pure ceil-division arithmetic on
+    the text's byte length.
+
+    ``raw_codec`` is the codec seam (functions/codecs): a
+    :class:`~data_warehouse_migration_spark.functions.codecs.Codec`
+    for the raw block format replaces the engine encoder+decoder in
+    every leg — the framing layer only ever sees raw-format blocks,
+    so pyarrow's native snappy slots in unchanged. The identity test
+    (tests/test_codecs.py) pins row-for-row equal output engine vs
+    native; the throughput gap is measured in
+    SCALING_r15_native.json. Cross-engine pins live in
+    tests/test_snappy.py (pyarrow both directions, truncation sweep,
+    mutation fuzz).
+
+    Exactness: lossless, so decoded text equals the document text
+    verbatim — md5/length are pure formulas and n_chunks is
+    ``greatest(1, ceil(octet_length/chunk))`` per leg, which the
+    DuckDB oracle recomputes with no codec anywhere.
+
+    Shape at 100 TB: archives are independent rows through one
+    Arrow-batched stage, zero shuffle; framed chunks (≤64 KiB, each
+    self-checksummed) are the in-file split unit."""
+    import struct
+
+    from data_warehouse_migration_spark.functions.snappy import (
+        _STREAM_ID,
+        snappy_compress_raw,
+        snappy_decompress_raw,
+        snappy_frame_compress,
+        snappy_frame_decompress,
+    )
+    from data_warehouse_migration_spark.functions.tfrecord import masked_crc
+
+    if raw_codec is None:
+        comp, decomp = snappy_compress_raw, snappy_decompress_raw
+    else:
+        comp, decomp = raw_codec.compress, raw_codec.decompress
+
+    def count_data_chunks(blob: bytes) -> int:
+        pos, n, count = 0, len(blob), 0
+        while pos < n:
+            ctype = blob[pos]
+            clen = int.from_bytes(blob[pos + 1 : pos + 4], "little")
+            pos += 4 + clen
+            if ctype in (0x00, 0x01):
+                count += 1
+        return count
+
+    def hand_frame(raw: bytes) -> bytes:
+        out = bytearray(_STREAM_ID)
+        out += b"\xfe" + (3).to_bytes(3, "little") + b"pad"
+        for idx, i in enumerate(range(0, len(raw), 256)):
+            part = raw[i : i + 256]
+            crc = struct.pack("<I", masked_crc(part))
+            c = comp(part)
+            if idx % 2 == 0 or len(c) >= len(part):
+                body, ctype = crc + part, 0x01
+            else:
+                body, ctype = crc + c, 0x00
+            out += bytes([ctype]) + len(body).to_bytes(3, "little") + body
+            if idx == 0:  # repeated stream identifier mid-stream
+                out += _STREAM_ID
+        return bytes(out)
+
+    def per_doc(aid: int, text: str):
+        raw = text.encode("utf-8")
+        leg = aid % 4
+        if leg == 0:
+            blob = comp(raw)
+            back = decomp(blob, None)
+            n_chunks = 1
+        else:
+            if leg == 1:
+                blob = snappy_frame_compress(raw, raw_compress=comp)
+            elif leg == 2:
+                blob = snappy_frame_compress(raw, chunk=100, raw_compress=comp)
+            else:
+                blob = hand_frame(raw)
+            back = snappy_frame_decompress(blob, raw_decompress=decomp)
+            n_chunks = count_data_chunks(blob)
+        return (aid, back.decode("utf-8"), n_chunks, len(blob))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                per_doc(int(i), str(tx))
+                for i, tx in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "n_chunks", "sz_len"]
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id bigint, text string, n_chunks int, sz_len int"
+    )
+    return out.where(F.col("sz_len") > 0).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").cast("int").alias("n_chars"),
+        "n_chunks",
+    )
+
+
 def pdf_extract_features(docs: DataFrame) -> DataFrame:
     """Gate harness for PDF text extraction (functions/pdf — r11,
     font-aware r12): per document, BUILD a two-page PDF from its own

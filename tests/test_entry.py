@@ -24,21 +24,20 @@ def test_attestation_window_membership():
     """The driver attests the first 50 registry entries (ROTATION.md).
 
     The window prefix must BE catalog._FIRST in order (the strong
-    form, ADVICE r5), the FULL _WINDOW_R14 tuple must sit inside the
+    form, ADVICE r5), the FULL _WINDOW_R15 tuple must sit inside the
     first 50 (the containment form, ADVICE r10 #2 — so a future
-    registration can't silently displace a gate), and the r14
-    rotation targets — all 19 bench headliners, the new lz4 gate,
-    the changed-code voids (codec/harness hardening + the seven
-    tokenizer migrations), and the rotation refresh — are pinned by
-    name.
+    registration can't silently displace a gate), and the r15
+    rotation targets — all 19 bench headliners, the new snappy gate,
+    the changed-code voids (ZIP64 leg + the bz2/xz during-decode
+    budgets), and the rotation refresh — are pinned by name.
     """
-    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R14
+    from data_warehouse_migration_spark.catalog import _FIRST, _WINDOW_R15
 
     names = list(entry_mod.queries())
     assert len(_FIRST) <= 50  # == 50 once the round's registrations land
     assert names[: len(_FIRST)] == list(_FIRST)
-    assert set(_WINDOW_R14) <= set(names[:50]), (
-        set(_WINDOW_R14) - set(names[:50])
+    assert set(_WINDOW_R15) <= set(names[:50]), (
+        set(_WINDOW_R15) - set(names[:50])
     )
     pinned = [
         # parity core
@@ -64,35 +63,36 @@ def test_attestation_window_membership():
         "curation_pipeline_v3",
         "semdedup_embeddings",
         "containment_quote_pairs",
-        # r14: the new gate (VERDICT r13 action #1)
-        "lz4_text_archive",
-        # r14: changed-code voids — zstd dictionary/strictness/
-        # seekable work, the ADVICE r13 output budgets and PAX
-        # fixes, and the seven tokenizer migrations that empty
-        # SCALE.md's deferred list
-        "zst_text_archive",
-        "warc_ingest_extract",
-        "crawl_ingest_quarantine",
-        "webdataset_shard_roundtrip",
-        "tfidf_top_terms",
-        "chunk_documents_overlap",
-        "temperature_mix_weights",
-        "weighted_doc_sample",
-        "spearman_length_vs_novelty",
-        "quantile_normalize_lengths",
-        "corpus_diversity_profile",
-        # r14: rotation refresh — the oldest standing rows (r1)
-        "q17_small_quantity_revenue",
-        "q18_large_orders",
-        "q19_disjunctive_predicates",
-        "q22_dormant_high_balance",
-        "agg_order_stats_by_status",
-        "anti_join_customers_without_orders",
-        "argmax_order_per_status",
-        "array_agg_nations_per_region",
-        "correlated_subqueries",
-        "cube_order_counts",
-        "grouping_sets_revenue",
+        # r15: the new gate (VERDICT r14 missing #1 — Snappy, the
+        # lake-native rung, carrying the functions/codecs seam)
+        "snappy_text_archive",
+        # r15: changed-code voids — the ZIP64 leg (VERDICT r14
+        # missing #3 + the ADVICE 0xFFFF fix) and the bz2/xz
+        # during-decode output budgets (ADVICE r14)
+        "zip_bundle_roundtrip",
+        "bz2_text_archive",
+        "xz_text_archive",
+        "wikidump_extract",
+        # r15: rotation refresh — the twelve remaining r1 analytics
+        # rows, then six of the r3 cohort (oldest-first)
+        "ntile_acctbal_quartiles",
+        "percentiles_by_segment",
+        "pivot_status_by_segment",
+        "rollup_revenue",
+        "semi_join_suppliers_with_sales",
+        "setops_repeat_buyers",
+        "topk_orders",
+        "union_table_stats",
+        "window_order_gaps",
+        "window_running_revenue",
+        "window_top_orders_per_customer",
+        "window_trailing_90d_revenue",
+        "lang_id",
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q16_supplier_part_counts",
+        "q20_concentrated_shippers",
+        "q21_waiting_suppliers",
     ]
     for name in pinned:
         assert names.index(name) < 50, f"{name} fell out of the driver window"
