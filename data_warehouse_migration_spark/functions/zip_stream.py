@@ -260,8 +260,26 @@ def zip_members64(data: bytes) -> list[tuple[str, bytes]]:
     else:
         if disk or cd_disk:
             raise ValueError("multi-disk ZIP is unsupported")
-        if n_entries == _MAX16 or cd_offset == _MAX32:
+        if cd_offset == _MAX32:
             raise ValueError("ZIP64 sentinels without a ZIP64 locator")
+        if n_entries == _MAX16:
+            # ADVICE r14: APPNOTE gives 0xFFFF ZIP64 meaning only when
+            # the ZIP64 locator/extra is present — a real 65535-entry
+            # classic archive is legal, so count by walking the
+            # central directory's declared span instead of raising.
+            cd_size = struct.unpack_from("<I", data, eocd + 12)[0]
+            cd_end = cd_offset + cd_size
+            if cd_end > len(data):
+                raise ValueError("central directory overruns the archive")
+            n_entries, p = 0, cd_offset
+            while p < cd_end:
+                if data[p : p + 4] != _CENTRAL_SIG:
+                    raise ValueError(
+                        "central directory entry signature missing"
+                    )
+                nlen, xlen, clen = struct.unpack_from("<HHH", data, p + 28)
+                p += 46 + nlen + xlen + clen
+                n_entries += 1
     if n_entries > len(data) // 46:
         raise ValueError("ZIP64 entry count exceeds the archive size")
     out: list[tuple[str, bytes]] = []

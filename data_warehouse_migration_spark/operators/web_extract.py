@@ -879,22 +879,35 @@ def crawl_archive_ingest_quarantine(docs: DataFrame) -> DataFrame:
 
 
 def zip_bundle_features(docs: DataFrame) -> DataFrame:
-    """Gate harness for ZIP bundles (functions/zip_stream — r11): per
-    document, pack ``{id:08d}.txt`` + ``.cls`` + ``.json`` into an
-    archive (method STORED for even ids — whose byte length is then
-    a pure header-arithmetic closed form — and the engine's dynamic
-    deflate for odd ids), then read it back through the central
-    directory and report structure + content.
+    """Gate harness for ZIP bundles (functions/zip_stream — r11;
+    ZIP64 leg r15, VERDICT r14 missing #3): per document, pack
+    ``{id:08d}.txt`` + ``.cls`` + ``.json`` into an archive, the
+    layout rotating on id mod 4 — classic STORED (whose byte length
+    is a pure header-arithmetic closed form) / classic dynamic
+    deflate / FORCED-ZIP64 stored via ``zip_pack64`` (saturated
+    sentinels, 0x0001 extras, ZIP64 EOCD record + locator — read
+    back through ``zip_members64``, with the CLASSIC reader's
+    honest-raise contract on ZIP64 input asserted per-row) /
+    ZIP64 deflate — then read back through the central directory
+    and report structure + content.
 
-    Exactness: names are fixed-width so the STORED archive length is
-    ``Σ(30+nlen+size) + Σ(46+nlen) + 22`` — the oracle recomputes it
-    from octet lengths alone (odd ids report -1: deflate lengths are
+    Exactness: names are fixed-width so the STORED archive lengths
+    are pure header arithmetic — classic
+    ``Σ(30+nlen+size) + Σ(46+nlen) + 22`` and ZIP64
+    ``Σ(50+nlen+size) + Σ(74+nlen) + 98`` (each entry adds a 20-byte
+    local and 28-byte central 0x0001 extra; the ZIP64 EOCD record,
+    locator, and saturated EOCD total 98) — which the oracle
+    recomputes from octet lengths alone (deflate legs report -1:
     real but not closed-form); the text digest and label round-trip
-    verbatim. A defect in local/central headers, the EOCD walk,
-    CRC-32, or inflate breaks a column."""
+    verbatim. A defect in local/central headers, the EOCD/locator
+    walk, sentinel resolution, CRC-32, or inflate breaks a column.
+    CPython zipfile adjudicates both readers in
+    tests/test_zip_stream.py."""
     from data_warehouse_migration_spark.functions.zip_stream import (
         zip_members,
+        zip_members64,
         zip_pack,
+        zip_pack64,
     )
 
     def per_doc(aid: int, lang: str, text: str):
@@ -904,9 +917,21 @@ def zip_bundle_features(docs: DataFrame) -> DataFrame:
             (f"{key}.cls", lang.encode("utf-8")),
             (f"{key}.json", f'{{"doc_id": {aid}}}'.encode()),
         ]
-        stored = aid % 2 == 0
-        blob = zip_pack(items, "stored" if stored else "dynamic")
-        back = zip_members(blob)
+        leg = aid % 4
+        stored = leg % 2 == 0
+        method = "stored" if stored else "dynamic"
+        if leg < 2:
+            blob = zip_pack(items, method)
+            back = zip_members(blob)
+        else:
+            blob = zip_pack64(items, method)
+            back = zip_members64(blob)
+            try:  # the classic reader must refuse ZIP64, not guess
+                zip_members(blob)
+            except ValueError:
+                pass
+            else:
+                raise AssertionError("classic reader accepted ZIP64")
         assert [n for n, _ in back] == [n for n, _ in items]
         return (
             aid,

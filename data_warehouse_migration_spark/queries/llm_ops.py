@@ -2090,8 +2090,12 @@ def webdataset_shard_roundtrip(spark, sf_dir):
     oracle="""
 SELECT doc_id,
        CAST(3 AS INT) AS n_members,
-       CAST(CASE WHEN doc_id % 2 = 0
+       CAST(CASE doc_id % 4
+            WHEN 0
             THEN 324 + octet_length(encode(text)) + octet_length(encode(lang))
+                 + 12 + length(CAST(doc_id AS VARCHAR))
+            WHEN 2
+            THEN 544 + octet_length(encode(text)) + octet_length(encode(lang))
                  + 12 + length(CAST(doc_id AS VARCHAR))
             ELSE -1 END AS INT) AS zip_len,
        md5(text) AS text_md5,
@@ -2101,26 +2105,36 @@ FROM documents
 )
 def zip_bundle_roundtrip(spark, sf_dir):
     """ZIP bundles under the hard gate (functions/zip_stream, r11 —
-    the other container datasets ship in): per document,
-    ``{id:08d}.txt`` + ``.cls`` + ``.json`` are packed (method
-    STORED for even ids, the engine's dynamic RFC 1951 deflate for
-    odd) and read back through the central directory — EOCD located
-    from the end past comments, central entries cross-checked
-    against local headers, CRC-32 verified, unsupported features
-    (encryption, data descriptors, ZIP64, multi-disk) rejected.
+    the other container datasets ship in; ZIP64 leg r15, VERDICT r14
+    missing #3): per document, ``{id:08d}.txt`` + ``.cls`` +
+    ``.json`` are packed with the layout rotating on id mod 4 —
+    classic STORED / classic dynamic RFC 1951 deflate /
+    FORCED-ZIP64 stored (saturated-field sentinels, 0x0001 extras,
+    ZIP64 EOCD record + locator; ``zip_members64`` resolves
+    sentinels with central-directory authority, and the CLASSIC
+    reader's honest-raise on ZIP64 input is asserted per-row) /
+    ZIP64 deflate — and read back through the central directory:
+    EOCD located from the end past comments, locator honored when
+    present, central entries cross-checked against local headers,
+    CRC-32 verified, unsupported features (encryption, data
+    descriptors, multi-disk) rejected. The ADVICE r14 fix rides the
+    same module: a classic archive whose EOCD count is exactly
+    0xFFFF is walked by central-directory span, not rejected.
 
-    Exactness: fixed-width names make the STORED archive length the
-    pure header arithmetic ``Σ(30+nlen+size) + Σ(46+nlen) + 22`` —
-    here ``324 + len(text) + len(lang) + len(json)`` — which the
-    oracle recomputes from octet lengths alone (odd ids report -1:
-    deflate output is real but not closed-form); text digest and
+    Exactness: fixed-width names make both STORED archive lengths
+    pure header arithmetic — classic
+    ``Σ(30+nlen+size) + Σ(46+nlen) + 22`` = ``324 + payload`` and
+    ZIP64 ``Σ(50+nlen+size) + Σ(74+nlen) + 98`` = ``544 + payload``
+    — which the oracle recomputes from octet lengths alone (deflate
+    legs report -1: real but not closed-form); text digest and
     label round-trip verbatim. CPython zipfile is pinned as the
-    independent reference in both directions (all methods, comments,
-    tamper cases) in tests/test_zip_stream.py.
+    independent reference in both directions for BOTH readers (all
+    methods, comments, tamper cases) in tests/test_zip_stream.py.
 
     Shape at 100 TB: per-archive parallel, zero shuffle; the
     central-directory-first read is the range-request access pattern
-    object stores want."""
+    object stores want — ZIP64's locator chain keeps that tail-read
+    property above 4 GiB."""
     from data_warehouse_migration_spark.operators.web_extract import (
         zip_bundle_features,
     )

@@ -191,3 +191,29 @@ def test_zip64_both_directions_adjudicated_by_stdlib():
     struct.pack_into("<Q", bad2, z64_off + 4 + 20 + 8, 1 << 50)
     with pytest.raises(ValueError):
         zip_members64(bytes(bad2))
+
+
+def test_classic_65535_entries_not_mistaken_for_zip64():
+    """ADVICE r14: the 0xFFFF EOCD entry count has ZIP64 meaning only
+    when the locator/extra is present — a real 65535-entry classic
+    archive is legal per APPNOTE, so zip_members64 walks the central
+    directory's declared span instead of raising."""
+    from data_warehouse_migration_spark.functions.zip_stream import (
+        zip_members64,
+    )
+
+    members = [(f"{i:05d}", b"") for i in range(65535)]
+    blob = zip_pack(members, "stored")
+    back = zip_members64(blob)
+    assert len(back) == 65535
+    assert back[0] == ("00000", b"")
+    assert back[-1] == ("65534", b"")
+    # the classic reader and CPython agree on the same archive
+    assert len(zip_members(blob)) == 65535
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        assert len(z.namelist()) == 65535
+    # a genuinely saturated cd_offset without a locator still raises
+    bad = bytearray(zip_pack(MEMBERS, "stored"))
+    struct.pack_into("<I", bad, len(bad) - 6, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="locator"):
+        zip_members64(bytes(bad))
