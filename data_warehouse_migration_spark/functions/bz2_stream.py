@@ -124,7 +124,11 @@ def _rle1_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _rle1_decode(data: bytes) -> bytes:
+def _rle1_decode(data: bytes, max_out: int | None = None) -> bytes:
+    """RLE1 expansion; ``max_out`` raises DURING the walk (ADVICE
+    r14: this is bzip2's amplification stage — up to ~51x of the
+    format-capped BWT block — so the budget must bind before the
+    expansion allocates, not after)."""
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -139,6 +143,8 @@ def _rle1_decode(data: bytes) -> bytes:
                 raise ValueError("RLE1 run missing its count byte")
             out += bytes([b]) * data[i]
             i += 1
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("bzip2 decoded output exceeds caller's cap")
     return bytes(out)
 
 
@@ -421,7 +427,9 @@ def bz2_compress(data: bytes, level: int = 9) -> bytes:
     return bw.getvalue()
 
 
-def _read_block(br: _BitReader, level: int) -> bytes:
+def _read_block(
+    br: _BitReader, level: int, max_out: int | None = None
+) -> bytes:
     crc_expected = br.read(32)
     if br.read(1):
         raise NotImplementedError(
@@ -491,11 +499,11 @@ def _read_block(br: _BitReader, level: int) -> bytes:
             break
 
     # The BWT block (pre-RLE1 expansion) is hard-capped by the format
-    # at 100_000·level bytes; _rle1_decode's own output is then
-    # intrinsically bounded (≤ 259 output bytes per 5 input bytes), so
-    # only this stage needs the explicit guard.
+    # at 100_000·level bytes; _rle1_decode's own output is bounded
+    # (≤ 259 output bytes per 5 input bytes) but that still amplifies
+    # ~51x, so the caller's budget threads into the expansion itself.
     last = _mtf_rle2_decode(syms, used, eob, max_len=100_000 * level)
-    block = _rle1_decode(_bwt_decode(last, orig_ptr))
+    block = _rle1_decode(_bwt_decode(last, orig_ptr), max_out)
     crc = bz2_crc32(block)
     if crc != crc_expected:
         raise ValueError(
@@ -505,9 +513,14 @@ def _read_block(br: _BitReader, level: int) -> bytes:
     return block
 
 
-def bz2_decompress(data: bytes) -> bytes:
+def bz2_decompress(data: bytes, max_output: int | None = None) -> bytes:
     """Decompress a (possibly multi-stream, multi-block) bzip2 file,
-    verifying every block CRC and each stream's combined CRC."""
+    verifying every block CRC and each stream's combined CRC.
+
+    ``max_output`` binds DURING decode (ADVICE r14): the remaining
+    budget threads into each block's RLE1 expansion, so a hostile
+    high-amplification stream raises before allocating past the cap
+    rather than after a full decode."""
     out = bytearray()
     br = _BitReader(data)
     total_bits = len(data) * 8
@@ -538,7 +551,10 @@ def bz2_decompress(data: bytes) -> bytes:
                 break
             if magic != _BLOCK_MAGIC:
                 raise ValueError(f"bad bzip2 block magic {magic:012x}")
-            block = _read_block(br, level)
+            remaining = (
+                None if max_output is None else max_output - len(out)
+            )
+            block = _read_block(br, level, remaining)
             out += block
             combined = (
                 ((combined << 1) & 0xFFFFFFFF) | (combined >> 31)

@@ -147,10 +147,11 @@ def read_warc_any(data: bytes, max_output: int | None = None) -> list[dict]:
     a hostile zstd RLE frame amplifies ~32,000×, enough to OOM an
     executor that per-row quarantine cannot catch). Default: 32× the
     archive size with a 64 MiB floor — real WARC transports compress
-    well under 16×. The cap binds DURING decode for zstd/lz4 (whose
-    decoders carry it) and after decode for bz2/xz, whose formats
-    bound per-step amplification internally (bz2's RLE2 run cap,
-    xz's declared dictionary sizes); gzip members bound amplification
+    well under 16×. The cap binds DURING decode for zstd/lz4/bz2/xz
+    — all four decoders carry it (bz2/xz since ADVICE r14: the
+    budget threads into bzip2's RLE1 expansion and LZMA2's per-chunk
+    declared sizes, so hostile amplification raises before
+    allocating past the cap); gzip members bound amplification
     structurally at deflate's 1032:1."""
     if max_output is None:
         max_output = max(64 << 20, 32 * len(data))
@@ -161,17 +162,11 @@ def read_warc_any(data: bytes, max_output: int | None = None) -> list[dict]:
             bz2_decompress,
         )
 
-        raw = bz2_decompress(data)
-        if len(raw) > max_output:
-            raise ValueError("bzip2 WARC transport exceeds output cap")
-        return parse_warc_records(raw)
+        return parse_warc_records(bz2_decompress(data, max_output))
     if data[:6] == b"\xfd7zXZ\x00":
         from data_warehouse_migration_spark.functions.xz import xz_decompress
 
-        raw = xz_decompress(data)
-        if len(raw) > max_output:
-            raise ValueError("xz WARC transport exceeds output cap")
-        return parse_warc_records(raw)
+        return parse_warc_records(xz_decompress(data, max_output))
     if data[:4] == b"\x28\xb5\x2f\xfd":
         from data_warehouse_migration_spark.functions.zstd import (
             zstd_decompress,

@@ -305,9 +305,23 @@ def _lzma_decode_chunk(
         pass
 
 
-def lzma2_decompress(data: bytes, expected_size: int | None = None) -> bytes:
-    """Decode an LZMA2 chunk sequence (the body of an xz block)."""
+def lzma2_decompress(
+    data: bytes,
+    expected_size: int | None = None,
+    max_output: int | None = None,
+) -> bytes:
+    """Decode an LZMA2 chunk sequence (the body of an xz block).
+
+    ``max_output`` binds DURING decode (ADVICE r14): every chunk
+    declares its unpacked size up front (≤ 2 MiB by the control-byte
+    grammar), so the budget is checked before each chunk expands —
+    a hostile stream raises before allocating past the cap."""
     out = bytearray()
+
+    def check(next_size: int) -> None:
+        if max_output is not None and len(out) + next_size > max_output:
+            raise ValueError("xz decoded output exceeds caller's cap")
+
     dict_start = 0
     pos = 0
     st: _LzmaState | None = None
@@ -330,6 +344,7 @@ def lzma2_decompress(data: bytes, expected_size: int | None = None) -> bytes:
             pos += 2
             if pos + size > len(data):
                 raise ValueError("LZMA2 uncompressed chunk truncated")
+            check(size)
             out += data[pos : pos + size]
             pos += size
             need_dict_reset = False
@@ -370,6 +385,7 @@ def lzma2_decompress(data: bytes, expected_size: int | None = None) -> bytes:
             st = _LzmaState(st.lc, st.lp, st.pb)
         if pos + packed > len(data):
             raise ValueError("LZMA2 compressed chunk truncated")
+        check(unpacked)
         _lzma_decode_chunk(
             data, pos, pos + packed, st, out, dict_start, unpacked
         )
@@ -401,10 +417,15 @@ def _varint(data: bytes, pos: int) -> tuple[int, int]:
     raise ValueError("xz varint too long")
 
 
-def xz_decompress(data: bytes) -> bytes:
+def xz_decompress(data: bytes, max_output: int | None = None) -> bytes:
     """Decompress a (possibly multi-stream) .xz file, verifying both
     header CRCs, the per-block integrity check, the index, and the
-    footer of every stream."""
+    footer of every stream.
+
+    ``max_output`` binds DURING decode (ADVICE r14): the remaining
+    budget threads into each block's LZMA2 chunk walk, which checks
+    it against every chunk's declared unpacked size before the chunk
+    expands."""
     out = bytearray()
     pos = 0
     saw_stream = False
@@ -488,16 +509,21 @@ def xz_decompress(data: bytes) -> bytes:
 
             # --- compressed data ---
             body_start = pos
+            remaining = (
+                None if max_output is None else max_output - len(out)
+            )
             if comp_size is not None:
                 body = data[pos : pos + comp_size]
                 if len(body) != comp_size:
                     raise ValueError("xz block body truncated")
-                block = lzma2_decompress(body, uncomp_size)
+                block = lzma2_decompress(body, uncomp_size, remaining)
                 pos += comp_size
             else:
                 # no declared size: scan is avoided by decoding with
                 # the chunk walk, which knows its own end
-                block, consumed = _lzma2_decompress_counting(data, pos)
+                block, consumed = _lzma2_decompress_counting(
+                    data, pos, remaining
+                )
                 if uncomp_size is not None and len(block) != uncomp_size:
                     raise ValueError("xz block uncompressed size mismatch")
                 pos += consumed
@@ -583,7 +609,9 @@ def xz_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzma2_decompress_counting(data: bytes, start: int) -> tuple[bytes, int]:
+def _lzma2_decompress_counting(
+    data: bytes, start: int, max_output: int | None = None
+) -> tuple[bytes, int]:
     """LZMA2 walk that reports how many input bytes one chunk sequence
     consumed (for blocks whose header omits the compressed size)."""
     # The chunk grammar is self-delimiting: reuse the main decoder on a
@@ -613,4 +641,4 @@ def _lzma2_decompress_counting(data: bytes, start: int) -> tuple[bytes, int]:
         if pos > len(data):
             raise ValueError("LZMA2 compressed chunk truncated")
     blob = data[start:pos]
-    return lzma2_decompress(blob), pos - start
+    return lzma2_decompress(blob, max_output=max_output), pos - start

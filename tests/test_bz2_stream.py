@@ -202,3 +202,21 @@ def test_legit_rle1_expansion_exceeds_cap_fine():
     blob = bz2_compress(data, level=1)
     assert bz2_decompress(blob) == data
     assert stdlib_bz2.decompress(blob) == data
+
+
+def test_output_cap_binds_during_decode():
+    """ADVICE r14: max_output threads into the RLE1 expansion, so a
+    high-amplification stream raises before allocating past the cap
+    (not after a full decode)."""
+    raw = b"\x00" * (4 << 20)  # ~51x-amplifying all-runs input
+    blob = stdlib_bz2.compress(raw)
+    assert bz2_decompress(blob, max_output=len(raw)) == raw
+    with pytest.raises(ValueError, match="caller's cap"):
+        bz2_decompress(blob, max_output=len(raw) - 1)
+    with pytest.raises(ValueError, match="caller's cap"):
+        bz2_decompress(blob, max_output=1000)
+    # multi-stream: the budget is cumulative across streams
+    two = stdlib_bz2.compress(b"x" * 1000) + stdlib_bz2.compress(b"y" * 1000)
+    assert bz2_decompress(two, max_output=2000) == b"x" * 1000 + b"y" * 1000
+    with pytest.raises(ValueError, match="caller's cap"):
+        bz2_decompress(two, max_output=1999)

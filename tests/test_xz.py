@@ -131,3 +131,29 @@ def test_truncation_raises_valueerror_everywhere():
     for cut in range(len(blob)):
         with pytest.raises((ValueError, NotImplementedError)):
             xz_decompress(blob[:cut])
+
+
+def test_output_cap_binds_during_decode():
+    """ADVICE r14: max_output threads into the LZMA2 chunk walk and
+    is checked against each chunk's declared unpacked size before
+    the chunk expands."""
+    raw = b"\x00" * (4 << 20)
+    blob = lzma.compress(raw, format=lzma.FORMAT_XZ)
+    assert xz_decompress(blob, max_output=len(raw)) == raw
+    with pytest.raises(ValueError, match="caller's cap"):
+        xz_decompress(blob, max_output=len(raw) - 1)
+    with pytest.raises(ValueError, match="caller's cap"):
+        xz_decompress(blob, max_output=1000)
+    # blocks without a declared compressed size walk the counting
+    # path — the cap threads there too (single small chunk keeps the
+    # fixture cheap)
+    small = lzma.compress(b"q" * 5000, format=lzma.FORMAT_XZ)
+    with pytest.raises(ValueError, match="caller's cap"):
+        xz_decompress(small, max_output=4999)
+    # multi-stream: cumulative budget
+    two = lzma.compress(b"x" * 1000, format=lzma.FORMAT_XZ) + lzma.compress(
+        b"y" * 1000, format=lzma.FORMAT_XZ
+    )
+    assert xz_decompress(two, max_output=2000) == b"x" * 1000 + b"y" * 1000
+    with pytest.raises(ValueError, match="caller's cap"):
+        xz_decompress(two, max_output=1999)
