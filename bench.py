@@ -6,8 +6,22 @@ summary line LAST:
   {"detail": {"raw_runs": {...}, "contended_first_pass": {...}}}
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"q": sec, ...}, "sf": ...,
-   "meta": {host load, cpu count, ...},
+   "meta": {host load, cpu count, pass_totals, ...},
    "regressions": {"q": {"now": s, "prev": s, "ratio": r}, ...}}
+
+Floor-anchored headline (VERDICT r14 "what's wrong" #1): timing runs
+PASS-WISE — every headline query once per pass, N passes — and
+"value" is the MINIMUM per-pass total, with every pass's total
+visible in meta.pass_totals. One committed artifact therefore shows
+the calm floor AND the host band it was sampled from, instead of a
+single noise draw from a ±16% band (the committed r14 artifact was
+the round's second-worst of five calm passes, and three verdicts
+have burned slots re-adjudicating exactly that). Pass-wise order
+also gives each query time diversity: an interference episode lands
+on one PASS (visible as an inflated entry in pass_totals), not on
+all runs of one query. "queries" stays the per-query min across all
+passes — the regression guard's baseline — so meta.sum_of_mins
+(= sum(queries)) ≤ value by construction.
 
 The driver records only the LAST ~2000 bytes of stdout and parses the
 final line (BENCH_r09.json shipped `parsed: null` because the
@@ -163,16 +177,20 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
-    # N runs per query, report the min: the first run pays one-time
+    # N PASSES, each running every query once, report per-query min
+    # AND per-pass totals: the first pass pays one-time
     # whole-stage-codegen compilation (~1-3s/query of JVM compiler work
-    # that a long-lived cluster amortizes to zero) and is exposed to
-    # transient host noise; the min reflects steady-state engine cost.
-    def time_pass() -> tuple[dict[str, list[float]], float, float]:
-        runs_by_query: dict[str, list[float]] = {}
+    # that a long-lived cluster amortizes to zero), and any transient
+    # host episode lands inside one pass — so min(pass_totals) is the
+    # coherent end-to-end floor and the other entries show the band.
+    def time_pass() -> tuple[
+        dict[str, list[float]], list[float], float, float
+    ]:
+        runs_by_query: dict[str, list[float]] = {n: [] for n in headline}
+        totals: list[float] = []
         before = round(os.getloadavg()[0], 2)
-        for name, q in headline.items():
-            runs = []
-            for _ in range(n_runs):
+        for _ in range(n_runs):
+            for name, q in headline.items():
                 # Some queries persist() an intermediate stage (composed
                 # pipelines materialize their silver layer); Spark's
                 # cache is keyed by canonicalized plan, so without this
@@ -183,11 +201,13 @@ def main() -> None:
                 q.spark_fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                runs.append(round(time.time() - t0, 3))
-            runs_by_query[name] = runs
-        return runs_by_query, before, round(os.getloadavg()[0], 2)
+                runs_by_query[name].append(round(time.time() - t0, 3))
+            totals.append(
+                round(sum(r[-1] for r in runs_by_query.values()), 3)
+            )
+        return runs_by_query, totals, before, round(os.getloadavg()[0], 2)
 
-    raw_runs, load_before_1m, load_after_1m = time_pass()
+    raw_runs, pass_totals, load_before_1m, load_after_1m = time_pass()
     contended_pass: dict | None = None
     if load_before_1m > LOAD_CALM_BEFORE or load_after_1m > LOAD_CALM_AFTER:
         # Loaded host: the reading above is suspect. Record it, wait
@@ -199,8 +219,9 @@ def main() -> None:
             "raw_runs": raw_runs,
         }
         time.sleep(CONTENTION_SLEEP_S)
-        raw2, load_before_1m, load_after_1m = time_pass()
+        raw2, totals2, load_before_1m, load_after_1m = time_pass()
         raw_runs = {n: raw_runs[n] + raw2[n] for n in raw_runs}
+        pass_totals = pass_totals + totals2
 
     timings: dict[str, float] = {n: min(r) for n, r in raw_runs.items()}
 
@@ -276,6 +297,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "meta": {
                     "runs_per_query": n_runs,
+                    # Every pass's end-to-end total: the headline
+                    # "value" is min(pass_totals), and the spread here
+                    # IS the host band the floor was sampled from.
+                    "pass_totals": pass_totals,
+                    # Continuity with rounds ≤14, whose "value" was
+                    # this sum (≤ min(pass_totals) by construction).
+                    "sum_of_mins": round(sum(timings.values()), 3),
                     "load_1m_at_start": load_at_start,
                     # Calm-start enforcement: how many 60 s waits the
                     # launch spent letting ambient load decay, and
@@ -292,7 +320,9 @@ def main() -> None:
                     "contended_first_pass_taken": contended_pass is not None,
                 },
                 "regressions": regressions,
-                "value": round(sum(timings.values()), 3),
+                # The floor: the best coherent single pass over all
+                # headliners (VERDICT r14 what's-wrong #1).
+                "value": min(pass_totals),
                 "queries": timings,
             }
         )
