@@ -126,3 +126,52 @@ def test_snappy_gate_identity_engine_vs_native(spark, sf_dir):
     )
     assert len(eng_rows) == docs.count() > 0
     assert eng_rows == nat_rows
+
+
+# --- property fuzz: the seam holds on arbitrary bytes, not just the
+# --- curated corpus ----------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_BLOBS = st.binary(min_size=0, max_size=8_192) | st.builds(
+    lambda b, n: b * n,  # runs: the copy/RLE-heavy shapes
+    st.binary(min_size=1, max_size=64),
+    st.integers(min_value=1, max_value=256),
+)
+
+
+@settings(
+    max_examples=30, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(blob=_BLOBS, fmt=st.sampled_from(BOTH_DIRECTIONS))
+def test_property_cross_identity(blob, fmt):
+    eng, nat = get_codec(fmt, "engine"), get_codec(fmt, "native")
+    assert nat.decompress(eng.compress(blob)) == blob
+    assert eng.decompress(nat.compress(blob)) == blob
+
+
+@settings(
+    max_examples=30, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(blob=_BLOBS, chunk=st.integers(min_value=1, max_value=65_536))
+def test_property_framed_snappy_with_native_raw_codec(blob, chunk):
+    """The framing layer is codec-agnostic: frames authored with the
+    NATIVE raw encoder decode through the ENGINE raw decoder and
+    vice versa, at any chunk size."""
+    from data_warehouse_migration_spark.functions.snappy import (
+        snappy_frame_compress,
+        snappy_frame_decompress,
+    )
+
+    eng, nat = get_codec("snappy", "engine"), get_codec("snappy", "native")
+    framed_nat = snappy_frame_compress(blob, chunk, raw_compress=nat.compress)
+    framed_eng = snappy_frame_compress(blob, chunk, raw_compress=eng.compress)
+    for framed in (framed_nat, framed_eng):
+        assert snappy_frame_decompress(framed) == blob
+        assert (
+            snappy_frame_decompress(framed, raw_decompress=nat.decompress)
+            == blob
+        )
