@@ -135,6 +135,43 @@ def read_warc_gz(data: bytes) -> list[dict]:
     return out
 
 
+def write_warc_gz_indexed(
+    records: list[bytes], method: str = "dynamic"
+) -> tuple[bytes, list[tuple[int, int]]]:
+    """:func:`write_warc_gz` plus the member index — ``(offset,
+    length)`` per gzip member, byte-identical archive bytes. This is
+    the CDX convention: Common Crawl publishes each record's member
+    offset+length next to the ``.warc.gz`` precisely so consumers
+    can ranged-read ONE record from object storage; the index is
+    authored once at write time and amortized over every later read.
+    A member slice ``data[off : off + ln]`` decodes standalone
+    through :func:`read_warc_any` (it starts with the gzip magic)."""
+    parts = []
+    index: list[tuple[int, int]] = []
+    pos = 0
+    for r in records:
+        blob = gzip_compress(r, method=method)
+        parts.append(blob)
+        index.append((pos, len(blob)))
+        pos += len(blob)
+    return b"".join(parts), index
+
+
+def gzip_member_index(data: bytes) -> list[tuple[int, int]]:
+    """Recover the ``(offset, length)`` member index from an archive
+    that arrived WITHOUT its CDX — one sequential decode pass (gzip
+    members carry no length field, so boundaries only fall out of
+    inflation), after which every read is ranged. The split-unit
+    cost model: index once, ranged-read forever."""
+    index: list[tuple[int, int]] = []
+    pos = 0
+    while pos < len(data):
+        _, nxt = gzip_decompress_member(data, pos)
+        index.append((pos, nxt - pos))
+        pos = nxt
+    return index
+
+
 def read_warc_any(
     data: bytes,
     max_output: int | None = None,

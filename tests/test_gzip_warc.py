@@ -552,3 +552,42 @@ def test_content_coding_chains_invert():
             wire = encoders[coding](wire)
         hdrs = {"Content-Encoding": ", ".join(chain)}
         assert decode_content_encoding(hdrs, wire) == body, chain
+
+
+def test_member_index_both_directions():
+    """The CDX pattern (r15): the indexed writer's bytes are
+    byte-identical to write_warc_gz, every indexed slice decodes
+    standalone to exactly its record, and gzip_member_index recovers
+    the writer's offsets from an archive that arrived bare."""
+    from data_warehouse_migration_spark.functions.warc import (
+        build_warc_record,
+        gzip_member_index,
+        read_warc_any,
+        read_warc_gz,
+        write_warc_gz,
+        write_warc_gz_indexed,
+    )
+
+    records = [
+        build_warc_record(
+            "response",
+            {"WARC-Target-URI": f"https://example.org/{i}"},
+            f"body {i} ".encode() * (10 + i),
+        )
+        for i in range(7)
+    ]
+    blob, index = write_warc_gz_indexed(records)
+    assert blob == write_warc_gz(records)
+    assert len(index) == 7
+    assert index[0][0] == 0
+    assert sum(ln for _, ln in index) == len(blob)
+    whole = read_warc_gz(blob)
+    for (off, ln), expect in zip(index, whole):
+        got = read_warc_any(blob[off : off + ln])
+        assert got == [expect]
+    assert gzip_member_index(blob) == index
+    # a wrong offset is not a gzip member: raises, never guesses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_warc_any(blob[index[1][0] + 1 :])
