@@ -15,10 +15,15 @@ row-for-row equal gate output under engine vs native, and
 (SCALING_r15_native.json).
 
 Native twins available in THIS container (no installs): CPython's
-``zlib``/``gzip`` (RFC 1952), ``bz2``, ``lzma`` (xz), and pyarrow's
-bundled reference snappy. zstd/lz4/brotli have no in-container
-Python binding — their native rows stay absent rather than faked
-(the reference CLIs still adjudicate those engines in tests).
+``zlib``/``gzip`` (RFC 1952), ``bz2``, ``lzma`` (xz), pyarrow's
+bundled reference snappy, and — since r15 post-seal — libbrotli via
+ctypes (the same .so the brotli test suites already pin against; no
+Python *package* binding exists here, but the seam's job is exactly
+to show a native implementation slotting in, and a ctypes adapter
+over the system library is how a cluster without ``brotlicffi``
+would do it). zstd/lz4 have no in-container binding — their native
+rows stay absent rather than faked (the reference CLIs still
+adjudicate those engines in tests).
 
 Contract: ``decompress(data, max_output=None)`` returns the full
 decoded bytes or raises ValueError — including when the decoded
@@ -159,7 +164,124 @@ def _native_xz() -> Codec:
     return Codec("xz", "native", comp, _capped(_lzma.decompress))
 
 
+def _engine_brotli() -> Codec:
+    from data_warehouse_migration_spark.functions.brotli_stream import (
+        brotli_compress_stored,
+        brotli_decompress_lw,
+    )
+
+    # Decode through the large-window-capable sibling: the seam is
+    # test-tier (never gate-attested), so it tracks the engine's FULL
+    # decode reach — classic RFC 7932 AND the large-window extension —
+    # matching the native twin below, which also enables LARGE_WINDOW.
+    # The attested gate path (decode_content_encoding) keeps routing
+    # through brotli_decompress until the r16 call-site flip.
+    return Codec("br", "engine", brotli_compress_stored, brotli_decompress_lw)
+
+
+_BROTLI_LIBS = None
+
+
+def _load_brotli_libs():
+    """ctypes handles for libbrotlienc/libbrotlidec, prototyped once.
+    Raises ImportError when absent so get_codec reports unavailability
+    the same way a missing Python package would."""
+    global _BROTLI_LIBS
+    if _BROTLI_LIBS is not None:
+        return _BROTLI_LIBS
+    import ctypes
+    import ctypes.util
+    import os
+
+    def find(lib):
+        for cand in (f"/root/miniconda/lib/lib{lib}.so",
+                     ctypes.util.find_library(lib)):
+            if cand and (cand.startswith("lib") or os.path.exists(cand)):
+                try:
+                    return ctypes.CDLL(cand)
+                except OSError:
+                    continue
+        raise ImportError(f"lib{lib} not found")
+
+    enc, dec = find("brotlienc"), find("brotlidec")
+    enc.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p]
+    dec.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    dec.BrotliDecoderCreateInstance.argtypes = [ctypes.c_void_p] * 3
+    dec.BrotliDecoderSetParameter.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32]
+    dec.BrotliDecoderDecompressStream.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_size_t)]
+    dec.BrotliDecoderDestroyInstance.argtypes = [ctypes.c_void_p]
+    _BROTLI_LIBS = (enc, dec, ctypes)
+    return _BROTLI_LIBS
+
+
+def _native_brotli() -> Codec:
+    enc, dec_lib, ctypes = _load_brotli_libs()
+
+    def comp(data: bytes) -> bytes:
+        # One-shot at a fixed quality: deterministic for equal input.
+        data = bytes(data)
+        buf = ctypes.create_string_buffer(len(data) + len(data) // 2 + 2048)
+        n = ctypes.c_size_t(len(buf))
+        if not enc.BrotliEncoderCompress(
+                9, 22, 0, len(data), data, ctypes.byref(n), buf):
+            raise ValueError("native brotli encode failed")
+        return buf.raw[: n.value]
+
+    def dec(data: bytes, max_output: int | None = None) -> bytes:
+        # Streaming decode, LARGE_WINDOW enabled (classic + extension,
+        # the engine twin's reach). The cap binds DURING decode at
+        # 64 KiB granularity — at most one chunk of overshoot before
+        # the raise, unlike the stdlib one-shot twins' post-check.
+        data = bytes(data)
+        st = dec_lib.BrotliDecoderCreateInstance(None, None, None)
+        if not st:
+            raise ValueError("native brotli decoder allocation failed")
+        try:
+            dec_lib.BrotliDecoderSetParameter(st, 1, 1)  # LARGE_WINDOW
+            chunks: list[bytes] = []
+            total = 0
+            avail_in = ctypes.c_size_t(len(data))
+            next_in = ctypes.c_char_p(data)
+            while True:
+                buf = ctypes.create_string_buffer(65536)
+                avail_out = ctypes.c_size_t(len(buf))
+                next_out = ctypes.cast(buf, ctypes.c_char_p)
+                res = dec_lib.BrotliDecoderDecompressStream(
+                    st, ctypes.byref(avail_in), ctypes.byref(next_in),
+                    ctypes.byref(avail_out), ctypes.byref(next_out), None)
+                got = len(buf) - avail_out.value
+                if got:
+                    total += got
+                    if max_output is not None and total > max_output:
+                        raise ValueError(
+                            "decoded output exceeds caller's cap")
+                    chunks.append(buf.raw[:got])
+                if res == 1:  # BROTLI_DECODER_RESULT_SUCCESS
+                    if avail_in.value:
+                        raise ValueError(
+                            "trailing bytes after brotli stream")
+                    return b"".join(chunks)
+                if res == 3:  # NEEDS_MORE_OUTPUT
+                    continue
+                # 0 = error; 2 = needs more input (we gave everything)
+                raise ValueError(
+                    f"native brotli decode failed (result {res})")
+        finally:
+            dec_lib.BrotliDecoderDestroyInstance(st)
+
+    return Codec("br", "native", comp, dec)
+
+
 _FACTORIES: dict[tuple[str, str], Callable[[], Codec]] = {
+    ("br", "engine"): _engine_brotli,
+    ("br", "native"): _native_brotli,
     ("gzip", "engine"): _engine_gzip,
     ("gzip", "native"): _native_gzip,
     ("snappy", "engine"): _engine_snappy,

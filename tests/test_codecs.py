@@ -35,13 +35,16 @@ CORPUS = [
     ("def f(x):\n    return x + 1\n" * 500).encode(),
 ]
 
-BOTH_DIRECTIONS = ["gzip", "snappy", "bz2"]  # engine has no xz encoder
+# engine has no xz encoder; its br encoder is the stored subset
+# (valid brotli any implementation decodes, so both directions hold)
+BOTH_DIRECTIONS = ["gzip", "snappy", "bz2", "br"]
 
 
 def test_native_twins_present_here():
-    # this container bakes in zlib/gzip, bz2, lzma, and pyarrow —
-    # the probe and identity tests below must actually run
-    assert available_native() == ["bz2", "gzip", "snappy", "xz"]
+    # this container bakes in zlib/gzip, bz2, lzma, pyarrow, and the
+    # libbrotli .so pair (ctypes) — the probe and identity tests
+    # below must actually run
+    assert available_native() == ["br", "bz2", "gzip", "snappy", "xz"]
 
 
 @pytest.mark.parametrize("fmt", BOTH_DIRECTIONS)
@@ -61,7 +64,7 @@ def test_xz_native_compress_engine_decode():
         assert nat.decompress(packed) == blob
 
 
-@pytest.mark.parametrize("fmt", ["gzip", "snappy", "bz2", "xz"])
+@pytest.mark.parametrize("fmt", ["gzip", "snappy", "bz2", "xz", "br"])
 def test_native_cap_contract(fmt):
     nat = get_codec(fmt, "native")
     comp = nat.compress or get_codec(fmt, "engine").compress
@@ -74,6 +77,18 @@ def test_native_cap_contract(fmt):
 def test_unknown_codec_rejected():
     with pytest.raises(KeyError, match="no native codec"):
         get_codec("zstd", "native")  # no in-container binding: absent
+
+
+def test_brotli_seam_reaches_the_large_window_extension():
+    """Both br seam implementations decode the large-window header
+    form (the engine via brotli_decompress_lw, the native twin via
+    the LARGE_WINDOW decoder parameter) — the fixture is the wbits=30
+    stream pinned in test_brotli_large_window.py."""
+    from tests.test_brotli_large_window import _PINNED_HEX, _PINNED_TEXT
+
+    blob = bytes.fromhex(_PINNED_HEX)
+    eng, nat = get_codec("br", "engine"), get_codec("br", "native")
+    assert eng.decompress(blob) == nat.decompress(blob) == _PINNED_TEXT
 
 
 def test_warc_transport_identity_engine_vs_native():
