@@ -21,9 +21,12 @@ ctypes (the same .so the brotli test suites already pin against; no
 Python *package* binding exists here, but the seam's job is exactly
 to show a native implementation slotting in, and a ctypes adapter
 over the system library is how a cluster without ``brotlicffi``
-would do it). zstd/lz4 have no in-container binding — their native
-rows stay absent rather than faked (the reference CLIs still
-adjudicate those engines in tests).
+would do it). zstd/lz4 have no in-container Python binding — their
+in-process ``native`` rows stay absent rather than faked — but their
+reference CLIs are here, so each gets an out-of-process ``cli``
+implementation (fork-per-call, amortizing only at whole-archive
+granularity; the honest third tier between pure-Python and a real
+binding).
 
 Contract: ``decompress(data, max_output=None)`` returns the full
 decoded bytes or raises ValueError — including when the decoded
@@ -279,9 +282,80 @@ def _native_brotli() -> Codec:
     return Codec("br", "native", comp, dec)
 
 
+def _find_cli(name: str) -> str:
+    import os
+    import shutil
+
+    cand = shutil.which(name) or f"/root/miniconda/bin/{name}"
+    if not os.path.exists(cand):
+        raise ImportError(f"{name} CLI not found")
+    return cand
+
+
+def _cli_pipe(argv: list[str], data: bytes) -> bytes:
+    import subprocess
+
+    proc = subprocess.run(
+        argv, input=bytes(data),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    if proc.returncode != 0:
+        err = proc.stderr[:200].decode(errors="replace")
+        raise ValueError(f"{argv[0]} failed: {err}")
+    return proc.stdout
+
+
+def _cli_codec(fmt: str, cli: str) -> Codec:
+    """Out-of-process twin piping through the reference CLI — the
+    ``cli`` implementation id, deliberately distinct from ``native``
+    (in-process): a fork per call only amortizes at whole-archive
+    granularity (transport decode), never per-record. This is still a
+    real production pattern — bulk re-compression and transport
+    decode via the vendor CLI — and it completes measured slot-in
+    coverage for the two formats with no in-container Python binding.
+    Cap contract: post-decode check (the CLI can't bound its output),
+    same documented posture as the stdlib one-shot twins."""
+    path = _find_cli(cli)
+
+    def comp(data: bytes) -> bytes:
+        # -q silences, -c pipes; default level: deterministic for
+        # equal input (stdin mode embeds no name or mtime)
+        return _cli_pipe([path, "-q", "-c"], data)
+
+    def dec(data: bytes, max_output: int | None = None) -> bytes:
+        out = _cli_pipe([path, "-dq", "-c"], data)
+        if max_output is not None and len(out) > max_output:
+            raise ValueError("decoded output exceeds caller's cap")
+        return out
+
+    return Codec(fmt, "cli", comp, dec)
+
+
+def _engine_zstd() -> Codec:
+    from data_warehouse_migration_spark.functions.zstd import (
+        zstd_compress_lz,
+        zstd_decompress,
+    )
+
+    return Codec("zstd", "engine", zstd_compress_lz, zstd_decompress)
+
+
+def _engine_lz4() -> Codec:
+    from data_warehouse_migration_spark.functions.lz4 import (
+        lz4_compress,
+        lz4_decompress,
+    )
+
+    return Codec("lz4", "engine", lz4_compress, lz4_decompress)
+
+
 _FACTORIES: dict[tuple[str, str], Callable[[], Codec]] = {
     ("br", "engine"): _engine_brotli,
     ("br", "native"): _native_brotli,
+    ("zstd", "engine"): _engine_zstd,
+    ("zstd", "cli"): lambda: _cli_codec("zstd", "zstd"),
+    ("lz4", "engine"): _engine_lz4,
+    ("lz4", "cli"): lambda: _cli_codec("lz4", "lz4"),
     ("gzip", "engine"): _engine_gzip,
     ("gzip", "native"): _native_gzip,
     ("snappy", "engine"): _engine_snappy,
@@ -309,10 +383,19 @@ def get_codec(fmt: str, impl: str = "engine") -> Codec:
 
 
 def available_native() -> list[str]:
-    """Formats whose native twin imports in this environment."""
+    """Formats whose IN-PROCESS native twin imports here."""
+    return _available("native")
+
+
+def available_cli() -> list[str]:
+    """Formats whose out-of-process CLI twin resolves here."""
+    return _available("cli")
+
+
+def _available(which: str) -> list[str]:
     out = []
     for (fmt, impl), factory in _FACTORIES.items():
-        if impl != "native":
+        if impl != which:
             continue
         try:
             factory()

@@ -231,12 +231,20 @@ def read_warc_any(
 
         return parse_warc_records(xz_decompress(data, max_output))
     if data[:4] == b"\x28\xb5\x2f\xfd":
+        if "zstd" in codecs:
+            return parse_warc_records(
+                codecs["zstd"].decompress(data, max_output)
+            )
         from data_warehouse_migration_spark.functions.zstd import (
             zstd_decompress,
         )
 
         return parse_warc_records(zstd_decompress(data, max_output))
     if data[:4] in (b"\x04\x22\x4d\x18", b"\x02\x21\x4c\x18"):
+        if "lz4" in codecs:
+            return parse_warc_records(
+                codecs["lz4"].decompress(data, max_output)
+            )
         from data_warehouse_migration_spark.functions.lz4 import (
             lz4_decompress,
         )

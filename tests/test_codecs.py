@@ -19,6 +19,7 @@ import random
 import pytest
 
 from data_warehouse_migration_spark.functions.codecs import (
+    available_cli,
     available_native,
     get_codec,
 )
@@ -77,6 +78,61 @@ def test_native_cap_contract(fmt):
 def test_unknown_codec_rejected():
     with pytest.raises(KeyError, match="no native codec"):
         get_codec("zstd", "native")  # no in-container binding: absent
+
+
+def test_cli_twins_present_here():
+    # the reference zstd/lz4 CLIs are baked into this container (the
+    # same binaries the codec test suites cross-pin against), so the
+    # out-of-process tier below must actually run
+    assert available_cli() == ["lz4", "zstd"]
+
+
+@pytest.mark.parametrize("fmt", ["zstd", "lz4"])
+def test_cli_cross_identity_both_directions(fmt):
+    """The engine's own compressed frames decode through the vendor
+    CLI and vice versa — the out-of-process slot-in for the two
+    formats with no in-container Python binding."""
+    eng, cli = get_codec(fmt, "engine"), get_codec(fmt, "cli")
+    for blob in CORPUS:
+        assert cli.decompress(eng.compress(blob)) == blob, (fmt, len(blob))
+        assert eng.decompress(cli.compress(blob)) == blob, (fmt, len(blob))
+    packed = cli.compress(CORPUS[2])
+    assert packed == cli.compress(CORPUS[2])  # deterministic
+    assert cli.decompress(packed, max_output=len(CORPUS[2])) == CORPUS[2]
+    with pytest.raises(ValueError, match="cap"):
+        cli.decompress(packed, max_output=len(CORPUS[2]) - 1)
+
+
+def test_cli_garbage_raises_valueerror():
+    for fmt in ("zstd", "lz4"):
+        with pytest.raises(ValueError, match="failed"):
+            get_codec(fmt, "cli").decompress(b"\xff" * 64)
+
+
+def test_warc_transport_identity_engine_vs_cli():
+    """read_warc_any's zstd/lz4 transport branches consult the seam
+    too: record-for-record identical with the CLI twin swapped in."""
+    from data_warehouse_migration_spark.functions.warc import (
+        build_warc_record,
+        read_warc_any,
+    )
+
+    records = [
+        build_warc_record(
+            "response",
+            {"WARC-Target-URI": f"https://example.org/cli/{i}"},
+            f"cli transport payload {i} ".encode() * 40,
+        )
+        for i in range(5)
+    ]
+    plain = b"".join(records)
+    for fmt in ("zstd", "lz4"):
+        cli = get_codec(fmt, "cli")
+        blob = cli.compress(plain)  # upstream-ships-it direction
+        engine_out = read_warc_any(blob)
+        cli_out = read_warc_any(blob, codecs={fmt: cli})
+        assert engine_out == cli_out, fmt
+        assert len(engine_out) == 5, fmt
 
 
 def test_brotli_seam_reaches_the_large_window_extension():
