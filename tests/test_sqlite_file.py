@@ -251,3 +251,41 @@ def test_mutation_fuzz_never_escapes_the_exception_contract():
         except (ValueError, NotImplementedError):
             pass
         blob[i] = old
+
+
+# --- property fuzz: random schemas and values through the reference
+# --- engine, decoded identically --------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VALUES = (
+    st.none()
+    | st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+    | st.floats(allow_nan=False)  # NaN legally becomes NULL on insert
+    | st.text(max_size=60)
+    | st.binary(max_size=60)
+)
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    n_cols=st.integers(min_value=1, max_value=8),
+    rows=st.lists(st.lists(_VALUES, min_size=8, max_size=8), max_size=40),
+    page_size=st.sampled_from([512, 4096]),
+)
+def test_property_random_tables_decode_identically(n_cols, rows, page_size):
+    def setup(con):
+        cols = ", ".join(f"c{i}" for i in range(n_cols))
+        con.execute(f"CREATE TABLE p ({cols})")
+        marks = ", ".join("?" * n_cols)
+        con.executemany(
+            f"INSERT INTO p VALUES ({marks})",
+            [tuple(r[:n_cols]) for r in rows],
+        )
+
+    blob = build_db(setup, [f"PRAGMA page_size={page_size}"])
+    assert_matches_reference(blob, "p")
