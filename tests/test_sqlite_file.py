@@ -289,3 +289,52 @@ def test_property_random_tables_decode_identically(n_cols, rows, page_size):
 
     blob = build_db(setup, [f"PRAGMA page_size={page_size}"])
     assert_matches_reference(blob, "p")
+
+
+def test_spark_stage_extracts_tables(spark):
+    """The scale-posture claim as a pin: per-asset parsing inside one
+    Arrow-batched mapInPandas stage — (asset, table) rows out, counts
+    matching the reference engine, no temp files on the engine path."""
+    import pandas as pd
+
+    blobs = []
+    for k in range(8):
+        def setup(con, k=k):
+            con.execute("CREATE TABLE t (a INT, b TEXT)")
+            con.executemany(
+                "INSERT INTO t VALUES (?,?)",
+                [(i, f"db{k} row{i}") for i in range(50 + k)],
+            )
+            con.execute("CREATE TABLE empty (x INT)")
+        blobs.append((k, build_db(setup)))
+
+    df = spark.createDataFrame(blobs, "db_id int, blob binary")
+
+    def stage(batches):
+        from data_warehouse_migration_spark.functions.sqlite_file import (
+            sqlite_rows as rows_fn,
+            sqlite_tables as tables_fn,
+        )
+
+        for pdf in batches:
+            out = []
+            for db_id, blob in zip(pdf["db_id"], pdf["blob"]):
+                for entry in tables_fn(bytes(blob)):
+                    if entry["type"] != "table":
+                        continue
+                    n = len(rows_fn(bytes(blob), entry["name"]))
+                    out.append((int(db_id), entry["name"], n))
+            yield pd.DataFrame(out, columns=["db_id", "table", "n_rows"])
+
+    got = sorted(
+        tuple(r) for r in df.repartition(4, "db_id").mapInPandas(
+            stage, schema="db_id int, table string, n_rows int"
+        ).collect()
+    )
+    want = sorted(
+        [(k, "t", 50 + k) for k in range(8)]
+        + [(k, "empty", 0) for k in range(8)]
+    )
+    assert got == want
+    for k, blob in blobs[:2]:  # reference agreement spot-check
+        assert len(sqlite_rows_native(blob, "t")) == 50 + k
