@@ -58,6 +58,37 @@ def morton_code_n(dims: list[Column], bits: int = 12) -> Column:
     return z
 
 
+def widen_narrow_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW input up to the session's
+    default parallelism — and a NO-OP on anything already wide.
+
+    Why: a single-file, single-row-group parquet table plans as ONE
+    scan task (a row group is assigned whole to the split holding its
+    midpoint — no config can subdivide it), so every pre-exchange
+    operator, and the entire probe side of a broadcast-join chain,
+    runs on one core. That is the "one huge unsplittable file" input
+    skew of the optimization playbook, and the remedy is the same:
+    repartition immediately after the read. The sf0.1 fixtures are
+    exactly this shape (one ~1-10 MB file per table), which serialized
+    the CPU-heavy stages of the vector/dedup queries on 1 of 32 cores.
+
+    Scale posture: the exchange is bought ONLY when the input is
+    narrower than the core count — a production 100 TB table scans as
+    thousands of splits, so ``getNumPartitions() >= target`` and the
+    frame passes through untouched, no extra shuffle. Round-robin
+    repartition is deterministic under retry (Spark sorts before
+    round-robin distribution — SPARK-23207), and downstream results
+    must not depend on partitioning anyway (exact aggregates are
+    order-free; FP aggregates in this repo round to absorb
+    partition-order noise by contract).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def morton_sql(x_expr: str, y_expr: str, bits: int = 12) -> str:
     """The same interleave as :func:`morton_code`, as an ANSI-SQL
     expression string (DuckDB-compatible bit operators) — the oracle

@@ -127,6 +127,14 @@ def semdedup(
     ``max_cluster_size=None`` derives 8× the expected cluster size.
     See the module docstring for the enforced hot-cluster contract.
     """
+    from data_warehouse_migration_spark.operators.layout import (
+        widen_narrow_input,
+    )
+
+    # A narrow input (one parquet split) would serialize every stage
+    # of the Lloyd's loop AND the broadcast-probe side of the pair
+    # join on one core; widening is a no-op at production widths.
+    vectors = widen_narrow_input(vectors)
     if k is None or max_cluster_size is None:
         n_vectors = vectors.count()
     if k is None:

@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    # The fold form is deliberate (r15 optimization round, measured):
+    # higher-order array functions are CodegenFallback — ArrayAggregate
+    # runs ONE interpreted node looping over the elements — while the
+    # dim-unrolled flat tree ((0.0 + a0·b0) + a1·b1 + …), though
+    # whole-stage-codegen-eligible, lands TWICE in pair-join stages
+    # (filter-on-cosine becomes a join residual AND a project) and
+    # pushes the generated method past HotSpot's huge-method JIT limit:
+    # the stage then executes as interpreted bytecode — 2-4× SLOWER
+    # than the fold (semdedup 8.7 s vs 4.8 s, lsh rescore 7.4 s vs
+    # 3.1 s at sf0.1). The fold's cost is flat and predictable.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -65,25 +75,37 @@ def brute_force_topk(
     silently returns < k or misses eligible neighbors — the classic
     filtered-ANN recall trap.
     """
+    from data_warehouse_migration_spark.operators.layout import (
+        widen_narrow_input,
+    )
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("q_nrm"),
             *[F.col(c).alias(f"q_{c}") for c in match_cols],
         )
     )
-    c = vectors.select(
+    # Norms are per-VECTOR: computed once on each side of the join
+    # instead of once per (query, neighbor) pair — byte-identical to
+    # cosine() (same dot/(norm·norm) expression, just not recomputed).
+    # The corpus side is the probe of a broadcast join, so a narrow
+    # scan would run the whole rescore on one core (no-op when wide).
+    c = widen_narrow_input(vectors).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
+        l2_norm(F.col(vec_col)).alias("n_nrm"),
         *match_cols,
     )
     cond = F.col("q_id") != F.col("n_id")
     for mc in match_cols:
         cond = cond & (F.col(f"q_{mc}") == F.col(mc))
-    scored = (
-        q.join(c, cond)
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to))
+    den = F.col("q_nrm") * F.col("n_nrm")
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(
+        dot(F.col("q_vec"), F.col("n_vec")) / den
     )
+    scored = q.join(c, cond).withColumn("cosine", F.round(cos, round_to))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -285,6 +307,14 @@ def lsh_candidate_near_dup_pairs(
     vectors at a near-random threshold. The plan is the scale-correct
     one regardless; tighten the threshold and the same plan prunes hard.
     """
+    from data_warehouse_migration_spark.operators.layout import (
+        widen_narrow_input,
+    )
+
+    # One narrow parquet split would serialize banding AND the probe
+    # side of the rescore's broadcast joins on one core; no-op at
+    # production input widths (operators/layout.widen_narrow_input).
+    vectors = widen_narrow_input(vectors)
     cand = lsh_candidate_pairs(
         vectors,
         dim,
