@@ -17,6 +17,7 @@ from data_warehouse_migration_spark.functions import text as Tx
 from data_warehouse_migration_spark.operators import dedup as D
 from data_warehouse_migration_spark.operators import sessionize as S
 from data_warehouse_migration_spark.functions.text import unicode_tokens_sql
+from data_warehouse_migration_spark.operators.layout import widen_narrow_input
 from data_warehouse_migration_spark.operators.similarity import brute_force_topk
 
 #: DuckDB twin of functions/text.unicode_tokens over the `text`
@@ -98,7 +99,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
         stage_to_parquet,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widen the narrow single-split scan so shingling/hashing (and the
+    # staged index write) run on every core, not one (r15; no-op on
+    # production-width inputs) — the staged index then lands as one
+    # file per partition, so its four consumers scan in parallel too.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     grams = stage_to_parquet(
         D.shingle_hash_arrays(docs, "doc_id", "text", 3),
         "dedup_ngram_jaccard__shingle_index",
@@ -267,8 +272,11 @@ def text_quality(spark, sf_dir):
     tokens are dropped, so CJK/accented/NBSP-joined words count
     correctly; on the pure-ASCII fixture the values equal the legacy
     path's (the parity gate's conservative-generalization property).
-    Zero shuffle — row-local codegen projections at scan speed."""
-    docs = t(spark, sf_dir, "documents")
+    Row-local codegen projections at scan speed; the only exchange is
+    the widen-on-narrow-input one (r15) that spreads the regex-heavy
+    tokenization off the single scan task — a no-op at production
+    input widths."""
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     txt = F.col("text")
     return docs.select(
         "doc_id",
@@ -3097,6 +3105,12 @@ def doc_perplexity_filter(spark, sf_dir):
     missing #6; the empty-token filter was already in place, so only
     the whitespace class moved)."""
     toks = (
+        # Deliberately NOT widened (r15 A/B): the first operator after
+        # the scan is the vocab groupBy, whose single map task does
+        # PERFECT map-side combining (one partial row per distinct
+        # token); splitting the scan 32 ways multiplied the shuffled
+        # partial rows by the vocab overlap and measured 0.95 s vs
+        # 0.70 s narrow at sf0.1.
         t(spark, sf_dir, "documents")
         .select(
             "doc_id",
@@ -3362,6 +3376,10 @@ def training_data_pipeline(spark, sf_dir):
     from data_warehouse_migration_spark.operators.packing import pack_sequences
     from data_warehouse_migration_spark.operators.sampling import md5_bucket
 
+    # Deliberately NOT widened (r15 A/B): every branch leads straight
+    # into a digest/token groupBy whose single-map-task partial
+    # aggregation combines perfectly; the widen exchange cost more
+    # than it parallelized (1.47 s vs 0.94 s narrow at sf0.1).
     docs = t(spark, sf_dir, "documents")
     survivors = (
         docs.select("doc_id", content_digest(F.col("text")).alias("digest"))
@@ -3518,7 +3536,7 @@ def containment_quote_pairs(spark, sf_dir):
     to containment) + hash-array verification; the oracle recomputes
     the naive all-pairs answer, proving the pruned plan loses
     nothing."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     return D.containment_pairs(docs, n=3, threshold=0.9)
 
 

@@ -28,6 +28,7 @@ from data_warehouse_migration_spark.functions.text import (
     unicode_tokens_sql,
 )
 from data_warehouse_migration_spark.operators.dedup import normalized_text
+from data_warehouse_migration_spark.operators.layout import widen_narrow_input
 
 
 def _ngram_rows(docs, n: int):
@@ -521,7 +522,9 @@ def duplicate_span_pairs(spark, sf_dir):
         span_hashes_from_words,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r15): span hashing + explode of ~10⁶ digests otherwise
+    # run on the one scan task; no-op at production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     words = F.split(normalized_text(F.col("text")), " ")
     sh = (
         docs.filter(F.size(words) >= 10)
@@ -1460,6 +1463,10 @@ def curation_pipeline_v2(spark, sf_dir):
         word_ngrams_from_words,
     )
 
+    # Deliberately NOT widened (r15 A/B): the pipeline's first stage
+    # is the dedup digest groupBy — single-map-task partial agg
+    # combines perfectly, and the widen exchange measured 1.65 s vs
+    # 1.24 s narrow at sf0.1.
     docs = t(spark, sf_dir, "documents")
     norm = normalized_text(F.col("text"))
     base = docs.select("doc_id", "lang", norm.alias("txt"))
