@@ -737,11 +737,14 @@ def duplicate_span_removal_lists(
         .select(did, (F.col("__i0") + 1).alias("__start"), "__g")
     )
     owner = F.min(id_col).over(Window.partitionBy("__g"))
+    # No .distinct() before the groupBy (r15): collect_set already
+    # de-duplicates (a start repeated across digests collapses in the
+    # set), and its
+    # partial aggregation de-dupes map-side — the explicit distinct
+    # was one full extra (id, start) shuffle for the same result.
     return (
         sh.withColumn("__owner", owner)
         .filter(did > F.col("__owner"))
-        .select(did, "__start")
-        .distinct()
         .groupBy(id_col)
         .agg(F.collect_set("__start").alias("__rm"))
     )
