@@ -14,8 +14,39 @@ resizes agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def double_array_literal(a) -> Column:
+    """An arbitrarily nested Python float structure as ONE
+    ``array(array(...))`` SQL expression instead of one ``F.lit`` /
+    ``F.array`` call per element.
+
+    Why (r15 optimization round, measured): every ``F.lit``/``F.array``
+    is a py4j round trip, so the per-component form spent ~0.3 s of
+    pure DRIVER wall per Lloyd's rebuild at k=8, dim=64 (512 literals)
+    — rebuilt once per iteration, it dominated the kmeans loop after
+    the executor side was parallelized (PQ training paid 2× more:
+    m·k·(dim/m) literals per epoch). One ``F.expr`` ships the whole
+    matrix in a single call and the JVM parser does the rest.
+
+    Bit-identity: components are rendered with ``repr`` (Python's
+    shortest round-trip form) and a ``D`` suffix, which
+    ``Double.parseDouble`` parses back to the identical IEEE double —
+    the resulting Literal nodes equal the old per-component ones.
+    """
+
+    def render(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ", ".join(render(v) for v in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(render(a))
+
+
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    return double_array_literal(centroids)
 
 
 def assign_clusters(
@@ -41,9 +72,7 @@ def assign_clusters(
     # lowers to Math.pow (~1-ulp); the product is exact IEEE and matches
     # the DuckDB oracle's (x-m)*(x-m), keeping distances bitwise
     # comparable before rounding.
-    lit_cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    lit_cents = _centroid_literal(centroids)
     vec = F.col(vec_col)
     dist_structs = F.transform(
         lit_cents,

@@ -35,9 +35,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_warehouse_migration_spark.operators.clustering import (
+    double_array_literal,
+)
+
 
 def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = double_array_literal(centroid)
     return F.aggregate(
         F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
@@ -84,12 +88,10 @@ def train_pq_codebooks(
     ).persist()
     try:
         for _ in range(train_iters):
-            books_lit = F.array(
-                *[
-                    F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
-                    for book in books
-                ]
-            )
+            # One-expression literal (see clustering.double_array_literal):
+            # the per-component form was m·k·(dim/m) py4j round trips
+            # per epoch of pure driver wall.
+            books_lit = double_array_literal(books)
             cents_j = F.element_at(books_lit, F.col("j") + 1)  # k×d for this row's j
             dists = F.transform(
                 cents_j,
@@ -212,9 +214,7 @@ def pq_topk(
 def _residual(vec: Column, centroids: list[list[float]], cluster: Column) -> Column:
     """vec − centroid[cluster], with the codebook as one literal
     array-of-arrays indexed by the cluster column (stays in codegen)."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = double_array_literal(centroids)
     chosen = F.element_at(cents, cluster + 1)
     return F.zip_with(vec, chosen, lambda x, y: x.cast("double") - y)
 

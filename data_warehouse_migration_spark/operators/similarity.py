@@ -171,11 +171,15 @@ def _band_keys(vec: Column, planes: list[list[float]], band_bits: int) -> Column
     CollapseProject re-inlines single-reference projections into lambda
     bodies where they would be re-evaluated per element.
     """
+    from data_warehouse_migration_spark.operators.clustering import (
+        double_array_literal,
+    )
+
     keys = []
     for b0 in range(0, len(planes), band_bits):
         key = F.lit(0)
         for row in planes[b0 : b0 + band_bits]:
-            h = F.array(*[F.lit(float(x)) for x in row])
+            h = double_array_literal(row)
             proj = F.aggregate(
                 F.zip_with(vec, h, lambda x, hh: x.cast("double") * hh),
                 F.lit(0.0),
@@ -389,9 +393,13 @@ def hyperplane_lsh_topk(
     planes = _gaussian_planes(n_planes, dim, seed)
 
     def signature(vec: Column) -> Column:
+        from data_warehouse_migration_spark.operators.clustering import (
+            double_array_literal,
+        )
+
         bits = []
         for row in planes:
-            comps = F.array(*[F.lit(float(x)) for x in row])
+            comps = double_array_literal(row)
             proj = F.aggregate(
                 F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
                 F.lit(0.0),

@@ -49,3 +49,34 @@ def test_separated_clusters_recovered(spark):
         (0, 1, 2, 3, 4),
         (10, 11, 12, 13, 14),
     ]
+
+
+def test_double_array_literal_bit_identical_to_per_component_lits(spark):
+    """The one-expression literal (r15: kills k·dim py4j round trips
+    per Lloyd's rebuild) must produce the exact doubles the
+    per-component F.lit form did — repr round-trips through the SQL
+    parser's Double.parseDouble."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_migration_spark.operators.clustering import (
+        double_array_literal,
+    )
+
+    tricky = [
+        [0.1, -0.0, 1e-300, -1.5e308, 3.1234567],  # round(…, 7)-shaped + extremes
+        [float(2**53 - 1), 5.0, -7.25, 6.02214076e23, 1.4e-45],
+    ]
+    per_component = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in tricky]
+    )
+    got, want = (
+        spark.range(1).select(double_array_literal(tricky).alias("a")).first()["a"],
+        spark.range(1).select(per_component.alias("a")).first()["a"],
+    )
+    import math
+    import struct
+
+    for g_row, w_row in zip(got, want):
+        for g, w in zip(g_row, w_row):
+            assert struct.pack("<d", g) == struct.pack("<d", w), (g, w)
+    assert not any(math.isnan(x) for row in got for x in row)

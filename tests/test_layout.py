@@ -198,3 +198,37 @@ def test_zorder_n_three_column_write_prunes_all_dims(spark, sf_dir, tmp_path):
             * (spans["w"][i] / stats["sw"])
         )
     assert vol / n_files < 0.45, vol / n_files
+
+
+def test_widen_narrow_input_widens_and_preserves_rows(spark, sf_dir):
+    from data_warehouse_migration_spark.operators.layout import (
+        widen_narrow_input,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1  # the fixture shape the helper exists for
+    wide = widen_narrow_input(docs)
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target
+    # Pure redistribution: same rows, nothing dropped or duplicated.
+    assert sorted(r.doc_id for r in wide.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+
+def test_widen_narrow_input_noop_when_already_wide(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000).repartition(target + 3)
+    out = widen_narrow_input_ref(df)
+    # Already wider than the core count: the frame passes through
+    # UNTOUCHED (same plan object), so production-scale scans never
+    # pay an extra exchange.
+    assert out is df
+
+
+def widen_narrow_input_ref(df):
+    from data_warehouse_migration_spark.operators.layout import (
+        widen_narrow_input,
+    )
+
+    return widen_narrow_input(df)

@@ -180,3 +180,27 @@ def test_incremental_corpus_ownership(spark):
     assert out[3]["cleaned_text"] == f"{span_b} x3"
     assert out[5]["cleaned_text"] == f"{span_b} y5 {span_b}"
     assert out[5]["n_removed"] == 0
+
+
+def test_removal_lists_plan_has_no_redundant_exchange(spark):
+    """r15: the (id, start) .distinct() before groupBy+collect_set was
+    one full extra shuffle for an identical result (collect_set
+    de-duplicates, and (id, start) rows are unique by construction —
+    posexplode emits each start once). Pin the lists subtree at two
+    exchanges: the digest-window one and the per-doc groupBy one."""
+    from data_warehouse_migration_spark.operators.dedup import (
+        duplicate_span_removal_lists,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30))),
+         (2, " ".join(f"w{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+    lists = duplicate_span_removal_lists(docs, n=10)
+    plan = lists._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan
+    # And the result still de-duplicates starts.
+    rows = {r["doc_id"]: sorted(r["__rm"]) for r in lists.collect()}
+    assert rows == {2: list(range(1, 22))}
