@@ -13,7 +13,6 @@ from data_warehouse_migration_spark.catalog import REGISTRY
 
 #: Queries documented as zero-shuffle: scan → expressions → result.
 ZERO_SHUFFLE = [
-    "text_quality",
     "pii_redaction_stats",
     "chunk_documents_overlap",
     "simhash_fingerprints",
@@ -94,11 +93,35 @@ def test_pipeline_exchange_budgets(spark, sf_dir):
         )
 
 
+#: Row-local queries that deliberately buy ONE round-robin exchange to
+#: spread a narrow single-split scan across the cores (r15,
+#: operators/layout.widen_narrow_input — a no-op at production input
+#: widths). Still forbidden: any hash/range exchange, i.e. any shuffle
+#: an operator actually KEYS on — that would mean the row-local
+#: contract broke, not the input layout.
+WIDEN_ONLY = [
+    "text_quality",
+]
+
+
 def test_zero_shuffle_queries_have_no_exchange(spark, sf_dir):
     for name in ZERO_SHUFFLE:
         df = REGISTRY[name].spark_fn(spark, sf_dir)
         plan = _formatted_plan(df)
         assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan}"
+
+
+def test_widen_only_queries_have_no_keyed_exchange(spark, sf_dir):
+    import re
+
+    for name in WIDEN_ONLY:
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        plan = _formatted_plan(df)
+        args = re.findall(r"^Arguments: (\w+Partitioning)", plan, re.M)
+        assert args and set(args) == {"RoundRobinPartitioning"}, (
+            f"{name} must shuffle only via the widen round-robin "
+            f"exchange, found {args}:\n{plan}"
+        )
 
 
 def test_rotation_ledger_registry_count_matches(spark):
