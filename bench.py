@@ -313,7 +313,19 @@ def main() -> None:
                     "calm_start_exhausted": load_at_start > CALM_START_LOAD,
                     "load_1m_before": load_before_1m,
                     "load_1m_after": load_after_1m,
-                    "cpus": os.cpu_count(),
+                    # The core count the bench actually ran on: the
+                    # driver sets $SPARK_GRAFT_CPUS and get_spark()
+                    # builds local[$SPARK_GRAFT_CPUS] from it, so the
+                    # env var (not os.cpu_count(), which always reads
+                    # the host's 32 and misdescribed the 8-core
+                    # control artifact BENCH_r15_c8.json) is the
+                    # truthful value. Falls back to the host count
+                    # when unset (local[*]).
+                    "cpus": (
+                        int(cpus_env)
+                        if (cpus_env := os.environ.get("SPARK_GRAFT_CPUS", "")).isdigit()
+                        else os.cpu_count()
+                    ),
                     "baseline_file": prev_file,
                     # True iff the first timing pass was discarded for
                     # host load; its runs live on the detail line.

