@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_migration_spark.operators.clustering import (
     double_array_literal,
+    static_tiny_jobs,
 )
 
 
@@ -75,6 +76,27 @@ def train_pq_codebooks(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d = dim // m
 
+    # The whole training loop is sequential k-bounded collects (init
+    # rows + m·k·(dim/m) means per epoch) — statically planned for the
+    # same reason as the Lloyd's loop (clustering.static_tiny_jobs:
+    # AQE replanning is a per-epoch driver round trip that cannot help
+    # a collect whose size is independent of the corpus).
+    with static_tiny_jobs(vectors.sparkSession):
+        return _train_pq_epochs(vectors, m, d, k, id_col, vec_col, train_iters)
+
+
+def _train_pq_epochs(
+    vectors: DataFrame,
+    m: int,
+    d: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    train_iters: int,
+) -> list[list[list[float]]]:
+    """The eager epoch loop of :func:`train_pq_codebooks` (same jobs,
+    same arithmetic — split out so the conf scope reads as one
+    block)."""
     init_rows = vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     books = [
         [[float(x) for x in row[vec_col][j * d : (j + 1) * d]] for row in init_rows]
@@ -350,7 +372,10 @@ def sq8_train(
     for p in range(dim):
         comp = F.element_at(F.col(vec_col), p + 1).cast("double")
         aggs += [F.min(comp).alias(f"lo{p}"), F.max(comp).alias(f"hi{p}")]
-    row = vectors.agg(*aggs).first()
+    # 2·dim-bounded single-row collect — statically planned
+    # (clustering.static_tiny_jobs) like every other codebook job.
+    with static_tiny_jobs(vectors.sparkSession):
+        row = vectors.agg(*aggs).first()
     los = [float(row[f"lo{p}"]) for p in range(dim)]
     his = [float(row[f"hi{p}"]) for p in range(dim)]
     return los, his

@@ -55,7 +55,10 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_warehouse_migration_spark.operators.clustering import kmeans
+from data_warehouse_migration_spark.operators.clustering import (
+    kmeans,
+    static_tiny_jobs,
+)
 from data_warehouse_migration_spark.operators.similarity import dot, l2_norm
 
 
@@ -131,12 +134,16 @@ def semdedup(
         widen_narrow_input,
     )
 
+    # Count the RAW frame, before widening: N is partitioning-
+    # independent, and counting through the widen exchange would pay
+    # the repartition inside the sizing job for nothing (r16, §5
+    # driver-job trimming).
+    if k is None or max_cluster_size is None:
+        n_vectors = vectors.count()
     # A narrow input (one parquet split) would serialize every stage
     # of the Lloyd's loop AND the broadcast-probe side of the pair
     # join on one core; widening is a no-op at production widths.
     vectors = widen_narrow_input(vectors)
-    if k is None or max_cluster_size is None:
-        n_vectors = vectors.count()
     if k is None:
         k = derive_k(n_vectors, target_cluster_size)
     if max_cluster_size is None:
@@ -154,12 +161,17 @@ def semdedup(
     # raise if the depth budget runs out. The collect is k-bounded.
     next_id = k
     for depth in range(max_split_depth + 1):
-        sizes = {
-            r["cluster"]: r["n"]
-            for r in assigned.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # k-bounded collect: statically planned for the same reason as
+        # the Lloyd's loop (clustering.static_tiny_jobs — AQE replan
+        # is a wasted driver round trip on corpus-size-independent
+        # results).
+        with static_tiny_jobs(assigned.sparkSession):
+            sizes = {
+                r["cluster"]: r["n"]
+                for r in assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         hot = sorted(c for c, n in sizes.items() if n > max_cluster_size)
         if not hot:
             break

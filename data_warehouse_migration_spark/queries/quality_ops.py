@@ -1467,15 +1467,23 @@ def curation_pipeline_v2(spark, sf_dir):
     # is the dedup digest groupBy — single-map-task partial agg
     # combines perfectly, and the widen exchange measured 1.65 s vs
     # 1.24 s narrow at sf0.1.
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
     norm = normalized_text(F.col("text"))
     base = docs.select("doc_id", "lang", norm.alias("txt"))
-    survivors = (
-        base.groupBy(F.md5(F.col("txt")).alias("dg"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # Exact dedup as ONE digest-partitioned window instead of
+    # groupBy(digest).min + join-back (r16 — same rewrite as
+    # curation_pipeline_v3, guide §2.4): one corpus scan and one regex
+    # normalization pass instead of two of each, and the bigram
+    # explode downstream inherits the exchange's parallelism instead
+    # of running inside the single scan task behind a broadcast join.
+    survivor = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("txt"))))
+    kept_docs = (
+        base.withColumn("__min_id", survivor)
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id")
     )
-    kept_docs = base.join(survivors, "doc_id")
     w = kept_docs.select(
         "doc_id", "lang", F.split(F.col("txt"), " ").alias("w")
     )
@@ -1632,13 +1640,26 @@ def curation_pipeline_v3(spark, sf_dir):
         stage_to_parquet,
     )
 
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
     norm = normalized_text(F.col("text"))
     base = docs.select("doc_id", "lang", norm.alias("txt"))
-    survivors = (
-        base.groupBy(F.md5(F.col("txt")).alias("dg"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # Exact dedup as ONE digest-partitioned window (min doc_id per
+    # md5(txt), keep the row that owns the minimum) instead of
+    # groupBy(digest).min + join-back (r16, guide §2.4 "share one
+    # exchange"): the join form expanded `base` — a corpus scan plus
+    # the regex normalization, the pipeline's hottest row-local work —
+    # into TWO plan branches (2 scans, 2 regex passes) and still paid
+    # a doc_id shuffle for the join on top of the digest shuffle. The
+    # window form scans and normalizes once and spends one digest-
+    # keyed exchange; the kept set is identical (min-id-per-digest
+    # rule, oracle-attested).
+    survivor = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("txt"))))
+    kept_base = (
+        base.withColumn("__min_id", survivor)
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id")
     )
     # Explicit-N repartition (not keyless .repartition(col): AQE's
     # coalescer folds advisory exchanges of a tiny corpus back to ONE
@@ -1651,7 +1672,7 @@ def curation_pipeline_v3(spark, sf_dir):
     # shuffles at most once" — the in-plan SMJ form spent it on the
     # removal join); all four cleaned-text consumers hang off it.
     n_par = spark.sparkContext.defaultParallelism
-    kept_docs = base.join(survivors, "doc_id").repartition(n_par, "doc_id")
+    kept_docs = kept_base.repartition(n_par, "doc_id")
     removal_lists = stage_to_parquet(
         duplicate_span_removal_lists(kept_docs, text_col="txt", n=10),
         "curation_pipeline_v3__span_removals",
