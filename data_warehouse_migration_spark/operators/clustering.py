@@ -71,7 +71,20 @@ def double_array_literal(a) -> Column:
     def render(x) -> str:
         if isinstance(x, (list, tuple)):
             return "array(" + ", ".join(render(v) for v in x) + ")"
-        return repr(float(x)) + "D"
+        v = float(x)
+        # Non-finite repr ('nan'/'inf') is not a SQL double literal —
+        # the parser would resolve it as a COLUMN name and fail with a
+        # confusing AnalysisException (ADVICE r15 #1; reachable when a
+        # NaN embedding component propagates through a centroid avg).
+        # CAST('NaN'/'Infinity' AS DOUBLE) parses to the identical
+        # IEEE value the old per-component F.lit path produced.
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return repr(v) + "D"
 
     return F.expr(render(a))
 

@@ -81,6 +81,14 @@ def widen_narrow_input(df: DataFrame, min_partitions: int | None = None) -> Data
     must not depend on partitioning anyway (exact aggregates are
     order-free; FP aggregates in this repo round to absorb
     partition-order noise by contract).
+
+    PRECONDITION — call on SCAN-ADJACENT frames only (ADVICE r15 #2):
+    the width probe converts the frame to an RDD, and under AQE that
+    conversion FINALIZES the adaptive plan by executing any upstream
+    shuffle stages — on a frame with exchanges below it, the probe
+    would silently run (and later duplicate) those stages. On a bare
+    file scan (every current call site) nothing executes; the probe
+    only plans the scan splits.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism

@@ -198,7 +198,11 @@ def pii_redaction_stats(spark, sf_dir):
         PII_PHONE_RE,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): the regex scrub chain ran
+    # inside the single narrow scan task. Calm interleaved A/B at
+    # sf0.1: widened min 0.289 vs narrow 0.506 (1.75×); no-op at
+    # production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     injected = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -395,7 +399,12 @@ def chunk_documents_overlap(spark, sf_dir):
     ASCII corpora."""
     from data_warehouse_migration_spark.functions.text import unicode_tokens
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): Unicode tokenization +
+    # chunk md5s ran inside the single narrow scan task. Calm
+    # interleaved A/B at sf0.1: widened min 0.230 vs narrow 0.262
+    # (1.14× — every widened run beat every narrow run); no-op at
+    # production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     words = unicode_tokens(F.col("text"))
     sized = docs.select(
         "doc_id", words.alias("w"), F.size(words).alias("len")

@@ -80,3 +80,24 @@ def test_double_array_literal_bit_identical_to_per_component_lits(spark):
         for g, w in zip(g_row, w_row):
             assert struct.pack("<d", g) == struct.pack("<d", w), (g, w)
     assert not any(math.isnan(x) for row in got for x in row)
+
+
+def test_double_array_literal_non_finite_values(spark):
+    """repr of non-finite floats ('nan'/'inf') is not a SQL literal —
+    the parser used to resolve it as a column name and raise a
+    confusing AnalysisException (ADVICE r15 #1; NaN centroids are
+    reachable when an input embedding component is NaN). The builder
+    must render them as CASTs that parse to the same IEEE values the
+    per-component F.lit path produced."""
+    import math
+
+    from data_warehouse_migration_spark.operators.clustering import (
+        double_array_literal,
+    )
+
+    vals = [float("nan"), float("inf"), float("-inf"), 1.5]
+    got = spark.range(1).select(double_array_literal(vals).alias("a")).first()["a"]
+    assert math.isnan(got[0])
+    assert got[1] == float("inf")
+    assert got[2] == float("-inf")
+    assert got[3] == 1.5

@@ -205,10 +205,17 @@ def test_widen_narrow_input_widens_and_preserves_rows(spark, sf_dir):
         widen_narrow_input,
     )
 
+    import pytest
+
+    target = spark.sparkContext.defaultParallelism
+    if target == 1:
+        # The widen is a guarded no-op when the session has one core
+        # (nothing is narrower than parallelism 1) — there is no
+        # behavior to observe here (ADVICE r15 #3).
+        pytest.skip("widen is a no-op on a 1-core session")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert docs.rdd.getNumPartitions() == 1  # the fixture shape the helper exists for
     wide = widen_narrow_input(docs)
-    target = spark.sparkContext.defaultParallelism
     assert wide.rdd.getNumPartitions() == target
     # Pure redistribution: same rows, nothing dropped or duplicated.
     assert sorted(r.doc_id for r in wide.select("doc_id").collect()) == sorted(

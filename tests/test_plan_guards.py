@@ -13,9 +13,6 @@ from data_warehouse_migration_spark.catalog import REGISTRY
 
 #: Queries documented as zero-shuffle: scan → expressions → result.
 ZERO_SHUFFLE = [
-    "pii_redaction_stats",
-    "chunk_documents_overlap",
-    "simhash_fingerprints",
     "doc_fingerprint_winnow",
     "vector_ops_surface",
     "media_feature_extract_real",
@@ -101,6 +98,10 @@ def test_pipeline_exchange_budgets(spark, sf_dir):
 #: contract broke, not the input layout.
 WIDEN_ONLY = [
     "text_quality",
+    # r16 sweep (VERDICT r15 #6), calm interleaved A/Bs at sf0.1:
+    "pii_redaction_stats",  # 0.289 widened vs 0.506 narrow
+    "simhash_fingerprints",  # 0.576 widened vs 3.340 narrow
+    "chunk_documents_overlap",  # 0.230 widened vs 0.262 narrow
 ]
 
 
@@ -118,6 +119,16 @@ def test_widen_only_queries_have_no_keyed_exchange(spark, sf_dir):
         df = REGISTRY[name].spark_fn(spark, sf_dir)
         plan = _formatted_plan(df)
         args = re.findall(r"^Arguments: (\w+Partitioning)", plan, re.M)
+        # On a 1-core session the widen is a guarded no-op (the input
+        # is never narrower than defaultParallelism=1), so no exchange
+        # appears at all — that is correct behavior, not a failure
+        # (ADVICE r15 #3). A KEYED exchange still fails either way.
+        if spark.sparkContext.defaultParallelism == 1:
+            assert not args, (
+                f"{name} must have no exchange on a 1-core session, "
+                f"found {args}:\n{plan}"
+            )
+            continue
         assert args and set(args) == {"RoundRobinPartitioning"}, (
             f"{name} must shuffle only via the widen round-robin "
             f"exchange, found {args}:\n{plan}"
