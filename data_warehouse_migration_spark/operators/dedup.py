@@ -82,6 +82,33 @@ def exact_dedup(
     )
 
 
+def keep_min_id_rows(
+    docs: DataFrame, digest: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """The SURVIVOR ROWS of exact dedup — every column of ``docs``,
+    keeping only the minimum-``id_col`` row per ``digest`` value — via
+    ONE digest-partitioned min window (r16, guide §2.4 "share one
+    exchange").
+
+    This replaces the ``groupBy(digest).agg(min(id)) + join-back``
+    idiom the curation pipelines used: that form expands the upstream
+    subtree (scan + normalization + any classifier scoring feeding the
+    digest) into TWO plan branches and pays a ``id_col`` join shuffle
+    on top of the digest shuffle; the window form computes the
+    upstream once and spends one digest-keyed exchange. The kept set
+    is identical (min-id-per-digest rule). Measured r16 at sf0.1
+    (interleaved same-session A/Bs): curation_pipeline_v2 0.851 vs
+    1.069 with its scan+regex base halved; v5-v8 re-expanded their
+    whole classifier-scoring subtree through this seam.
+    """
+    w = Window.partitionBy(digest)
+    return (
+        docs.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
+    )
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Word n-grams of the normalized text in POSITIONAL order
     (array<string>; element i-1 is the n-gram starting at 1-based word

@@ -233,7 +233,13 @@ def simhash_near_pairs(spark, sf_dir):
     popcount-verified. The DuckDB oracle recomputes the fingerprints
     AND the naive all-pairs answer, so the attestation proves the
     bucketed plan loses nothing."""
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     return D.simhash_near_pairs(docs, radius=2)
 
 
@@ -1201,7 +1207,13 @@ def media_jpeg_decode(spark, sf_dir):
         jpeg_roundtrip_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     feats = jpeg_roundtrip_features(ids)
     return feats.select(
         "asset_id",
@@ -1255,7 +1267,13 @@ def media_jpeg_color_decode(spark, sf_dir):
         jpeg_roundtrip_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     feats = jpeg_roundtrip_features(ids, mode="color")
     return feats.select(
         "asset_id",
@@ -1312,7 +1330,13 @@ def media_jpeg_420_decode(spark, sf_dir):
         jpeg_roundtrip_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     feats = jpeg_roundtrip_features(ids, mode="420")
     return feats.select(
         "asset_id",
@@ -1371,7 +1395,13 @@ def media_jpeg_progressive_decode(spark, sf_dir):
         jpeg_progressive_roundtrip_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     feats = jpeg_progressive_roundtrip_features(ids)
     return feats.select(
         "asset_id",
@@ -1448,7 +1478,13 @@ def media_png_decode(spark, sf_dir):
         png_roundtrip_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     feats = png_roundtrip_features(ids)
     return feats.select(
         "asset_id",
@@ -1508,7 +1544,13 @@ def media_gif_decode(spark, sf_dir):
         gif_roundtrip_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     feats = gif_roundtrip_features(ids)
     return feats.select(
         "asset_id",
@@ -1577,7 +1619,13 @@ def media_flac_decode(spark, sf_dir):
         flac_roundtrip_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     feats = flac_roundtrip_features(ids)
     return feats.select(
         "asset_id",
@@ -1644,7 +1692,13 @@ def media_video_frame_sample(spark, sf_dir):
         video_frame_sample_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     return video_frame_sample_features(ids, every_n=2)
 
 
@@ -1854,7 +1908,13 @@ def html_text_extract(spark, sf_dir):
         html_extract_features,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     return html_extract_features(docs)
 
 
@@ -1994,7 +2054,13 @@ def warc_ingest_extract(spark, sf_dir):
         warc_ingest_features,
     )
 
-    return warc_ingest_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return warc_ingest_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -2100,7 +2166,13 @@ def webdataset_shard_roundtrip(spark, sf_dir):
         webdataset_shard_features,
     )
 
-    return webdataset_shard_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return webdataset_shard_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -2158,7 +2230,13 @@ def zip_bundle_roundtrip(spark, sf_dir):
         zip_bundle_features,
     )
 
-    return zip_bundle_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return zip_bundle_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -2219,7 +2297,13 @@ def pdf_text_extract(spark, sf_dir):
         pdf_extract_features,
     )
 
-    return pdf_extract_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return pdf_extract_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -2262,7 +2346,13 @@ def mime_message_extract(spark, sf_dir):
         mime_message_features,
     )
 
-    return mime_message_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return mime_message_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -2351,7 +2441,13 @@ def media_jpeg_exif_orientation(spark, sf_dir):
         jpeg_exif_orientation_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     return jpeg_exif_orientation_features(ids)
 
 
@@ -3383,7 +3479,10 @@ def training_data_pipeline(spark, sf_dir):
     on the UNICODE family; the dedup stage's ``content_digest`` stays
     on the legacy normalization BY DESIGN — it is an at-rest md5
     signature, and changing it re-keys every stored index."""
-    from data_warehouse_migration_spark.operators.dedup import content_digest
+    from data_warehouse_migration_spark.operators.dedup import (
+        content_digest,
+        keep_min_id_rows,
+    )
     from data_warehouse_migration_spark.operators.packing import pack_sequences
     from data_warehouse_migration_spark.operators.sampling import md5_bucket
 
@@ -3392,12 +3491,6 @@ def training_data_pipeline(spark, sf_dir):
     # aggregation combines perfectly; the widen exchange cost more
     # than it parallelized (1.47 s vs 0.94 s narrow at sf0.1).
     docs = t(spark, sf_dir, "documents")
-    survivors = (
-        docs.select("doc_id", content_digest(F.col("text")).alias("digest"))
-        .groupBy("digest")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -3412,9 +3505,18 @@ def training_data_pipeline(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.avg(F.log(F.col("c") / F.col("t").cast("double"))).alias("lp"))
     )
+    # Exact-dedup survivors via one digest window (r16, operators/
+    # dedup.keep_min_id_rows): the groupBy(digest).min + left_semi
+    # form expanded the docs scan into a third plan branch and paid a
+    # doc_id semi-join shuffle on top of the digest shuffle.
     kept = (
-        docs.select("doc_id", "n_chars")
-        .join(survivors, "doc_id", "left_semi")
+        keep_min_id_rows(
+            docs.select(
+                "doc_id", "n_chars", content_digest(F.col("text")).alias("__dg")
+            ),
+            F.col("__dg"),
+        )
+        .select("doc_id", "n_chars")
         .join(doc_lp.filter(F.round("lp", 6) > -7.0), "doc_id", "left_semi")
         .filter(md5_bucket(F.col("doc_id")) < int(0.9 * 65536))
     )
@@ -4716,7 +4818,13 @@ def crawl_ingest_quarantine(spark, sf_dir):
         crawl_archive_ingest_quarantine,
     )
 
-    out = crawl_archive_ingest_quarantine(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    out = crawl_archive_ingest_quarantine(widen_narrow_input(t(spark, sf_dir, "documents")))
     return out.select(
         "doc_id",
         "status",
@@ -4769,7 +4877,13 @@ def bz2_text_archive(spark, sf_dir):
         bz2_archive_features,
     )
 
-    return bz2_archive_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return bz2_archive_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -4831,7 +4945,13 @@ def media_tiff_decode(spark, sf_dir):
         tiff_roundtrip_features,
     )
 
-    ids = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    ids = widen_narrow_input(t(spark, sf_dir, "documents")).select(F.col("doc_id").alias("asset_id"))
     return tiff_roundtrip_features(ids)
 
 
@@ -4875,7 +4995,13 @@ def wikidump_extract(spark, sf_dir):
         wikidump_extract_features,
     )
 
-    return wikidump_extract_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return wikidump_extract_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -4918,7 +5044,13 @@ def tfrecord_shard_roundtrip(spark, sf_dir):
         tfrecord_shard_features,
     )
 
-    return tfrecord_shard_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return tfrecord_shard_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -4964,7 +5096,13 @@ def xz_text_archive(spark, sf_dir):
         xz_archive_features,
     )
 
-    return xz_archive_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return xz_archive_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -5038,7 +5176,13 @@ def zst_text_archive(spark, sf_dir):
         zst_archive_features,
     )
 
-    return zst_archive_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return zst_archive_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -5089,7 +5233,13 @@ def lz4_text_archive(spark, sf_dir):
         lz4_archive_features,
     )
 
-    return lz4_archive_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return lz4_archive_features(widen_narrow_input(t(spark, sf_dir, "documents")))
 
 
 @query(
@@ -5144,4 +5294,10 @@ def snappy_text_archive(spark, sf_dir):
         snappy_archive_features,
     )
 
-    return snappy_archive_features(t(spark, sf_dir, "documents"))
+    # Widened (r16 sweep, VERDICT r15 #6): the heavy row-local
+    # synthesize/decode work ran inside the single narrow scan task
+    # (family A/Bs at sf0.1: webdataset 3.03 widened vs 54.68 narrow,
+    # warc 2.11 vs 34.09, wikidump 2.33 vs 25.23, media_png 1.14 vs
+    # 13.17, crawl_quarantine 1.98 vs 28.52, pdf 1.66 vs 19.70,
+    # simhash_near_pairs 5.70 vs 16.44); no-op at production widths.
+    return snappy_archive_features(widen_narrow_input(t(spark, sf_dir, "documents")))

@@ -27,7 +27,10 @@ from data_warehouse_migration_spark.functions.text import (
     redact_pii,
     unicode_tokens_sql,
 )
-from data_warehouse_migration_spark.operators.dedup import normalized_text
+from data_warehouse_migration_spark.operators.dedup import (
+    keep_min_id_rows,
+    normalized_text,
+)
 from data_warehouse_migration_spark.operators.layout import widen_narrow_input
 
 
@@ -118,7 +121,14 @@ def repetition_quality_flags(spark, sf_dir):
     100 TB: explode → two-phase count with map-side combine on (doc,
     gram) — the same plan as the vocabulary scan; no UDFs, no N².
     """
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): both n-gram explodes ran
+    # inside the single narrow scan task — the (doc_id, gram)-keyed
+    # counts DON'T combine map-side the way the vocab groupBys that
+    # stayed narrow do (the key includes doc_id, so partial rows ≈
+    # full rows and there is nothing to combine). Calm interleaved
+    # A/B at sf0.1: widened min 1.993 vs narrow 11.715 (5.9×); no-op
+    # at production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     bic = _ngram_rows(docs, 2).groupBy("doc_id", "gram").count()
     bagg = bic.groupBy("doc_id").agg(
         F.sum("count").alias("tot2"), F.max("count").alias("top2")
@@ -287,7 +297,13 @@ def bigram_lm_scores(spark, sf_dir):
     (SCALE.md's per-query migration — VERDICT r12 missing #6)."""
     from data_warehouse_migration_spark.functions.text import unicode_tokens
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): tokenization + the bigram
+    # split_part explode ran inside the single narrow scan task, and
+    # the (w1, w2)/(doc_id)-keyed aggregations downstream don't
+    # combine away the per-row work the way a pure vocab groupBy
+    # does. Calm interleaved A/B at sf0.1: widened min 2.655 vs
+    # narrow 22.472 (8.5×); no-op at production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
         F.explode(unicode_tokens(F.col("text"))).alias("t"),
@@ -1476,23 +1492,16 @@ def curation_pipeline_v2(spark, sf_dir):
     # is the dedup digest groupBy — single-map-task partial agg
     # combines perfectly, and the widen exchange measured 1.65 s vs
     # 1.24 s narrow at sf0.1.
-    from pyspark.sql import Window
-
     docs = t(spark, sf_dir, "documents")
     norm = normalized_text(F.col("text"))
     base = docs.select("doc_id", "lang", norm.alias("txt"))
     # Exact dedup as ONE digest-partitioned window instead of
-    # groupBy(digest).min + join-back (r16 — same rewrite as
-    # curation_pipeline_v3, guide §2.4): one corpus scan and one regex
+    # groupBy(digest).min + join-back (r16 — operators/dedup.
+    # keep_min_id_rows, guide §2.4): one corpus scan and one regex
     # normalization pass instead of two of each, and the bigram
     # explode downstream inherits the exchange's parallelism instead
     # of running inside the single scan task behind a broadcast join.
-    survivor = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("txt"))))
-    kept_docs = (
-        base.withColumn("__min_id", survivor)
-        .filter(F.col("doc_id") == F.col("__min_id"))
-        .drop("__min_id")
-    )
+    kept_docs = keep_min_id_rows(base, F.md5(F.col("txt")))
     w = kept_docs.select(
         "doc_id", "lang", F.split(F.col("txt"), " ").alias("w")
     )
@@ -1649,27 +1658,21 @@ def curation_pipeline_v3(spark, sf_dir):
         stage_to_parquet,
     )
 
-    from pyspark.sql import Window
-
     docs = t(spark, sf_dir, "documents")
     norm = normalized_text(F.col("text"))
     base = docs.select("doc_id", "lang", norm.alias("txt"))
     # Exact dedup as ONE digest-partitioned window (min doc_id per
     # md5(txt), keep the row that owns the minimum) instead of
-    # groupBy(digest).min + join-back (r16, guide §2.4 "share one
-    # exchange"): the join form expanded `base` — a corpus scan plus
-    # the regex normalization, the pipeline's hottest row-local work —
-    # into TWO plan branches (2 scans, 2 regex passes) and still paid
-    # a doc_id shuffle for the join on top of the digest shuffle. The
-    # window form scans and normalizes once and spends one digest-
-    # keyed exchange; the kept set is identical (min-id-per-digest
-    # rule, oracle-attested).
-    survivor = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("txt"))))
-    kept_base = (
-        base.withColumn("__min_id", survivor)
-        .filter(F.col("doc_id") == F.col("__min_id"))
-        .drop("__min_id")
-    )
+    # groupBy(digest).min + join-back (r16, operators/dedup.
+    # keep_min_id_rows, guide §2.4 "share one exchange"): the join
+    # form expanded `base` — a corpus scan plus the regex
+    # normalization, the pipeline's hottest row-local work — into TWO
+    # plan branches (2 scans, 2 regex passes) and still paid a doc_id
+    # shuffle for the join on top of the digest shuffle. The window
+    # form scans and normalizes once and spends one digest-keyed
+    # exchange; the kept set is identical (min-id-per-digest rule,
+    # oracle-attested).
+    kept_base = keep_min_id_rows(base, F.md5(F.col("txt")))
     # Explicit-N repartition (not keyless .repartition(col): AQE's
     # coalescer folds advisory exchanges of a tiny corpus back to ONE
     # partition, serializing every CPU-bound stage downstream — the
@@ -2054,17 +2057,19 @@ def curation_pipeline_v4(spark, sf_dir):
         temperature_weights,
     )
 
+    # Deliberately NOT widened (r16 A/B): without v5's classifier
+    # stage the pre-exchange work is light and the widen exchange cost
+    # more than it parallelized — widened min 3.013 vs narrow 2.064 at
+    # sf0.1 (same protocol that kept the v5-v8 widens).
     docs = hash_split(t(spark, sf_dir, "documents"), "doc_id", {"train": 0.9, "eval": 0.1})
     base = docs.select(
         "doc_id", "lang", "split", normalized_text(F.col("text")).alias("txt")
     )
     train = base.filter(F.col("split") == "train")
-    surv = (
-        train.groupBy(F.md5(F.col("txt")).alias("dg"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    tr = train.join(surv, "doc_id").select(
+    # Survivor rows via one digest window (r16, operators/dedup.
+    # keep_min_id_rows) — the groupBy+join form expanded the train
+    # subtree into two branches and added a doc_id join shuffle.
+    tr = keep_min_id_rows(train, F.md5(F.col("txt"))).select(
         "doc_id", "lang", F.col("txt").alias("text")
     )
     ev = base.filter(F.col("split") == "eval").select(
@@ -2671,7 +2676,13 @@ def classifier_frame(spark, sf_dir, weights: list[int] | None = None):
         hashed_ngram_features,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): hashed unigram+bigram
+    # feature extraction + scoring ran inside the single narrow scan
+    # task. Calm interleaved A/B at sf0.1: quality_classifier_scores
+    # widened min 3.041 vs narrow 23.186 (7.6×),
+    # quality_classifier_trained 2.942 vs 16.752 (5.7×) — both ride
+    # this frame; no-op at production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     score = hashed_linear_score_mili(
         F.col("text"), _QC_N_FEATURES, _QC_WEIGHT_SEED, weights=weights
     )
@@ -3340,7 +3351,11 @@ def quality_classifier_sgd_training(spark, sf_dir):
         logistic_sgd_distill,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): per-epoch feature hashing
+    # re-runs over the corpus inside the single narrow scan task.
+    # Calm interleaved A/B at sf0.1: widened min 9.536 vs narrow
+    # 17.735 (1.9×); no-op at production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     return logistic_sgd_distill(spark, docs, n_features=_QC_N_FEATURES, epochs=12)
 
 
@@ -3376,7 +3391,11 @@ def quality_classifier_training(spark, sf_dir):
         perceptron_distill,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): per-epoch feature hashing
+    # re-runs over the corpus inside the single narrow scan task.
+    # Calm interleaved A/B at sf0.1: widened min 3.829 vs narrow
+    # 10.933 (2.9×); no-op at production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     return perceptron_distill(spark, docs, n_features=_QC_N_FEATURES, epochs=3)
 
 
@@ -3486,19 +3505,22 @@ def curation_pipeline_v5(spark, sf_dir):
         temperature_weights,
     )
 
-    docs = hash_split(
-        t(spark, sf_dir, "documents"), "doc_id", {"train": 0.9, "eval": 0.1}
+    # Widened (r16 sweep, VERDICT r15 #6): the hashed-linear classifier
+    # filter this pipeline adds over v4 is heavy row-local work on the
+    # single narrow scan task. Calm interleaved A/B at sf0.1: widened
+    # min 3.610 vs narrow 3.813; v4 WITHOUT the classifier stage
+    # measured the opposite (3.013 widened vs 2.064 narrow) and stays
+    # narrow. No-op at production input widths.
+    docs = hash_split(widen_narrow_input(
+        t(spark, sf_dir, "documents")), "doc_id", {"train": 0.9, "eval": 0.1}
     )
     base = docs.select(
         "doc_id", "lang", "split", normalized_text(F.col("text")).alias("txt")
     )
     train = base.filter(F.col("split") == "train")
-    surv = (
-        train.groupBy(F.md5(F.col("txt")).alias("dg"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    tr = train.join(surv, "doc_id").select(
+    # Survivor rows via one digest window (r16, operators/dedup.
+    # keep_min_id_rows — see curation_pipeline_v4).
+    tr = keep_min_id_rows(train, F.md5(F.col("txt"))).select(
         "doc_id", "lang", F.col("txt").alias("text")
     )
     trq = tr.filter(
@@ -3608,7 +3630,11 @@ def curation_pipeline_v6(spark, sf_dir):
         logistic_sgd_distill,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): 12 SGD epochs of feature
+    # hashing plus the scoring pass all ran inside the single narrow
+    # scan task. Calm interleaved A/B at sf0.1: widened min 11.186 vs
+    # narrow 26.143 (2.3×); no-op at production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     weights = logistic_sgd_distill(
         spark, docs, n_features=_QC_N_FEATURES, epochs=12
     )
@@ -3627,12 +3653,13 @@ def curation_pipeline_v6(spark, sf_dir):
         .withColumn("score", F.coalesce("score", F.lit(0)))
         .filter(F.col("score") > 0)
     )
-    surv = (
-        kept.groupBy(F.md5(normalized_text(F.col("text"))).alias("__d"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    fin = kept.join(surv, "doc_id").select(
+    # Survivor rows via one digest window (r16, operators/dedup.
+    # keep_min_id_rows): the groupBy+join form re-expanded the whole
+    # classifier-scoring subtree (features + SGD-weight join) into a
+    # second plan branch.
+    fin = keep_min_id_rows(
+        kept, F.md5(normalized_text(F.col("text")))
+    ).select(
         "lang",
         "score",
         unicode_token_count(F.col("text")).alias("nt"),
@@ -3727,16 +3754,18 @@ def curation_pipeline_v7(spark, sf_dir):
         crawl_extract_main,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): the HTML-extraction Arrow
+    # stage ran inside the single narrow scan task. Calm interleaved
+    # A/B at sf0.1: widened min 1.228 vs narrow 1.413 (1.15×, every
+    # widened run beat every narrow run); no-op at production widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     main = crawl_extract_main(docs)
     tok = main.withColumn("nt", unicode_token_count(F.col("main_text")))
     kept = tok.filter(F.col("nt") >= 5)
-    surv = (
-        kept.groupBy(F.md5("main_text").alias("__d"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    fin = kept.join(surv, "doc_id")
+    # Survivor rows via one digest window (r16, operators/dedup.
+    # keep_min_id_rows): the groupBy+join form re-expanded the whole
+    # Arrow-batched extraction subtree into a second plan branch.
+    fin = keep_min_id_rows(kept, F.md5("main_text"))
     pages = main.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_pages"),
         F.sum("n_boilerplate").cast("long").alias("n_boilerplate"),
@@ -3855,17 +3884,19 @@ def curation_pipeline_v8(spark, sf_dir):
         crawl_archive_ingest,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): the full archive-build +
+    # gzip/WARC/HTTP/HTML ingest Arrow stage ran inside the single
+    # narrow scan task. Calm interleaved A/B at sf0.1: widened min
+    # 4.527 vs narrow 26.139 (5.8×); no-op at production widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     ingested = crawl_archive_ingest(docs)
     fetched = ingested.filter(F.col("allowed"))
     tok = fetched.withColumn("nt", unicode_token_count(F.col("main_text")))
     kept = tok.filter(F.col("nt") >= 5)
-    surv = (
-        kept.groupBy(F.md5("main_text").alias("__d"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    fin = kept.join(surv, "doc_id")
+    # Survivor rows via one digest window (r16, operators/dedup.
+    # keep_min_id_rows): the groupBy+join form re-expanded the whole
+    # Arrow-batched extraction subtree into a second plan branch.
+    fin = keep_min_id_rows(kept, F.md5("main_text"))
     arch = ingested.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_archives"),
         F.count(F.when(F.col("allowed"), 1)).cast("long").alias("n_fetched"),
