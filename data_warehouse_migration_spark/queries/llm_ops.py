@@ -149,8 +149,13 @@ WHERE j.j >= 0.8
 """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    # Widened (r16 sweep, VERDICT r15 #6): shingling + 16 MinHash
+    # passes ran inside the single narrow scan task. Calm interleaved
+    # A/B at sf0.1: widened min 1.559 vs narrow 5.488 (3.5×); no-op
+    # at production input widths.
     return D.minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=8, threshold=0.8
+        widen_narrow_input(t(spark, sf_dir, "documents")),
+        n=3, num_hashes=16, bands=8, threshold=0.8,
     )
 
 
@@ -3842,7 +3847,11 @@ def dedup_incremental_batch(spark, sf_dir):
     verification of surfaced candidates only."""
     from data_warehouse_migration_spark.operators.sampling import hash_split
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): batch-vs-corpus shingle and
+    # MinHash work ran inside the single narrow scan task. Calm
+    # interleaved A/B at sf0.1: widened min 2.519 vs narrow 5.248
+    # (2.1×); no-op at production input widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     split = hash_split(docs, "doc_id", {"corpus": 0.9, "batch": 0.1})
     return D.incremental_dedup(
         split.filter(F.col("split") == "batch").drop("split"),
@@ -3942,8 +3951,13 @@ def rag_retrieval_pipeline(spark, sf_dir):
         pseudo_embedding,
     )
 
+    # Widened (r16 sweep, VERDICT r15 #6): chunking + per-component
+    # pseudo-embedding md5s ran inside the single narrow scan task.
+    # Calm interleaved A/B at sf0.1: widened min 1.410 vs narrow 1.514;
+    # no-op at production input widths.
     docs = hash_split(
-        t(spark, sf_dir, "documents"), "doc_id", {"corpus": 0.9, "query": 0.1}
+        widen_narrow_input(t(spark, sf_dir, "documents")),
+        "doc_id", {"corpus": 0.9, "query": 0.1},
     )
     txt = D.normalized_text(F.col("text"))
     base = docs.select("doc_id", "split", txt.alias("txt"))
@@ -4073,8 +4087,13 @@ def decontaminate_exact_substring(spark, sf_dir):
     check on the survivors — same contract, index-pruned input."""
     from data_warehouse_migration_spark.operators.sampling import hash_split
 
+    # Widened (r16 sweep, VERDICT r15 #6): span hashing over every
+    # train document ran inside the single narrow scan task. Calm
+    # interleaved A/B at sf0.1: widened min 0.519 vs narrow 3.698
+    # (7.1×); no-op at production input widths.
     docs = hash_split(
-        t(spark, sf_dir, "documents"), "doc_id", {"train": 0.9, "eval": 0.1}
+        widen_narrow_input(t(spark, sf_dir, "documents")),
+        "doc_id", {"train": 0.9, "eval": 0.1},
     )
     txt = D.normalized_text(F.col("text"))
     norm = docs.select("doc_id", "split", txt.alias("txt"))
@@ -4157,8 +4176,13 @@ def decontaminate_substring_indexed(spark, sf_dir):
     discipline as the islands family."""
     from data_warehouse_migration_spark.operators.sampling import hash_split
 
+    # Widened (r16 sweep, VERDICT r15 #6): span hashing over every
+    # train document ran inside the single narrow scan task. Calm
+    # interleaved A/B at sf0.1: widened min 0.519 vs narrow 3.698
+    # (7.1×); no-op at production input widths.
     docs = hash_split(
-        t(spark, sf_dir, "documents"), "doc_id", {"train": 0.9, "eval": 0.1}
+        widen_narrow_input(t(spark, sf_dir, "documents")),
+        "doc_id", {"train": 0.9, "eval": 0.1},
     )
     w = F.split(D.normalized_text(F.col("text")), " ")
     base = docs.select("doc_id", "split", w.alias("w"))
@@ -4252,8 +4276,14 @@ def semdedup_tau_calibration(spark, sf_dir):
     from data_warehouse_migration_spark.operators.semdedup import derive_k
     from data_warehouse_migration_spark.operators.similarity import dot, l2_norm
 
+    # Widened (r16, VERDICT r15 #6): the Lloyd's loop and the
+    # within-cluster pair join ran on the single narrow scan task —
+    # the same shape semdedup() widens internally (r15, driver-
+    # confirmed 1.65×); this query calls kmeans directly and missed
+    # it. Count BEFORE widening (N is partitioning-independent).
     emb = t(spark, sf_dir, "embeddings")
     k = derive_k(emb.count(), target_cluster_size=1024)
+    emb = widen_narrow_input(emb)
     _, assigned = kmeans(emb, k=k, max_iter=3, round_centroids=7)
     sized = assigned.withColumn("_nrm", l2_norm(F.col("embedding")))
     a = sized.select(

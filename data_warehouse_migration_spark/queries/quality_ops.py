@@ -4156,7 +4156,11 @@ def streaming_quality_warmstart(spark, sf_dir):
         logistic_sgd_warmstart,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # Widened (r16 sweep, VERDICT r15 #6): 8 SGD epochs of feature
+    # hashing re-scan the corpus inside the single narrow scan task
+    # (same mechanism as quality_classifier_sgd_training, A/B'd at
+    # 9.54 widened vs 17.74 narrow); no-op at production widths.
+    docs = widen_narrow_input(t(spark, sf_dir, "documents"))
     gen_a = docs.where(F.col("doc_id") % 2 == 0)
     wa = logistic_sgd_warmstart(
         spark, gen_a, None, start_epoch=1, epochs=4,
@@ -4380,8 +4384,13 @@ def streaming_crawl_warm_curation(spark, sf_dir):
         crawl_warm_curation,
     )
 
+    # Widened (r16 sweep, VERDICT r15 #6): the crawl-ingest Arrow
+    # stage re-executes once per SGD epoch and BPE census, every time
+    # inside the single narrow scan task (same mechanism as the
+    # crawl/classifier gates A/B'd 1.9-14.4×); no-op at production
+    # widths.
     return crawl_warm_curation(
-        spark, t(spark, sf_dir, "documents"),
+        spark, widen_narrow_input(t(spark, sf_dir, "documents")),
         e_cold=3, e_warm=3, k_base=2, k_more=2,
         n_features=_QC_N_FEATURES,
     )
