@@ -3329,7 +3329,14 @@ def similarity_sq8_topk(spark, sf_dir):
         sq8_train,
     )
 
-    emb = t(spark, sf_dir, "embeddings")
+    # Widened (r16, VERDICT r15 #6): the encode/score legs and the
+    # exact reference ran off the single narrow scan task; one shared
+    # RR exchange feeds every leg. Calm interleaved A/B at sf0.1:
+    # widened min 2.207 vs narrow 2.577 (every widened run beat every
+    # narrow run). PQ/IVF-PQ measured a wash/loss under the same
+    # protocol (7.66 vs 7.34 / 8.73 vs 7.72 — training collects, not
+    # scan parallelism, dominate them) and stay narrow.
+    emb = widen_narrow_input(t(spark, sf_dir, "embeddings"))
     lo, hi = sq8_train(emb, dim=64)
     codes = sq8_encode(emb, lo, hi)
     queries_df = emb.filter(F.col("vec_id") < 8)
